@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** The engine's "collection" — the Spark-native equivalent of the reference's
+  * single mutable Qdrant collection of points
+  * (reference: src/core/qdrant_client.py:60-151).
+  *
+  * A point row is `(id, embedding[normalized], user_id, ts, metadata...)`
+  * (reference payload model: src/core/qdrant_client.py:208-213). Vectors are
+  * always L2-normalized on ingest (src/core/qdrant_client.py:199-202,267-269),
+  * which reduces cosine search to a dot product.
+  *
+  * Mutation semantics over immutable storage:
+  *  - upsert = last-write-wins keyed on `id` (Qdrant `client.upsert`,
+  *    src/core/qdrant_client.py:223-227) → window dedup on (id) by ts desc.
+  *  - delete = anti-filter rewrite; predicate deletes return the TRUE count
+  *    (the reference fakes the count from `operation_id` —
+  *    src/core/qdrant_client.py:461 — the API spec promises the real one).
+  *
+  * Scale notes: the dedup window shuffles on `id` (hash partition — even
+  * distribution, no skew since ids are unique); deletes are full scans that
+  * Catalyst reduces to parquet-pushed predicate filters. At 100 TB, upserts
+  * compact per partition; ids are uniformly distributed so no salting needed.
+  */
+object Collection {
+
+  /** Load the test fixture `embeddings.parquet` as a collection view:
+    * id = vec_id, user_id = label (the payload-field stand-in — FIXTURES.md),
+    * ts = vec_id (deterministic "insertion time"), embedding normalized.
+    */
+  def load(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    withNormalized(raw)
+      .select(
+        col("vec_id").as("id"),
+        col("nemb").as("embedding"),
+        col("label").as("user_id"),
+        col("vec_id").cast("double").as("ts"))
+  }
+
+  /** Add a `nemb` (normalized DOUBLE embedding) column, evaluating the norm
+    * once per row. Ingest-path analogue of reference V1/V2 normalize. */
+  def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val d = VectorOps.toDouble(col(embCol))
+    df.withColumn("_nrm", VectorOps.l2Norm(d))
+      .withColumn("nemb", VectorOps.normalizeWith(col(embCol), col("_nrm")))
+      .drop("_nrm")
+  }
+
+  /** Last-write-wins upsert: union current points with new points and keep,
+    * per id, the row with the highest (ts, isNew) — mirrors Qdrant upsert
+    * replacing same-id points (src/core/qdrant_client.py:223-227,291-296).
+    * Shuffles once on `id`.
+    */
+  def upsert(current: DataFrame, adds: DataFrame): DataFrame = {
+    val unioned = current.withColumn("_gen", lit(0))
+      .unionByName(adds.withColumn("_gen", lit(1)))
+    val w = Window.partitionBy("id").orderBy(desc("ts"), desc("_gen"))
+    unioned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_gen")
+  }
+
+  /** Delete by point id (reference D1: src/core/qdrant_client.py:407-432). */
+  def deleteById(df: DataFrame, id: Column): DataFrame =
+    df.filter(not(col("id") === id))
+
+  /** Predicate delete (reference D2: src/core/qdrant_client.py:434-469).
+    * Returns the surviving rows; pair with a count of the removed set for
+    * the true deleted_count the API spec promises (api_spec.md:108-114). */
+  def deleteWhere(df: DataFrame, pred: Column): DataFrame = df.filter(!pred)
+
+  /** Collection stats rollup (reference A1/A2:
+    * src/core/qdrant_client.py:471-520): point count, user count, per-user
+    * distribution moments, embedding norm sanity. */
+  def stats(points: DataFrame): DataFrame = {
+    val perUser = points.groupBy("user_id").agg(count("*").as("n"))
+    perUser.agg(
+      sum("n").cast("long").as("total_points"),
+      count("*").cast("long").as("distinct_users"),
+      round(avg("n"), 6).as("avg_points_per_user"),
+      max("n").cast("long").as("max_points_per_user"),
+      min("n").cast("long").as("min_points_per_user"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Top-k cosine search — the reference's flagship query
+  * (Q1: src/core/qdrant_client.py:311-405) and its derivatives: filtered
+  * search (Q3/Q5/Q6), batched multi-query search, multi-vector score fusion
+  * (Q8: src/core/advanced_indexing.py:280-348), and the face `verify` /
+  * `detect` semantics spec'd in api_spec.md:452-528 (Q11).
+  *
+  * Determinism invariant (oracle parity, SURVEY.md §7.4): scores are rounded
+  * to 6 decimals ONCE right after the dot product; every threshold filter,
+  * ordering, ranking and limit operates on the rounded score with `id` as the
+  * unique tiebreak. This makes top-k boundaries identical across engines
+  * regardless of ulp-level float accumulation differences.
+  *
+  * Physical shape (exact path): payload predicates are plain filters that
+  * Catalyst pushes into the parquet scan; the tiny query side is broadcast so
+  * scoring is a map-only stage (no shuffle); `orderBy(desc).limit(k)` plans as
+  * `TakeOrderedAndProject` — per-partition top-k then a single driver merge,
+  * which is the aggregation tree one wants on a 1000-executor scan. Batched
+  * queries score all (query × candidate) pairs map-side and take per-query
+  * top-k with one hash-partition shuffle on `query_id`.
+  */
+object Search {
+
+  /** Rounded cosine score of a normalized candidate vs normalized query. */
+  private def score(emb: Column, qemb: Column): Column =
+    round(VectorOps.dot(emb, qemb), 6)
+
+  /** Single-query exact top-k cosine search over a collection with normalized
+    * `embedding`. `queryDf` must have one row with a normalized `qemb` column.
+    * Pre-filters (payload predicates) are applied BEFORE scoring — the
+    * analogue of Qdrant's filtered HNSW traversal
+    * (src/core/qdrant_client.py:354-374). */
+  def knn(
+      points: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      threshold: Double,
+      preFilter: Option[Column] = None): DataFrame = {
+    val filtered = preFilter.map(points.filter).getOrElse(points)
+    filtered
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .filter(col("score") >= threshold)
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
+  /** Batched exact top-k: one row per (query_id, hit), per-query rank <= k.
+    * `queries` has columns (query_id, qemb[normalized]). The query side is
+    * broadcast; the per-query top-k is a single shuffle on query_id. */
+  def knnBatch(
+      points: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    points
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qemb"))))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .filter(col("score") >= threshold)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("score"), col("rank"), col("user_id"))
+  }
+
+  /** Multi-vector fusion search (Q8: src/core/advanced_indexing.py:280-348):
+    * N weighted queries, each searched top-(2k); per-hit score *= weight;
+    * fuse per point id by (sum of weighted scores, vote count); final order
+    * by (fused score desc, votes desc), limit k.
+    * One broadcast scoring stage + one hash aggregate on `id`. */
+  def multiVectorFusion(
+      points: DataFrame,
+      queries: DataFrame, // (query_id, qemb, weight)
+      k: Int,
+      threshold: Double): DataFrame = {
+    val perQueryK = k * 2 // reference oversamples each branch at limit=k*2 (:305)
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    points
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qemb"), col("weight"))))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .filter(col("score") >= threshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perQueryK)
+      .groupBy(col("id"))
+      .agg(
+        round(sum(col("score") * col("weight")), 6).as("fused_score"),
+        count("*").cast("long").as("votes"))
+      .orderBy(desc("fused_score"), desc("votes"), asc("id"))
+      .limit(k)
+  }
+
+  /** Face `verify` (api_spec.md:739-762): top-1 search restricted to one
+    * user; verified iff best score >= threshold. Returns a single row
+    * (user_id, best_score, verified). */
+  def verify(
+      points: DataFrame,
+      queryDf: DataFrame,
+      userId: Column,
+      threshold: Double): DataFrame = {
+    points.filter(col("user_id") === userId)
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .groupBy(col("user_id"))
+      .agg(max(col("score")).as("best_score"))
+      .withColumn("verified", (col("best_score") >= threshold).cast("int"))
+  }
+
+  /** Face `detect`/identify (api_spec.md:764-801): top-k search, candidates
+    * grouped per user, users ranked by their best hit. */
+  def detect(
+      points: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      threshold: Double): DataFrame = {
+    points
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .filter(col("score") >= threshold)
+      .groupBy(col("user_id"))
+      .agg(max(col("score")).as("best_score"),
+        count("*").cast("long").as("n_hits"))
+      .orderBy(desc("best_score"), asc("user_id"))
+      .limit(k)
+  }
+
+  /** Two-phase rescore mirroring quantized-search oversampling 3.0
+    * (src/core/qdrant_client.py:342-348): a cheap score prunes to
+    * k*oversample candidates, then exact rescoring picks the final k.
+    * `scored` must carry (id, score, cheap_score, user_id). */
+  def twoPhaseTopK(
+      scored: DataFrame,
+      k: Int,
+      oversample: Double = 3.0): DataFrame = {
+    val fetchK = math.max(k, (k * oversample).toInt)
+    scored
+      .orderBy(desc("cheap_score"), asc("id")).limit(fetchK)
+      .orderBy(desc("score"), asc("id")).limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+}
