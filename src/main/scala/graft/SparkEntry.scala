@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Collection, Search}
+import graft.operators.{Collection, Dedup, Search, TextAnalysis}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each with an equivalent DuckDB oracle over the same parquet tables.
@@ -96,9 +96,114 @@ object SparkEntry {
     // A1/A2: collection stats rollup.
     "collection_stats" -> ((s, dir) =>
       Collection.stats(Collection.load(s, dir))),
+    // --- training-data pipeline operators (documents/embeddings) ---
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityStats(s.read.parquet(s"$dir/documents.parquet"))),
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))),
+    "token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
+    "doc_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))),
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        n = 3, threshold = 0.5, blockOn = Some("source"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        n = 3, k = 128, bands = 32, threshold = 0.7)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(Collection.load(s, dir), threshold = 0.45)),
   )
 
+  /** DuckDB portable 60-bit hash matching TextOps.hash60. */
+  private def h60(x: String): String =
+    s"('0x' || substring(md5($x), 1, 15))::BIGINT"
+  /** DuckDB word-split CTE over documents. */
+  private val W = "t AS (SELECT doc_id, text, source, string_split(text, ' ') AS w FROM documents)"
+  /** DuckDB distinct 3-gram shingle CTE (follows t). */
+  private val SH =
+    """sh AS (SELECT doc_id, source, list_distinct(list_transform(range(greatest(len(w)-2, 0)),
+      |  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s FROM t WHERE len(w) >= 3)""".stripMargin
+  private def dict(l: String): String =
+    graft.functions.TextOps.StopwordDicts(l).map(w => s"'$w'").mkString("[", ",", "]")
+  private def swRatio(l: String): String =
+    s"round(len(list_filter(w, x -> list_contains(${dict(l)}, x)))::DOUBLE / len(w), 6)"
+
   def oracleSql: Map[String, String] = Map(
+    "text_quality" ->
+      s"""WITH $W,
+         |s AS (SELECT doc_id, len(w)::BIGINT AS word_count, length(text)::BIGINT AS char_count,
+         |  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio,
+         |  round(list_reduce([0] || list_transform(w, x -> length(x)), (a,b) -> a+b)::DOUBLE / len(w), 6) AS avg_word_len,
+         |  ${swRatio("en")} AS stopword_ratio
+         |  FROM t)
+         |SELECT doc_id, word_count, char_count, distinct_ratio, avg_word_len, stopword_ratio,
+         |  round(least(1.0, word_count / 100.0) * (1 - stopword_ratio) * distinct_ratio, 6) AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""WITH $W,
+         |s AS (SELECT doc_id, ${swRatio("en")} AS score_en, ${swRatio("de")} AS score_de,
+         |  ${swRatio("es")} AS score_es, ${swRatio("fr")} AS score_fr FROM t),
+         |b AS (SELECT *, greatest(score_en, score_de, score_es, score_fr) AS best_score FROM s)
+         |SELECT doc_id,
+         |  CASE WHEN best_score = 0.0 THEN 'und' WHEN score_en = best_score THEN 'en'
+         |       WHEN score_de = best_score THEN 'de' WHEN score_es = best_score THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang,
+         |  best_score, score_en, score_de, score_es, score_fr
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents)
+        |SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+        |  list_reduce([0::BIGINT] || list_transform(tk, x -> ceil(length(x)/4.0)::BIGINT), (a,b) -> a+b)::BIGINT AS n_subword_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "doc_fingerprints" ->
+      s"""WITH $W,
+         |h AS (SELECT doc_id, w, list_transform(w, x -> ${h60("x")}) AS wh FROM t)
+         |SELECT doc_id,
+         |  list_reduce([0::BIGINT] || wh, (a,b) -> (a*31 + (b % 1000000007)) % 1000000007) AS rolling_fp,
+         |  md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bow_key
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      s"""WITH $W,
+         |k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bow_key FROM t)
+         |SELECT bow_key, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
+         |FROM k GROUP BY bow_key HAVING count(*) > 1 ORDER BY keep_doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $W, $SH,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+         |  FROM sh a, sh b WHERE a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // minhash-LSH oracle = exact all-pairs (miss prob < 1e-10 at j>=0.85 with 32x4 bands)
+    "dedup_minhash_lsh" ->
+      s"""WITH $W, $SH,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    // simhash chunk-banding has EXACT recall at hamming<=3, so the oracle is all-pairs
+    "dedup_simhash" ->
+      s"""WITH $W,
+         |h AS (SELECT doc_id, list_transform(w, x -> ${h60("x")}) AS wh FROM t),
+         |bits AS (SELECT doc_id, list_transform(range(60), j ->
+         |    CASE WHEN list_reduce([0] || list_transform(wh, x ->
+         |      CASE WHEN (x & (1::BIGINT << j)) != 0 THEN 1 ELSE -1 END), (a,b) -> a+b) > 0
+         |    THEN 1::BIGINT ELSE 0::BIGINT END) AS bt FROM h),
+         |sh2 AS (SELECT doc_id, list_reduce([0::BIGINT] || list_transform(range(59,-1,-1), j -> bt[j+1]), (a,b) -> a*2+b) AS simhash FROM bits)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sh2 a, sh2 b WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH $C,
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, round(list_dot_product(a.ne, b.ne), 6) AS cos
+         |  FROM c a, c b WHERE a.id < b.id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "knn_search" ->
       s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q)

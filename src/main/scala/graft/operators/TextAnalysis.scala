@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Text-analysis operators over a `documents(doc_id, text, ...)` table:
+  * quality scoring, language id (stopword-dictionary heuristic), token
+  * counting (regex words + a BPE-ish subword estimate), and document
+  * fingerprinting (order-sensitive rolling hash + bag-of-words key).
+  *
+  * All are embarrassingly-parallel projections — no shuffle at any scale;
+  * Catalyst prunes the scan to (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Per-doc quality statistics and a composite quality score:
+    * word/char counts, distinct-word ratio, average word length, stopword
+    * ratio (en dictionary), score = min(1, wc/100)·(1-swr)·distinct_ratio. */
+  def qualityStats(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    docs
+      .withColumn("word_count", size(ws).cast("long"))
+      .withColumn("char_count", length(col("text")).cast("long"))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(ws)).cast("double") / col("word_count"), 6))
+      .withColumn("avg_word_len",
+        round(aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+          / col("word_count"), 6))
+      .withColumn("stopword_ratio",
+        round(TextOps.stopwordHits(ws, TextOps.StopwordDicts("en")).cast("double")
+          / col("word_count"), 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0d), col("word_count") / 100.0d)
+          * (lit(1.0d) - col("stopword_ratio")) * col("distinct_ratio"), 6))
+      .select(col("doc_id"), col("word_count"), col("char_count"),
+        col("distinct_ratio"), col("avg_word_len"), col("stopword_ratio"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-dictionary language id: per-language hit ratio; prediction =
+    * argmax with fixed priority (en,de,es,fr) and 'und' (undetermined) when
+    * no dictionary hits. A classic n-gram/function-word heuristic — the
+    * fixture vocabulary is synthetic so this scores the *heuristic*, not
+    * ground truth. */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val langs = Seq("en", "de", "es", "fr")
+    val scored = langs.foldLeft(docs.withColumn("wc", size(ws)))((d, l) =>
+      d.withColumn(s"score_$l",
+        round(TextOps.stopwordHits(ws, TextOps.StopwordDicts(l)).cast("double")
+          / col("wc"), 6)))
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    scored
+      .withColumn("predicted_lang",
+        when(best === 0.0d, "und")
+          .when(col("score_en") === best, "en")
+          .when(col("score_de") === best, "de")
+          .when(col("score_es") === best, "es")
+          .otherwise("fr"))
+      .withColumn("best_score", best)
+      .select(col("doc_id"), col("predicted_lang"), col("best_score"),
+        col("score_en"), col("score_de"), col("score_es"), col("score_fr"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: regex word tokens plus a BPE-ish subword estimate
+    * (ceil(len/4) pieces per token — the "~4 chars per token" rule of
+    * thumb used for LLM budget estimates). */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_subword_tokens",
+        aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / 4.0d).cast("long")))
+      .select(col("doc_id"), col("n_tokens"), col("n_subword_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: order-sensitive rolling polynomial hash over
+    * word hashes + order-insensitive bag-of-words md5 key. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    docs
+      .withColumn("wh", transform(ws, TextOps.hash60(_)))
+      .withColumn("rolling_fp", TextOps.rollingFingerprint(col("wh")))
+      .withColumn("bow_key", TextOps.bagOfWordsKey(ws))
+      .select(col("doc_id"), col("rolling_fp"), col("bow_key"))
+      .orderBy("doc_id")
+  }
+}
