@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Collection, Dedup, Search, TextAnalysis}
+import graft.operators.{Collection, Dedup, Events, Relational, Search, TextAnalysis}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each with an equivalent DuckDB oracle over the same parquet tables.
@@ -118,6 +118,36 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("long"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(Collection.load(s, dir), threshold = 0.45)),
+    // --- event-stream operators ---
+    "events_hourly_window" -> ((s, dir) =>
+      Events.hourlyWindow(Events.load(s, dir))),
+    "events_sessionize" -> ((s, dir) =>
+      Events.sessionize(Events.load(s, dir), gapSec = 1800)),
+    "events_range_agg" -> ((s, dir) =>
+      Events.rangeAgg(Events.load(s, dir),
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00", Seq("click", "purchase"))),
+    "events_json_top_users" -> ((s, dir) =>
+      Events.jsonTopUsers(Events.load(s, dir), k = 10)),
+    // --- relational join/agg operators (TPC-H-style) ---
+    "tpch_q1_pricing" -> ((s, dir) =>
+      Relational.pricingSummary(Relational.table(s, dir, "lineitem"), "1998-09-02 00:00:00")),
+    "tpch_q3_top_orders" -> ((s, dir) =>
+      Relational.topUnshippedOrders(
+        Relational.table(s, dir, "customer"), Relational.table(s, dir, "orders"),
+        Relational.table(s, dir, "lineitem"),
+        segment = "BUILDING", cutoff = "1996-03-15 00:00:00", k = 10)),
+    "tpch_q5_regional_revenue" -> ((s, dir) =>
+      Relational.regionalRevenue(
+        Relational.table(s, dir, "region"), Relational.table(s, dir, "nation"),
+        Relational.table(s, dir, "customer"), Relational.table(s, dir, "supplier"),
+        Relational.table(s, dir, "orders"), Relational.table(s, dir, "lineitem"),
+        regionName = "ASIA", from = "1996-01-01 00:00:00", until = "1997-01-01 00:00:00")),
+    "brand_revenue" -> ((s, dir) =>
+      Relational.brandRevenue(Relational.table(s, dir, "part"),
+        Relational.table(s, dir, "lineitem"), k = 10)),
+    "top_orders_per_customer" -> ((s, dir) =>
+      Relational.topOrdersPerCustomer(Relational.table(s, dir, "orders"),
+        maxCust = 50, n = 3)),
   )
 
   /** DuckDB portable 60-bit hash matching TextOps.hash60. */
@@ -204,6 +234,74 @@ object SparkEntry {
          |p AS (SELECT a.id AS id_a, b.id AS id_b, round(list_dot_product(a.ne, b.ne), 6) AS cos
          |  FROM c a, c b WHERE a.id < b.id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "events_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |                     THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM f)
+        |SELECT user_id, session_id::BIGINT AS session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*)::BIGINT AS n_events,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_range_agg" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |  sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS avg_value,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_json_top_users" ->
+      """SELECT user_id, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS total_k,
+        |  count(*)::BIGINT AS n_events
+        |FROM events GROUP BY user_id ORDER BY total_k DESC, user_id ASC LIMIT 10""".stripMargin,
+    "tpch_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+        |  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)) * (1 + l_tax::DECIMAL(18,2)))::DOUBLE AS sum_charge,
+        |  sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty,
+        |  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*) AS avg_price,
+        |  sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*) AS avg_disc,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "tpch_q5_regional_revenue" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM region, nation, customer, orders, lineitem, supplier
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "brand_revenue" ->
+      """SELECT p_brand,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+        |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+        |  count(*)::BIGINT AS n_items
+        |FROM part, lineitem WHERE p_partkey = l_partkey
+        |GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 10""".stripMargin,
+    "top_orders_per_customer" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders WHERE o_custkey < 50)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rank FROM r WHERE rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
     "knn_search" ->
       s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q)
