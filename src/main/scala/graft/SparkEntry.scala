@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Collection, Dedup, Events, Relational, Search, TextAnalysis}
+import graft.operators.{Ann, Collection, Dedup, Events, Relational, Search, TextAnalysis}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each with an equivalent DuckDB oracle over the same parquet tables.
@@ -148,6 +148,28 @@ object SparkEntry {
     "top_orders_per_customer" -> ((s, dir) =>
       Relational.topOrdersPerCustomer(Relational.table(s, dir, "orders"),
         maxCust = 50, n = 3)),
+    // --- ANN scale paths (IVF partition pruning / sign-LSH buckets) ---
+    "ann_ivf_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      val cents = Ann.seedCentroids(points, 16)
+      Ann.ivfSearch(Ann.ivfAssign(points, cents), cents, q, nprobe = 4, k = 10)
+    }),
+    "ann_lsh_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      // hyperplane directions = normalized vectors of ids 100..111 (index
+      // parameters — tiny deterministic collect, like broadcasting metadata)
+      val hps = points.filter(col("id") >= 100 && col("id") < 112)
+        .orderBy("id").select("embedding").collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      Ann.lshSearch(points, q, hps, k = 10)
+    }),
+    "ann_adaptive" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.adaptiveSearch(points, q, k = 10, threshold = 0.1)
+    }),
   )
 
   /** DuckDB portable 60-bit hash matching TextOps.hash60. */
@@ -296,6 +318,39 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_items
         |FROM part, lineitem WHERE p_partkey = l_partkey
         |GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 10""".stripMargin,
+    "ann_ivf_search" ->
+      s"""WITH $C,
+         |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 16),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
+         |  FROM pts p, q WHERE p.cid IN (SELECT cid FROM probes))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "ann_lsh_search" ->
+      s"""WITH $C,
+         |hp AS (SELECT id AS hid, ne AS he FROM c WHERE id >= 100 AND id < 112),
+         |sig AS (SELECT c.id, string_agg(
+         |    CASE WHEN round(list_dot_product(c.ne, hp.he), 6) >= 0 THEN '1' ELSE '0' END,
+         |    '' ORDER BY hp.hid) AS bucket
+         |  FROM c, hp GROUP BY c.id),
+         |pts AS (SELECT c.id, c.user_id, c.ne, sig.bucket FROM c JOIN sig ON c.id = sig.id),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |qb AS (SELECT bucket FROM pts WHERE id = 0),
+         |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
+         |  FROM pts p, q, qb WHERE p.bucket = qb.bucket)
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // 500 points at sf0.01 < full_scan_threshold -> adaptive picks exact knn
+    "ann_adaptive" ->
+      s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q)
+         |SELECT id, score, user_id FROM s WHERE score >= 0.1
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "top_orders_per_customer" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank

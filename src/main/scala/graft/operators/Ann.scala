@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search — the engine-level emulation of the
+  * reference's HNSW index (src/config/settings.py:41-45; SURVEY.md §4).
+  * Spark has no graph index; the scale paths are:
+  *
+  *  - IVF (inverted file, à la FAISS IVF-Flat): partition the collection
+  *    into Voronoi cells of a small centroid set; a query probes only the
+  *    `nprobe` nearest cells. At cluster scale the assignment is written
+  *    bucketed-by-cell so a probe is a partition-pruned scan — the scan
+  *    cost drops by ~C/nprobe. Centroids here are deterministic seed points
+  *    (ids < C); swapping in MLlib KMeans centroids changes only the
+  *    centroid DataFrame.
+  *
+  *  - Sign-LSH (random hyperplane, Charikar '02): a b-bit signature of
+  *    sign(v·h_i) per point; candidates share the signature bucket. Cosine
+  *    collision probability (1 - θ/π)^b. Hyperplane directions are
+  *    deterministic data vectors, so the bucketing is reproducible across
+  *    engines.
+  *
+  *  - Adaptive planner mirroring the reference's exact-vs-ANN switch
+  *    (Q9: src/core/advanced_indexing.py:214-278 and Qdrant's
+  *    full_scan_threshold=20000): exact brute force below the cutoff,
+  *    IVF above.
+  *
+  * Dot products are rounded to 6dp before ALL ordering decisions
+  * (assignment, probe choice, final rank) — the project determinism rule.
+  */
+object Ann {
+
+  private def rdot(a: Column, b: Column): Column = round(VectorOps.dot(a, b), 6)
+
+  /** Assign each point to its nearest centroid (max cosine, centroid id as
+    * tiebreak). `centroids` must be (cid, ce[normalized]); it is broadcast.
+    * Returns points + `cid`. At scale, persist this bucketed by `cid`. */
+  def ivfAssign(points: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(desc("cscore"), asc("cid"))
+    points
+      .crossJoin(broadcast(centroids))
+      .withColumn("cscore", rdot(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cscore", "ce")
+  }
+
+  /** Deterministic seed centroids: the (normalized) vectors of ids < c. */
+  def seedCentroids(points: DataFrame, c: Int): DataFrame =
+    points.filter(col("id") < c)
+      .select(col("id").as("cid"), col("embedding").as("ce"))
+
+  /** IVF top-k search: probe the `nprobe` cells nearest to the query, exact
+    * top-k within the probed cells only. */
+  def ivfSearch(
+      assigned: DataFrame, centroids: DataFrame, queryDf: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val probes = centroids
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("pscore", rdot(col("ce"), col("qemb")))
+      .orderBy(desc("pscore"), asc("cid"))
+      .limit(nprobe)
+      .select("cid")
+    assigned
+      .join(broadcast(probes), Seq("cid"), "left_semi")
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("score", rdot(col("embedding"), col("qemb")))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
+  /** Sign-LSH bucket signature as a bit string. `hyperplanes` are plain
+    * Scala vectors (index parameters — tiny, embedded as literals so the
+    * hot path is flat codegen'd expressions, the distributed analogue of
+    * broadcasting index metadata). */
+  def lshSignature(emb: Column, hyperplanes: Seq[Seq[Double]]): Column =
+    concat(hyperplanes.map(h =>
+      when(rdot(emb, typedlit(h)) >= 0.0d, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Sign-LSH search: candidates = the query's signature bucket, exact
+    * top-k within it. Single hash shuffle on the (short string) bucket key
+    * at scale; here the bucket filter is a broadcast semi-join. */
+  def lshSearch(
+      points: DataFrame, queryDf: DataFrame,
+      hyperplanes: Seq[Seq[Double]], k: Int): DataFrame = {
+    val sigPoints = points.withColumn("bucket",
+      lshSignature(col("embedding"), hyperplanes))
+    val qSig = queryDf.select(col("qemb"),
+      lshSignature(col("qemb"), hyperplanes).as("bucket"))
+    sigPoints
+      .join(broadcast(qSig), Seq("bucket"))
+      .withColumn("score", rdot(col("embedding"), col("qemb")))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
+  /** Adaptive physical-path choice (reference Q9): exact brute force below
+    * `fullScanThreshold` points, IVF above. The count is a cheap metadata
+    * read for parquet sources. */
+  def adaptiveSearch(
+      points: DataFrame, queryDf: DataFrame, k: Int, threshold: Double,
+      fullScanThreshold: Long = 20000, nCentroids: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    if (points.count() <= fullScanThreshold)
+      Search.knn(points, queryDf, k, threshold)
+    else {
+      val cents = seedCentroids(points, nCentroids)
+      ivfSearch(ivfAssign(points, cents), cents, queryDf, nprobe, k)
+        .filter(col("score") >= threshold)
+    }
+  }
+}

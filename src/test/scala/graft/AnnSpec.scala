@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Collection, Search}
+
+/** ANN quality: recall of the approximate paths against exact brute force
+  * (the analogue of the reference's HNSW recall claims —
+  * PERFORMANCE_OPTIMIZATION_GUIDE.md:89). */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val points = Collection.load(spark, sf001).cache()
+
+  private def exactTop(qid: Long, k: Int): Set[Long] = {
+    val q = points.filter($"id" === qid).select($"embedding".as("qemb"))
+    Search.knn(points, q, k, -1.0).select("id").as[Long].collect().toSet
+  }
+
+  test("IVF with nprobe=4/16 centroids reaches recall@10 >= 0.5, self found") {
+    val cents = Ann.seedCentroids(points, 16)
+    val assigned = Ann.ivfAssign(points, cents).cache()
+    val recalls = Seq(0L, 17L, 99L, 250L).map { qid =>
+      val q = points.filter($"id" === qid).select($"embedding".as("qemb"))
+      val approx = Ann.ivfSearch(assigned, cents, q, nprobe = 4, k = 10)
+        .select("id").as[Long].collect().toSet
+      assert(approx.contains(qid), s"self $qid must be in its own probed cell")
+      (approx intersect exactTop(qid, 10)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 $mean too low: $recalls")
+  }
+
+  test("IVF probing all cells equals exact search") {
+    val cents = Ann.seedCentroids(points, 16)
+    val assigned = Ann.ivfAssign(points, cents)
+    val q = points.filter($"id" === 42).select($"embedding".as("qemb"))
+    val all = Ann.ivfSearch(assigned, cents, q, nprobe = 16, k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(all == exactTop(42L, 10))
+  }
+
+  test("IVF assignment is a partition: every point in exactly one cell") {
+    val cents = Ann.seedCentroids(points, 16)
+    val assigned = Ann.ivfAssign(points, cents)
+    assert(assigned.count() == points.count())
+    assert(assigned.select("id").distinct().count() == points.count())
+  }
+
+  test("LSH bucket always contains the query itself") {
+    val hps = points.filter($"id" >= 100 && $"id" < 112)
+      .orderBy("id").select("embedding").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val q = points.filter($"id" === 123).select($"embedding".as("qemb"))
+    val got = Ann.lshSearch(points, q, hps, k = 10)
+      .select("id").as[Long].collect()
+    assert(got.contains(123L))
+  }
+
+  test("adaptive search picks exact below the full-scan threshold") {
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val adaptive = Ann.adaptiveSearch(points, q, k = 10, threshold = 0.1)
+      .select("id").as[Long].collect().toSeq
+    val exact = Search.knn(points, q, 10, 0.1).select("id").as[Long].collect().toSeq
+    assert(adaptive == exact)
+  }
+}

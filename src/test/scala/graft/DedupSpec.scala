@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup semantics on handcrafted fixtures + cross-variant consistency on
+  * the real documents table. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf001/documents.parquet").cache()
+
+  private lazy val tiny = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "s1"), // exact dup
+    (3L, "the quick brown fox jumps over the lazy cat", "s1"), // near dup
+    (4L, "completely different words entirely here now", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exactGroups(tiny).select("n_docs", "keep_doc_id")
+      .as[(Long, Long)].collect()
+    assert(g.toSeq == Seq((2L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs =1, near dups high, disjoint absent") {
+    val pairs = Dedup.ngramJaccardPairs(tiny, n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash LSH finds the same pairs as exact jaccard at threshold 0.7") {
+    val lsh = Dedup.minHashLshPairs(docs, n = 3, k = 128, bands = 32, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("simhash pairs at radius 3: identical docs have distance 0") {
+    val p = Dedup.simHashPairs(tiny, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(p((1L, 2L)) == 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pts = graft.operators.Collection.load(spark, sf001)
+    val pairs = Dedup.embeddingCosinePairs(pts, 0.45)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(t => t._1 < t._2 && t._3 >= 0.45))
+  }
+}
