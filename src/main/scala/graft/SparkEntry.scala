@@ -178,9 +178,12 @@ object SparkEntry {
   /** DuckDB word-split CTE over documents. */
   private val W = "t AS (SELECT doc_id, text, source, string_split(text, ' ') AS w FROM documents)"
   /** DuckDB distinct 3-gram shingle CTE (follows t). */
+  /** Sorted distinct 60-bit shingle-hash sets (mirrors TextOps.shingleHashSet). */
   private val SH =
-    """sh AS (SELECT doc_id, source, list_distinct(list_transform(range(greatest(len(w)-2, 0)),
-      |  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s FROM t WHERE len(w) >= 3)""".stripMargin
+    """sh AS (SELECT doc_id, source, list_sort(list_distinct(list_transform(
+      |  list_distinct(list_transform(range(greatest(len(w)-2, 0)),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+      |  x -> ('0x' || substring(md5(x), 1, 15))::BIGINT))) AS s FROM t WHERE len(w) >= 3)""".stripMargin
   private def dict(l: String): String =
     graft.functions.TextOps.StopwordDicts(l).map(w => s"'$w'").mkString("[", ",", "]")
   private def swRatio(l: String): String =
@@ -228,14 +231,16 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $W, $SH,
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.s, b.s))::DOUBLE / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 6) AS jaccard
          |  FROM sh a, sh b WHERE a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     // minhash-LSH oracle = exact all-pairs (miss prob < 1e-10 at j>=0.85 with 32x4 bands)
     "dedup_minhash_lsh" ->
       s"""WITH $W, $SH,
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.s, b.s))::DOUBLE / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 6) AS jaccard
          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
     // simhash chunk-banding has EXACT recall at hamming<=3, so the oracle is all-pairs

@@ -41,6 +41,19 @@ object TextOps {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)).cast("double"), lit(1.0d))
 
+  /** Sorted distinct 60-bit hashes of the n-gram shingles — the compact
+    * set representation for the Jaccard kernels: long compares instead of
+    * string compares, and sortedness enables the codegen'd merge-walk
+    * intersection ([[graft.plans.SortedLongIntersectCount]]). Collision
+    * probability within a doc's shingle set is ~|S|²/2^61 — negligible,
+    * and the DuckDB oracle hashes identically so results always agree. */
+  def shingleHashSet(ws: Column, n: Int): Column =
+    array_sort(array_distinct(transform(shingles(ws, n), hash60(_))))
+
+  /** Jaccard from an intersection count and the two set sizes. */
+  def jaccardFromCount(c: Column, sa: Column, sb: Column): Column =
+    c.cast("double") / greatest((sa + sb - c).cast("double"), lit(1.0d))
+
   /** MinHash signature: k permutations h_i(s) = (a_i·base + b_i) mod p over
     * portable 60-bit base hashes (pass `transform(shingles, hash60)` as
     * `baseHashes` via a materialized column so md5 runs once per shingle).

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextOps, VectorOps}
+import graft.plans.VectorExpressions
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
@@ -41,7 +42,7 @@ object Dedup {
       docs: DataFrame, n: Int, threshold: Double,
       blockOn: Option[String] = None): DataFrame = {
     val sh = docs
-      .withColumn("sh", TextOps.shingles(TextOps.words(col("text")), n))
+      .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id") +: col("sh") +: blockOn.map(col).toSeq: _*)
     val a = sh.select(col("doc_id").as("doc_a") +: col("sh").as("sh_a")
@@ -52,7 +53,9 @@ object Dedup {
       .map(_ => col("blk_a") === col("blk_b") && col("doc_a") < col("doc_b"))
       .getOrElse(col("doc_a") < col("doc_b"))
     a.join(b, cond)
-      .withColumn("jaccard", round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("ic", VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", round(
+        TextOps.jaccardFromCount(col("ic"), size(col("sh_a")), size(col("sh_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -102,15 +105,17 @@ object Dedup {
         Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // exact verification: join candidate pairs back to the shingle sets
+    // exact verification: join candidate pairs back to the shingle hash sets
     val sh = docs
-      .withColumn("sh", TextOps.shingles(TextOps.words(col("text")), n))
+      .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("ic", VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", round(
+        TextOps.jaccardFromCount(col("ic"), size(col("sh_a")), size(col("sh_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+/** Native Catalyst expressions for the hot vector/set kernels.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`/`transform`) are
+  * interpreted per element with boxing and are excluded from whole-stage
+  * codegen, which makes them the bottleneck of pairwise scoring (measured:
+  * 35s for 2M 64-d dots at sf0.1). These expressions generate tight Java
+  * loops over `ArrayData` instead — the Spark-native analogue of the
+  * reference's fused GPU kernels (src/core/gpu_optimizer.py:126-164).
+  *
+  * Semantics are IDENTICAL to the HOF formulations used by the DuckDB
+  * oracle: left-to-right double accumulation, so results match bitwise.
+  */
+
+/** Dot product of two array<double> columns: sum(a[i]*b[i]) over the common
+  * prefix, accumulated left-to-right in double. Assumes non-null elements
+  * (engine arrays are produced by normalization, which never emits null). */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"dot_d expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection cardinality of two SORTED distinct long arrays via a merge
+  * walk — O(|a|+|b|), no hashing, no boxing. The Jaccard kernel:
+  * |A∩B| / (|A|+|B| - |A∩B|). Inputs must be `array_sort(array_distinct(…))`. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.GraftBridge
+
+  /** Column wrappers. */
+  def dotD(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProductD(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedLongIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}
