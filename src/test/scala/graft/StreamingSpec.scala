@@ -1,0 +1,16 @@
+package graft
+
+import graft.operators.Events
+import graft.streaming.StreamingOps
+
+/** Streaming/batch unification: the streamed windowed aggregation must be
+  * row-identical to the batch operator over the same input. */
+class StreamingSpec extends SparkSpec {
+
+  test("streamed hourly window equals the batch hourly window") {
+    val streamed = StreamingOps.hourlyWindowStream(spark, sf001).collect()
+    val batch = Events.hourlyWindow(Events.load(spark, sf001)).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch))
+  }
+}
