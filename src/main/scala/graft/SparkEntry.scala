@@ -171,6 +171,17 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Ann.adaptiveSearch(points, q, k = 10, threshold = 0.1)
     }),
+    "tpch_q6_forecast" -> ((s, dir) =>
+      Relational.revenueForecast(Relational.table(s, dir, "lineitem"),
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00", 0.05, 0.07, 24.0)),
+    // semi join (EXISTS): orders with a line item shipped >90d after order
+    "orders_with_late_items" -> ((s, dir) =>
+      Relational.ordersWithLateItems(Relational.table(s, dir, "orders"),
+        Relational.table(s, dir, "lineitem"), lateDays = 90)),
+    // anti join (NOT EXISTS): customers that never ordered
+    "customers_without_orders" -> ((s, dir) =>
+      Relational.customersWithoutOrders(Relational.table(s, dir, "customer"),
+        Relational.table(s, dir, "orders"))),
     // A3/A4: exact-moment + percentile metric summaries.
     "metric_summary" -> ((s, dir) =>
       Stats.metricSummary(Events.load(s, dir), Seq("event_type"), "value")),
@@ -375,6 +386,23 @@ object SparkEntry {
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q)
          |SELECT id, score, user_id FROM s WHERE score >= 0.1
          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "tpch_q6_forecast" ->
+      """SELECT sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "orders_with_late_items" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_customers, min(c_custkey) AS min_custkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "metric_summary" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |  sum(value::DECIMAL(28,2))::DOUBLE / count(*) AS mean,

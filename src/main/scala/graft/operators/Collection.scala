@@ -45,12 +45,8 @@ object Collection {
 
   /** Add a `nemb` (normalized DOUBLE embedding) column, evaluating the norm
     * once per row. Ingest-path analogue of reference V1/V2 normalize. */
-  def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame = {
-    val d = VectorOps.toDouble(col(embCol))
-    df.withColumn("_nrm", VectorOps.l2Norm(d))
-      .withColumn("nemb", VectorOps.normalizeWith(col(embCol), col("_nrm")))
-      .drop("_nrm")
-  }
+  def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("nemb", graft.plans.VectorExpressions.normalizeL2(col(embCol)))
 
   /** Last-write-wins upsert: union current points with new points and keep,
     * per id, the row with the highest (ts, isNew) — mirrors Qdrant upsert

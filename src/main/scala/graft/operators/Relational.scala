@@ -96,6 +96,39 @@ object Relational {
       .orderBy(desc("revenue"), asc("p_brand"))
       .limit(k)
 
+  /** TPC-H Q6-style forecast: pure scan + filter + single exact sum —
+    * the pushdown showcase (all three predicates reach the parquet scan). */
+  def revenueForecast(lineitem: DataFrame, from: String, until: String,
+      discLo: Double, discHi: Double, qtyMax: Double): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(from)) &&
+        col("l_shipdate") < to_timestamp(lit(until)) &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < qtyMax)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count("*").cast("long").as("n_items"))
+
+  /** Orders with at least one late line item (semi join — EXISTS):
+    * shipped more than `lateDays` after the order date. */
+  def ordersWithLateItems(orders: DataFrame, lineitem: DataFrame,
+      lateDays: Int): DataFrame =
+    orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count("*").cast("long").as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Customers that never ordered (anti join — NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count("*").cast("long").as("n_customers"),
+        min(col("c_custkey")).as("min_custkey"))
+      .orderBy("c_mktsegment")
+
   /** Per-customer order ranking (window function): top-n orders by price. */
   def topOrdersPerCustomer(orders: DataFrame, maxCust: Long, n: Int): DataFrame = {
     val w = Window.partitionBy("o_custkey")

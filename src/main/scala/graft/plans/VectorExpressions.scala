@@ -120,6 +120,66 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass L2 normalization of array<float|double> into array<double>:
+  * out[i] = x[i] / max(‖x‖₂, 1e-12) (the reference's epsilon guard,
+  * src/core/gpu_optimizer.py:101-104). The HOF formulation is O(d²) after
+  * projection collapse inlines the norm into the per-element lambda; this
+  * is O(d) and codegen'd. */
+case class NormalizeL2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private lazy val fromFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"normalize_l2 expects array<float|double>, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (fromFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    var s = 0.0d; i = 0
+    while (i < n) { s += out(i) * out(i); i += 1 }
+    val norm = math.max(math.sqrt(s), 1e-12d)
+    i = 0
+    while (i < n) { out(i) = out(i) / norm; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val out = ctx.freshName("out")
+      val nrm = ctx.freshName("nrm")
+      val get = if (fromFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $get; $s += $out[$i] * $out[$i]; }
+         |double $nrm = java.lang.Math.max(java.lang.Math.sqrt($s), 1e-12);
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $out[$i] / $nrm; }
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeL2 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -130,4 +190,6 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedLongIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+  def normalizeL2(v: Column): Column =
+    GraftBridge.column(NormalizeL2(GraftBridge.expression(v)))
 }

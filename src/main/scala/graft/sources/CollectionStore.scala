@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Collection
+
+/** Collection persistence + bulk migration (reference S6/S7:
+  * scripts/migrate_from_faiss.py — .npy/FAISS bulk load, batched upserts,
+  * search-back verification).
+  *
+  * Write layout for scale (SURVEY.md §4): sort within files by `user_id`
+  * so parquet row-group min/max statistics make user-filtered searches
+  * (the reference's dominant predicate) skip row groups — the Spark
+  * analogue of Qdrant's keyword payload index. `repartition(user_id)` +
+  * `sortWithinPartitions` keeps one user's points co-located in few files;
+  * at 100 TB add `.bucketBy(user_id)` on a catalog table so repeated
+  * user-joins skip their shuffle entirely.
+  */
+object CollectionStore {
+
+  /** Persist a collection sorted by (user_id, id). */
+  def save(points: DataFrame, path: String, numFiles: Int = 4): Unit =
+    points
+      .repartition(numFiles, col("user_id"))
+      .sortWithinPartitions("user_id", "id")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Read a persisted collection back. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Bulk migration (reference migrate_from_faiss.run_migration:153-255):
+    * normalize source embeddings, attach ids/payload, one distributed
+    * write — Spark's task parallelism replaces the reference's manual
+    * batch-of-32 loop and inter-batch sleeps. Returns the migrated count. */
+  def migrate(spark: SparkSession, sfDir: String, destPath: String): Long = {
+    val points = Collection.load(spark, sfDir)
+      .withColumn("migrated_at", lit(0.0d)) // deterministic stamp for tests
+    save(points, destPath)
+    load(spark, destPath).count()
+  }
+
+  /** Search-back verification (reference migrate_from_faiss.py:257-321):
+    * query the migrated store with `n` of its own vectors; each must
+    * return itself as the top hit with score ≈ 1. Returns per-sample
+    * (id, top_id, top_score, self_found). */
+  def verifyMigration(spark: SparkSession, path: String, n: Int): DataFrame = {
+    val store = load(spark, path)
+    val samples = store.orderBy("id").limit(n)
+      .select(col("id").as("query_id"), col("embedding").as("qemb"))
+    graft.operators.Search.knnBatch(store, samples, k = 1, threshold = -1.0)
+      .select(col("query_id"), col("id").as("top_id"), col("score").as("top_score"),
+        (col("query_id") === col("id")).cast("int").as("self_found"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Collection
+import graft.sources.CollectionStore
+
+/** API-contract validation (reference schemas.py k/threshold bounds) and
+  * bulk migration with search-back verification (migrate_from_faiss.py). */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val points = Collection.load(spark, sf001).cache()
+  private def q0 = points.filter($"id" === 0).select($"embedding".as("qemb"))
+
+  test("search validates k in [1,100] and threshold in [0,1]") {
+    intercept[IllegalArgumentException](Api.search(points, q0, k = 0))
+    intercept[IllegalArgumentException](Api.search(points, q0, k = 101))
+    intercept[IllegalArgumentException](
+      Api.search(points, q0, k = 10, scoreThreshold = Some(1.5)))
+    intercept[IllegalArgumentException](
+      Api.search(points, q0, k = 10, scoreThreshold = Some(-0.1)))
+    assert(Api.search(points, q0, k = 10, scoreThreshold = Some(0.1)).count() > 0)
+  }
+
+  test("default threshold is the reference's 0.65") {
+    val d = Api.search(points, q0).collect()
+    val e = Api.search(points, q0, scoreThreshold = Some(0.65)).collect()
+    assert(d.sameElements(e))
+  }
+
+  test("migration round-trips the collection and search-back finds itself") {
+    val dest = java.nio.file.Files.createTempDirectory("graft_migrate")
+      .resolve("store").toString
+    val n = CollectionStore.migrate(spark, sf001, dest)
+    assert(n == points.count())
+    val back = CollectionStore.verifyMigration(spark, dest, n = 10)
+      .select("self_found", "top_score").as[(Int, Double)].collect()
+    assert(back.length == 10)
+    assert(back.forall(_._1 == 1), "every sample must find itself")
+    assert(back.forall(r => math.abs(r._2 - 1.0) < 1e-5))
+  }
+
+  test("saved store is sorted by user_id within files (row-group skipping)") {
+    val dest = java.nio.file.Files.createTempDirectory("graft_sorted")
+      .resolve("store").toString
+    CollectionStore.save(points, dest, numFiles = 2)
+    // per input-file ordering check: user_id must be non-decreasing
+    val ok = CollectionStore.load(spark, dest)
+      .select(input_file_name().as("f"), $"user_id")
+      .withColumn("prev", lag($"user_id", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter($"prev".isNotNull && $"prev" > $"user_id")
+      .count()
+    assert(ok == 0)
+  }
+}
