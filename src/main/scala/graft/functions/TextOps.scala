@@ -23,9 +23,9 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Portable 60-bit hash of a string (md5 hex prefix → BIGINT). */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  /** Portable 60-bit hash of a string (md5 hex prefix → BIGINT), computed
+    * natively from the digest bytes ([[graft.plans.Hash60]]). */
+  def hash60(s: Column): Column = graft.plans.TextExpressions.hash60(s)
 
   /** Distinct word n-gram shingles, space-joined. Empty array when the doc
     * has fewer than n words (guards Spark's descending `sequence`). */
@@ -48,7 +48,7 @@ object TextOps {
     * probability within a doc's shingle set is ~|S|²/2^61 — negligible,
     * and the DuckDB oracle hashes identically so results always agree. */
   def shingleHashSet(ws: Column, n: Int): Column =
-    array_sort(array_distinct(transform(shingles(ws, n), hash60(_))))
+    graft.plans.TextExpressions.shingleHashSet60(ws, n)
 
   /** Jaccard from an intersection count and the two set sizes. */
   def jaccardFromCount(c: Column, sa: Column, sb: Column): Column =

@@ -87,8 +87,8 @@ object Dedup {
     val p = TextOps.MinHashP
     val shingleRows = docs
       .select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.words(col("text")), n)).as("shingle"))
-      .withColumn("h", pmod(TextOps.hash60(col("shingle")), lit(p)))
+        explode(TextOps.shingleHashSet(TextOps.words(col("text")), n)).as("sh60"))
+      .withColumn("h", pmod(col("sh60"), lit(p)))
     val minExprs = (0 until k).map { i =>
       val a = 2L * i + 1
       val b = (i.toLong * 40503L) % p
