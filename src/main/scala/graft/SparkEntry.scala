@@ -194,6 +194,56 @@ object SparkEntry {
     // Structured Streaming twin of events_hourly_window (same oracle).
     "streaming_hourly_window" -> ((s, dir) =>
       StreamingOps.hourlyWindowStream(s, dir)),
+    // Grouping sets: rollup over the pricing summary dimensions.
+    "pricing_rollup" -> ((s, dir) => {
+      val li = Relational.table(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count("*").cast("long").as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    // Set operations: intersect / except over per-type user sets.
+    "event_user_setops" -> ((s, dir) => {
+      val e = Events.load(s, dir)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select("user_id").distinct()
+      val both = users("click").intersect(users("purchase"))
+        .agg(count("*").cast("long").as("both_count"))
+      val clickOnly = users("click").except(users("purchase"))
+        .agg(count("*").cast("long").as("click_only_count"))
+      val purchaseOnly = users("purchase").except(users("click"))
+        .agg(count("*").cast("long").as("purchase_only_count"))
+      both.crossJoin(clickOnly).crossJoin(purchaseOnly)
+    }),
+    // V7: seeded distributed unit-vector generator (Box-Muller over
+    // portable hashes — fully reproducible in the oracle).
+    "gen_unit_vectors" -> ((s, dir) => {
+      val g = graft.functions.Generators.normalizedEmbeddings(s, n = 50, dim = 16)
+      g.select(col("id"),
+        round(graft.functions.VectorOps.l2Norm(col("embedding")), 6).as("nrm"),
+        round(element_at(col("embedding"), 1), 6).as("x0"))
+        .orderBy("id")
+    }),
+    // V8 + recall scenario: perturbed queries recover their base vectors.
+    "gen_similar_recall" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val bases = points.filter(col("id") < 20)
+      val perturbed = graft.functions.Generators.similarEmbeddings(bases, 0.9)
+        .select(col("id").as("query_id"), col("embedding").as("qemb"))
+      Search.knnBatch(points, perturbed, k = 1, threshold = 0.5)
+        .select(col("query_id"), col("id").as("top_id"),
+          (col("query_id") === col("id")).cast("int").as("self_found"))
+        .orderBy("query_id")
+    }),
+    // IVF with MLlib-KMeans-trained centroids (iterative training — not
+    // oracle-expressible; driver records the rows-only check, recall is
+    // asserted in AnnSpec).
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      val cents = Ann.kmeansCentroids(points, k = 16)
+      Ann.ivfSearch(Ann.ivfAssign(points, cents), cents, q, nprobe = 4, k = 10)
+    }),
     // Multimodal: binary columns + stubbed decode feature extraction.
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeaturesExpr(Multimodal.loadAssets(s, dir))),
@@ -430,6 +480,41 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_events,
         |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pricing_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "event_user_setops" ->
+      """WITH ck AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT * FROM ck INTERSECT SELECT * FROM pu))::BIGINT AS both_count,
+        |  (SELECT count(*) FROM (SELECT * FROM ck EXCEPT SELECT * FROM pu))::BIGINT AS click_only_count,
+        |  (SELECT count(*) FROM (SELECT * FROM pu EXCEPT SELECT * FROM ck))::BIGINT AS purchase_only_count""".stripMargin,
+    "gen_unit_vectors" ->
+      """WITH g AS (SELECT r.range AS id, list_transform(range(16), j ->
+        |    sqrt(-2 * ln(((('0x' || substring(md5('u1_' || r.range || '_' || j), 1, 15))::BIGINT % 1000000007) + 1) / 1000000008.0))
+        |    * cos(2 * pi() * (((('0x' || substring(md5('u2_' || r.range || '_' || j), 1, 15))::BIGINT % 1000000007) + 1) / 1000000008.0))
+        |  ) AS raw FROM range(50) r),
+        |n AS (SELECT id, list_transform(raw, x -> x / greatest(sqrt(list_dot_product(raw, raw)), 1e-12)) AS e FROM g)
+        |SELECT id, round(sqrt(list_dot_product(e, e)), 6) AS nrm, round(e[1], 6) AS x0
+        |FROM n ORDER BY id""".stripMargin,
+    "gen_similar_recall" ->
+      s"""WITH $C,
+         |b AS (SELECT id, ne FROM c WHERE id < 20),
+         |nz AS (SELECT id, ne, list_transform(range(len(ne)), j ->
+         |    sqrt(-2 * ln(((('0x' || substring(md5('n1_' || id || '_' || j), 1, 15))::BIGINT % 1000000007) + 1) / 1000000008.0))
+         |    * cos(2 * pi() * (((('0x' || substring(md5('n2_' || id || '_' || j), 1, 15))::BIGINT % 1000000007) + 1) / 1000000008.0))
+         |  ) AS raw FROM b),
+         |nn AS (SELECT id, ne, list_transform(raw, x -> x / greatest(sqrt(list_dot_product(raw, raw)), 1e-12)) AS nv FROM nz),
+         |m AS (SELECT id, list_transform(range(len(ne)), j -> ne[j+1] * 0.9 + nv[j+1] * (1 - 0.9)) AS mix FROM nn),
+         |q AS (SELECT id AS query_id, list_transform(mix, x -> x / greatest(sqrt(list_dot_product(mix, mix)), 1e-12)) AS qe FROM m),
+         |s AS (SELECT q.query_id, c.id, round(list_dot_product(c.ne, q.qe), 6) AS score FROM c, q),
+         |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rnk
+         |      FROM s WHERE score >= 0.5)
+         |SELECT query_id, id AS top_id, (query_id = id)::INT AS self_found
+         |FROM r WHERE rnk = 1 ORDER BY query_id""".stripMargin,
     "multimodal_features" ->
       """WITH a AS (SELECT doc_id AS asset_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

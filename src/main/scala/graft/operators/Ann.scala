@@ -54,6 +54,29 @@ object Ann {
     points.filter(col("id") < c)
       .select(col("id").as("cid"), col("embedding").as("ce"))
 
+  /** Learned centroids via MLlib KMeans (the "batch index build via
+    * MLlib/DataFrame" path): trains on the normalized embeddings with a
+    * fixed seed, L2-normalizes the resulting centers (cosine cells), and
+    * returns them in the same (cid, ce) shape as [[seedCentroids]].
+    * Not oracle-expressible (iterative float training) — covered by recall
+    * tests against exact search instead. */
+  def kmeansCentroids(points: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val spark = points.sparkSession
+    val train = points.select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans()
+      .setK(k).setMaxIter(maxIter).setSeed(42L)
+      .fit(train)
+    val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toArray.toSeq)
+    }
+    import spark.implicits._
+    centers.toSeq.toDF("cid", "raw")
+      .select(col("cid"),
+        graft.plans.VectorExpressions.normalizeL2(col("raw")).as("ce"))
+  }
+
   /** IVF top-k search: probe the `nprobe` cells nearest to the query, exact
     * top-k within the probed cells only. */
   def ivfSearch(

@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Runtime function registration on a live session (builder-time
+    * extensions don't apply when getOrCreate returns an existing session). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
