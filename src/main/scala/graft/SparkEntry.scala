@@ -194,6 +194,9 @@ object SparkEntry {
     // Structured Streaming twin of events_hourly_window (same oracle).
     "streaming_hourly_window" -> ((s, dir) =>
       StreamingOps.hourlyWindowStream(s, dir)),
+    // Skew-safe salted two-phase aggregation (semantics = plain groupBy).
+    "heavy_hitter_users" -> ((s, dir) =>
+      Relational.heavyHitters(Events.load(s, dir), "user_id", "value", k = 10)),
     // Grouping sets: rollup over the pricing summary dimensions.
     "pricing_rollup" -> ((s, dir) => {
       val li = Relational.table(s, dir, "lineitem")
@@ -480,6 +483,9 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_events,
         |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "heavy_hitter_users" ->
+      """SELECT user_id, count(*)::BIGINT AS n, sum(value::DECIMAL(18,2))::DOUBLE AS total
+        |FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10""".stripMargin,
     "pricing_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
         |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty

@@ -129,6 +129,23 @@ object Relational {
         min(col("c_custkey")).as("min_custkey"))
       .orderBy("c_mktsegment")
 
+  /** Skew-safe heavy-hitter aggregation: two-phase salted aggregate.
+    * Phase 1 aggregates on (key, salt) — a skewed key's rows spread over
+    * `salts` partitions with bounded partial state — phase 2 combines the
+    * partials per key. Semantics identical to a direct groupBy; the salt
+    * is an internal physical detail. */
+  def heavyHitters(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int, salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(hash(col(keyCol), monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count("*").as("pc"), sum(dec(col(valueCol))).as("ps"))
+    salted.groupBy(col(keyCol))
+      .agg(sum(col("pc")).cast("long").as("n"),
+        sum(col("ps")).cast("double").as("total"))
+      .orderBy(desc("total"), col(keyCol))
+      .limit(k)
+  }
+
   /** Per-customer order ranking (window function): top-n orders by price. */
   def topOrdersPerCustomer(orders: DataFrame, maxCust: Long, n: Int): DataFrame = {
     val w = Window.partitionBy("o_custkey")
