@@ -166,6 +166,14 @@ object SparkEntry {
         .map(_.getSeq[Double](0).toSeq).toSeq
       Ann.lshSearch(points, q, hps, k = 10)
     }),
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      val hps = points.filter(col("id") >= 100 && col("id") < 112)
+        .orderBy("id").select("embedding").collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      Ann.lshSearchMultiProbe(points, q, hps, k = 10)
+    }),
     "ann_adaptive" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
@@ -432,6 +440,26 @@ object SparkEntry {
          |qb AS (SELECT bucket FROM pts WHERE id = 0),
          |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
          |  FROM pts p, q, qb WHERE p.bucket = qb.bucket)
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      s"""WITH $C,
+         |hp AS (SELECT id AS hid, ne AS he FROM c WHERE id >= 100 AND id < 112),
+         |sig AS (SELECT c.id, string_agg(
+         |    CASE WHEN round(list_dot_product(c.ne, hp.he), 6) >= 0 THEN '1' ELSE '0' END,
+         |    '' ORDER BY hp.hid) AS bucket
+         |  FROM c, hp GROUP BY c.id),
+         |pts AS (SELECT c.id, c.user_id, c.ne, sig.bucket FROM c JOIN sig ON c.id = sig.id),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |qb AS (SELECT bucket FROM pts WHERE id = 0),
+         |probes AS (
+         |  SELECT bucket AS bk FROM qb
+         |  UNION
+         |  SELECT substring(qb.bucket, 1, r.range) ||
+         |         (CASE substring(qb.bucket, r.range + 1, 1) WHEN '1' THEN '0' ELSE '1' END) ||
+         |         substring(qb.bucket, r.range + 2) AS bk
+         |  FROM qb, range(12) r),
+         |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
+         |  FROM pts p, q WHERE p.bucket IN (SELECT bk FROM probes))
          |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     // 500 points at sf0.01 < full_scan_threshold -> adaptive picks exact knn
     "ann_adaptive" ->

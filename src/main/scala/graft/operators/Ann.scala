@@ -123,6 +123,35 @@ object Ann {
       .select(col("id"), col("score"), col("user_id"))
   }
 
+  /** Multi-probe sign-LSH: probe the query's bucket AND every bucket at
+    * Hamming distance 1 (flip each signature bit) — the standard recall
+    * recovery for sign-LSH (probing 1+b buckets instead of widening
+    * buckets). Still one broadcast semi-join on the bucket key. */
+  def lshSearchMultiProbe(
+      points: DataFrame, queryDf: DataFrame,
+      hyperplanes: Seq[Seq[Double]], k: Int): DataFrame = {
+    val b = hyperplanes.size
+    val sigPoints = points.withColumn("bucket",
+      lshSignature(col("embedding"), hyperplanes))
+    val qSig = queryDf.select(col("qemb"),
+      lshSignature(col("qemb"), hyperplanes).as("bucket"))
+    // base bucket + b single-bit flips, exploded to probe keys
+    val flips = (1 to b).map { i =>
+      concat(
+        substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), i + 1, b - i))
+    }
+    val probes = qSig.select(col("qemb"),
+      explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    sigPoints
+      .join(broadcast(probes), Seq("bucket"))
+      .withColumn("score", rdot(col("embedding"), col("qemb")))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
   /** Adaptive physical-path choice (reference Q9): exact brute force below
     * `fullScanThreshold` points, IVF above. The count is a cheap metadata
     * read for parquet sources. */

@@ -92,6 +92,20 @@ class AnnSpec extends SparkSpec {
     assert(r.getInt(2) == 2)
   }
 
+  test("multi-probe LSH is a superset of single-bucket LSH") {
+    val hps = points.filter($"id" >= 100 && $"id" < 112)
+      .orderBy("id").select("embedding").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val q = points.filter($"id" === 123).select($"embedding".as("qemb"))
+    val single = Ann.lshSearch(points, q, hps, k = 50)
+      .select("id").as[Long].collect().toSet
+    val multi = Ann.lshSearchMultiProbe(points, q, hps, k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(single.subsetOf(multi) || multi.size == 50,
+      s"multi-probe lost singles: ${single -- multi}")
+    assert(multi.size >= single.size)
+  }
+
   test("adaptive search picks exact below the full-scan threshold") {
     val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
     val adaptive = Ann.adaptiveSearch(points, q, k = 10, threshold = 0.1)
