@@ -202,6 +202,13 @@ object SparkEntry {
     // Structured Streaming twin of events_hourly_window (same oracle).
     "streaming_hourly_window" -> ((s, dir) =>
       StreamingOps.hourlyWindowStream(s, dir)),
+    // Exact distinct-count rollup (count(DISTINCT) operator class).
+    "distinct_users_by_type" -> ((s, dir) =>
+      Events.load(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).cast("long").as("distinct_users"),
+          count("*").cast("long").as("n_events"))
+        .orderBy("event_type")),
     // Skew-safe salted two-phase aggregation (semantics = plain groupBy).
     "heavy_hitter_users" -> ((s, dir) =>
       Relational.heavyHitters(Events.load(s, dir), "user_id", "value", k = 10)),
@@ -511,6 +518,10 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_events,
         |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "distinct_users_by_type" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users,
+        |  count(*)::BIGINT AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "heavy_hitter_users" ->
       """SELECT user_id, count(*)::BIGINT AS n, sum(value::DECIMAL(18,2))::DOUBLE AS total
         |FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10""".stripMargin,

@@ -41,6 +41,26 @@ object CollectionStore {
     load(spark, destPath).count()
   }
 
+  /** Compaction after deletes (the analogue of Qdrant's vacuum/segment
+    * optimizer — reference settings deleted_threshold=0.1,
+    * max_segment_size: src/core/qdrant_client.py:117-127): rewrite the
+    * store without the deleted rows, restoring file sizing and sort order.
+    * At 100 TB this runs per partition dir, only where the tombstone
+    * fraction exceeds the threshold. */
+  def compact(spark: SparkSession, path: String,
+      deletePred: org.apache.spark.sql.Column, numFiles: Int = 4): Long = {
+    val current = load(spark, path)
+    val kept = current.filter(!deletePred)
+    val tmp = path + "_compacting"
+    save(kept, tmp, numFiles)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    load(spark, path).count()
+  }
+
   /** Search-back verification (reference migrate_from_faiss.py:257-321):
     * query the migrated store with `n` of its own vectors; each must
     * return itself as the top hit with score ≈ 1. Returns per-sample

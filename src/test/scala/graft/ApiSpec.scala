@@ -40,6 +40,16 @@ class ApiSpec extends SparkSpec {
     assert(back.forall(r => math.abs(r._2 - 1.0) < 1e-5))
   }
 
+  test("compaction rewrites the store without deleted rows") {
+    val dest = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("store").toString
+    CollectionStore.save(points, dest)
+    val doomed = points.filter($"user_id" === 4).count()
+    val remaining = CollectionStore.compact(spark, dest, col("user_id") === 4)
+    assert(remaining == points.count() - doomed)
+    assert(CollectionStore.load(spark, dest).filter($"user_id" === 4).count() == 0)
+  }
+
   test("saved store is sorted by user_id within files (row-group skipping)") {
     val dest = java.nio.file.Files.createTempDirectory("graft_sorted")
       .resolve("store").toString
