@@ -202,6 +202,10 @@ object SparkEntry {
     // Structured Streaming twin of events_hourly_window (same oracle).
     "streaming_hourly_window" -> ((s, dir) =>
       StreamingOps.hourlyWindowStream(s, dir)),
+    // Stateful streaming sessionization (flatMapGroupsWithState) — same
+    // oracle as the batch sessionize operator.
+    "streaming_sessionize" -> ((s, dir) =>
+      StreamingOps.sessionizeStream(s, dir, gapSec = 1800)),
     // Exact distinct-count rollup (count(DISTINCT) operator class).
     "distinct_users_by_type" -> ((s, dir) =>
       Events.load(s, dir)
@@ -365,6 +369,15 @@ object SparkEntry {
         |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sessionize" ->
+      """WITH e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |                     THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM f)
+        |SELECT user_id, session_id::BIGINT AS session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*)::BIGINT AS n_events,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+"streaming_sessionize" ->
       """WITH e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
         |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
         |                     THEN 1 ELSE 0 END AS new_session FROM e),

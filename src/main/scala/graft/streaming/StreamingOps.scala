@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.operators.Events
 
@@ -47,5 +47,64 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      value: Double)
+  case class Session(user_id: Long, session_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * engine's KeyValueGroupedDataset stateful-operator surface. State is
+    * keyed by user; each invocation folds the group's events into
+    * gap-separated sessions (identical semantics to Events.sessionize,
+    * which the DuckDB oracle checks). With a live source + event-time
+    * timeout the same function emits sessions incrementally; the fixture
+    * drive processes the file in one AvailableNow batch. */
+  def sessionizeStream(spark: SparkSession, sfDir: String,
+      gapSec: Long = 1800): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "value").as[Ev]
+
+    def fold(userId: Long, events: Iterator[Ev],
+        state: GroupState[Long]): Iterator[Session] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var sid = 0L
+      var cur = scala.collection.mutable.ArrayBuffer.empty[Ev]
+      def emit(): Unit = if (cur.nonEmpty) {
+        sid += 1
+        // sum in BigDecimal: matches the batch operator's exact decimal sum
+        val total = cur.map(e => BigDecimal(e.value).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        out += Session(userId, sid, cur.head.ts, cur.last.ts, cur.size.toLong, total)
+        cur = scala.collection.mutable.ArrayBuffer.empty[Ev]
+      }
+      sorted.foreach { e =>
+        if (cur.nonEmpty &&
+            e.ts.getTime / 1000 - cur.last.ts.getTime / 1000 > gapSec) emit()
+        cur += e
+      }
+      emit()
+      out.iterator
+    }
+
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+    val name = s"graft_sessions_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_id")
   }
 }
