@@ -62,6 +62,20 @@ object SparkEntry {
           .otherwise(0.25).as("weight"))
       Search.multiVectorFusion(points, qs, k = 10, threshold = 0.1)
     }),
+    // Rank-based fusion (RRF) over 3 query branches.
+    "rrf_fusion" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val qs = points.filter(col("id") < 3)
+        .select(col("id").as("query_id"), col("embedding").as("qemb"))
+      Search.rrfFusion(points, qs, k = 10)
+    }),
+    // Hybrid vector+payload scoring (soft filter boost).
+    "hybrid_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Search.hybrid(points, q, boostPred = col("user_id") === 5,
+        alpha = 0.8, k = 10)
+    }),
     // Q11 verify: best score within one user vs threshold.
     "face_verify" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -627,6 +641,21 @@ object SparkEntry {
          |SELECT id, round(sum(score * weight), 6) AS fused_score, count(*)::BIGINT AS votes
          |FROM r WHERE rnk <= 20 GROUP BY id
          |ORDER BY fused_score DESC, votes DESC, id ASC LIMIT 10""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH $C,
+         |q AS (SELECT id AS query_id, ne AS qe FROM c WHERE id < 3),
+         |s AS (SELECT q.query_id, c.id, round(list_dot_product(c.ne, q.qe), 6) AS score FROM c, q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank FROM s)
+         |SELECT id, round(sum(1.0::DOUBLE / (60.0::DOUBLE + rank)), 6) AS rrf_score, count(*)::BIGINT AS branches
+         |FROM r WHERE rank <= 20 GROUP BY id
+         |ORDER BY rrf_score DESC, branches DESC, id ASC LIMIT 10""".stripMargin,
+    "hybrid_search" ->
+      s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |s AS (SELECT c.id, c.user_id, round(list_dot_product(c.ne, q.qe), 6) AS cos,
+         |  CASE WHEN c.user_id = 5 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS boost FROM c, q),
+         |h AS (SELECT id, round(cos * 0.8::DOUBLE + boost * (1::DOUBLE - 0.8::DOUBLE), 6) AS hybrid_score, cos, user_id FROM s)
+         |SELECT id, hybrid_score, cos, user_id FROM h
+         |ORDER BY hybrid_score DESC, id ASC LIMIT 10""".stripMargin,
     "face_verify" ->
       s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
          |s AS (SELECT c.user_id, round(list_dot_product(c.ne, q.qe), 6) AS score

@@ -131,6 +131,49 @@ object Search {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of multiple query branches: each branch ranks
+    * its top `perQueryK`, fused score = Σ 1/(rrfK + rank) per point — the
+    * standard rank-based alternative to score-weighted fusion (less
+    * sensitive to score calibration across branches). */
+  def rrfFusion(
+      points: DataFrame,
+      queries: DataFrame, // (query_id, qemb)
+      k: Int,
+      perQueryK: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    points
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qemb"))))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perQueryK)
+      .groupBy(col("id"))
+      .agg(round(sum(lit(1.0d) / (lit(rrfK.toDouble) + col("rank"))), 6).as("rrf_score"),
+        count("*").cast("long").as("branches"))
+      .orderBy(desc("rrf_score"), desc("branches"), asc("id"))
+      .limit(k)
+  }
+
+  /** Hybrid search: cosine relevance blended with a structured payload
+    * boost — score = α·cos + (1-α)·boost where boost = 1 if the payload
+    * predicate holds. The vector-DB "filtered boost" pattern (soft filter
+    * instead of the hard Q3 pre-filter). */
+  def hybrid(
+      points: DataFrame,
+      queryDf: DataFrame,
+      boostPred: Column,
+      alpha: Double,
+      k: Int): DataFrame =
+    points
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("cos", score(col("embedding"), col("qemb")))
+      .withColumn("boost", when(boostPred, 1.0d).otherwise(0.0d))
+      .withColumn("hybrid_score",
+        round(col("cos") * alpha + col("boost") * (lit(1.0d) - alpha), 6))
+      .orderBy(desc("hybrid_score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("hybrid_score"), col("cos"), col("user_id"))
+
   /** Two-phase rescore mirroring quantized-search oversampling 3.0
     * (src/core/qdrant_client.py:342-348): a cheap score prunes to
     * k*oversample candidates, then exact rescoring picks the final k.
