@@ -143,6 +143,30 @@ object SparkEntry {
         "2024-01-10 00:00:00", "2024-01-20 00:00:00", Seq("click", "purchase"))),
     "events_json_top_users" -> ((s, dir) =>
       Events.jsonTopUsers(Events.load(s, dir), k = 10)),
+    // As-of join: each purchase matched to the user's latest prior error.
+    "events_asof_join" -> ((s, dir) => {
+      val e = Events.load(s, dir)
+      Events.asOfJoin(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "error"),
+        key = "user_id", tsCol = "ts", idCol = "event_id")
+        .orderBy("event_id")
+    }),
+    // Pivot: per-user event-type count matrix.
+    "events_pivot" -> ((s, dir) =>
+      Events.load(s, dir).filter(col("user_id") < 20)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .select(col("user_id") +: Seq("click", "view", "purchase", "signup", "error")
+          .map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+        .orderBy("user_id")),
+    // Cube over document dimensions.
+    "docs_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .cube(col("lang"), col("source"))
+        .agg(count("*").cast("long").as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
     // --- relational join/agg operators (TPC-H-style) ---
     "tpch_q1_pricing" -> ((s, dir) =>
       Relational.pricingSummary(Relational.table(s, dir, "lineitem"), "1998-09-02 00:00:00")),
@@ -377,6 +401,26 @@ object SparkEntry {
          |p AS (SELECT a.id AS id_a, b.id AS id_b, round(list_dot_product(a.ne, b.ne), 6) AS cos
          |  FROM c a, c b WHERE a.id < b.id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    // independent implementation: DuckDB's native ASOF JOIN
+    "events_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, ts AS r_ts, max(event_id) AS r_id FROM events
+        |      WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, p.ts, e.r_ts, e.r_id
+        |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.r_ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+        |FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "docs_cube" ->
+      """SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
     "events_hourly_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*)::BIGINT AS n_events,

@@ -76,6 +76,40 @@ object Events {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** As-of join: for each left row, the most recent right row with
+    * right.ts <= left.ts within the same key — the temporal operator Spark
+    * lacks natively (DuckDB's ASOF JOIN serves as the independent oracle).
+    *
+    * Implementation is the union trick: tag both sides, sort per key by
+    * (ts, tag) with right rows ordered before left at equal ts (giving the
+    * <= semantics), and carry the last-seen right columns forward
+    * with `last(..., ignoreNulls)` — ONE hash shuffle on the key and no
+    * join at all, which at 100 TB beats a range join by orders of
+    * magnitude (no per-row range probe, no broadcast of the right side).
+    * Right rows are deduped to one per (key, ts) by max id first so ties
+    * are deterministic. */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, tsCol: String, idCol: String): DataFrame = {
+    val rightDedup = right.groupBy(col(key), col(tsCol))
+      .agg(max(col(idCol)).as("r_id"))
+      .select(col(key), col(tsCol).as("r_ts"), col("r_id"))
+    val l = left.select(col(key), col(tsCol), col(idCol),
+      lit(1).as("_tag"), lit(null).cast("timestamp").as("r_ts_in"),
+      lit(null).cast("long").as("r_id_in"))
+    val r = rightDedup.select(col(key), col("r_ts").as(tsCol),
+      lit(null).cast("long").as(idCol),
+      lit(0).as("_tag"), col("r_ts").as("r_ts_in"), col("r_id").as("r_id_in"))
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol), col("_tag"), col(idCol).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("r_ts", last(col("r_ts_in"), ignoreNulls = true).over(w))
+      .withColumn("r_id", last(col("r_id_in"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col(idCol), col(key), col(tsCol), col("r_ts"), col("r_id"))
+  }
+
   /** JSON property extraction + top-k users by extracted metric. */
   def jsonTopUsers(events: DataFrame, k: Int): DataFrame =
     events
