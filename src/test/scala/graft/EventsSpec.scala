@@ -54,6 +54,23 @@ class EventsSpec extends SparkSpec {
     assert(r.toSeq == Seq(("click", 2L, 5.0)))
   }
 
+  test("asOfJoin: <= boundary matches, earlier-left rows get nulls") {
+    val left = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 1L, "p", 0.0, "{}"), // before any right
+      (11L, ts("2024-01-01 10:00:00"), 1L, "p", 0.0, "{}"), // equal-ts match
+      (12L, ts("2024-01-01 11:30:00"), 1L, "p", 0.0, "{}")  // later match
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val right = Seq(
+      (20L, ts("2024-01-01 10:00:00"), 1L, "e", 0.0, "{}"),
+      (21L, ts("2024-01-01 11:00:00"), 1L, "e", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.asOfJoin(left, right, "user_id", "ts", "event_id")
+      .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+    assert(r(10L).isEmpty, "no right row at or before 09:00")
+    assert(r(11L).contains(20L), "equal ts must match (<= semantics)")
+    assert(r(12L).contains(21L))
+  }
+
   test("events loader reads nanos timestamps from the fixture") {
     val e = Events.load(spark, sf001)
     assert(e.schema("ts").dataType.typeName == "timestamp")
