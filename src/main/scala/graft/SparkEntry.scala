@@ -120,6 +120,10 @@ object SparkEntry {
       TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))),
+    "top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 20)),
+    "tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(s.read.parquet(s"$dir/documents.parquet"), maxDocId = 20)),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -363,6 +367,21 @@ object SparkEntry {
          |  list_reduce([0::BIGINT] || wh, (a,b) -> (a*31 + (b % 1000000007)) % 1000000007) AS rolling_fp,
          |  md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bow_key
          |FROM h ORDER BY doc_id""".stripMargin,
+    "top_terms" ->
+      s"""WITH $W,
+         |e AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM t)
+         |SELECT term, count(*)::BIGINT AS doc_freq FROM e
+         |GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20""".stripMargin,
+    "tfidf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 20),
+        |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM t),
+        |terms AS (SELECT doc_id, len(w) AS doc_len, unnest(w) AS term FROM t),
+        |tf AS (SELECT doc_id, term, doc_len, count(*)::BIGINT AS tc FROM terms GROUP BY 1,2,3),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term)
+        |SELECT tf.doc_id, tf.term, tf.tc, df.df,
+        |  round((tf.tc::DOUBLE / tf.doc_len) * ln(n.n_docs / df.df), 6) AS tfidf
+        |FROM tf, df, n WHERE tf.term = df.term
+        |ORDER BY tf.doc_id, tf.term""".stripMargin,
     "dedup_exact" ->
       s"""WITH $W,
          |k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bow_key FROM t)

@@ -79,6 +79,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus top-k terms by document frequency: explode distinct words per
+    * doc → hash aggregate. One shuffle on the term; at 100 TB this is the
+    * canonical word-count shape with map-side combine. */
+  def topTerms(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.words(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count("*").cast("long").as("doc_freq"))
+      .orderBy(desc("doc_freq"), asc("term"))
+      .limit(k)
+
+  /** TF-IDF per (doc, term): tf = term count / doc length, idf =
+    * ln(N / df). Two aggregations (per-doc-term and per-term) joined back;
+    * the doc-frequency side is small (vocabulary) and broadcasts. */
+  def tfIdf(docs: DataFrame, maxDocId: Long): DataFrame = {
+    val subset = docs.filter(col("doc_id") < maxDocId)
+    val n = subset.select(countDistinct("doc_id").cast("double").as("n_docs"))
+    val terms = subset
+      .select(col("doc_id"), size(TextOps.words(col("text"))).as("doc_len"),
+        explode(TextOps.words(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term", "doc_len")
+      .agg(count("*").cast("long").as("tc"))
+    val df_ = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count("*").cast("long").as("df"))
+    tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tf", col("tc").cast("double") / col("doc_len"))
+      .withColumn("idf", log(col("n_docs") / col("df")))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+      .select(col("doc_id"), col("term"), col("tc"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
   /** Document fingerprints: order-sensitive rolling polynomial hash over
     * word hashes + order-insensitive bag-of-words md5 key. */
   def fingerprints(docs: DataFrame): DataFrame = {
