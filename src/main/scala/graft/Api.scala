@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
-import graft.operators.Search
+import graft.operators.{Collection, Search}
 
 /** Argument-validated entry points mirroring the reference's request-schema
   * constraints (Q4/S8: src/api/schemas.py:61-72 — k ∈ [1,100], score
@@ -28,6 +29,27 @@ object Api {
     val t = scoreThreshold.getOrElse(DefaultThreshold)
     validateThreshold(t)
     Search.knn(points, queryDf, k, t, userFilter)
+  }
+
+  /** Validated ingest (reference POST /vectors/add_batch → S5): rows of
+    * (id?, vector, user_id, ts, metadata). Vectors are L2-normalized on
+    * ingest; missing ids are derived deterministically from
+    * (user_id, ts, vector hash) — the engine's reproducible stand-in for
+    * the reference's uuid4 (src/core/qdrant_client.py:205-206); re-adds of
+    * an existing id replace via last-write-wins upsert. Rejects empty
+    * vectors (schemas.py min_items=1). */
+  def addVectors(current: DataFrame, adds: DataFrame): DataFrame = {
+    val withIds = adds
+      .filter(size(col("embedding")) >= 1)
+      .withColumn("id",
+        when(col("id").isNull,
+          graft.functions.TextOps.hash60(concat_ws("_",
+            col("user_id"), col("ts"), hash(col("embedding")))))
+          .otherwise(col("id")))
+    val normalized = Collection.withNormalized(withIds)
+      .drop("embedding").withColumnRenamed("nemb", "embedding")
+      .select(current.columns.map(col): _*)
+    Collection.upsert(current, normalized)
   }
 
   /** Validated batched search. */
