@@ -120,6 +120,18 @@ object SparkEntry {
       TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))),
+    // §1.4 schemaless payload: open metadata as MapType — build, access by
+    // key, filter on a map value (the oracle checks values from the raw
+    // columns; the map is the engine-side representation).
+    "payload_map_filter" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("meta", map(
+          lit("lang"), col("lang"), lit("source"), col("source"),
+          lit("n_chars"), col("n_chars").cast("string")))
+        .filter(element_at(col("meta"), "source") === "src1")
+        .select(col("doc_id"), element_at(col("meta"), "lang").as("meta_lang"),
+          element_at(col("meta"), "n_chars").cast("long").as("meta_chars"))
+        .orderBy("doc_id")),
     "top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 20)),
     "tfidf" -> ((s, dir) =>
@@ -367,6 +379,9 @@ object SparkEntry {
          |  list_reduce([0::BIGINT] || wh, (a,b) -> (a*31 + (b % 1000000007)) % 1000000007) AS rolling_fp,
          |  md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bow_key
          |FROM h ORDER BY doc_id""".stripMargin,
+    "payload_map_filter" ->
+      """SELECT doc_id, lang AS meta_lang, n_chars AS meta_chars
+        |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin,
     "top_terms" ->
       s"""WITH $W,
          |e AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM t)
