@@ -108,6 +108,22 @@ object SparkEntry {
         sum(when(col("user_id") === 3, 0L).otherwise(1L)).cast("long")
           .as("remaining_count"))
     }),
+    // Per-group embedding centroids (class prototypes): explode to
+    // (group, dim, value), average per dimension, re-assemble — the
+    // distributed vector-mean shape (map-side partial sums per dim).
+    "label_centroids" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      points
+        .select(col("user_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("user_id", "dim")
+        .agg(avg("v").as("m"), count("*").cast("long").as("n"))
+        .groupBy("user_id")
+        .agg(
+          max("n").as("n_points"),
+          round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+          round(sum(when(col("dim") === 0, col("m")).otherwise(0.0d)), 6).as("c0"))
+        .orderBy("user_id")
+    }),
     // A1/A2: collection stats rollup.
     "collection_stats" -> ((s, dir) =>
       Collection.stats(Collection.load(s, dir))),
@@ -758,6 +774,15 @@ object SparkEntry {
       """SELECT sum(CASE WHEN label = 3 THEN 1 ELSE 0 END)::BIGINT AS deleted_count,
         |       sum(CASE WHEN label = 3 THEN 0 ELSE 1 END)::BIGINT AS remaining_count
         |FROM embeddings""".stripMargin,
+    "label_centroids" ->
+      s"""WITH $C,
+         |d AS (SELECT c.user_id, r.range AS dim, c.ne[r.range + 1] AS v
+         |      FROM c CROSS JOIN range(64) r),
+         |m AS (SELECT user_id, dim, avg(v) AS m, count(*)::BIGINT AS n FROM d GROUP BY 1, 2)
+         |SELECT user_id, max(n) AS n_points,
+         |  round(sqrt(sum(m * m)), 6) AS centroid_norm,
+         |  round(sum(CASE WHEN dim = 0 THEN m ELSE 0.0::DOUBLE END), 6) AS c0
+         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     "collection_stats" ->
       """WITH per AS (SELECT label AS user_id, count(*)::BIGINT AS n FROM embeddings GROUP BY 1)
         |SELECT sum(n)::BIGINT AS total_points, count(*)::BIGINT AS distinct_users,
