@@ -36,11 +36,14 @@ object Api {
     * ingest; missing ids are derived deterministically from
     * (user_id, ts, vector hash) — the engine's reproducible stand-in for
     * the reference's uuid4 (src/core/qdrant_client.py:205-206); re-adds of
-    * an existing id replace via last-write-wins upsert. Rejects empty
-    * vectors (schemas.py min_items=1). */
+    * an existing id replace via last-write-wins upsert. Rejects the WHOLE
+    * batch when any row has a missing/empty vector (schemas.py min_items=1
+    * fails the request, not the row) — no partial silent ingestion. */
   def addVectors(current: DataFrame, adds: DataFrame): DataFrame = {
+    val bad = adds.filter(col("embedding").isNull || size(col("embedding")) < 1).count()
+    require(bad == 0L,
+      s"batch rejected: $bad row(s) with empty embedding (min_items=1)")
     val withIds = adds
-      .filter(size(col("embedding")) >= 1)
       .withColumn("id",
         when(col("id").isNull,
           graft.functions.TextOps.hash60(concat_ws("_",

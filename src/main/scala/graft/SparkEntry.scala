@@ -116,7 +116,9 @@ object SparkEntry {
       points
         .select(col("user_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("user_id", "dim")
-        .agg(avg("v").as("m"), count("*").cast("long").as("n"))
+        // round the per-dim mean BEFORE the norm: makes the cross-engine
+        // comparison independent of double summation order
+        .agg(round(avg("v"), 6).as("m"), count("*").cast("long").as("n"))
         .groupBy("user_id")
         .agg(
           max("n").as("n_points"),
@@ -776,9 +778,8 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
     "label_centroids" ->
       s"""WITH $C,
-         |d AS (SELECT c.user_id, r.range AS dim, c.ne[r.range + 1] AS v
-         |      FROM c CROSS JOIN range(64) r),
-         |m AS (SELECT user_id, dim, avg(v) AS m, count(*)::BIGINT AS n FROM d GROUP BY 1, 2)
+         |d AS (SELECT user_id, generate_subscripts(ne, 1) - 1 AS dim, unnest(ne) AS v FROM c),
+         |m AS (SELECT user_id, dim, round(avg(v), 6) AS m, count(*)::BIGINT AS n FROM d GROUP BY 1, 2)
          |SELECT user_id, max(n) AS n_points,
          |  round(sqrt(sum(m * m)), 6) AS centroid_norm,
          |  round(sum(CASE WHEN dim = 0 THEN m ELSE 0.0::DOUBLE END), 6) AS c0

@@ -68,8 +68,12 @@ object Collection {
 
   /** Predicate delete (reference D2: src/core/qdrant_client.py:434-469).
     * Returns the surviving rows; pair with a count of the removed set for
-    * the true deleted_count the API spec promises (api_spec.md:108-114). */
-  def deleteWhere(df: DataFrame, pred: Column): DataFrame = df.filter(!pred)
+    * the true deleted_count the API spec promises (api_spec.md:108-114).
+    * Rows where the predicate evaluates to NULL (e.g. a null payload field)
+    * do NOT match the delete and must survive, so the kept set is
+    * "NOT definitively true" rather than SQL `NOT pred`. */
+  def deleteWhere(df: DataFrame, pred: Column): DataFrame =
+    df.filter(not(coalesce(pred, lit(false))))
 
   /** Collection stats rollup (reference A1/A2:
     * src/core/qdrant_client.py:471-520): point count, user count, per-user

@@ -18,6 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * md5 + conv) costs ~16µs per shingle; the native pass is ~0.5µs.
   * CodegenFallback is fine here — all the work is inside one JVM call. */
 object TextHash {
+  /** Per-thread digest: one expression instance can be evaluated from many
+    * threads (broadcast reuse, driver-side folding concurrent with tasks),
+    * and MessageDigest is mutable — a shared instance would interleave. */
+  private val tlMd: ThreadLocal[MessageDigest] = ThreadLocal.withInitial(
+    () => MessageDigest.getInstance("MD5"))
+  def localMd(): MessageDigest = tlMd.get()
+
   /** First 60 bits of md5(s): big-endian first 8 bytes >>> 4. */
   def hash60(md: MessageDigest, bytes: Array[Byte]): Long = {
     val d = md.digest(bytes)
@@ -38,10 +45,8 @@ case class Hash60(child: Expression) extends UnaryExpression with CodegenFallbac
     case t => TypeCheckResult.TypeCheckFailure(s"hash60 expects string, got ${t.simpleString}")
   }
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
-
   override def nullSafeEval(v: Any): Any =
-    TextHash.hash60(md, v.asInstanceOf[UTF8String].getBytes)
+    TextHash.hash60(TextHash.localMd(), v.asInstanceOf[UTF8String].getBytes)
 
   override protected def withNewChildInternal(c: Expression): Hash60 = copy(child = c)
 }
@@ -63,10 +68,10 @@ case class ShingleHashSet60(child: Expression, n: Int)
       s"shingle_hash_set expects array<string>, got ${t.simpleString}")
   }
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
   private val space = Array[Byte](' ')
 
   override def nullSafeEval(v: Any): Any = {
+    val md = TextHash.localMd()
     val words = v.asInstanceOf[ArrayData]
     val nw = words.numElements()
     if (nw < n) return new GenericArrayData(Array.empty[Long])

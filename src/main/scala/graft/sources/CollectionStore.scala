@@ -50,7 +50,9 @@ object CollectionStore {
   def compact(spark: SparkSession, path: String,
       deletePred: org.apache.spark.sql.Column, numFiles: Int = 4): Long = {
     val current = load(spark, path)
-    val kept = current.filter(!deletePred)
+    // NULL-evaluating predicates don't match the delete, so those rows are kept
+    // (same semantics as Collection.deleteWhere).
+    val kept = current.filter(not(coalesce(deletePred, lit(false))))
     val tmp = path + "_compacting"
     save(kept, tmp, numFiles)
     val fs = org.apache.hadoop.fs.FileSystem.get(

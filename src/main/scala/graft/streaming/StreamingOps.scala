@@ -76,7 +76,9 @@ object StreamingOps {
 
     def fold(userId: Long, events: Iterator[Ev],
         state: GroupState[Long]): Iterator[Session] = {
-      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // full-precision order: getTime is only ms, getNanos carries the
+      // sub-ms part — matches the batch operator / oracle microsecond sort
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
       if (sorted.isEmpty) return Iterator.empty
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       var sid = 0L

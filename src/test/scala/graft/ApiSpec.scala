@@ -28,14 +28,22 @@ class ApiSpec extends SparkSpec {
     assert(d.sameElements(e))
   }
 
-  test("addVectors normalizes, derives stable ids, rejects empties, upserts") {
+  test("addVectors rejects the whole batch on any empty embedding") {
+    val mixed = Seq(
+      (Option.empty[Long], Seq(3.0, 4.0) ++ Seq.fill(62)(0.0), 7, 99999.0),
+      (Option.empty[Long], Seq.empty[Double], 7, 99999.0) // invalid row
+    ).toDF("id", "embedding", "user_id", "ts")
+    val e = intercept[IllegalArgumentException](Api.addVectors(points, mixed))
+    assert(e.getMessage.contains("batch rejected"))
+  }
+
+  test("addVectors normalizes, derives stable ids, upserts") {
     val adds = Seq(
       (Option.empty[Long], Seq(3.0, 4.0) ++ Seq.fill(62)(0.0), 7, 99999.0),
-      (Option.empty[Long], Seq.empty[Double], 7, 99999.0), // rejected
       (Some(0L), Seq(1.0) ++ Seq.fill(63)(0.0), 42, 1e9)   // replaces id 0
     ).toDF("id", "embedding", "user_id", "ts")
     val after = Api.addVectors(points, adds)
-    assert(after.count() == points.count() + 1) // 1 new, 1 rejected, 1 replaced
+    assert(after.count() == points.count() + 1) // 1 new, 1 replaced
     assert(after.filter($"id" === 0).select("user_id").as[Int].head() == 42)
     // derived id is deterministic: re-adding yields the same id (no growth)
     val again = Api.addVectors(after, adds)

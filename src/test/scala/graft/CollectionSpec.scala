@@ -52,4 +52,14 @@ class CollectionSpec extends SparkSpec {
     assert(after.count() == points.count() - doomed)
     assert(after.filter($"user_id" === 2).count() == 0)
   }
+
+  test("predicate delete keeps rows where the predicate is NULL") {
+    // a null payload field must NOT match the delete (Qdrant filter
+    // semantics: only definitively-matching points are removed)
+    val df = Seq(
+      (1L, Some("a")), (2L, Option.empty[String]), (3L, Some("b"))
+    ).toDF("id", "tag")
+    val after = Collection.deleteWhere(df, $"tag" === "a")
+    assert(after.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
 }
