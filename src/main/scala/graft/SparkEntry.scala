@@ -338,6 +338,72 @@ object SparkEntry {
       val cents = Ann.kmeansCentroids(points, k = 16)
       Ann.ivfSearch(Ann.ivfAssign(points, cents), cents, q, nprobe = 4, k = 10)
     }),
+    // Keyset-paginated scroll (vector-DB scroll endpoint): page after the
+    // cursor (ts=300, id=300) under a payload filter — a pushed range
+    // predicate + top-n, cost independent of scroll depth.
+    "scroll_page" -> ((s, dir) =>
+      Collection.scroll(Collection.load(s, dir), limit = 25,
+        afterTs = Some(300.0), afterId = Some(300L),
+        pred = Some(col("user_id") < 5))),
+    // Filtered exact count (vector-DB count endpoint).
+    "count_filtered" -> ((s, dir) =>
+      Collection.countWhere(Collection.load(s, dir),
+        col("user_id").isin(1, 3, 5) && col("id") % 7 === 0)),
+    // Facet counts over a payload field among filtered points.
+    "facet_counts" -> ((s, dir) =>
+      Collection.facet(Collection.load(s, dir), "user_id",
+        col("id") % 2 === 0, topN = 5)),
+    // Recommendation search: query = normalize(mean(pos) - mean(neg)),
+    // seeds excluded from results.
+    "recommend" -> ((s, dir) =>
+      Search.recommend(Collection.load(s, dir),
+        positiveIds = Seq(1L, 2L, 3L), negativeIds = Seq(4L, 5L),
+        k = 10, threshold = 0.0)),
+    // Grouped search: best-3 hits for each of the top-5 groups.
+    "grouped_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Search.knnGroups(points, q, "user_id", groupSize = 3, k = 5, threshold = 0.1)
+    }),
+    // Binary (1-bit) quantization + Hamming-prefilter two-phase search.
+    "binary_quant_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Quantization.binaryTwoPhaseSearch(points, q, k = 10, oversample = 4.0)
+    }),
+    // Near-dup pair graph → transitive dedup clusters (iterative min-label
+    // connected components; oracle = DuckDB recursive CTE).
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.simHashPairs(
+        s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy("cluster_id")
+        .agg(count("*").cast("long").as("n_docs"),
+          min("node").as("min_doc"), max("node").as("max_doc"))
+        .orderBy("cluster_id")
+    }),
+    // Deterministic per-language stratified sample (en 50%, de 25%,
+    // default 10%) — membership is a pure hash of (salt, doc_id).
+    "stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("lang"),
+        rates = Seq("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1, salt = "s1")
+        .groupBy("lang")
+        .agg(count("*").cast("long").as("n_total"),
+          sum(when(col("_keep"), 1L).otherwise(0L)).cast("long").as("n_sampled"),
+          sum(when(col("_keep"), col("doc_id")).otherwise(0L)).cast("long")
+            .as("sampled_id_sum"))
+        .orderBy("lang")),
+    // Deterministic 80/20 train/test split (independent salt).
+    "train_test_split" -> ((s, dir) =>
+      graft.operators.Sampling.trainTestSplit(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), trainFrac = 0.8, salt = "sp")
+        .groupBy("split")
+        .agg(count("*").cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("split")),
     // Multimodal: binary columns + stubbed decode feature extraction.
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeaturesExpr(Multimodal.loadAssets(s, dir))),
@@ -358,6 +424,22 @@ object SparkEntry {
       |  list_distinct(list_transform(range(greatest(len(w)-2, 0)),
       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
       |  x -> ('0x' || substring(md5(x), 1, 15))::BIGINT))) AS s FROM t WHERE len(w) >= 3)""".stripMargin
+  /** DuckDB 60-bit simhash chain over `t` (follows W): yields
+    * sh2(doc_id, simhash) — mirrors Dedup.simHashPairs signature building. */
+  private val SIM =
+    s"""h AS (SELECT doc_id, list_transform(w, x -> ${h60("x")}) AS wh FROM t),
+       |bits AS (SELECT doc_id, list_transform(range(60), j ->
+       |    CASE WHEN list_reduce([0] || list_transform(wh, x ->
+       |      CASE WHEN (x & (1::BIGINT << j)) != 0 THEN 1 ELSE -1 END), (a,b) -> a+b) > 0
+       |    THEN 1::BIGINT ELSE 0::BIGINT END) AS bt FROM h),
+       |sh2 AS (SELECT doc_id, list_reduce([0::BIGINT] || list_transform(range(59,-1,-1), j -> bt[j+1]), (a,b) -> a*2+b) AS simhash FROM bits)""".stripMargin
+  /** DuckDB sign-bit signature of a DOUBLE list (mirrors SignPack64):
+    * bit j set iff v[j] > 0, packed into one BIGINT (bit 63 via the
+    * BIGINT minimum — DuckDB rejects 1<<63 as shift overflow). */
+  private def bsig(ne: String): String =
+    s"""list_reduce([0::BIGINT] || list_transform(range(least(len($ne), 64)), j ->
+       |    CASE WHEN $ne[j+1] > 0 THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)::BIGINT ELSE 1::BIGINT << j END)
+       |         ELSE 0::BIGINT END), (a,b) -> a | b)""".stripMargin
   private def dict(l: String): String =
     graft.functions.TextOps.StopwordDicts(l).map(w => s"'$w'").mkString("[", ",", "]")
   private def swRatio(l: String): String =
@@ -437,17 +519,28 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
     // simhash chunk-banding has EXACT recall at hamming<=3, so the oracle is all-pairs
     "dedup_simhash" ->
-      s"""WITH $W,
-         |h AS (SELECT doc_id, list_transform(w, x -> ${h60("x")}) AS wh FROM t),
-         |bits AS (SELECT doc_id, list_transform(range(60), j ->
-         |    CASE WHEN list_reduce([0] || list_transform(wh, x ->
-         |      CASE WHEN (x & (1::BIGINT << j)) != 0 THEN 1 ELSE -1 END), (a,b) -> a+b) > 0
-         |    THEN 1::BIGINT ELSE 0::BIGINT END) AS bt FROM h),
-         |sh2 AS (SELECT doc_id, list_reduce([0::BIGINT] || list_transform(range(59,-1,-1), j -> bt[j+1]), (a,b) -> a*2+b) AS simhash FROM bits)
+      s"""WITH $W, $SIM
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          |FROM sh2 a, sh2 b WHERE a.doc_id < b.doc_id
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure of the simhash pair graph via a recursive CTE —
+    // an algorithmically independent check of the iterative label propagation
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $W, $SIM,
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh2 a, sh2 b WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |      UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.lab FROM e, reach WHERE e.src = reach.node),
+         |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+         |SELECT cluster_id, count(*)::BIGINT AS n_docs, min(node) AS min_doc,
+         |  max(node) AS max_doc
+         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH $C,
          |p AS (SELECT a.id AS id_a, b.id AS id_b, round(list_dot_product(a.ne, b.ne), 6) AS cos
@@ -784,6 +877,69 @@ object SparkEntry {
          |  round(sqrt(sum(m * m)), 6) AS centroid_norm,
          |  round(sum(CASE WHEN dim = 0 THEN m ELSE 0.0::DOUBLE END), 6) AS c0
          |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "scroll_page" ->
+      """WITH c AS (SELECT vec_id AS id, label AS user_id, vec_id::DOUBLE AS ts FROM embeddings)
+        |SELECT id, user_id, ts FROM c
+        |WHERE user_id < 5 AND (ts < 300.0 OR (ts = 300.0 AND id > 300))
+        |ORDER BY ts DESC, id ASC LIMIT 25""".stripMargin,
+    "count_filtered" ->
+      """SELECT sum(CASE WHEN label IN (1, 3, 5) AND vec_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS match_count,
+        |  count(*)::BIGINT AS total_count FROM embeddings""".stripMargin,
+    "facet_counts" ->
+      """SELECT label AS facet_value, count(*)::BIGINT AS n FROM embeddings
+        |WHERE vec_id % 2 = 0 GROUP BY 1 ORDER BY n DESC, facet_value ASC LIMIT 5""".stripMargin,
+    "recommend" ->
+      s"""WITH $C,
+         |pd AS (SELECT generate_subscripts(ne, 1) - 1 AS dim, unnest(ne) AS v FROM c WHERE id IN (1, 2, 3)),
+         |pa AS (SELECT dim, round(avg(v), 6) AS pm FROM pd GROUP BY dim),
+         |nd AS (SELECT generate_subscripts(ne, 1) - 1 AS dim, unnest(ne) AS v FROM c WHERE id IN (4, 5)),
+         |na AS (SELECT dim, round(avg(v), 6) AS nm FROM nd GROUP BY dim),
+         |rv AS (SELECT list(pa.pm - na.nm ORDER BY pa.dim) AS r FROM pa JOIN na ON pa.dim = na.dim),
+         |q AS (SELECT list_transform(r, x -> x / greatest(sqrt(list_dot_product(r, r)), 1e-12)) AS qe FROM rv),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |      FROM c, q WHERE c.id NOT IN (1, 2, 3, 4, 5))
+         |SELECT id, score, user_id FROM s WHERE score >= 0.0
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "grouped_search" ->
+      s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |s AS (SELECT c.id, c.user_id, round(list_dot_product(c.ne, q.qe), 6) AS score FROM c, q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY score DESC, id ASC) AS rank_in_group
+         |      FROM s WHERE score >= 0.1),
+         |g AS (SELECT user_id, max(score) AS best_score FROM r WHERE rank_in_group <= 3 GROUP BY user_id),
+         |tg AS (SELECT user_id, best_score,
+         |         row_number() OVER (ORDER BY best_score DESC, user_id ASC) AS group_rank
+         |       FROM g ORDER BY best_score DESC, user_id ASC LIMIT 5)
+         |SELECT tg.group_rank, r.user_id, tg.best_score, r.rank_in_group, r.id, r.score
+         |FROM r JOIN tg ON r.user_id = tg.user_id
+         |WHERE r.rank_in_group <= 3
+         |ORDER BY tg.group_rank, r.rank_in_group""".stripMargin,
+    "binary_quant_search" ->
+      s"""WITH $C,
+         |sg AS (SELECT id, user_id, ne, ${bsig("ne")} AS sig FROM c),
+         |q AS (SELECT ne AS qe, sig AS qsig FROM sg WHERE id = 0),
+         |p1 AS (SELECT sg.id, sg.user_id, sg.ne, q.qe,
+         |  (64 - bit_count(xor(sg.sig, q.qsig)))::INT AS cheap_score
+         |  FROM sg, q ORDER BY cheap_score DESC, id ASC LIMIT 40)
+         |SELECT id, round(list_dot_product(ne, qe), 6) AS score, cheap_score, user_id
+         |FROM p1 ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5('s1_' || doc_id), 1, 15))::BIGINT % 1000000 AS bk
+        |  FROM documents),
+        |k AS (SELECT lang, doc_id,
+        |    (bk < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END)) AS keep
+        |  FROM b)
+        |SELECT lang, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+        |  sum(CASE WHEN keep THEN doc_id ELSE 0 END)::BIGINT AS sampled_id_sum
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "train_test_split" ->
+      """WITH b AS (SELECT *,
+        |    ('0x' || substring(md5('sp_' || doc_id), 1, 15))::BIGINT % 1000000 AS bk
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 800000 THEN 'train' ELSE 'test' END AS split,
+        |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "collection_stats" ->
       """WITH per AS (SELECT label AS user_id, count(*)::BIGINT AS n FROM embeddings GROUP BY 1)
         |SELECT sum(n)::BIGINT AS total_points, count(*)::BIGINT AS distinct_users,

@@ -75,6 +75,60 @@ object Collection {
   def deleteWhere(df: DataFrame, pred: Column): DataFrame =
     df.filter(not(coalesce(pred, lit(false))))
 
+  /** Keyset-paginated scroll over the collection — the vector-DB "scroll"
+    * read path (list points matching a filter, `limit` at a time, resuming
+    * from a cursor). The cursor is the composite sort key of the LAST row of
+    * the previous page, so each page is `WHERE key > cursor ORDER BY key
+    * LIMIT n`: a parquet-pushed range predicate + TakeOrderedAndProject.
+    * OFFSET pagination would re-scan and re-sort every preceding page —
+    * keyset pagination is the only shape that survives 100 TB (page cost is
+    * independent of how deep the scroll is, and with id-sorted files the
+    * range predicate prunes row groups).
+    * Cursor semantics: strictly-after `(afterTs desc, afterId asc)` — rows
+    * with ts < afterTs, or ts = afterTs and id > afterId. */
+  def scroll(
+      points: DataFrame,
+      limit: Int,
+      afterTs: Option[Double] = None,
+      afterId: Option[Long] = None,
+      pred: Option[Column] = None): DataFrame = {
+    val base = pred.map(p => points.filter(coalesce(p, lit(false))))
+      .getOrElse(points)
+    val cursored = (afterTs, afterId) match {
+      case (Some(t), Some(i)) =>
+        base.filter(col("ts") < t || (col("ts") === t && col("id") > i))
+      case (Some(t), None) => base.filter(col("ts") < t)
+      case _ => base
+    }
+    cursored
+      .orderBy(desc("ts"), asc("id"))
+      .limit(limit)
+      .select(col("id"), col("user_id"), col("ts"))
+  }
+
+  /** Filtered exact count — the vector-DB "count points matching a filter"
+    * endpoint. NULL-evaluating predicates don't match (same tri-state rule
+    * as deleteWhere). One map-side-combined aggregate; at 100 TB this is a
+    * pushed-filter scan + count-star partial agg, no wide row ever built. */
+  def countWhere(points: DataFrame, pred: Column): DataFrame =
+    points.agg(
+      sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).cast("long")
+        .as("match_count"),
+      count("*").cast("long").as("total_count"))
+
+  /** Facet counts: the distinct values of a payload field among points
+    * matching a filter, with per-value counts, top `topN` by count.
+    * One hash aggregate on the facet field + TakeOrderedAndProject — the
+    * same plan at any scale (value cardinality, not row count, bounds the
+    * shuffle). */
+  def facet(points: DataFrame, field: String, pred: Column, topN: Int): DataFrame =
+    points
+      .filter(coalesce(pred, lit(false)))
+      .groupBy(col(field).as("facet_value"))
+      .agg(count("*").cast("long").as("n"))
+      .orderBy(desc("n"), asc("facet_value"))
+      .limit(topN)
+
   /** Collection stats rollup (reference A1/A2:
     * src/core/qdrant_client.py:471-520): point count, user count, per-user
     * distribution moments, embedding norm sanity. */

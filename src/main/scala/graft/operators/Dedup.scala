@@ -154,6 +154,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over a near-dup pair list: every document gets a
+    * `cluster_id` = the smallest doc id reachable through the pair graph.
+    * Pair-producing dedup (minhash/simhash/cosine) yields EDGES; the unit
+    * of deduplication is the transitive CLUSTER (keep one doc per
+    * component), so this is the step that turns pair lists into keep/drop
+    * decisions.
+    *
+    * Algorithm: iterative min-label propagation — labels(node) starts as
+    * node, each round takes the min over the node's own label and its
+    * neighbors' labels, until a fixpoint. Converges in O(component
+    * diameter) rounds; near-dup clusters are dense and shallow (diameter
+    * 2-4 in practice), so this terminates in a handful of rounds. Each
+    * round is one hash-shuffle join on node id + one hash aggregate —
+    * uniform keys, no skew; `localCheckpoint` cuts the lineage so plan
+    * size stays constant across rounds. (The large-star/small-star
+    * optimization halves round count at extreme scale; the propagation
+    * topology is identical.) */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborLabs = edges
+        .join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lab"))
+      val next = labels.select("node", "lab").union(neighborLabs)
+        .groupBy("node").agg(min("lab").as("lab"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lab", "prev"), "node")
+        .filter(col("lab") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    labels.select(col("node"), col("lab").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs over a normalized-embedding collection:
     * (id_a, id_b, cos) with cos >= threshold. Exact path is a self-join;
     * the scale path buckets by LSH/IVF first (see Ann) so the join is

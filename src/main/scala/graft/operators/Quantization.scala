@@ -34,6 +34,43 @@ object Quantization {
     aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")), lit(0L),
       (acc, x) => acc + x).cast("double") / lit(127.0d * 127.0d)
 
+  /** Binary (1-bit) quantization: sign bits of the normalized embedding
+    * packed into a single bigint (≤64 dims). 64× smaller than the float64
+    * column — the most aggressive point on the same RAM/recall trade-off
+    * the reference's INT8 path sits on. */
+  def signPack(v: Column): Column =
+    graft.plans.VectorExpressions.signPack64(v)
+
+  /** Hamming agreement score of two sign signatures: the number of
+    * dimensions whose signs match = 64 − popcount(a XOR b). For random unit
+    * vectors, E[agreement] ≈ 64·(1 − θ/π) — monotone in cosine, which is
+    * all phase 1 needs. */
+  def hammingScore(a: Column, b: Column): Column =
+    (lit(64) - bit_count(a.bitwiseXOR(b))).cast("int")
+
+  /** Binary-quantized two-phase search: phase 1 ranks on sign-agreement
+    * (8-byte signatures — the scan reads 64× less than the float column and
+    * the kernel is XOR+POPCNT), keeps k·oversample; phase 2 rescores the
+    * survivors exactly. Binary quantization is coarser than INT8, so the
+    * default oversampling is higher (4.0 vs 3.0). Both phases rank
+    * deterministically (rounded/int scores, id tiebreak). */
+  def binaryTwoPhaseSearch(
+      points: DataFrame, queryDf: DataFrame, k: Int,
+      oversample: Double = 4.0): DataFrame = {
+    val fetchK = math.max(k, (k * oversample).toInt)
+    val q = queryDf.select(col("qemb"), signPack(col("qemb")).as("qsig"))
+    points
+      .withColumn("sig", signPack(col("embedding")))
+      .crossJoin(broadcast(q))
+      .withColumn("cheap_score", hammingScore(col("sig"), col("qsig")))
+      .orderBy(desc("cheap_score"), asc("id"))
+      .limit(fetchK)
+      .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("cheap_score"), col("user_id"))
+  }
+
   /** Two-phase search: rank all points by the int8 score, keep
     * k·oversample, rescore exactly, return top-k. */
   def twoPhaseSearch(

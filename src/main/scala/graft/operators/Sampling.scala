@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Deterministic hash-based sampling for training-data curation: stratified
+  * sampling with per-stratum rates and train/test splitting.
+  *
+  * The keep decision is a pure function of (salt, row id): bucket =
+  * hash60(salt ‖ id) mod `Buckets`, keep iff bucket < rate·Buckets. No RNG
+  * state, no `rand()` — the sample is reproducible across runs, engines,
+  * partitionings and cluster sizes (Spark's `df.sample` is none of those),
+  * rows can be re-derived or audited later, and changing the salt draws an
+  * independent sample. This is the only sampling shape that is safe at
+  * 100 TB: a map-side filter with zero shuffle, pushable next to the scan.
+  */
+object Sampling {
+
+  val Buckets = 1000000L
+
+  /** Deterministic bucket in [0, Buckets) from a salted 60-bit hash of the
+    * row id (hash60 is non-negative, so % == pmod). */
+  def hashBucket(idCol: Column, salt: String): Column =
+    pmod(TextOps.hash60(concat(lit(salt + "_"), idCol.cast("string"))),
+      lit(Buckets))
+
+  /** Per-stratum sampling rates: keep iff bucket < rate(stratum)·Buckets.
+    * `rates` maps stratum values to rates; unlisted strata get
+    * `defaultRate`. Appends `_bucket` and `_keep` columns (filter on
+    * `_keep` for the sample; keeping both makes the decision auditable). */
+  def stratifiedSample(
+      df: DataFrame, idCol: Column, stratumCol: Column,
+      rates: Seq[(String, Double)], defaultRate: Double,
+      salt: String): DataFrame = {
+    val cutoff = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+      case (acc, (value, rate)) =>
+        when(stratumCol === value, lit((rate * Buckets).toLong)).otherwise(acc)
+    }
+    df.withColumn("_bucket", hashBucket(idCol, salt))
+      .withColumn("_keep", col("_bucket") < cutoff)
+  }
+
+  /** Deterministic train/test split: `split` = "train" iff bucket <
+    * trainFrac·Buckets. Same hash family as stratifiedSample with a
+    * DIFFERENT salt, so split membership and sample membership are
+    * independent. */
+  def trainTestSplit(
+      df: DataFrame, idCol: Column, trainFrac: Double,
+      salt: String): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(idCol, salt) < lit((trainFrac * Buckets).toLong),
+        lit("train")).otherwise(lit("test")))
+}

@@ -174,6 +174,87 @@ object Search {
       .limit(k)
       .select(col("id"), col("hybrid_score"), col("cos"), col("user_id"))
 
+  /** Recommendation search: the query vector is built FROM the collection —
+    * normalize(mean(positive examples) − mean(negative examples)) — and the
+    * seed points are excluded from the results (the vector-DB "recommend"
+    * API pattern; the reference exposes only raw-vector search, so the
+    * combination rule here is the engine's own documented contract).
+    *
+    * Determinism: per-dimension means are rounded to 6 decimals before the
+    * difference, and the assembled vector is normalized with the same
+    * left-to-right kernel as ingest, so both engines score an identical
+    * query vector.
+    *
+    * Physical shape: the seed scan is a pushed IN-filter; the per-dim mean
+    * is a posexplode + 2-level hash agg on at most `dim` keys; the resulting
+    * ONE-row query frame is broadcast into the same map-only scoring stage
+    * as knn. Seeds scale as O(dim), never with collection size. */
+  def recommend(
+      points: DataFrame,
+      positiveIds: Seq[Long],
+      negativeIds: Seq[Long],
+      k: Int,
+      threshold: Double): DataFrame = {
+    def dimMeans(ids: Seq[Long], name: String): DataFrame =
+      points.filter(col("id").isin(ids: _*))
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(round(avg("v"), 6).as(name))
+    val pos = dimMeans(positiveIds, "pm")
+    val combined =
+      if (negativeIds.isEmpty) pos.withColumn("rv", col("pm"))
+      else pos.join(dimMeans(negativeIds, "nm"), Seq("dim"))
+        .withColumn("rv", col("pm") - col("nm"))
+    val qdf = combined
+      .agg(sort_array(collect_list(struct(col("dim"), col("rv")))).as("pairs"))
+      .select(graft.plans.VectorExpressions.normalizeL2(
+        expr("transform(pairs, s -> s.rv)")).as("qemb"))
+    val seeds = positiveIds ++ negativeIds
+    points
+      .filter(!col("id").isin(seeds: _*))
+      .crossJoin(broadcast(qdf))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .filter(col("score") >= threshold)
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
+  /** Grouped search (the vector-DB "search groups" pattern): the best
+    * `groupSize` hits per group, for the `k` groups with the highest best
+    * hit. Two-stage shape that avoids any global sort: (1) per-group top-n
+    * via a window on the group key (one hash shuffle); (2) the top-k GROUPS
+    * via groupBy(max(score)) + TakeOrderedAndProject — group count, not row
+    * count, bounds stage 2 — then a broadcast semi-join keeps their rows. */
+  def knnGroups(
+      points: DataFrame,
+      queryDf: DataFrame,
+      groupCol: String,
+      groupSize: Int,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(desc("score"), asc("id"))
+    val scored = points
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .filter(col("score") >= threshold)
+      .withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .filter(col("rank_in_group") <= groupSize)
+    val topGroups = scored
+      .groupBy(col(groupCol))
+      .agg(max("score").as("best_score"))
+      .orderBy(desc("best_score"), asc(groupCol))
+      .limit(k)
+      .withColumn("group_rank",
+        row_number().over(
+          Window.orderBy(desc("best_score"), asc(groupCol))).cast("long"))
+    scored
+      .join(broadcast(topGroups), Seq(groupCol))
+      .select(col("group_rank"), col(groupCol), col("best_score"),
+        col("rank_in_group"), col("id"), col("score"))
+      .orderBy(col("group_rank"), col("rank_in_group"))
+  }
+
   /** Two-phase rescore mirroring quantized-search oversampling 3.0
     * (src/core/qdrant_client.py:342-348): a cheap score prunes to
     * k*oversample candidates, then exact rescoring picks the final k.

@@ -53,6 +53,44 @@ class CollectionSpec extends SparkSpec {
     assert(after.filter($"user_id" === 2).count() == 0)
   }
 
+  test("scroll pages are disjoint, ordered, and resumable from the cursor") {
+    val p1 = Collection.scroll(points, limit = 10)
+      .as[(Long, Int, Double)].collect()
+    assert(p1.length == 10)
+    // ordered by (ts desc, id asc)
+    assert(p1.sliding(2).forall(w =>
+      w.head._3 > w.last._3 || (w.head._3 == w.last._3 && w.head._1 < w.last._1)))
+    val last = p1.last
+    val p2 = Collection.scroll(points, limit = 10,
+      afterTs = Some(last._3), afterId = Some(last._1))
+      .as[(Long, Int, Double)].collect()
+    assert(p2.length == 10)
+    assert((p1.map(_._1).toSet intersect p2.map(_._1).toSet).isEmpty)
+    // page 2 = rows 10..19 of a double-sized page (keyset == offset here)
+    val both = Collection.scroll(points, limit = 20)
+      .as[(Long, Int, Double)].collect()
+    assert(both.drop(10).map(_._1).toSeq == p2.map(_._1).toSeq)
+  }
+
+  test("countWhere counts only definitively-matching rows (NULL-safe)") {
+    val df = Seq((1L, Some("a")), (2L, Option.empty[String]), (3L, Some("b")))
+      .toDF("id", "tag")
+    val (m, t) = Collection.countWhere(df, $"tag" =!= "b")
+      .as[(Long, Long)].head()
+    assert(m == 1L && t == 3L) // NULL tag is not a match but is counted in total
+  }
+
+  test("facet returns per-value counts ordered by count desc, value asc") {
+    val f = Collection.facet(points, "user_id", lit(true), topN = 3)
+      .as[(Int, Long)].collect()
+    assert(f.length == 3)
+    assert(f.sliding(2).forall(w =>
+      w.head._2 > w.last._2 || (w.head._2 == w.last._2 && w.head._1 < w.last._1)))
+    val direct = points.groupBy("user_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(f.forall { case (v, n) => direct(v) == n })
+  }
+
   test("predicate delete keeps rows where the predicate is NULL") {
     // a null payload field must NOT match the delete (Qdrant filter
     // semantics: only definitively-matching points are removed)

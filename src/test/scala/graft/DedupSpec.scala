@@ -46,6 +46,23 @@ class DedupSpec extends SparkSpec {
     assert(p((1L, 2L)) == 0)
   }
 
+  test("connected components: chain, separate pair, and isolated node") {
+    // chain 1-2-3-4 (transitive cluster), pair 10-11, node 20 not in pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components converge on a long path (diameter > 2)") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(cc.length == 13 && cc.forall(_._2 == 0L))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pts = graft.operators.Collection.load(spark, sf001)
     val pairs = Dedup.embeddingCosinePairs(pts, 0.45)

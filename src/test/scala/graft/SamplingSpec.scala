@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic hash-sampling semantics: reproducibility, rate accuracy,
+  * stratum independence, and split totality. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf001/documents.parquet").cache()
+
+  test("sample membership is a pure function of (salt, id)") {
+    def ids() = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      rates = Seq("en" -> 0.5), defaultRate = 0.2, salt = "t1")
+      .filter(col("_keep")).select("doc_id").as[Long].collect().toSet
+    assert(ids() == ids()) // repartition-independent, run-independent
+    val other = Sampling.stratifiedSample(
+      docs.repartition(7), col("doc_id"), col("lang"),
+      rates = Seq("en" -> 0.5), defaultRate = 0.2, salt = "t1")
+      .filter(col("_keep")).select("doc_id").as[Long].collect().toSet
+    assert(other == ids())
+  }
+
+  test("different salts draw different samples") {
+    def ids(salt: String) = Sampling.stratifiedSample(docs, col("doc_id"),
+      col("lang"), rates = Seq.empty, defaultRate = 0.5, salt = salt)
+      .filter(col("_keep")).select("doc_id").as[Long].collect().toSet
+    assert(ids("a") != ids("b"))
+  }
+
+  test("per-stratum rates are honored within binomial tolerance") {
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val sampled = Sampling.stratifiedSample(df, col("doc_id"), col("lang"),
+      rates = Seq("en" -> 0.5, "de" -> 0.1), defaultRate = 0.0, salt = "r")
+      .filter(col("_keep"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 1000 trials per stratum: ~6 sigma tolerance
+    assert(math.abs(sampled("en") - 500L) < 100, s"en=${sampled("en")}")
+    assert(math.abs(sampled("de") - 100L) < 60, s"de=${sampled("de")}")
+  }
+
+  test("train/test split is total, disjoint, and near the requested fraction") {
+    val split = Sampling.trainTestSplit(docs, col("doc_id"), 0.8, salt = "sp")
+    assert(split.count() == docs.count())
+    val byName = split.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    val total = byName.values.sum
+    assert(byName.keySet.subsetOf(Set("train", "test")))
+    assert(byName("train") > (total * 0.6) && byName("train") < total)
+  }
+}

