@@ -44,14 +44,21 @@ object Dedup {
     val sh = docs
       .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +: col("sh") +: blockOn.map(col).toSeq: _*)
+      .select(col("doc_id") +: col("sh") +: size(col("sh")).as("ns")
+        +: blockOn.map(col).toSeq: _*)
     val a = sh.select(col("doc_id").as("doc_a") +: col("sh").as("sh_a")
-      +: blockOn.map(c => col(c).as("blk_a")).toSeq: _*)
+      +: col("ns").as("ns_a") +: blockOn.map(c => col(c).as("blk_a")).toSeq: _*)
     val b = sh.select(col("doc_id").as("doc_b") +: col("sh").as("sh_b")
-      +: blockOn.map(c => col(c).as("blk_b")).toSeq: _*)
+      +: col("ns").as("ns_b") +: blockOn.map(c => col(c).as("blk_b")).toSeq: _*)
+    // size-ratio prefilter: J = I/(|A|+|B|-I) ≤ min/max, so min < t·max
+    // can never reach the threshold — prunes pairs BEFORE the O(|A|+|B|)
+    // merge-walk kernel, with zero effect on the result set
+    val sizeOk =
+      least(col("ns_a"), col("ns_b")).cast("double") >=
+        greatest(col("ns_a"), col("ns_b")) * threshold
     val cond = blockOn
       .map(_ => col("blk_a") === col("blk_b") && col("doc_a") < col("doc_b"))
-      .getOrElse(col("doc_a") < col("doc_b"))
+      .getOrElse(col("doc_a") < col("doc_b")) && sizeOk
     a.join(b, cond)
       .withColumn("ic", VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", round(
@@ -113,6 +120,10 @@ object Dedup {
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      // same size-ratio prune as ngramJaccardPairs: candidates whose set
+      // sizes preclude J >= threshold skip the merge-walk entirely
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        greatest(size(col("sh_a")), size(col("sh_b"))) * threshold)
       .withColumn("ic", VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", round(
         TextOps.jaccardFromCount(col("ic"), size(col("sh_a")), size(col("sh_b"))), 6))
@@ -173,30 +184,84 @@ object Dedup {
     * topology is identical.) */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      maxIter: Int = 30, smallGraphEdges: Long = 4000000L): DataFrame = {
+    // materialize the (possibly expensive) pair pipeline ONCE — the
+    // bidirectional edge union would otherwise evaluate it twice
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    // Adaptive physical path (the same size-switch pattern as
+    // Ann.adaptiveSearch and Spark's own broadcast threshold): the pair
+    // graph of a dedup run is orders of magnitude smaller than the corpus —
+    // when it fits comfortably on the driver (~16 bytes/edge), a
+    // path-compressed union-find is exact and costs milliseconds, vs one
+    // shuffle ROUND TRIP per propagation step. The distributed loop below
+    // remains the path for genuinely huge pair graphs.
+    if (p.count() <= smallGraphEdges) return unionFindLocal(p)
+    val edges = p.union(p.select(col("b"), col("a")))
+      .toDF("src", "dst")
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
+    // labels only ever decrease, so Σlab is strictly decreasing until the
+    // fixpoint: an O(1)-row aggregate is the convergence test (vs a
+    // join+count of old-vs-new, which doubles the per-round work).
+    // DECIMAL(38,0) keeps the sum exact at any node count (a wrapped
+    // long sum could alias across rounds).
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // (1) neighbor-min: lab ← min(lab, labs of neighbors)
       val neighborLabs = edges
         .join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lab"))
-      val next = labels.select("node", "lab").union(neighborLabs)
+      val m = labels.select("node", "lab").union(neighborLabs)
         .groupBy("node").agg(min("lab").as("lab"))
+      // (2) pointer jumping: lab ← lab(lab). Every label value is itself a
+      // node (labels start as ids and only copy), and lab(x) <= x, so the
+      // jump is monotone; combining it with neighbor-min turns O(diameter)
+      // rounds into O(log diameter) — the difference between 12 shuffles
+      // and 4 on a long path, at any scale.
+      val jump = m.select(col("node").as("jn"), col("lab").as("jlab"))
+      labels = m.join(jump, m("lab") === jump("jn"), "left")
+        .select(m("node"),
+          least(m("lab"), coalesce(col("jlab"), m("lab"))).as("lab"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lab", "prev"), "node")
-        .filter(col("lab") =!= col("prev")).count()
-      labels = next
-      converged = changed == 0L
+      val s = labSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       it += 1
     }
     labels.select(col("node"), col("lab").as("cluster_id"))
+  }
+
+  /** Driver-side union-find for pair graphs below the adaptive threshold:
+    * min-id-rooted (the smaller root becomes the parent, so find() lands on
+    * the component's minimum id — identical labels to the distributed
+    * propagation) with full path compression. */
+  private def unionFindLocal(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val edges = p.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted
+      .map(n => (n, find(n)))
+      .toDF("node", "cluster_id")
   }
 
   /** Embedding-cosine near-dup pairs over a normalized-embedding collection:
@@ -206,7 +271,12 @@ object Dedup {
   def embeddingCosinePairs(points: DataFrame, threshold: Double): DataFrame = {
     val a = points.select(col("id").as("id_a"), col("embedding").as("e_a"))
     val b = points.select(col("id").as("id_b"), col("embedding").as("e_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // explicit broadcast: array columns inflate Catalyst's size estimate, so
+    // without the hint the sub-threshold self-join can fall back to a
+    // cartesian shuffle; with it each task streams its slice of `a` against
+    // an in-memory copy of `b` — the right shape up to ~10^6-row b sides
+    // (beyond that, LSH/IVF bucketing in Ann generates the candidates)
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", round(VectorOps.dot(col("e_a"), col("e_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

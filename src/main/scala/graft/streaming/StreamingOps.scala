@@ -39,14 +39,29 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
     val name = s"graft_stream_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  /** Stateful streaming pins one state-store instance per shuffle
+    * partition for the query's lifetime; a fresh local query doesn't need
+    * the batch session's partition count (32) worth of store
+    * instantiations. The count is captured into the query's checkpoint at
+    * start, so only NEW queries are affected — on a real cluster size it
+    * to the state volume, not to this local default. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
   }
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -103,9 +118,11 @@ object StreamingOps {
     val sessions = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
     val name = s"graft_sessions_${System.nanoTime()}"
-    val q = sessions.writeStream
-      .outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
+    val q = withStatePartitions(spark, 8) {
+      sessions.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(name).orderBy("user_id", "session_id")
   }

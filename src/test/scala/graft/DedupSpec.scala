@@ -63,6 +63,19 @@ class DedupSpec extends SparkSpec {
     assert(cc.length == 13 && cc.forall(_._2 == 0L))
   }
 
+  test("distributed CC path agrees with driver union-find") {
+    // smallGraphEdges = 0 forces the iterative label-propagation path
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      smallGraphEdges = 0L).as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pts = graft.operators.Collection.load(spark, sf001)
     val pairs = Dedup.embeddingCosinePairs(pts, 0.45)
