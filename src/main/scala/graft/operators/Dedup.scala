@@ -76,10 +76,11 @@ object Dedup {
     * jaccard j is (1 - j^4)^32 — <1e-10 at j=0.85, 13% at j=0.5 — so pick
     * thresholds >= ~0.7 for exact-recall-grade results.
     *
-    * Physical shape: the signature is built as EXPLODE(shingles) → 128 flat
-    * `min(...)` aggregates — each shingle hashed exactly once and every
-    * expression whole-stage-codegen'd with map-side partial aggregation
-    * (nested HOF formulations re-evaluate the shingle pipeline per
+    * Physical shape: the signature is ONE map-side native pass per doc
+    * (`MinHashSig`: all k permutation-mins in a register loop over the
+    * shingle set — no explode, no shuffle; the earlier explode → 128 flat
+    * `min()` aggregates formulation shuffled |docs|·|shingles| rows, and
+    * nested HOF formulations re-evaluate the shingle pipeline per
     * permutation per band — a multiplicative interpreted-eval blowup).
     * Then one explode×bands + hash partition on band key; no quadratic
     * stage (bucket sizes bound by near-dup cluster size, not corpus size).
@@ -92,18 +93,15 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val rows = k / bands
     val p = TextOps.MinHashP
-    val shingleRows = docs
-      .select(col("doc_id"),
-        explode(TextOps.shingleHashSet(TextOps.words(col("text")), n)).as("sh60"))
-      .withColumn("h", pmod(col("sh60"), lit(p)))
-    val minExprs = (0 until k).map { i =>
-      val a = 2L * i + 1
-      val b = (i.toLong * 40503L) % p
-      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
-    }
-    val sigs = shingleRows.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    val sh = docs
+      .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val sigs = sh.select(col("doc_id"),
+      graft.plans.TextExpressions.minHashSig(col("sh"), k, p).as("sig"))
     val bandCols = (0 until bands).map { bIdx =>
-      md5(concat_ws("_", (0 until rows).map(r => col(s"m${bIdx * rows + r}")): _*))
+      md5(concat_ws("_",
+        (0 until rows).map(r => element_at(col("sig"), bIdx * rows + r + 1)): _*))
     }
     val banded = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
@@ -113,10 +111,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     // exact verification: join candidate pairs back to the shingle hash sets
-    val sh = docs
-      .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"))
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

@@ -107,9 +107,55 @@ case class ShingleHashSet60(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** k-permutation MinHash signature of a 60-bit shingle-hash set in ONE pass:
+  * sig[i] = min over sh of ((sh mod p)·(2i+1) + (i·40503 mod p)) mod p.
+  * Identical values to the explode → k flat `min()` aggregates formulation
+  * (all arithmetic stays below 2³⁹, so plain long ops never overflow), but
+  * with no explode, no shuffle, and each shingle's k permutations computed
+  * in a tight register loop — the signature becomes a map-side projection,
+  * which is the shape that matters when the corpus is 100 TB and the
+  * signature stage would otherwise shuffle |docs|·|shingles| rows. */
+case class MinHashSig(child: Expression, k: Int, p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && p > 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val sh = v.asInstanceOf[ArrayData]
+    val n = sh.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, p)
+    var j = 0
+    while (j < n) {
+      val h = sh.getLong(j) % p
+      var i = 0
+      while (i < k) {
+        val m = (h * (2L * i + 1) + (i.toLong * 40503L) % p) % p
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftBridge
   def hash60(s: Column): Column = GraftBridge.column(Hash60(GraftBridge.expression(s)))
   def shingleHashSet60(words: Column, n: Int): Column =
     GraftBridge.column(ShingleHashSet60(GraftBridge.expression(words), n))
+  def minHashSig(sh: Column, k: Int, p: Long): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(sh), k, p))
 }
