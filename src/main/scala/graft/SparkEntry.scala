@@ -407,6 +407,33 @@ object SparkEntry {
         .agg(count("*").cast("long").as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy("split")),
+    // BM25 ranked retrieval (sparse/lexical complement of cosine search).
+    "bm25_search" -> ((s, dir) =>
+      TextAnalysis.bm25Search(s.read.parquet(s"$dir/documents.parquet"),
+        queryTerms = Seq("spark", "join", "shuffle", "window"), k = 15)),
+    // Rolling 7-day trailing aggregate over the daily event rollup.
+    "events_rolling_7d" -> ((s, dir) =>
+      Events.rollingDaily(Events.load(s, dir), windowDays = 7)),
+    // Ordered three-stage funnel: view -> click -> purchase, strictly
+    // increasing timestamps per user.
+    "events_funnel" -> ((s, dir) =>
+      Events.funnel(Events.load(s, dir), Seq("view", "click", "purchase"))),
+    // Payload mutation (set_payload): merge fields into the payload map of
+    // matching points; the oracle recomputes final values from raw columns.
+    "payload_update" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("meta", map(
+          lit("lang"), col("lang"), lit("source"), col("source")))
+      Collection.setPayload(docs, col("doc_id") < 100,
+        Map("reviewed" -> "yes", "source" -> "redacted"))
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          element_at(col("meta"), "lang").as("meta_lang"),
+          element_at(col("meta"), "source").as("meta_source"),
+          coalesce(element_at(col("meta"), "reviewed"), lit("no"))
+            .as("meta_reviewed"))
+        .orderBy("doc_id")
+    }),
     // Multimodal: binary columns + stubbed decode feature extraction.
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeaturesExpr(Multimodal.loadAssets(s, dir))),
@@ -880,6 +907,58 @@ object SparkEntry {
          |  round(sqrt(sum(m * m)), 6) AS centroid_norm,
          |  round(sum(CASE WHEN dim = 0 THEN m ELSE 0.0::DOUBLE END), 6) AS c0
          |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "bm25_search" ->
+      s"""WITH $W,
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+         |  sum(len(w))::DOUBLE / count(*) AS avgdl FROM t),
+         |terms AS (SELECT doc_id, len(w) AS doc_len, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, doc_len, term, count(*)::DOUBLE AS tf FROM terms
+         |       WHERE term IN ('spark', 'join', 'shuffle', 'window') GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id,
+         |  (ln((stats.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |   * tf.tf * 2.2::DOUBLE
+         |   / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * tf.doc_len / stats.avgdl))
+         |  )::DECIMAL(28,12) AS contrib
+         |  FROM tf, df, stats WHERE tf.term = df.term)
+         |SELECT doc_id, round(sum(contrib)::DOUBLE, 6) AS bm25,
+         |  count(*)::BIGINT AS n_matched_terms
+         |FROM c GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "events_rolling_7d" ->
+      """WITH d AS (SELECT date_trunc('day', ts)::DATE AS day, event_type,
+        |    count(*)::BIGINT AS n_events, sum(value::DECIMAL(18,2)) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS day_num FROM d),
+        |r AS (SELECT *,
+        |  sum(day_value) OVER (PARTITION BY event_type ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_v,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_d
+        |  FROM n)
+        |SELECT day, event_type, n_events, day_value::DOUBLE AS day_value,
+        |  roll_v::DOUBLE AS rolling_value, roll_d::BIGINT AS rolling_days,
+        |  round(roll_v::DOUBLE / roll_d, 6) AS rolling_avg
+        |FROM r ORDER BY day, event_type""".stripMargin,
+    // independent formulation: join-chained stage minima vs the engine's
+    // single-aggregate conditional-min fold
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1)::BIGINT AS n_view,
+        |  (SELECT count(*) FROM s2)::BIGINT AS n_click,
+        |  (SELECT count(*) FROM s3)::BIGINT AS n_purchase""".stripMargin,
+    "payload_update" ->
+      """SELECT doc_id, lang AS meta_lang,
+        |  CASE WHEN doc_id < 100 THEN 'redacted' ELSE source END AS meta_source,
+        |  CASE WHEN doc_id < 100 THEN 'yes' ELSE 'no' END AS meta_reviewed
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
     "scroll_page" ->
       """WITH c AS (SELECT vec_id AS id, label AS user_id, vec_id::DOUBLE AS ts FROM embeddings)
         |SELECT id, user_id, ts FROM c

@@ -129,6 +129,27 @@ object Collection {
       .orderBy(desc("n"), asc("facet_value"))
       .limit(topN)
 
+  /** Payload update — the vector-DB "set_payload" mutation: merge
+    * `updates` into the map-typed payload of every point matching `pred`
+    * (last-write-wins per key), leaving non-matching rows untouched.
+    * Implemented as remove-then-concat (`map_filter` out the updated keys,
+    * then `map_concat`), which is independent of the session's
+    * map-key-dedup policy. A pure projection: no shuffle at any scale, and
+    * in a MERGE-on-read layout only matching partitions rewrite. */
+  def setPayload(
+      points: DataFrame, pred: Column, updates: Map[String, String],
+      metaCol: String = "meta"): DataFrame = {
+    val updateKeys = array(updates.keys.toSeq.sorted.map(lit): _*)
+    val updateMap = map(updates.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    points.withColumn(metaCol,
+      when(coalesce(pred, lit(false)),
+        map_concat(
+          map_filter(col(metaCol), (k, _) => !array_contains(updateKeys, k)),
+          updateMap))
+        .otherwise(col(metaCol)))
+  }
+
   /** Collection stats rollup (reference A1/A2:
     * src/core/qdrant_client.py:471-520): point count, user count, per-user
     * distribution moments, embedding norm sanity. */

@@ -110,6 +110,62 @@ object Events {
       .select(col(idCol), col(key), col(tsCol), col("r_ts"), col("r_id"))
   }
 
+  /** Rolling (trailing) time-window aggregation: per event_type, the daily
+    * total plus the 7-day trailing sum/average — a RANGE frame over epoch
+    * days, so calendar gaps are handled correctly (a ROWS frame would
+    * silently span gaps). Two-level shape: the tumbling daily rollup first
+    * (map-side combinable hash agg — this is what touches every event),
+    * then the window runs over the tiny (day × type) grid. Daily sums stay
+    * in DECIMAL through the frame so the trailing sum is exact regardless
+    * of accumulation order. */
+  def rollingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count("*").cast("long").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("day_value"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val frame = Window.partitionBy("event_type").orderBy("day_num")
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("rolling_value",
+        sum(col("day_value")).over(frame).cast("double"))
+      .withColumn("rolling_days", count("*").over(frame).cast("long"))
+      .withColumn("rolling_avg",
+        round(col("rolling_value") / col("rolling_days"), 6))
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("day_value").cast("double").as("day_value"),
+        col("rolling_value"), col("rolling_days"), col("rolling_avg"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Ordered funnel analysis: per user, the earliest `stage1` event, the
+    * earliest `stage2` event strictly after it, the earliest `stage3`
+    * strictly after that — then the per-stage completion counts. One hash
+    * aggregate per user computes all three stage timestamps via conditional
+    * min-chaining over the user's sorted events (min-sort per user is the
+    * sessionize shuffle shape); no self-joins. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.length == 3, "three-stage funnel")
+    val byUser = events
+      .filter(col("event_type").isin(stages: _*))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === stages.head, col("ts"))).as("t1"),
+        // stage-2 candidates: collect (ts) of stage2 events; earliest after t1
+        sort_array(collect_list(when(col("event_type") === stages(1), col("ts"))))
+          .as("ts2"),
+        sort_array(collect_list(when(col("event_type") === stages(2), col("ts"))))
+          .as("ts3"))
+      .withColumn("t2", expr("filter(ts2, x -> x > t1)[0]"))
+      .withColumn("t3", expr("filter(ts3, x -> x > t2)[0]"))
+    byUser.agg(
+      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).cast("long")
+        .as(s"n_${stages.head}"),
+      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).cast("long")
+        .as(s"n_${stages(1)}"),
+      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).cast("long")
+        .as(s"n_${stages(2)}"))
+  }
+
   /** JSON property extraction + top-k users by extracted metric. */
   def jsonTopUsers(events: DataFrame, k: Int): DataFrame =
     events

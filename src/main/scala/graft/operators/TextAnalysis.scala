@@ -113,6 +113,47 @@ object TextAnalysis {
       .orderBy("doc_id", "term")
   }
 
+  /** BM25 ranked retrieval for a bag-of-terms query — the standard sparse
+    * (lexical) relevance function, the retrieval-side complement of the
+    * dense cosine search (and the usual partner in hybrid RRF fusion).
+    * score(D,Q) = Σ_t idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5) + 1)  (Robertson/Lucene form).
+    *
+    * Determinism: per-term contributions are identical doubles on both
+    * engines; the per-doc Σ runs in DECIMAL (order-free exact sum), then
+    * rounds to 6dp before ranking. Physical shape: terms filtered to the
+    * query's (pushed IN-filter on the exploded term — at scale, an
+    * inverted-index/bucketed-by-term layout makes this partition pruning),
+    * tf/df hash aggregates, df+corpus stats broadcast, top-k via
+    * TakeOrderedAndProject. */
+  def bm25Search(
+      docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val stats = docs.agg(
+      count("*").cast("double").as("n_docs"),
+      avg(size(ws)).as("avgdl")) // exact long sum / count: one division
+    val terms = docs
+      .select(col("doc_id"), size(ws).as("doc_len"), explode(ws).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = terms.groupBy("doc_id", "doc_len", "term")
+      .agg(count("*").cast("double").as("tf"))
+    val df_ = tf.groupBy("term").agg(count("*").cast("double").as("df"))
+    tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d))
+      .withColumn("contrib",
+        (col("idf") * col("tf") * (k1 + 1.0d) /
+          (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("doc_len") / col("avgdl"))))
+          .cast("decimal(28,12)"))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib").cast("double"), 6).as("bm25"),
+        count("*").cast("long").as("n_matched_terms"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Document fingerprints: order-sensitive rolling polynomial hash over
     * word hashes + order-insensitive bag-of-words md5 key. */
   def fingerprints(docs: DataFrame): DataFrame = {
