@@ -40,10 +40,15 @@ object Api {
     * batch when any row has a missing/empty vector (schemas.py min_items=1
     * fails the request, not the row) — no partial silent ingestion. */
   def addVectors(current: DataFrame, adds: DataFrame): DataFrame = {
-    val bad = adds.filter(col("embedding").isNull || size(col("embedding")) < 1).count()
+    // Materialize the batch ONCE before validating: the validation count
+    // and the subsequent ingest pass read the same snapshot (a
+    // non-deterministic source can't pass validation then ingest different
+    // rows), and a deterministic source isn't scanned twice.
+    val batch = adds.localCheckpoint()
+    val bad = batch.filter(col("embedding").isNull || size(col("embedding")) < 1).count()
     require(bad == 0L,
       s"batch rejected: $bad row(s) with empty embedding (min_items=1)")
-    val withIds = adds
+    val withIds = batch
       .withColumn("id",
         when(col("id").isNull,
           graft.functions.TextOps.hash60(concat_ws("_",

@@ -142,10 +142,14 @@ object Collection {
     val updateKeys = array(updates.keys.toSeq.sorted.map(lit): _*)
     val updateMap = map(updates.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // coalesce: a matching row with a NULL payload map receives the updates
+    // map (map_filter/map_concat over NULL would otherwise yield NULL and
+    // silently drop the update).
     points.withColumn(metaCol,
       when(coalesce(pred, lit(false)),
         map_concat(
-          map_filter(col(metaCol), (k, _) => !array_contains(updateKeys, k)),
+          map_filter(coalesce(col(metaCol), typedlit(Map.empty[String, String])),
+            (k, _) => !array_contains(updateKeys, k)),
           updateMap))
         .otherwise(col(metaCol)))
   }

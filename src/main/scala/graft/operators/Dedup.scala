@@ -52,10 +52,12 @@ object Dedup {
       +: col("ns").as("ns_b") +: blockOn.map(c => col(c).as("blk_b")).toSeq: _*)
     // size-ratio prefilter: J = I/(|A|+|B|-I) ≤ min/max, so min < t·max
     // can never reach the threshold — prunes pairs BEFORE the O(|A|+|B|)
-    // merge-walk kernel, with zero effect on the result set
+    // merge-walk kernel. The bound is relaxed by the 6dp rounding
+    // granularity (t - 5e-7) so the prune can never disagree with the
+    // ROUNDED final filter `round(J,6) >= t` on hairline pairs.
     val sizeOk =
       least(col("ns_a"), col("ns_b")).cast("double") >=
-        greatest(col("ns_a"), col("ns_b")) * threshold
+        greatest(col("ns_a"), col("ns_b")) * (threshold - 5e-7)
     val cond = blockOn
       .map(_ => col("blk_a") === col("blk_b") && col("doc_a") < col("doc_b"))
       .getOrElse(col("doc_a") < col("doc_b")) && sizeOk
@@ -114,10 +116,11 @@ object Dedup {
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      // same size-ratio prune as ngramJaccardPairs: candidates whose set
-      // sizes preclude J >= threshold skip the merge-walk entirely
+      // same size-ratio prune as ngramJaccardPairs (relaxed by the 6dp
+      // rounding granularity): candidates whose set sizes preclude
+      // round(J,6) >= threshold skip the merge-walk entirely
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
-        greatest(size(col("sh_a")), size(col("sh_b"))) * threshold)
+        greatest(size(col("sh_a")), size(col("sh_b"))) * (threshold - 5e-7))
       .withColumn("ic", VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", round(
         TextOps.jaccardFromCount(col("ic"), size(col("sh_a")), size(col("sh_b"))), 6))
@@ -259,18 +262,65 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs over a normalized-embedding collection:
-    * (id_a, id_b, cos) with cos >= threshold. Exact path is a self-join;
-    * the scale path buckets by LSH/IVF first (see Ann) so the join is
-    * per-bucket. */
+    * (id_a, id_b, cos) with cos >= threshold.
+    *
+    * Candidate generation is a banded sign-signature equi-join — NOT a
+    * broadcast/cartesian self-join: each point's 64-bit sign signature
+    * (`SignPack64`) splits into 8 chunks of 8 bits; side A emits its 8
+    * (band, chunk) keys, side B additionally multiprobes every chunk key
+    * within Hamming radius `r` (XOR with the C(8,<=r) masks). Pigeonhole:
+    * a pair whose signatures differ in at most 8(r+1)-1 total bits matches
+    * on some band, so recall is EXACT up to that sign-Hamming bound; `r`
+    * derives from the threshold as cover = E[hamming at cos=t] + 3σ
+    * (binomial, p = arccos(t)/π). A pair survives only at its FIRST
+    * matching band (chunk-distance filter on the earlier bands), so no
+    * distinct is needed and each candidate is verified exactly once with
+    * the exact rounded dot.
+    *
+    * Scale contract (the honest version): at near-dup thresholds the band
+    * join prunes by the chunk-collision factor and is subquadratic; at
+    * thresholds inside the random-cosine tail (t ≈ 0.45 on 64-d data,
+    * where E[hamming] = 22.5 vs 32 for random pairs) ANY exact method
+    * examines Θ(n²) pairs — sign-LSH at this gap has ρ ≈ 0.63, so
+    * near-perfect recall forces near-all-pairs candidates. What the band
+    * join fixes is the failure mode, not the asymptotics: every stage is
+    * an evenly-keyed hash shuffle that spills and distributes (the
+    * previous broadcast self-join hard-failed past the 8GB broadcast cap
+    * and serialized on a nested loop). */
   def embeddingCosinePairs(points: DataFrame, threshold: Double): DataFrame = {
-    val a = points.select(col("id").as("id_a"), col("embedding").as("e_a"))
-    val b = points.select(col("id").as("id_b"), col("embedding").as("e_b"))
-    // explicit broadcast: array columns inflate Catalyst's size estimate, so
-    // without the hint the sub-threshold self-join can fall back to a
-    // cartesian shuffle; with it each task streams its slice of `a` against
-    // an in-memory copy of `b` — the right shape up to ~10^6-row b sides
-    // (beyond that, LSH/IVF bucketing in Ann generates the candidates)
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    val t = math.max(-1.0, math.min(1.0, threshold))
+    val pBit = math.acos(t) / math.Pi // disagreeing-bit rate at cos = t
+    val hCover = math.ceil(
+      64.0 * pBit + 3.0 * math.sqrt(64.0 * pBit * (1.0 - pBit))).toInt
+    // smallest r with 8(r+1)-1 >= hCover (exact recall to hCover sign bits)
+    val radius = math.min(8, math.max(0, math.ceil((hCover - 7) / 8.0).toInt))
+    val masks = (0 until 256).filter(Integer.bitCount(_) <= radius).map(_.toLong)
+    def chunkAt(sig: Column, j: Int): Column =
+      shiftrightunsigned(sig, 8 * j).bitwiseAND(lit(255L))
+    val sigd = points.select(col("id"),
+      graft.plans.VectorExpressions.signPack64(col("embedding")).as("sig"))
+    val bandArr = array((0 until 8).map(i => chunkAt(col("sig"), i)): _*)
+    val banded = sigd.select(col("id"), col("sig"),
+      posexplode(bandArr).as(Seq("band_idx", "bkey")))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("bkey"))
+    val probes = banded
+      .select(col("id").as("id_b"), col("sig").as("sig_b"), col("band_idx"),
+        col("bkey"), explode(typedlit(masks)).as("m"))
+      .select(col("id_b"), col("sig_b"), col("band_idx"),
+        col("bkey").bitwiseXOR(col("m")).as("bkey"))
+    val firstBandOnly = (0 until 8).map { j =>
+      col("band_idx") <= lit(j) ||
+        bit_count(chunkAt(col("sig_a"), j).bitwiseXOR(chunkAt(col("sig_b"), j))) > lit(radius)
+    }.reduce(_ && _)
+    val cands = a.join(probes, Seq("band_idx", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(firstBandOnly)
+      .select("id_a", "id_b")
+    val e = points.select(col("id"), col("embedding"))
+    cands
+      .join(e.select(col("id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
       .withColumn("cos", round(VectorOps.dot(col("e_a"), col("e_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -140,30 +140,30 @@ object Events {
 
   /** Ordered funnel analysis: per user, the earliest `stage1` event, the
     * earliest `stage2` event strictly after it, the earliest `stage3`
-    * strictly after that — then the per-stage completion counts. One hash
-    * aggregate per user computes all three stage timestamps via conditional
-    * min-chaining over the user's sorted events (min-sort per user is the
-    * sessionize shuffle shape); no self-joins. */
+    * strictly after that — then the per-stage completion counts.
+    *
+    * Bounded-state shape: a chain of conditional-min AGGREGATES (one per
+    * stage) joined on user_id — every per-user aggregation state is a
+    * single timestamp, so a power user with millions of events costs the
+    * same as one with ten (the earlier collect_list formulation built an
+    * unbounded per-user array). All three aggregates and both joins hash
+    * on user_id, so the chain is one partitioning reused; the stage
+    * frames shrink monotonically (funnel completion only drops users). */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.length == 3, "three-stage funnel")
-    val byUser = events
-      .filter(col("event_type").isin(stages: _*))
-      .groupBy("user_id")
-      .agg(min(when(col("event_type") === stages.head, col("ts"))).as("t1"),
-        // stage-2 candidates: collect (ts) of stage2 events; earliest after t1
-        sort_array(collect_list(when(col("event_type") === stages(1), col("ts"))))
-          .as("ts2"),
-        sort_array(collect_list(when(col("event_type") === stages(2), col("ts"))))
-          .as("ts3"))
-      .withColumn("t2", expr("filter(ts2, x -> x > t1)[0]"))
-      .withColumn("t3", expr("filter(ts3, x -> x > t2)[0]"))
-    byUser.agg(
-      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).cast("long")
-        .as(s"n_${stages.head}"),
-      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).cast("long")
-        .as(s"n_${stages(1)}"),
-      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).cast("long")
-        .as(s"n_${stages(2)}"))
+    val f = events.filter(col("event_type").isin(stages: _*))
+      .select("user_id", "event_type", "ts")
+    val s1 = f.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = f.filter(col("event_type") === stages(1))
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = f.filter(col("event_type") === stages(2))
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.agg(count("*").cast("long").as(s"n_${stages.head}"))
+      .crossJoin(s2.agg(count("*").cast("long").as(s"n_${stages(1)}")))
+      .crossJoin(s3.agg(count("*").cast("long").as(s"n_${stages(2)}")))
   }
 
   /** JSON property extraction + top-k users by extracted metric. */

@@ -195,6 +195,7 @@ object Search {
       negativeIds: Seq[Long],
       k: Int,
       threshold: Double): DataFrame = {
+    require(positiveIds.nonEmpty, "recommend requires at least one positive id")
     def dimMeans(ids: Seq[Long], name: String): DataFrame =
       points.filter(col("id").isin(ids: _*))
         .select(posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -205,10 +206,16 @@ object Search {
       if (negativeIds.isEmpty) pos.withColumn("rv", col("pm"))
       else pos.join(dimMeans(negativeIds, "nm"), Seq("dim"))
         .withColumn("rv", col("pm") - col("nm"))
+    // fail fast (instead of scoring everything ~0 against a degenerate
+    // vector) when the positive seed ids match no points: the assembled
+    // pair list is empty and the query errors out.
     val qdf = combined
       .agg(sort_array(collect_list(struct(col("dim"), col("rv")))).as("pairs"))
-      .select(graft.plans.VectorExpressions.normalizeL2(
-        expr("transform(pairs, s -> s.rv)")).as("qemb"))
+      .select(
+        when(size(col("pairs")) < 1,
+          raise_error(lit("recommend: positive seed ids matched no points")))
+          .otherwise(graft.plans.VectorExpressions.normalizeL2(
+            expr("transform(pairs, s -> s.rv)"))).as("qemb"))
     val seeds = positiveIds ++ negativeIds
     points
       .filter(!col("id").isin(seeds: _*))

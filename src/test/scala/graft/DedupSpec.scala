@@ -82,4 +82,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(pairs.forall(t => t._1 < t._2 && t._3 >= 0.45))
   }
+
+  test("embedding near-dup banded candidates match brute-force exactly") {
+    val pts = graft.operators.Collection.load(spark, sf001)
+    val banded = Dedup.embeddingCosinePairs(pts, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = pts.select(col("id").as("id_a"), col("embedding").as("e_a"))
+    val b = pts.select(col("id").as("id_b"), col("embedding").as("e_b"))
+    val brute = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", round(graft.functions.VectorOps.dot(col("e_a"), col("e_b")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute, s"missing=${brute -- banded} spurious=${banded -- brute}")
+  }
+
+  test("embedding near-dup plan has no cartesian or nested-loop join") {
+    val pts = graft.operators.Collection.load(spark, sf001)
+    val plan = Dedup.embeddingCosinePairs(pts, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "plan contains CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "plan contains BroadcastNestedLoopJoin")
+  }
 }
