@@ -31,6 +31,24 @@ object SparkEntry {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** Indexed-store cache: the collection with persisted index artifacts
+    * (cid partition dirs, sig, pq — CollectionStore.saveIndexed) built ONCE
+    * per JVM per scale dir under /tmp, then reused by every indexed_* query
+    * — modeling the real lifecycle where the index is materialized at write
+    * time and queries only read it. */
+  private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def indexedStore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val path = "/tmp/graft_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    indexBuilt.computeIfAbsent(path, _ => {
+      val points = Collection.load(s, dir)
+      graft.sources.CollectionStore.saveIndexed(
+        points, path, Ann.seedCentroids(points, 16))
+      path
+    })
+    graft.sources.CollectionStore.loadIndexed(s, path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1: flagship exact top-k cosine search (self-query vec_id=0).
     "knn_search" -> ((s, dir) => {
@@ -373,6 +391,32 @@ object SparkEntry {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Quantization.binaryTwoPhaseSearch(points, q, k = 10, oversample = 4.0)
+    }),
+    // --- persisted-index read paths (CollectionStore.saveIndexed):
+    // cid is a partition DIRECTORY (probes prune it), sig/pq are stored
+    // columns (phase-1 scans never read the float embedding).
+    "indexed_ivf_search" -> ((s, dir) => {
+      val (store, cents) = indexedStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10)
+    }),
+    "indexed_two_phase" -> ((s, dir) => {
+      val (store, _) = indexedStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Quantization.twoPhaseSearch(store, q, k = 10, oversample = 3.0)
+    }),
+    "indexed_binary_quant" -> ((s, dir) => {
+      val (store, _) = indexedStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Quantization.binaryTwoPhaseSearch(store, q, k = 10, oversample = 4.0)
+    }),
+    // Full reference adaptive-policy search (ef/exact/oversample/nprobe all
+    // size-derived — advanced_indexing.py:230-261). At oracle scale the
+    // policy picks the exact path; AnnSpec pins the tier table itself.
+    "ann_policy_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.policySearch(points, q, k = 10, threshold = 0.1)
     }),
     // Near-dup pair graph → transitive dedup clusters (iterative min-label
     // connected components; oracle = DuckDB recursive CTE).
@@ -1028,5 +1072,47 @@ object SparkEntry {
         |       round(avg(n), 6) AS avg_points_per_user,
         |       max(n)::BIGINT AS max_points_per_user, min(n)::BIGINT AS min_points_per_user
         |FROM per""".stripMargin,
+    // Indexed read paths return the same answers as their on-the-fly twins
+    // (the stored sig/pq/cid columns are deterministic functions of the
+    // embeddings), so each oracle recomputes the index from the raw table.
+    "indexed_ivf_search" ->
+      s"""WITH $C,
+         |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 16),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
+         |  FROM pts p, q WHERE p.cid IN (SELECT cid FROM probes))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "indexed_two_phase" ->
+      s"""WITH $C, q0 AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |qq AS (SELECT qe, list_transform(qe, x -> greatest(-127, least(127, round(x*127)::INT))) AS qv FROM q0),
+         |pq AS (SELECT c.id, c.user_id, c.ne,
+         |  list_transform(c.ne, x -> greatest(-127, least(127, round(x*127)::INT))) AS pv FROM c),
+         |phase1 AS (SELECT pq.id, pq.user_id, pq.ne, qq.qe,
+         |  round(list_dot_product(pq.pv::DOUBLE[], qq.qv::DOUBLE[]) / 16129.0, 6) AS cheap
+         |  FROM pq, qq ORDER BY cheap DESC, id ASC LIMIT 30)
+         |SELECT id, round(list_dot_product(ne, qe), 6) AS score, user_id FROM phase1
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "indexed_binary_quant" ->
+      s"""WITH $C,
+         |sg AS (SELECT id, user_id, ne, ${bsig("ne")} AS sig FROM c),
+         |q AS (SELECT ne AS qe, sig AS qsig FROM sg WHERE id = 0),
+         |p1 AS (SELECT sg.id, sg.user_id, sg.ne, q.qe,
+         |  (64 - bit_count(xor(sg.sig, q.qsig)))::INT AS cheap_score
+         |  FROM sg, q ORDER BY cheap_score DESC, id ASC LIMIT 40)
+         |SELECT id, round(list_dot_product(ne, qe), 6) AS score, cheap_score, user_id
+         |FROM p1 ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // sf0.01 collection (2000 points) < 10k -> the policy's exact tier.
+    "ann_policy_search" ->
+      s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q)
+         |SELECT id, score, user_id FROM s WHERE score >= 0.1
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
   )
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -36,17 +35,23 @@ object Ann {
 
   private def rdot(a: Column, b: Column): Column = round(VectorOps.dot(a, b), 6)
 
-  /** Assign each point to its nearest centroid (max cosine, centroid id as
-    * tiebreak). `centroids` must be (cid, ce[normalized]); it is broadcast.
-    * Returns points + `cid`. At scale, persist this bucketed by `cid`. */
+  /** Assign each point to its nearest centroid (max 6dp-rounded cosine,
+    * smallest cid as tiebreak). Returns points + `cid`.
+    *
+    * Map-side: the centroid set is index metadata — a tiny deterministic
+    * collect (like the LSH hyperplane literals) embedded into one codegen
+    * [[graft.plans.NearestCentroid]] argmax expression, so assignment is a
+    * pure projection with NO join, window, or Exchange. The former
+    * crossJoin + row_number formulation shuffled the exploded N×C set keyed
+    * on unique ids — a 1000× shuffle inflation at C=1024/100 TB.
+    * At scale, persist the result bucketed by `cid`
+    * ([[graft.sources.CollectionStore.saveIndexed]]). */
   def ivfAssign(points: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(desc("cscore"), asc("cid"))
-    points
-      .crossJoin(broadcast(centroids))
-      .withColumn("cscore", rdot(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "cscore", "ce")
+    val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val cents = rows.map(_.getSeq[Double](1)).toSeq
+    points.withColumn("cid",
+      graft.plans.VectorExpressions.nearestCentroid(col("embedding"), cids, cents))
   }
 
   /** Deterministic seed centroids: the (normalized) vectors of ids < c. */
@@ -77,17 +82,22 @@ object Ann {
         graft.plans.VectorExpressions.normalizeL2(col("raw")).as("ce"))
   }
 
-  /** IVF top-k search: probe the `nprobe` cells nearest to the query, exact
-    * top-k within the probed cells only. */
-  def ivfSearch(
-      assigned: DataFrame, centroids: DataFrame, queryDf: DataFrame,
-      nprobe: Int, k: Int): DataFrame = {
-    val probes = centroids
+  /** The `nprobe` cell ids nearest to the query (rounded score, cid
+    * tiebreak) — the probe set of an IVF search. */
+  def probeCids(centroids: DataFrame, queryDf: DataFrame, nprobe: Int): DataFrame =
+    centroids
       .crossJoin(broadcast(queryDf.select(col("qemb"))))
       .withColumn("pscore", rdot(col("ce"), col("qemb")))
       .orderBy(desc("pscore"), asc("cid"))
       .limit(nprobe)
       .select("cid")
+
+  /** IVF top-k search: probe the `nprobe` cells nearest to the query, exact
+    * top-k within the probed cells only. */
+  def ivfSearch(
+      assigned: DataFrame, centroids: DataFrame, queryDf: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val probes = probeCids(centroids, queryDf, nprobe)
     assigned
       .join(broadcast(probes), Seq("cid"), "left_semi")
       .crossJoin(broadcast(queryDf.select(col("qemb"))))
@@ -153,18 +163,84 @@ object Ann {
   }
 
   /** Adaptive physical-path choice (reference Q9): exact brute force below
-    * `fullScanThreshold` points, IVF above. The count is a cheap metadata
-    * read for parquet sources. */
+    * `fullScanThreshold` points, IVF above. Pass `knownCount` (cached once
+    * per collection version by a serving layer) to avoid the per-query
+    * count job; absent, the count is a cheap metadata read for parquet. */
   def adaptiveSearch(
       points: DataFrame, queryDf: DataFrame, k: Int, threshold: Double,
       fullScanThreshold: Long = 20000, nCentroids: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    if (points.count() <= fullScanThreshold)
+      nprobe: Int = 4, knownCount: Option[Long] = None): DataFrame = {
+    val size = knownCount.getOrElse(points.count())
+    if (size <= fullScanThreshold)
       Search.knn(points, queryDf, k, threshold)
     else {
       val cents = seedCentroids(points, nCentroids)
       ivfSearch(ivfAssign(points, cents), cents, queryDf, nprobe, k)
         .filter(col("score") >= threshold)
+    }
+  }
+
+  /** The reference's full size-tiered adaptive parameter policy
+    * (src/core/advanced_indexing.py:230-261 optimize_search_parameters):
+    * search breadth (`ef`), exact-vs-ANN switch, quantized-rescore
+    * oversampling, and timeout all derive from collection size. `ef` maps
+    * onto this engine's candidate breadth — [[ivfSearch]]'s nprobe is
+    * derived so the probed cells are expected to cover ≥ef candidates. */
+  final case class AdaptiveParams(
+      ef: Int, useExact: Boolean, oversample: Option[Double],
+      timeoutSec: Double, nprobe: Int)
+
+  def adaptiveParams(
+      collectionSize: Long, k: Int, nCentroids: Int = 16,
+      quantizationEnabled: Boolean = true,
+      searchTimeoutSec: Double = 30.0): AdaptiveParams = {
+    // size tiers: <10k exact ef=max(2k,64); <100k ef=max(4k,128);
+    // <1M ef=max(6k,256); else ef=max(8k,512)
+    val (ef, useExact) =
+      if (collectionSize < 10000L) (math.max(k * 2, 64), true)
+      else if (collectionSize < 100000L) (math.max(k * 4, 128), false)
+      else if (collectionSize < 1000000L) (math.max(k * 6, 256), false)
+      else (math.max(k * 8, 512), false)
+    // rescore oversampling = clamp(size/5e5, 2, 4), only past 50k points
+    val oversample =
+      if (quantizationEnabled && collectionSize > 50000L)
+        Some(math.min(4.0, math.max(2.0, collectionSize / 5e5)))
+      else None
+    // timeout = min(configured cap, max(1ms, 0.1s per million points))
+    val timeoutSec =
+      math.min(searchTimeoutSec, math.max(0.001, 0.1 * (collectionSize / 1e6)))
+    // probe enough cells that the expected candidate pool >= ef
+    val perCell = math.max(1.0, collectionSize.toDouble / nCentroids)
+    val nprobe = math.max(1, math.min(nCentroids, math.ceil(ef / perCell).toInt))
+    AdaptiveParams(ef, useExact, oversample, timeoutSec, nprobe)
+  }
+
+  /** Search driven end-to-end by [[adaptiveParams]] — the engine analogue of
+    * the reference calling optimize_search_parameters before every query:
+    * exact scan when the policy says so, else IVF over ef-derived probes;
+    * when the policy enables quantized rescoring, the probed cells go
+    * through the INT8 two-phase path with the policy's oversampling. */
+  def policySearch(
+      points: DataFrame, queryDf: DataFrame, k: Int, threshold: Double,
+      knownCount: Option[Long] = None, nCentroids: Int = 16,
+      quantizationEnabled: Boolean = true): DataFrame = {
+    val size = knownCount.getOrElse(points.count())
+    val p = adaptiveParams(size, k, nCentroids, quantizationEnabled)
+    if (p.useExact) Search.knn(points, queryDf, k, threshold)
+    else {
+      val cents = seedCentroids(points, nCentroids)
+      val cells = ivfAssign(points, cents)
+        .join(broadcast(probeCids(cents, queryDf, p.nprobe)), Seq("cid"), "left_semi")
+      val hits = p.oversample match {
+        case Some(os) => Quantization.twoPhaseSearch(cells, queryDf, k, os)
+        case None =>
+          cells.crossJoin(broadcast(queryDf.select(col("qemb"))))
+            .withColumn("score", rdot(col("embedding"), col("qemb")))
+            .orderBy(desc("score"), asc("id"))
+            .limit(k)
+            .select(col("id"), col("score"), col("user_id"))
+      }
+      hits.filter(col("score") >= threshold)
     }
   }
 }

@@ -48,45 +48,63 @@ object Quantization {
   def hammingScore(a: Column, b: Column): Column =
     (lit(64) - bit_count(a.bitwiseXOR(b))).cast("int")
 
+  /** Phase 1 of a two-phase search never touches the float column: it ranks
+    * a (id, code) projection — where `code` is the PRECOMPUTED `sig`/`pq`
+    * column when the store carries one
+    * ([[graft.sources.CollectionStore.saveIndexed]]), else quantized on the
+    * fly — keeps the top `fetchK` ids, and only then joins back to the
+    * store for the survivors' full-precision vectors. With a materialized
+    * code column the phase-1 parquet scan schema is (id, code): 64× (sign)
+    * or 4-8× (int8) less I/O than the embedding column, which is the entire
+    * point of quantization at 100 TB. The join-back is a broadcast of
+    * ≤fetchK ids against the store. */
+  private def twoPhase(
+      points: DataFrame, q: DataFrame, k: Int, fetchK: Int,
+      codeCol: String, onTheFly: Column, cheapScore: Column): DataFrame = {
+    val phase1Src =
+      if (points.columns.contains(codeCol)) points.select(col("id"), col(codeCol))
+      else points.select(col("id"), onTheFly.as(codeCol))
+    val survivors = phase1Src
+      .crossJoin(broadcast(q))
+      .withColumn("cheap_score", cheapScore)
+      .orderBy(desc("cheap_score"), asc("id"))
+      .limit(fetchK)
+      .select(col("id"), col("cheap_score"), col("qemb"))
+    points.select(col("id"), col("embedding"), col("user_id"))
+      .join(broadcast(survivors), Seq("id"))
+      .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
+
   /** Binary-quantized two-phase search: phase 1 ranks on sign-agreement
-    * (8-byte signatures — the scan reads 64× less than the float column and
-    * the kernel is XOR+POPCNT), keeps k·oversample; phase 2 rescores the
-    * survivors exactly. Binary quantization is coarser than INT8, so the
-    * default oversampling is higher (4.0 vs 3.0). Both phases rank
-    * deterministically (rounded/int scores, id tiebreak). */
+    * (8-byte signatures, XOR+POPCNT kernel), keeps k·oversample; phase 2
+    * rescores the survivors exactly. Binary quantization is coarser than
+    * INT8, so the default oversampling is higher (4.0 vs 3.0). Both phases
+    * rank deterministically (rounded/int scores, id tiebreak). Reads a
+    * precomputed `sig` column when present. */
   def binaryTwoPhaseSearch(
       points: DataFrame, queryDf: DataFrame, k: Int,
       oversample: Double = 4.0): DataFrame = {
     val fetchK = math.max(k, (k * oversample).toInt)
     val q = queryDf.select(col("qemb"), signPack(col("qemb")).as("qsig"))
-    points
-      .withColumn("sig", signPack(col("embedding")))
-      .crossJoin(broadcast(q))
-      .withColumn("cheap_score", hammingScore(col("sig"), col("qsig")))
-      .orderBy(desc("cheap_score"), asc("id"))
-      .limit(fetchK)
-      .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
-      .orderBy(desc("score"), asc("id"))
-      .limit(k)
+    twoPhase(points, q, k, fetchK, "sig",
+      signPack(col("embedding")),
+      hammingScore(col("sig"), col("qsig")))
       .select(col("id"), col("score"), col("cheap_score"), col("user_id"))
   }
 
-  /** Two-phase search: rank all points by the int8 score, keep
-    * k·oversample, rescore exactly, return top-k. */
+  /** INT8 two-phase search: rank all points by the int8 score, keep
+    * k·oversample, rescore exactly, return top-k. Reads a precomputed `pq`
+    * column when present. */
   def twoPhaseSearch(
       points: DataFrame, queryDf: DataFrame, k: Int,
       oversample: Double = 3.0): DataFrame = {
     val fetchK = math.max(k, (k * oversample).toInt)
     val q = queryDf.select(col("qemb"), quantize(col("qemb")).as("qq"))
-    points
-      .withColumn("pq", quantize(col("embedding")))
-      .crossJoin(broadcast(q))
-      .withColumn("cheap_score", round(int8Score(col("pq"), col("qq")), 6))
-      .orderBy(desc("cheap_score"), asc("id"))
-      .limit(fetchK)
-      .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
-      .orderBy(desc("score"), asc("id"))
-      .limit(k)
+    twoPhase(points, q, k, fetchK, "pq",
+      quantize(col("embedding")),
+      round(int8Score(col("pq"), col("qq")), 6))
       .select(col("id"), col("score"), col("user_id"))
   }
 }

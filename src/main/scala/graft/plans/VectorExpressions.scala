@@ -223,6 +223,96 @@ case class SignPack64(child: Expression)
     copy(child = newChild)
 }
 
+/** Map-side IVF assignment: the id of the nearest centroid (max 6dp-rounded
+  * dot product; smallest cid on ties — the project determinism rule). The
+  * centroid matrix is an index parameter carried INSIDE the expression (a
+  * reference object in codegen), so assignment is a pure projection: no
+  * crossJoin, no Window, no Exchange — each input row costs C dot products
+  * map-side. At C=1024 / 100 TB this is the difference between a scan and a
+  * 1000×-inflated shuffle of the exploded (point × centroid) set.
+  *
+  * Rounding matches Spark's `round(x, 6)` (HALF_UP over
+  * BigDecimal.valueOf), so hashes are identical to the former
+  * crossJoin+row_number formulation. */
+case class NearestCentroid(
+    child: Expression, cids: Seq[Long], cents: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cids.nonEmpty && cids.length == cents.length,
+    "nearest_centroid needs a non-empty, aligned (cid, centroid) set")
+
+  // flat row-major copy for tight loops (and a single codegen reference)
+  @transient private lazy val dim: Int = cents.head.length
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](cents.length * dim)
+    var c = 0
+    while (c < cents.length) {
+      val v = cents(c); var i = 0
+      while (i < dim) { a(c * dim + i) = v(i); i += 1 }
+      c += 1
+    }
+    a
+  }
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var best = java.lang.Double.NEGATIVE_INFINITY
+    var bestCid = java.lang.Long.MAX_VALUE
+    var c = 0
+    while (c < cidArr.length) {
+      var s = 0.0d; var i = 0
+      while (i < n) { s += x.getDouble(i) * flat(c * dim + i); i += 1 }
+      val r = java.math.BigDecimal.valueOf(s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r > best || (r == best && cidArr(c) < bestCid)) {
+        best = r; bestCid = cidArr(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
+      val cidRef = ctx.addReferenceObj("centIds", cidArr, "long[]")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val r = ctx.freshName("r"); val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |long $bestCid = java.lang.Long.MAX_VALUE;
+         |for (int $c = 0; $c < $cidRef.length; $c++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $flatRef[$c * $dim + $i];
+         |  }
+         |  double $r = java.math.BigDecimal.valueOf($s)
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  if ($r > $best || ($r == $best && $cidRef[$c] < $bestCid)) {
+         |    $best = $r; $bestCid = $cidRef[$c];
+         |  }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -237,4 +327,6 @@ object VectorExpressions {
     GraftBridge.column(NormalizeL2(GraftBridge.expression(v)))
   def signPack64(v: Column): Column =
     GraftBridge.column(SignPack64(GraftBridge.expression(v)))
+  def nearestCentroid(v: Column, cids: Seq[Long], cents: Seq[Seq[Double]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(v), cids, cents))
 }

@@ -30,6 +30,38 @@ object CollectionStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Persist a collection WITH its index artifacts — the analogue of Qdrant
+    * persisting its HNSW graph and quantized codes next to the points
+    * (src/core/qdrant_client.py:100-151, src/config/settings.py:48-51)
+    * instead of recomputing them per query:
+    *
+    *  - `cid`  — IVF cell (map-side [[graft.operators.Ann.ivfAssign]]),
+    *    written as a PARTITION column so a probe of nprobe cells is a
+    *    directory-pruned scan (~C/nprobe of the bytes);
+    *  - `sig`  — 64-bit sign signature (8 bytes vs 512: binary phase 1);
+    *  - `pq`   — INT8 codes (4-8× smaller: int8 phase 1).
+    *
+    * Centroids go to `<path>_centroids` so search replans against the SAME
+    * cells the store was bucketed by. Phase-1 scans of the two-phase
+    * searches then read (id, sig|pq) only — the float column stays on disk
+    * until the ≤k·oversample survivors are rescored. */
+  def saveIndexed(
+      points: DataFrame, path: String, centroids: DataFrame,
+      numFiles: Int = 4): Unit = {
+    centroids.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(path + "_centroids")
+    graft.operators.Ann.ivfAssign(points, centroids)
+      .withColumn("sig", graft.operators.Quantization.signPack(col("embedding")))
+      .withColumn("pq", graft.operators.Quantization.quantize(col("embedding")))
+      .repartition(numFiles, col("cid"))
+      .sortWithinPartitions("cid", "user_id", "id")
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)
+  }
+
+  /** Read back an indexed store and its centroid side-table. */
+  def loadIndexed(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(path), spark.read.parquet(path + "_centroids"))
+
   /** Bulk migration (reference migrate_from_faiss.run_migration:153-255):
     * normalize source embeddings, attach ids/payload, one distributed
     * write — Spark's task parallelism replaces the reference's manual

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Collection, Quantization, Search}
+import graft.sources.CollectionStore
+
+/** Persisted-index store (CollectionStore.saveIndexed) + map-side IVF
+  * assignment + the reference's full adaptive parameter policy. */
+class IndexedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val points = Collection.load(spark, sf001).cache()
+  private lazy val storePath = {
+    val p = "/tmp/graft_test_indexed_store"
+    CollectionStore.saveIndexed(points, p, Ann.seedCentroids(points, 16))
+    p
+  }
+
+  test("ivfAssign is map-side: no Exchange, no Join in the plan") {
+    val cents = Ann.seedCentroids(points, 16)
+    val plan = Ann.ivfAssign(points, cents)
+      .select("id", "cid").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign stage shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"assign stage joins:\n$plan")
+  }
+
+  test("map-side assignment matches the crossJoin+window formulation") {
+    val cents = Ann.seedCentroids(points, 16)
+    val fast = Ann.ivfAssign(points, cents)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("cscore"), asc("cid"))
+    val slow = points.crossJoin(broadcast(cents))
+      .withColumn("cscore", round(graft.functions.VectorOps.dot(col("embedding"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(fast == slow)
+  }
+
+  test("indexed store roundtrips with cid/sig/pq and matches on-the-fly search") {
+    val (store, cents) = CollectionStore.loadIndexed(spark, storePath)
+    assert(Seq("cid", "sig", "pq").forall(store.columns.contains))
+    assert(store.count() == points.count())
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(rows(Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10)) ==
+      rows(Ann.ivfSearch(Ann.ivfAssign(points, cents), cents, q, nprobe = 4, k = 10)))
+    assert(rows(Quantization.twoPhaseSearch(store, q, 10)) ==
+      rows(Quantization.twoPhaseSearch(points, q, 10)))
+    assert(rows(Quantization.binaryTwoPhaseSearch(store, q, 10)) ==
+      rows(Quantization.binaryTwoPhaseSearch(points, q, 10)))
+  }
+
+  test("phase-1 scan of an indexed two-phase search never reads the float column") {
+    val (store, _) = CollectionStore.loadIndexed(spark, storePath)
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    for ((df, code) <- Seq(
+        (Quantization.twoPhaseSearch(store, q, 10), "pq"),
+        (Quantization.binaryTwoPhaseSearch(store, q, 10), "sig"))) {
+      val scans = df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("ReadSchema")).toSeq
+      val phase1 = scans.filter(_.contains(code))
+      assert(phase1.nonEmpty, s"no scan reads $code:\n${scans.mkString("\n")}")
+      assert(phase1.forall(!_.contains("embedding")),
+        s"phase-1 scan still reads embedding:\n${phase1.mkString("\n")}")
+    }
+  }
+
+  test("adaptive params mirror the reference size tiers") {
+    val p1 = Ann.adaptiveParams(5000L, k = 10)
+    assert(p1.useExact && p1.ef == 64 && p1.oversample.isEmpty)
+    val p2 = Ann.adaptiveParams(50000L, k = 40)
+    assert(!p2.useExact && p2.ef == 160 && p2.oversample.isEmpty)
+    val p3 = Ann.adaptiveParams(500000L, k = 10)
+    assert(p3.ef == 256 && p3.oversample.contains(2.0))
+    val p4 = Ann.adaptiveParams(5000000L, k = 100)
+    assert(p4.ef == 800 && p4.oversample.contains(4.0))
+    assert(Ann.adaptiveParams(1500000L, k = 10).oversample.contains(3.0))
+    // timeout scales with size, floored at 1ms
+    assert(Ann.adaptiveParams(1000L, k = 1).timeoutSec == 0.001)
+    assert(Ann.adaptiveParams(10000000L, k = 1).timeoutSec == 1.0)
+  }
+
+  test("policy search: exact tier equals exact knn; forced ANN tier keeps recall") {
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val exact = Search.knn(points, q, 10, 0.1)
+      .select("id").as[Long].collect().toSeq
+    val small = Ann.policySearch(points, q, 10, 0.1)
+      .select("id").as[Long].collect().toSeq
+    assert(small == exact)
+    // pretend the collection is 200k points: IVF + quantized-rescore path
+    val forced = Ann.policySearch(points, q, 10, 0.1,
+      knownCount = Some(200000L))
+      .select("id").as[Long].collect().toSet
+    assert(forced.contains(0L), "self must survive the ANN policy path")
+    assert((forced intersect exact.toSet).size >= 5,
+      s"policy ANN recall too low: $forced vs $exact")
+  }
+}
