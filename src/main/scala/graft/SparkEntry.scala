@@ -36,6 +36,12 @@ object SparkEntry {
     * per JVM per scale dir under /tmp, then reused by every indexed_* query
     * — modeling the real lifecycle where the index is materialized at write
     * time and queries only read it. */
+  /** Side-table path for the KMeans-trained IVF centroids: written by the
+    * ann_ivf_kmeans query, read back by BOTH engines (Spark re-reads it for
+    * assignment; the DuckDB oracle scans the same parquet), so the
+    * non-SQL-expressible training step drops out of the comparison. */
+  private val kmeansCentroidPath = "/tmp/graft_kmeans_centroids"
+
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -347,17 +353,22 @@ object SparkEntry {
           (col("query_id") === col("id")).cast("int").as("self_found"))
         .orderBy("query_id")
     }),
-    // IVF with MLlib-KMeans-trained centroids (iterative training — not
-    // oracle-expressible; driver records the rows-only check, recall is
-    // asserted in AnnSpec).
+    // IVF with MLlib-KMeans-trained centroids. The iterative training isn't
+    // SQL-expressible, so the trained centroids are persisted to a parquet
+    // side-table DURING the query (the index-build artifact) and the oracle
+    // runs the same assignment+probe+top-k over that table — both engines
+    // read identical centroid doubles, making the full pipeline
+    // hash-checkable. Recall floors are additionally asserted in AnnSpec.
     "ann_ivf_kmeans" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       // maxIter 5: on near-uniform vectors the assignment stabilizes in a
       // few sweeps; IVF recall is governed by nprobe/C, not residual
-      // centroid drift (AnnSpec asserts the recall floor)
+      // centroid drift
       val cents = Ann.kmeansCentroids(points, k = 16, maxIter = 5)
-      Ann.ivfSearch(Ann.ivfAssign(points, cents), cents, q, nprobe = 4, k = 10)
+      cents.coalesce(1).write.mode("overwrite").parquet(kmeansCentroidPath)
+      val persisted = s.read.parquet(kmeansCentroidPath)
+      Ann.ivfSearch(Ann.ivfAssign(points, persisted), persisted, q, nprobe = 4, k = 10)
     }),
     // Keyset-paginated scroll (vector-DB scroll endpoint): page after the
     // cursor (ts=300, id=300) under a payload filter — a pushed range
@@ -714,6 +725,23 @@ object SparkEntry {
     "ann_ivf_search" ->
       s"""WITH $C,
          |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 16),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
+         |  FROM pts p, q WHERE p.cid IN (SELECT cid FROM probes))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // Centroids come from the side table the Spark query persisted (the
+    // KMeans training itself is the only non-SQL step; its OUTPUT is shared
+    // so assignment/probe/top-k stay hash-checked end to end).
+    "ann_ivf_kmeans" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet('/tmp/graft_kmeans_centroids/*.parquet')),
          |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
          |  row_number() OVER (PARTITION BY c.id
          |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
