@@ -24,7 +24,11 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // best-of-2 per query: the second run reuses compiled codegen and
     // relation caches, so min() measures the query, not JIT/GC noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query-name filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -264,36 +264,61 @@ object Dedup {
   /** Embedding-cosine near-dup pairs over a normalized-embedding collection:
     * (id_a, id_b, cos) with cos >= threshold.
     *
-    * Candidate generation is a banded sign-signature equi-join — NOT a
-    * broadcast/cartesian self-join: each point's 64-bit sign signature
-    * (`SignPack64`) splits into 8 chunks of 8 bits; side A emits its 8
-    * (band, chunk) keys, side B additionally multiprobes every chunk key
-    * within Hamming radius `r` (XOR with the C(8,<=r) masks). Pigeonhole:
-    * a pair whose signatures differ in at most 8(r+1)-1 total bits matches
-    * on some band, so recall is EXACT up to that sign-Hamming bound; `r`
-    * derives from the threshold as cover = E[hamming at cos=t] + 3σ
-    * (binomial, p = arccos(t)/π). A pair survives only at its FIRST
-    * matching band (chunk-distance filter on the earlier bands), so no
-    * distinct is needed and each candidate is verified exactly once with
-    * the exact rounded dot.
+    * ADAPTIVE candidate generation — the threshold decides which physical
+    * strategy is even capable of pruning:
     *
-    * Scale contract (the honest version): at near-dup thresholds the band
-    * join prunes by the chunk-collision factor and is subquadratic; at
-    * thresholds inside the random-cosine tail (t ≈ 0.45 on 64-d data,
-    * where E[hamming] = 22.5 vs 32 for random pairs) ANY exact method
-    * examines Θ(n²) pairs — sign-LSH at this gap has ρ ≈ 0.63, so
-    * near-perfect recall forces near-all-pairs candidates. What the band
-    * join fixes is the failure mode, not the asymptotics: every stage is
-    * an evenly-keyed hash shuffle that spills and distributes (the
-    * previous broadcast self-join hard-failed past the 8GB broadcast cap
-    * and serialized on a nested loop). */
-  def embeddingCosinePairs(points: DataFrame, threshold: Double): DataFrame = {
+    * 1. Near-dup regime (high threshold, multiprobe radius <= 1 — t >=
+    *    ~0.89 on 64-d): banded sign-LSH equi-join. Each point's 64-bit
+    *    sign signature (`SignPack64`) splits into 8 chunks of 8 bits; side
+    *    A emits its 8 (band, chunk) keys, side B multiprobes each key
+    *    within Hamming radius `r`. Pigeonhole: a pair differing in at most
+    *    8(r+1)-1 sign bits matches on some band, so recall is EXACT up to
+    *    that bound; `r` derives from the threshold as cover = E[hamming at
+    *    cos=t] + 3σ (binomial, p = arccos(t)/π). A pair survives only at
+    *    its FIRST matching band, so each candidate is verified exactly
+    *    once. Subquadratic: bucket sizes are bound by near-dup cluster
+    *    size, not corpus size.
+    *
+    * 2. Exact regime (low threshold): at thresholds inside the
+    *    random-cosine tail, sign bits carry no signal — measured on the
+    *    fixture, qualifying pairs at t=0.45 have sign-Hamming up to 31/64
+    *    vs 32 expected for random pairs — so ANY exact method examines
+    *    Θ(n²) dot products, and LSH plumbing only adds overhead (radius-4
+    *    multiprobe is a 163× row inflation on 8-bit buckets that still
+    *    degenerates to all-pairs). The honest physical plan for forced
+    *    all-pairs is a BLOCK-SHARDED product: assign each point a block in
+    *    [0, B); the left side replicates each point to block-pair keys
+    *    (blk, j) for j >= blk, the right side to (i, blk) for i <= blk;
+    *    an equi-join on the B(B+1)/2 composite keys then yields every
+    *    unordered pair exactly once (diagonal blocks deduped by id order).
+    *    No broadcast, no cartesian/nested-loop: every key holds exactly
+    *    |block_i| x |block_j| ≈ (N/B)² work and 2N/B rows of state, keys
+    *    are hash-uniform (no skew), and replication is (B+1) copies per
+    *    point — the communication lower bound shape for exact all-pairs
+    *    (Afrati/Ullman "anchor points" / 1-bucket-theorem layout). Size B
+    *    so a task's 2N/B rows fit in executor memory; compute per task is
+    *    (N/B)² codegen'd dots inside whole-stage codegen. */
+  def embeddingCosinePairs(
+      points: DataFrame, threshold: Double, blocks: Int = 32): DataFrame = {
     val t = math.max(-1.0, math.min(1.0, threshold))
     val pBit = math.acos(t) / math.Pi // disagreeing-bit rate at cos = t
     val hCover = math.ceil(
       64.0 * pBit + 3.0 * math.sqrt(64.0 * pBit * (1.0 - pBit))).toInt
     // smallest r with 8(r+1)-1 >= hCover (exact recall to hCover sign bits)
     val radius = math.min(8, math.max(0, math.ceil((hCover - 7) / 8.0).toInt))
+    val cands =
+      if (radius <= 1) lshBandCandidates(points, radius)
+      else exactBlockCandidates(points, blocks)
+    cands
+      .withColumn("cos", round(VectorOps.dot(col("e_a"), col("e_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Banded sign-LSH candidate pairs (see embeddingCosinePairs §1): emits
+    * (id_a, id_b, e_a, e_b) with id_a < id_b, each candidate exactly once. */
+  private def lshBandCandidates(points: DataFrame, radius: Int): DataFrame = {
     val masks = (0 until 256).filter(Integer.bitCount(_) <= radius).map(_.toLong)
     def chunkAt(sig: Column, j: Int): Column =
       shiftrightunsigned(sig, 8 * j).bitwiseAND(lit(255L))
@@ -321,9 +346,33 @@ object Dedup {
     cands
       .join(e.select(col("id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
       .join(e.select(col("id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
-      .withColumn("cos", round(VectorOps.dot(col("e_a"), col("e_b")), 6))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Block-sharded exact all-pairs (see embeddingCosinePairs §2): emits
+    * every unordered pair exactly once as (id_a, id_b, e_a, e_b); ids are
+    * normalized so id_a < id_b. The join is a plain equi-join on the
+    * (block_i, block_j) composite key — never a cartesian or broadcast
+    * nested loop. */
+  private def exactBlockCandidates(points: DataFrame, blocks: Int): DataFrame = {
+    val pts = points.select(col("id"), col("embedding"))
+      .withColumn("blk", pmod(hash(col("id")), lit(blocks)))
+    val left = pts.select(col("id").as("id_a"), col("embedding").as("e_a"),
+      col("blk").as("bi"), explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+      // spread the B(B+1)/2 block-pair keys across the cluster: without
+      // this, a broadcast-side join keeps the whole quadratic product in
+      // the (few) scan partitions; with it, each task gets ~equal key
+      // ranges. At scale this IS the exchange a shuffle join needs anyway
+      // (ENSURE_REQUIREMENTS reuses it).
+      .repartition(col("bi"), col("bj"))
+    val right = pts.select(col("id").as("id_b"), col("embedding").as("e_b"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    left.join(right, Seq("bi", "bj"))
+      // off-diagonal block pairs carry each unordered pair once (in
+      // whichever id order the blocks dictate); diagonal blocks carry both
+      // orders plus self-pairs — keep the ascending one only.
+      .filter(col("bi") =!= col("bj") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("e_a"), col("e_b"))
   }
 }

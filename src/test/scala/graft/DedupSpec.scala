@@ -83,7 +83,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(t => t._1 < t._2 && t._3 >= 0.45))
   }
 
-  test("embedding near-dup banded candidates match brute-force exactly") {
+  test("high-threshold LSH path matches brute force on planted near-dups") {
+    // s=0.97 perturbation puts planted pairs at cos ≈ 0.97; t=0.94 derives
+    // multiprobe radius 1, so this exercises the banded sign-LSH path.
+    val base = graft.functions.Generators.normalizedEmbeddings(spark, 150, 64)
+    val dups = graft.functions.Generators.similarEmbeddings(base, 0.97)
+      .select((col("id") + 10000L).as("id"), col("embedding"))
+    val pts = base.unionByName(dups)
+    val lsh = Dedup.embeddingCosinePairs(pts, 0.94)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = pts.select(col("id").as("id_a"), col("embedding").as("e_a"))
+    val b = pts.select(col("id").as("id_b"), col("embedding").as("e_b"))
+    val brute = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", round(graft.functions.VectorOps.dot(col("e_a"), col("e_b")), 6))
+      .filter(col("cos") >= 0.94)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "no planted pairs above threshold — bad fixture")
+    assert(lsh == brute, s"missing=${brute -- lsh} spurious=${lsh -- brute}")
+  }
+
+  test("embedding near-dup block-exact candidates match brute-force exactly") {
     val pts = graft.operators.Collection.load(spark, sf001)
     val banded = Dedup.embeddingCosinePairs(pts, 0.45)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
