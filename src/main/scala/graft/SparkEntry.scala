@@ -69,6 +69,19 @@ object SparkEntry {
       Search.knn(points, q, k = 10, threshold = 0.0,
         preFilter = Some(col("user_id") === 5))
     }),
+    // Q3+Q6 full surface: search under the reference's typed payload-index
+    // predicates (keyword IN, float/integer range, datetime range —
+    // src/core/advanced_indexing.py:166-194) over the extended payload view.
+    "knn_search_advanced_filters" -> ((s, dir) => {
+      val points = Collection.loadWithPayload(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Search.knn(points, q, k = 10, threshold = 0.15,
+        preFilter = Some(col("confidence_score") >= 0.5 &&
+          col("face_quality") >= 40 &&
+          col("enrollment_group").isin("grp_0", "grp_2", "grp_3") &&
+          col("ts") >= 10.0 && col("ts") <= 100000.0),
+        projectExtra = Seq("confidence_score", "face_quality", "enrollment_group"))
+    }),
     // Batched top-k: 8 query vectors, per-query rank <= 5.
     "knn_batch" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -913,6 +926,23 @@ object SparkEntry {
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
          |      FROM c, q WHERE c.user_id = 5)
          |SELECT id, score, user_id FROM s WHERE score >= 0.0
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "knn_search_advanced_filters" ->
+      s"""WITH $C,
+         |cx AS (SELECT id, user_id, ts, ne,
+         |  round((('0x' || substring(md5('conf_' || id), 1, 15))::BIGINT % 1000000)::DOUBLE / 1e6, 6) AS confidence_score,
+         |  (('0x' || substring(md5('fq_' || id), 1, 15))::BIGINT % 100)::INT AS face_quality,
+         |  'grp_' || (('0x' || substring(md5('eg_' || id), 1, 15))::BIGINT % 5) AS enrollment_group
+         |  FROM c),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id,
+         |        p.confidence_score, p.face_quality, p.enrollment_group
+         |      FROM cx p, q
+         |      WHERE p.confidence_score >= 0.5 AND p.face_quality >= 40
+         |        AND p.enrollment_group IN ('grp_0', 'grp_2', 'grp_3')
+         |        AND p.ts >= 10.0 AND p.ts <= 100000.0)
+         |SELECT id, score, user_id, confidence_score, face_quality, enrollment_group
+         |FROM s WHERE score >= 0.15
          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "knn_batch" ->
       s"""WITH $C, q AS (SELECT id AS query_id, ne AS qe FROM c WHERE id < 8),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.{TextOps, VectorOps}
 
 /** The engine's "collection" — the Spark-native equivalent of the reference's
   * single mutable Qdrant collection of points
@@ -41,6 +41,26 @@ object Collection {
         col("nemb").as("embedding"),
         col("label").as("user_id"),
         col("vec_id").cast("double").as("ts"))
+  }
+
+  /** Extended collection view carrying all five payload-indexed fields the
+    * reference declares (src/core/advanced_indexing.py:50-99): user_id
+    * (keyword), ts (datetime stand-in), confidence_score (float),
+    * face_quality (integer), enrollment_group (keyword). The fixture only
+    * carries (vec_id, label), so the three extra fields are derived
+    * deterministically from the portable 60-bit hash of the id — any engine
+    * (including the DuckDB oracle) rebuilds identical payload values.
+    * Pure projections: the derivation adds no shuffle, and predicates over
+    * these columns stay pushable/prunable like any scan column. */
+  def loadWithPayload(spark: SparkSession, sfDir: String): DataFrame = {
+    def h(tag: String) =
+      TextOps.hash60(concat(lit(tag), col("id").cast("string")))
+    load(spark, sfDir)
+      .withColumn("confidence_score",
+        round(pmod(h("conf_"), lit(1000000L)).cast("double") / 1e6, 6))
+      .withColumn("face_quality", pmod(h("fq_"), lit(100L)).cast("int"))
+      .withColumn("enrollment_group",
+        concat(lit("grp_"), pmod(h("eg_"), lit(5L)).cast("string")))
   }
 
   /** Add a `nemb` (normalized DOUBLE embedding) column, evaluating the norm

@@ -42,7 +42,8 @@ object Search {
       queryDf: DataFrame,
       k: Int,
       threshold: Double,
-      preFilter: Option[Column] = None): DataFrame = {
+      preFilter: Option[Column] = None,
+      projectExtra: Seq[String] = Nil): DataFrame = {
     val filtered = preFilter.map(points.filter).getOrElse(points)
     filtered
       .crossJoin(broadcast(queryDf.select(col("qemb"))))
@@ -50,7 +51,7 @@ object Search {
       .filter(col("score") >= threshold)
       .orderBy(desc("score"), asc("id"))
       .limit(k)
-      .select(col("id"), col("score"), col("user_id"))
+      .select((Seq("id", "score", "user_id") ++ projectExtra).map(col): _*)
   }
 
   /** Batched exact top-k: one row per (query_id, hit), per-query rank <= k.

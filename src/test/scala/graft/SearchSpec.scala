@@ -21,6 +21,20 @@ class SearchSpec extends SparkSpec {
     assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last), "descending scores")
   }
 
+  test("advanced payload filters: every hit satisfies all range/IN predicates") {
+    val ext = Collection.loadWithPayload(spark, sf001)
+    val q = ext.filter($"id" === 0).select($"embedding".as("qemb"))
+    val hits = Search.knn(ext, q, k = 10, threshold = 0.0,
+      preFilter = Some($"confidence_score" >= 0.5 && $"face_quality" >= 40 &&
+        $"enrollment_group".isin("grp_0", "grp_2", "grp_3") && $"ts" >= 10.0),
+      projectExtra = Seq("confidence_score", "face_quality", "enrollment_group"))
+      .select("confidence_score", "face_quality", "enrollment_group")
+      .as[(Double, Int, String)].collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall { case (c, f, g) =>
+      c >= 0.5 && f >= 40 && Set("grp_0", "grp_2", "grp_3")(g) })
+  }
+
   test("filtered search returns only the requested user's points") {
     val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
     val users = Search.knn(points, q, k = 50, threshold = -1.0,
