@@ -42,6 +42,23 @@ object SparkEntry {
     * non-SQL-expressible training step drops out of the comparison. */
   private val kmeansCentroidPath = "/tmp/graft_kmeans_centroids"
 
+  /** NPY migration fixture: the embeddings table dumped ONCE per JVM per
+    * scale dir as a real float32 `.npy` file — standing in for the foreign
+    * FAISS/NumPy system whose export the S6 bulk-load ingests. The
+    * driver-side collect is fixture construction only; the deliverable
+    * under test is the distributed byte-range READER. */
+  private val npyBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def npyFixture(s: SparkSession, dir: String): String = {
+    val path = "/tmp/graft_npy_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".npy"
+    npyBuilt.computeIfAbsent(path, _ => {
+      val rows = s.read.parquet(s"$dir/embeddings.parquet")
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Float](0).toArray)
+      graft.sources.NpySource.writeFloat32(path, rows)
+      path
+    })
+  }
+
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -81,6 +98,18 @@ object SparkEntry {
           col("enrollment_group").isin("grp_0", "grp_2", "grp_3") &&
           col("ts") >= 10.0 && col("ts") <= 100000.0),
         projectExtra = Seq("confidence_score", "face_quality", "enrollment_group"))
+    }),
+    // S6: bulk load from a real .npy file — distributed byte-range reader;
+    // per-row squared norm proves byte-exact float32 parsing against the
+    // oracle's direct parquet read.
+    "migrate_npy" -> ((s, dir) => {
+      val vecs = graft.sources.NpySource.readVectors(s, npyFixture(s, dir))
+      vecs.select(col("vec_id").as("id"),
+        concat(lit("migrated_user_"), col("vec_id").cast("string")).as("user_id"),
+        size(col("embedding")).as("dim"),
+        round(graft.functions.VectorOps.dot(col("embedding"), col("embedding")), 6)
+          .as("sq_norm"))
+        .orderBy("id")
     }),
     // Batched top-k: 8 query vectors, per-query rank <= 5.
     "knn_batch" -> ((s, dir) => {
@@ -944,6 +973,11 @@ object SparkEntry {
          |SELECT id, score, user_id, confidence_score, face_quality, enrollment_group
          |FROM s WHERE score >= 0.15
          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "migrate_npy" ->
+      """SELECT vec_id AS id, 'migrated_user_' || vec_id AS user_id,
+        |  len(embedding)::INT AS dim,
+        |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq_norm
+        |FROM embeddings ORDER BY id""".stripMargin,
     "knn_batch" ->
       s"""WITH $C, q AS (SELECT id AS query_id, ne AS qe FROM c WHERE id < 8),
          |s AS (SELECT q.query_id, c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q),

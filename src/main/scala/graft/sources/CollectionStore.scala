@@ -73,6 +73,28 @@ object CollectionStore {
     load(spark, destPath).count()
   }
 
+  /** Bulk load from a foreign `.npy` embedding matrix — the real S6 path
+    * (reference migrate_from_faiss.py:57-115): vectors arrive by row index
+    * from [[NpySource.readVectors]] (distributed byte-range reads);
+    * `metadata` (vec_id, user_id, ...) joins on that index — the inner join
+    * IS the reference's truncate-to-min-length rule (`:105-108`) — or, when
+    * absent, identities default to `migrated_user_<i>` exactly as the
+    * reference generates them (`:99-101`); embeddings are L2-normalized on
+    * ingest like every other write path. Returns the collection-shaped
+    * frame ready for [[save]]. */
+  def migrateNpy(spark: SparkSession, npyPath: String,
+      metadata: Option[DataFrame] = None): DataFrame = {
+    val vecs = NpySource.readVectors(spark, npyPath)
+    val withMeta = metadata match {
+      case Some(m) => vecs.join(m, Seq("vec_id"))
+      case None => vecs.withColumn("user_id",
+        concat(lit("migrated_user_"), col("vec_id").cast("string")))
+    }
+    Collection.withNormalized(withMeta)
+      .select(col("vec_id").as("id"), col("nemb").as("embedding"),
+        col("user_id"), col("vec_id").cast("double").as("ts"))
+  }
+
   /** Compaction after deletes (the analogue of Qdrant's vacuum/segment
     * optimizer — reference settings deleted_threshold=0.1,
     * max_segment_size: src/core/qdrant_client.py:117-127): rewrite the
