@@ -39,7 +39,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // recall@10 of every approximate path vs exact at this scale — guards
+    // against index-parameter changes silently trading recall for speed
+    val recall = (try RecallReport.report(spark, sfDir)
+      catch { case _: Throwable => Map.empty[String, Double] })
+      .toSeq.sortBy(_._1)
+      .map { case (m, r) => "\"" + m + "\":" + math.rint(r * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$recall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

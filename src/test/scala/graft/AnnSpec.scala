@@ -56,6 +56,17 @@ class AnnSpec extends SparkSpec {
     assert(got.contains(123L))
   }
 
+  test("bench recall report covers all approximate paths with sane floors") {
+    val r = RecallReport.report(spark, sf001, nQueries = 4)
+    assert(r.keySet == Set("ivf", "lsh_multiprobe", "binary_quant"))
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+    // floors are sanity bounds, not quality targets: the fixture is
+    // near-uniform random (no cluster structure for any index to exploit),
+    // so e.g. 64-bit sign hamming ties heavily at k=10 (binary ≈ 0.45-0.5)
+    assert(r("ivf") >= 0.3, s"ivf recall ${r("ivf")}")
+    assert(r("binary_quant") >= 0.3, s"binary recall ${r("binary_quant")}")
+  }
+
   test("KMeans-trained IVF centroids give recall >= seed centroids") {
     val seedC = Ann.seedCentroids(points, 16)
     val kmC = Ann.kmeansCentroids(points, 16)
