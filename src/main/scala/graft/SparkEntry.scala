@@ -317,6 +317,12 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Ann.adaptiveSearch(points, q, k = 10, threshold = 0.1)
     }),
+    // Bulk k-NN self-join: every point -> top-3 neighbors via IVF cells
+    // (data side top-1 cell, query side probes top-2) in ONE job.
+    "ann_knn_join" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      Ann.knnJoin(points, Ann.seedCentroids(points, 32), k = 3, nprobe = 2)
+    }),
     "tpch_q6_forecast" -> ((s, dir) =>
       Relational.revenueForecast(Relational.table(s, dir, "lineitem"),
         "1996-01-01 00:00:00", "1997-01-01 00:00:00", 0.05, 0.07, 24.0)),
@@ -764,6 +770,26 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_items
         |FROM part, lineitem WHERE p_partkey = l_partkey
         |GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 10""".stripMargin,
+    "ann_knn_join" ->
+      s"""WITH $C,
+         |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),
+         |scored AS (SELECT p.id, ct.cid,
+         |  row_number() OVER (PARTITION BY p.id
+         |    ORDER BY round(list_dot_product(p.ne, ct.ce), 6) DESC, ct.cid ASC) AS rn
+         |  FROM c p, cent ct),
+         |dside AS (SELECT id, cid FROM scored WHERE rn = 1),
+         |qside AS (SELECT id AS qid, cid FROM scored WHERE rn <= 2),
+         |cand AS (SELECT q.qid, d.id,
+         |    round(list_dot_product(qc.ne, dc.ne), 6) AS score
+         |  FROM qside q
+         |  JOIN dside d ON q.cid = d.cid AND q.qid <> d.id
+         |  JOIN c qc ON qc.id = q.qid
+         |  JOIN c dc ON dc.id = d.id),
+         |r AS (SELECT qid, id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+         |  FROM cand)
+         |SELECT qid, id, score, rank::BIGINT AS rank FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
     "ann_ivf_search" ->
       s"""WITH $C,
          |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 16),

@@ -243,4 +243,58 @@ object Ann {
       hits.filter(col("score") >= threshold)
     }
   }
+
+  /** Bulk k-NN self-join: EVERY point gets its top-k nearest neighbors in
+    * one co-partitioned job — the primitive a training-data pipeline needs
+    * for corpus-wide similarity (SemDeDup-style semantic dedup, retrieval
+    * pair mining), where looping the per-query searches would mean N driver
+    * round trips.
+    *
+    * Shape: the data side keeps each point in its single nearest cell
+    * (map-side [[ivfAssign]]); the query side replicates each point to its
+    * `nprobe` nearest cells (map-side [[graft.plans.TopCentroids]] +
+    * explode). Candidates are then a plain equi-join on `cid` — each
+    * (query, point) pair arises at most once because a data point lives in
+    * exactly one cell — followed by one hash-partition window on `qid` for
+    * the per-query top-k. Two shuffles total (join + rank), both on
+    * bounded keys; no per-query jobs, no broadcast of the corpus.
+    *
+    * At 100 TB: C scales with N to bound cell size (cells ≈ N/C points);
+    * candidate volume is nprobe·N²/C. Cell-size skew (hot centroids) is
+    * the known hazard — AQE skew-join splitting or salting the big cells
+    * handles it; recall follows the IVF probe analysis (self-cell plus
+    * nprobe−1 next cells). */
+  def knnJoin(
+      points: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val cents = rows.map(_.getSeq[Double](1)).toSeq
+    // Explicit per-cell exchanges on BOTH sides (fixed partition count, so
+    // AQE can't coalesce them away on its tiny PRE-join size estimates):
+    // the join's cost is its quadratic per-cell OUTPUT, and whichever side
+    // the planner streams must already be spread cell-per-task — otherwise
+    // a broadcast join inherits the scan's few partitions and the scoring
+    // serializes. At scale these are exactly the exchanges a shuffle join
+    // would insert anyway.
+    val data = ivfAssign(points, centroids)
+      .select(col("cid"), col("id"), col("embedding"))
+      .repartition(cids.length, col("cid"))
+    val queries = points.select(col("id").as("qid"), col("embedding").as("qemb"))
+      .withColumn("cid", explode(
+        graft.plans.VectorExpressions.topCentroids(col("qemb"), cids, cents, nprobe)))
+      .repartition(cids.length, col("cid"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    queries.join(data, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      // project the embeddings away with the score: the rank shuffle moves
+      // (qid, id, score) triples, not kilobyte vector pairs
+      .select(col("qid"), col("id"),
+        rdot(col("embedding"), col("qemb")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

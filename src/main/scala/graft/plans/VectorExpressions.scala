@@ -313,6 +313,118 @@ case class NearestCentroid(
     copy(child = newChild)
 }
 
+/** Map-side multi-cell probe assignment: the `p` nearest centroid ids
+  * (rounded score desc, smallest cid on ties), as an array<bigint> — the
+  * query-side counterpart of [[NearestCentroid]] for bulk k-NN joins: each
+  * point probes its top-p cells, the data side keeps its top-1, and the
+  * candidate join is a plain equi-join on cid. Same embedded-centroid
+  * design: a pure projection, C dot products per row, no Exchange. */
+case class TopCentroids(
+    child: Expression, cids: Seq[Long], cents: Seq[Seq[Double]], p: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cids.nonEmpty && cids.length == cents.length,
+    "top_centroids needs a non-empty, aligned (cid, centroid) set")
+  require(p >= 1 && p <= cids.length, s"p=$p out of range 1..${cids.length}")
+
+  @transient private lazy val dim: Int = cents.head.length
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](cents.length * dim)
+    var c = 0
+    while (c < cents.length) {
+      val v = cents(c); var i = 0
+      while (i < dim) { a(c * dim + i) = v(i); i += 1 }
+      c += 1
+    }
+    a
+  }
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_centroids expects array<double>, got ${t.simpleString}")
+  }
+
+  private def roundedScores(x: ArrayData): Array[Double] = {
+    val n = math.min(x.numElements(), dim)
+    val scores = new Array[Double](cidArr.length)
+    var c = 0
+    while (c < cidArr.length) {
+      var s = 0.0d; var i = 0
+      while (i < n) { s += x.getDouble(i) * flat(c * dim + i); i += 1 }
+      scores(c) = java.math.BigDecimal.valueOf(s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      c += 1
+    }
+    scores
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val scores = roundedScores(v.asInstanceOf[ArrayData])
+    val used = new Array[Boolean](cidArr.length)
+    val out = new Array[Long](p)
+    var k = 0
+    while (k < p) {
+      var best = java.lang.Double.NEGATIVE_INFINITY
+      var bi = -1
+      var c = 0
+      while (c < cidArr.length) {
+        if (!used(c) && (scores(c) > best ||
+          (scores(c) == best && (bi < 0 || cidArr(c) < cidArr(bi))))) {
+          best = scores(c); bi = c
+        }
+        c += 1
+      }
+      used(bi) = true; out(k) = cidArr(bi)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
+      val cidRef = ctx.addReferenceObj("centIds", cidArr, "long[]")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val scores = ctx.freshName("scores"); val used = ctx.freshName("used")
+      val out = ctx.freshName("out"); val k = ctx.freshName("k")
+      val best = ctx.freshName("best"); val bi = ctx.freshName("bi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $scores = new double[$cidRef.length];
+         |for (int $c = 0; $c < $cidRef.length; $c++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $flatRef[$c * $dim + $i];
+         |  }
+         |  $scores[$c] = java.math.BigDecimal.valueOf($s)
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |}
+         |boolean[] $used = new boolean[$cidRef.length];
+         |long[] $out = new long[$p];
+         |for (int $k = 0; $k < $p; $k++) {
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  int $bi = -1;
+         |  for (int $c = 0; $c < $cidRef.length; $c++) {
+         |    if (!$used[$c] && ($scores[$c] > $best ||
+         |        ($scores[$c] == $best && ($bi < 0 || $cidRef[$c] < $cidRef[$bi])))) {
+         |      $best = $scores[$c]; $bi = $c;
+         |    }
+         |  }
+         |  $used[$bi] = true; $out[$k] = $cidRef[$bi];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -329,4 +441,6 @@ object VectorExpressions {
     GraftBridge.column(SignPack64(GraftBridge.expression(v)))
   def nearestCentroid(v: Column, cids: Seq[Long], cents: Seq[Seq[Double]]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(v), cids, cents))
+  def topCentroids(v: Column, cids: Seq[Long], cents: Seq[Seq[Double]], p: Int): Column =
+    GraftBridge.column(TopCentroids(GraftBridge.expression(v), cids, cents, p))
 }

@@ -56,6 +56,30 @@ class AnnSpec extends SparkSpec {
     assert(got.contains(123L))
   }
 
+  test("bulk knn join probing ALL cells equals exact per-point top-k") {
+    val cents = Ann.seedCentroids(points, 16)
+    val joined = Ann.knnJoin(points, cents, k = 3, nprobe = 16)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect()
+    // exact: brute-force neighbors for a sample of points
+    Seq(0L, 17L, 99L).foreach { qid =>
+      val q = points.filter($"id" === qid).select($"embedding".as("qemb"))
+      val exact = Search.knn(points.filter($"id" =!= qid), q, 3, -1.0)
+        .select("id").as[Long].collect().toSeq
+      val got = joined.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(got == exact, s"qid=$qid got=$got exact=$exact")
+    }
+  }
+
+  test("bulk knn join: no self pairs, at most k rows per query, dense ranks") {
+    val cents = Ann.seedCentroids(points, 16)
+    val rows = Ann.knnJoin(points, cents, k = 3, nprobe = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (q, i, _) => q != i })
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.values.forall(_.length <= 3))
+    assert(byQ.values.forall(g => g.map(_._3).sorted.toSeq == (1L to g.length)))
+  }
+
   test("bench recall report covers all approximate paths with sane floors") {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
     assert(r.keySet == Set("ivf", "lsh_multiprobe", "binary_quant"))
