@@ -233,6 +233,13 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("long"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(Collection.load(s, dir), threshold = 0.45)),
+    // SemDeDup-style semantic dedup: IVF-cell candidate pairs >= threshold
+    // -> connected components -> one row per near-dup cluster.
+    "dedup_semantic" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      Dedup.semanticClusters(points, Ann.seedCentroids(points, 16),
+        threshold = 0.45, nprobe = 2)
+    }),
     // --- event-stream operators ---
     "events_hourly_window" -> ((s, dir) =>
       Events.hourlyWindow(Events.load(s, dir))),
@@ -350,6 +357,9 @@ object SparkEntry {
     // oracle as the batch sessionize operator.
     "streaming_sessionize" -> ((s, dir) =>
       StreamingOps.sessionizeStream(s, dir, gapSec = 1800)),
+    // Streaming ingest dedup (watermarked dropDuplicates state).
+    "streaming_dedup_distinct" -> ((s, dir) =>
+      StreamingOps.distinctUsersStream(s, dir)),
     // Exact distinct-count rollup (count(DISTINCT) operator class).
     "distinct_users_by_type" -> ((s, dir) =>
       Events.load(s, dir)
@@ -713,6 +723,9 @@ object SparkEntry {
         |  max(ts) AS session_end, count(*)::BIGINT AS n_events,
         |  sum(value::DECIMAL(18,2))::DOUBLE AS total_value
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+"streaming_dedup_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 "streaming_sessionize" ->
       """WITH e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
         |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
@@ -770,6 +783,29 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_items
         |FROM part, lineitem WHERE p_partkey = l_partkey
         |GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 10""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $C,
+         |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 16),
+         |scored AS (SELECT p.id, p.ne, ct.cid,
+         |  row_number() OVER (PARTITION BY p.id
+         |    ORDER BY round(list_dot_product(p.ne, ct.ce), 6) DESC, ct.cid ASC) AS rn
+         |  FROM c p, cent ct),
+         |dside AS (SELECT id, ne, cid FROM scored WHERE rn = 1),
+         |qside AS (SELECT id AS qid, ne AS qne, cid FROM scored WHERE rn <= 2),
+         |pr AS (SELECT DISTINCT least(q.qid, d.id) AS id_a, greatest(q.qid, d.id) AS id_b
+         |  FROM qside q JOIN dside d ON q.cid = d.cid AND q.qid <> d.id
+         |  WHERE round(list_dot_product(q.qne, d.ne), 6) >= 0.45),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |      UNION SELECT id_b, id_a FROM pr),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.lab FROM e, reach WHERE e.src = reach.node),
+         |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+         |SELECT cluster_id, count(*)::BIGINT AS n_points, min(node) AS min_id,
+         |  max(node) AS max_id
+         |FROM comp GROUP BY cluster_id HAVING count(*) > 1
+         |ORDER BY cluster_id""".stripMargin,
     "ann_knn_join" ->
       s"""WITH $C,
          |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),

@@ -348,6 +348,51 @@ object Dedup {
       .join(e.select(col("id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
   }
 
+  /** Semantic near-dup clusters over embeddings, SemDeDup-style (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication" — cluster the corpus with k-means, then dedup
+    * WITHIN cells): candidate pairs are generated per IVF cell — the data
+    * side sits in its top-1 cell, the query side probes its `nprobe`
+    * nearest cells (both map-side, [[graft.plans.TopCentroids]]) — then
+    * pairs at rounded cosine >= threshold feed [[connectedComponents]];
+    * each cluster keeps its minimum id. The returned frame is one row per
+    * multi-document cluster: (cluster_id, n_points, min_id, max_id).
+    *
+    * Scale: candidate volume is nprobe·N²/C with C sized to bound cells —
+    * the subquadratic regime [[embeddingCosinePairs]]'s exact path can't
+    * reach; recall is the IVF probe bound (a cross-cell pair is found when
+    * either endpoint probes the other's home cell). */
+  def semanticClusters(
+      points: DataFrame, centroids: DataFrame,
+      threshold: Double, nprobe: Int = 2): DataFrame = {
+    val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val cents = rows.map(_.getSeq[Double](1)).toSeq
+    val data = graft.operators.Ann.ivfAssign(points, centroids)
+      .select(col("cid"), col("id"), col("embedding"))
+      .repartition(cids.length, col("cid"))
+    val queries = points.select(col("id").as("qid"), col("embedding").as("qemb"))
+      .withColumn("cid", explode(
+        graft.plans.VectorExpressions.topCentroids(col("qemb"), cids, cents, nprobe)))
+      .repartition(cids.length, col("cid"))
+    val pairs = queries.join(data, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(VectorOps.dot(col("embedding"), col("qemb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      // a pair can arrive in both orientations (each endpoint probing the
+      // other's cell) — normalize and dedupe before clustering
+      .select(least(col("qid"), col("id")).as("id_a"),
+        greatest(col("qid"), col("id")).as("id_b"))
+      .distinct()
+    connectedComponents(pairs, "id_a", "id_b")
+      .groupBy("cluster_id")
+      .agg(count("*").cast("long").as("n_points"),
+        min("node").as("min_id"), max("node").as("max_id"))
+      .filter(col("n_points") > 1)
+      .orderBy("cluster_id")
+  }
+
   /** Block-sharded exact all-pairs (see embeddingCosinePairs §2): emits
     * every unordered pair exactly once as (id_a, id_b, e_a, e_b); ids are
     * normalized so id_a < id_b. The join is a plain equi-join on the

@@ -64,6 +64,40 @@ object StreamingOps {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Streaming ingest dedup: watermarked `dropDuplicates` state on
+    * (event_type, user_id) emits each key once on first sight — the
+    * exactly-once-analytics primitive over an at-least-once source
+    * (replays within the watermark are absorbed by the dedup state; state
+    * for keys older than the watermark is evicted, which is what bounds
+    * it at scale). The sink then holds the distinct key set — a final
+    * per-type rollup of the sink equals batch count(DISTINCT user_id).
+    * Which PHYSICAL row reaches the sink first is race-dependent, so only
+    * the key columns are emitted — the key SET is deterministic. */
+  def distinctUsersStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = stream
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("event_type", "user_id")
+      .select(col("event_type"), col("user_id"))
+    val name = s"graft_dedup_${System.nanoTime()}"
+    val q = withStatePartitions(spark, 8) {
+      deduped.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count("*").cast("long").as("n_users"))
+      .orderBy("event_type")
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       value: Double)
   case class Session(user_id: Long, session_id: Long,

@@ -115,6 +115,24 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute, s"missing=${brute -- banded} spurious=${banded -- brute}")
   }
 
+  test("semantic clusters: min id labels, multi-point only, subset of exact pairs' nodes") {
+    val pts = graft.operators.Collection.load(spark, sf001)
+    val cents = graft.operators.Ann.seedCentroids(pts, 16)
+    val clusters = Dedup.semanticClusters(pts, cents, threshold = 0.45)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(clusters.nonEmpty)
+    clusters.foreach { case (cid, n, minId, maxId) =>
+      assert(cid == minId && n > 1 && minId < maxId)
+    }
+    // every clustered node must be an endpoint of a true >=0.45 pair
+    val exactNodes = Dedup.embeddingCosinePairs(pts, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val clusteredSpan = clusters.flatMap(c => Seq(c._3, c._4)).toSet
+    assert(clusteredSpan.subsetOf(exactNodes),
+      s"IVF produced pairs outside the exact pair graph: ${clusteredSpan -- exactNodes}")
+  }
+
   test("embedding near-dup plan has no cartesian or nested-loop join") {
     val pts = graft.operators.Collection.load(spark, sf001)
     val plan = Dedup.embeddingCosinePairs(pts, 0.45)
