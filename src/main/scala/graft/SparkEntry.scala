@@ -371,6 +371,15 @@ object SparkEntry {
     // Skew-safe salted two-phase aggregation (semantics = plain groupBy).
     "heavy_hitter_users" -> ((s, dir) =>
       Relational.heavyHitters(Events.load(s, dir), "user_id", "value", k = 10)),
+    // Bounded-memory heavy hitters via the native Misra-Gries aggregate
+    // (capacity >= distinct users at test SFs -> exact counts; the <n/m
+    // error contract at smaller capacity is spec-tested).
+    "heavy_hitters_sketch" -> ((s, dir) =>
+      Events.load(s, dir)
+        .agg(graft.plans.SketchExpressions.misraGries(col("user_id"), 8192).as("sk"))
+        .select(explode(col("sk")).as(Seq("user_id", "n")))
+        .orderBy(desc("n"), asc("user_id"))
+        .limit(10)),
     // Grouping sets: rollup over the pricing summary dimensions.
     "pricing_rollup" -> ((s, dir) => {
       val li = Relational.table(s, dir, "lineitem")
@@ -953,6 +962,9 @@ object SparkEntry {
     "heavy_hitter_users" ->
       """SELECT user_id, count(*)::BIGINT AS n, sum(value::DECIMAL(18,2))::DOUBLE AS total
         |FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10""".stripMargin,
+    "heavy_hitters_sketch" ->
+      """SELECT user_id, count(*)::BIGINT AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "pricing_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
         |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
