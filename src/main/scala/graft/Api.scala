@@ -68,4 +68,35 @@ object Api {
     validateThreshold(t)
     Search.knnBatch(points, queries, k, t)
   }
+
+  /** Health check (reference GET /health, endpoints.py:249-279): one row of
+    * engine-level liveness facts — collection readable, non-empty, vectors
+    * dimensioned and normalized. The reference's qdrant_connection/
+    * gpu_available map onto "the collection scan executes" here: Spark has
+    * no separate server process to probe. */
+  def health(points: DataFrame): DataFrame =
+    points
+      .select(col("id"), size(col("embedding")).as("dim"),
+        graft.functions.VectorOps.dot(col("embedding"), col("embedding")).as("sq"))
+      .agg(
+        count("*").cast("long").as("point_count"),
+        countDistinct(col("dim")).cast("long").as("distinct_dims"),
+        // rounded for cross-engine determinism (ulp-level accumulation)
+        round(max(abs(col("sq") - 1.0d)), 6).as("max_norm_err"))
+      .select(
+        (col("point_count") > 0 && col("distinct_dims") === 1 &&
+          col("max_norm_err") < 1e-6).as("healthy"),
+        col("point_count"), col("distinct_dims"), col("max_norm_err"))
+
+  /** Service info (reference GET /info, endpoints.py:282-306): the static
+    * engine configuration as a single-row frame. */
+  def info(points: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val dim = points.select(size(col("embedding"))).first().getInt(0)
+    Seq((
+      "graft-spark-vector-engine", dim, "cosine", DefaultThreshold, MaxK
+    )).toDF("service_name", "vector_dimension", "similarity_metric",
+      "similarity_threshold", "max_k")
+  }
 }

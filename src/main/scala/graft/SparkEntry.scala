@@ -361,6 +361,9 @@ object SparkEntry {
     // Streaming ingest dedup (watermarked dropDuplicates state).
     "streaming_dedup_distinct" -> ((s, dir) =>
       StreamingOps.distinctUsersStream(s, dir)),
+    // Engine-level health check (reference GET /health).
+    "health_check" -> ((s, dir) =>
+      graft.Api.health(Collection.load(s, dir))),
     // Exact distinct-count rollup (count(DISTINCT) operator class).
     "distinct_users_by_type" -> ((s, dir) =>
       Events.load(s, dir)
@@ -965,6 +968,14 @@ object SparkEntry {
     "heavy_hitters_sketch" ->
       """SELECT user_id, count(*)::BIGINT AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "health_check" ->
+      s"""WITH $C
+         |SELECT (count(*) > 0 AND count(DISTINCT len(ne)) = 1
+         |    AND round(max(abs(list_dot_product(ne, ne) - 1.0)), 6) < 1e-6) AS healthy,
+         |  count(*)::BIGINT AS point_count,
+         |  count(DISTINCT len(ne))::BIGINT AS distinct_dims,
+         |  round(max(abs(list_dot_product(ne, ne) - 1.0)), 6) AS max_norm_err
+         |FROM c""".stripMargin,
     "pricing_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
         |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
