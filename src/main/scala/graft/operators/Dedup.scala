@@ -31,37 +31,49 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("keep_doc_id")
 
-  /** N-gram (word shingle) Jaccard near-dup pairs — the exact quadratic
-    * kernel. `blockOn` (e.g. `source`) turns the cross product into an
-    * equi-join: pairs are only formed within a block, which is both the
-    * semantic contract ("dedup within source") and the scale path — the
-    * quadratic cost is per-block, the shuffle a hash partition on the block
-    * key. Without blocking, reserve for verified candidate sets.
+  /** N-gram (word shingle) Jaccard near-dup pairs — EXACT, with lossless
+    * prefix-filtered candidate generation (AllPairs/PPJoin family, Bayardo
+    * et al. 2007 / Xiao et al. 2008): a pair with J >= t must share a
+    * token among the first |S| - ceil(t'·|S|) + 1 tokens of EACH set under
+    * any fixed total token order (here: ascending 60-bit shingle hash) —
+    * if all common tokens sat past A's prefix, the overlap could be at
+    * most ceil(t'|A|) - 1 < the t-required overlap. So candidates come
+    * from an EQUI-JOIN on exploded prefix tokens, never a block cross
+    * product: the shuffle is a hash partition on (token [, block]) keys,
+    * bucket sizes are bound by token frequency, and the quadratic kernel
+    * runs only on verified-candidate pairs. t' = t - 5e-7 keeps the
+    * filter lossless w.r.t. the ROUNDED final `round(J,6) >= t`.
+    *
+    * `blockOn` (e.g. `source`) additionally restricts pairs to a block —
+    * the "dedup within source" contract; the prefix join makes the
+    * UNBLOCKED form scalable too (it was a full cross product before).
     * Returns (doc_a, doc_b, jaccard) with jaccard >= threshold. */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double,
       blockOn: Option[String] = None): DataFrame = {
+    val tp = threshold - 5e-7
     val sh = docs
       .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +: col("sh") +: size(col("sh")).as("ns")
+      .select(col("doc_id") +: col("sh") +: blockOn.map(col).toSeq: _*)
+    // prefix length |S| - ceil(t'*|S|) + 1 (>= 1); tokens are pre-sorted
+    val prefLen = (size(col("sh")) - ceil(size(col("sh")) * tp) + 1).cast("int")
+    val pref = sh.select(
+      col("doc_id") +: explode(slice(col("sh"), lit(1), prefLen)).as("tok")
         +: blockOn.map(col).toSeq: _*)
-    val a = sh.select(col("doc_id").as("doc_a") +: col("sh").as("sh_a")
-      +: col("ns").as("ns_a") +: blockOn.map(c => col(c).as("blk_a")).toSeq: _*)
-    val b = sh.select(col("doc_id").as("doc_b") +: col("sh").as("sh_b")
-      +: col("ns").as("ns_b") +: blockOn.map(c => col(c).as("blk_b")).toSeq: _*)
-    // size-ratio prefilter: J = I/(|A|+|B|-I) ≤ min/max, so min < t·max
-    // can never reach the threshold — prunes pairs BEFORE the O(|A|+|B|)
-    // merge-walk kernel. The bound is relaxed by the 6dp rounding
-    // granularity (t - 5e-7) so the prune can never disagree with the
-    // ROUNDED final filter `round(J,6) >= t` on hairline pairs.
-    val sizeOk =
-      least(col("ns_a"), col("ns_b")).cast("double") >=
-        greatest(col("ns_a"), col("ns_b")) * (threshold - 5e-7)
-    val cond = blockOn
-      .map(_ => col("blk_a") === col("blk_b") && col("doc_a") < col("doc_b"))
-      .getOrElse(col("doc_a") < col("doc_b")) && sizeOk
-    a.join(b, cond)
+    val joinKeys = "tok" +: blockOn.toSeq
+    val cands = pref.toDF("doc_a" +: "tok" +: blockOn.toSeq: _*)
+      .join(pref.toDF("doc_b" +: "tok" +: blockOn.toSeq: _*), joinKeys)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verification on the candidate pairs: size-ratio prune (J <=
+    // min/max, relaxed by the rounding granularity) then the codegen
+    // merge-walk intersection
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        greatest(size(col("sh_a")), size(col("sh_b"))) * tp)
       .withColumn("ic", VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", round(
         TextOps.jaccardFromCount(col("ic"), size(col("sh_a")), size(col("sh_b"))), 6))

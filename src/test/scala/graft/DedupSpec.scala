@@ -32,6 +32,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("prefix-filtered jaccard equals block-quadratic brute force") {
+    import graft.functions.TextOps
+    import graft.plans.VectorExpressions
+    val t = 0.5
+    val sh = docs
+      .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), 3))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), col("source"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("source"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("source"))
+    val brute = a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("ic", VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("j", round(
+        TextOps.jaccardFromCount(col("ic"), size(col("sh_a")), size(col("sh_b"))), 6))
+      .filter(col("j") >= t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val pref = Dedup.ngramJaccardPairs(docs, n = 3, threshold = t,
+      blockOn = Some("source"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pref == brute, s"missing=${brute -- pref} spurious=${pref -- brute}")
+  }
+
   test("minhash LSH finds the same pairs as exact jaccard at threshold 0.7") {
     val lsh = Dedup.minHashLshPairs(docs, n = 3, k = 128, bands = 32, threshold = 0.7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
