@@ -125,6 +125,15 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) == 419982666956583591L) // matches duckdb md5-prefix
     assert(r.getInt(2) == 2)
+    // sign_pack64: signs of (+, -, +, +) = bits 0,2,3 -> 0b1101 = 13
+    val s = spark.sql(
+      "SELECT sign_pack64(array(1.0D, -2.0D, 3.0D, 0.5D)) AS sig").collect().head
+    assert(s.getLong(0) == 13L)
+    // misra_gries as a SQL aggregate (exact regime)
+    val mg = spark.sql(
+      """SELECT misra_gries(k, 8) AS sk FROM VALUES (1L),(1L),(2L) AS t(k)"""
+    ).collect().head.getMap[Long, Long](0)
+    assert(mg == Map(1L -> 2L, 2L -> 1L))
   }
 
   test("multi-probe LSH is a superset of single-bucket LSH") {
