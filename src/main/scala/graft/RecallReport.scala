@@ -39,7 +39,8 @@ object RecallReport {
         Map(
           "ivf" -> recall(ids(Ann.ivfSearch(assigned, cents, q, nprobe = 4, k = k))),
           "lsh_multiprobe" -> recall(ids(Ann.lshSearchMultiProbe(points, q, hps, k))),
-          "binary_quant" -> recall(ids(Quantization.binaryTwoPhaseSearch(points, q, k))))
+          "binary_quant" -> recall(ids(Quantization.binaryTwoPhaseSearch(points, q, k))),
+          "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))))
       }
       val out = perQuery.flatten.groupMapReduce(_._1)(_._2)(_ + _)
         .map { case (m, s) => m -> s / nQueries }

@@ -82,7 +82,7 @@ class AnnSpec extends SparkSpec {
 
   test("bench recall report covers all approximate paths with sane floors") {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
-    assert(r.keySet == Set("ivf", "lsh_multiprobe", "binary_quant"))
+    assert(r.keySet == Set("ivf", "lsh_multiprobe", "binary_quant", "int8_quant"))
     assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
     // floors are sanity bounds, not quality targets: the fixture is
     // near-uniform random (no cluster structure for any index to exploit),
