@@ -221,6 +221,13 @@ object SparkEntry {
       TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 20)),
     "tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(s.read.parquet(s"$dir/documents.parquet"), maxDocId = 20)),
+    // Eval-set decontamination: corpus docs (id >= 20) sharing 3-gram
+    // shingles with the "benchmark" docs (id < 20).
+    "decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20), n = 3)
+    }),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -663,6 +670,14 @@ object SparkEntry {
          |k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bow_key FROM t)
          |SELECT bow_key, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
          |FROM k GROUP BY bow_key HAVING count(*) > 1 ORDER BY keep_doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $W, $SH,
+         |ev AS (SELECT doc_id AS eval_doc_id, unnest(s) AS tok FROM sh WHERE doc_id < 20),
+         |cp AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE doc_id >= 20),
+         |j AS (SELECT cp.doc_id, cp.tok, ev.eval_doc_id FROM cp JOIN ev USING (tok))
+         |SELECT doc_id, count(DISTINCT tok)::BIGINT AS n_shared,
+         |  count(DISTINCT eval_doc_id)::BIGINT AS n_eval_docs
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $W, $SH,
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -154,6 +154,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing at least
+    * `minShared` distinct word n-gram shingles with any eval-set doc — the
+    * standard n-gram-overlap decontamination pass of LLM training
+    * pipelines (GPT-3 appendix C / PaLM-style eval-set filtering).
+    * Returns (doc_id, n_shared, n_eval_docs) for flagged corpus docs.
+    *
+    * Physical shape: both sides explode to (shingle-hash, doc) rows and
+    * meet in an EQUI-JOIN on the hash — shuffle keys are shingle hashes
+    * (bucket sizes bound by shingle frequency), never a doc cross
+    * product; the flag aggregate is one hash shuffle on doc_id. At 100 TB
+    * the eval side is tiny and broadcastable, making contamination a
+    * map-only scan over the corpus shingles. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int,
+      minShared: Int = 1): DataFrame = {
+    def shingled(d: DataFrame, idAs: String) = d
+      .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id").as(idAs), explode(col("sh")).as("tok"))
+    shingled(docs, "doc_id")
+      .join(shingled(evalDocs, "eval_doc_id"), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(countDistinct("tok").cast("long").as("n_shared"),
+        countDistinct("eval_doc_id").cast("long").as("n_eval_docs"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: order-sensitive rolling polynomial hash over
     * word hashes + order-insensitive bag-of-words md5 key. */
   def fingerprints(docs: DataFrame): DataFrame = {
