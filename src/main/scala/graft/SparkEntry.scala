@@ -523,6 +523,15 @@ object SparkEntry {
           min("node").as("min_doc"), max("node").as("max_doc"))
         .orderBy("cluster_id")
     }),
+    // End-to-end dedup: simhash pairs -> clusters -> keep one doc per
+    // cluster; output = the surviving corpus ids.
+    "dedup_apply" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val labels = Dedup.connectedComponents(
+        Dedup.simHashPairs(docs, maxHamming = 3), "doc_a", "doc_b")
+      Dedup.applyDedup(docs, labels)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
     // Deterministic per-language stratified sample (en 50%, de 25%,
     // default 10%) — membership is a pure hash of (salt, doc_id).
     "stratified_sample" -> ((s, dir) =>
@@ -816,6 +825,22 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_items
         |FROM part, lineitem WHERE p_partkey = l_partkey
         |GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 10""".stripMargin,
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $W, $SIM,
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh2 a, sh2 b WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |      UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.lab FROM e, reach WHERE e.src = reach.node),
+         |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |drops AS (SELECT node FROM comp WHERE node <> cluster_id)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT node FROM drops)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_semantic" ->
       s"""WITH RECURSIVE $C,
          |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 16),

@@ -247,6 +247,18 @@ object Dedup {
     labels.select(col("node"), col("lab").as("cluster_id"))
   }
 
+  /** Apply dedup decisions: keep exactly one document per near-dup cluster
+    * (the minimum id — the cluster label) and every unclustered document.
+    * `labels` is [[connectedComponents]] output (node, cluster_id); the
+    * drop list is the clustered non-representatives, Σ(cluster−1) rows —
+    * tiny relative to the corpus, so at scale this is a broadcast
+    * anti-join: a map-only filter pass over the corpus. */
+  def applyDedup(
+      docs: DataFrame, labels: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val drops = labels.filter(col("node") =!= col("cluster_id")).select("node")
+    docs.join(broadcast(drops), docs(idCol) === drops("node"), "left_anti")
+  }
+
   /** Driver-side union-find for pair graphs below the adaptive threshold:
     * min-id-rooted (the smaller root becomes the parent, so find() lands on
     * the component's minimum id — identical labels to the distributed

@@ -98,6 +98,16 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("applyDedup keeps one doc per cluster plus all unclustered docs") {
+    val docsIds = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L)
+      .map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "cluster_id")
+    val kept = Dedup.applyDedup(docsIds, labels)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 10L, 20L))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pts = graft.operators.Collection.load(spark, sf001)
     val pairs = Dedup.embeddingCosinePairs(pts, 0.45)
