@@ -228,6 +228,11 @@ object SparkEntry {
       TextAnalysis.decontaminate(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20), n = 3)
     }),
+    // Sequence packing: docs -> ~500-token training packs, greedy within
+    // 8 hash shards.
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(
+        s.read.parquet(s"$dir/documents.parquet"), budgetTokens = 500, nShards = 8)),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -679,6 +684,15 @@ object SparkEntry {
          |k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bow_key FROM t)
          |SELECT bow_key, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
          |FROM k GROUP BY bow_key HAVING count(*) > 1 ORDER BY keep_doc_id""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH $W,
+         |n AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         |  (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8) AS shard FROM t),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM n)
+         |SELECT shard, (cum_before // 500)::BIGINT AS pack_no,
+         |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+         |FROM c GROUP BY shard, pack_no ORDER BY shard, pack_no""".stripMargin,
     "decontaminate" ->
       s"""WITH $W, $SH,
          |ev AS (SELECT doc_id AS eval_doc_id, unnest(s) AS tok FROM sh WHERE doc_id < 20),

