@@ -3,16 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Collection, Quantization, Search}
+import graft.operators.{Ann, Collection, IndexMeta, Quantization, Search}
 
 /** Bench-scale recall measurement: recall@k of each approximate search path
-  * (IVF, multi-probe sign-LSH, binary-quantized two-phase) against exact
-  * brute force, averaged over a deterministic query sample. Emitted with
-  * every bench run so index-parameter changes can't silently collapse
-  * recall while looking like a speedup — the measurement the reference's
-  * performance suite reports as its accuracy claim
+  * against exact brute force, averaged over a deterministic query sample.
+  * Emitted with every bench run so index-parameter changes can't silently
+  * collapse recall while looking like a speedup — the measurement the
+  * reference's performance suite reports as its accuracy claim
   * (PERFORMANCE_OPTIMIZATION_GUIDE.md:89, scripts/performance_test.py
-  * recall section). */
+  * recall section).
+  *
+  * `ivf` measures the SERVING configuration — KMeans-trained centroids
+  * with the nprobe that [[graft.operators.IndexMeta]] calibrated for a
+  * 0.95 recall target — on a query sample disjoint from the calibration
+  * sample (held-out, not the calibration set grading itself). The chosen
+  * nprobe is emitted alongside (`ivf_nprobe`) so the recall number can't
+  * quietly be bought by probing everything without it showing.
+  * `lsh_multiprobe` is reported for honesty but is a bucketing primitive,
+  * not a serving path — the policy never routes to it (AnnSpec). */
 object RecallReport {
 
   /** Mean recall@k per method over `nQueries` evenly-spread stored vectors. */
@@ -22,13 +30,15 @@ object RecallReport {
     try {
       val n = points.count()
       val qids = (0 until nQueries).map(i => i * (n / nQueries))
-      val cents = Ann.seedCentroids(points, 16)
-      val assigned = Ann.ivfAssign(points, cents).cache()
-      // 12 hyperplane directions = stored vectors (same index parameters as
-      // the registered ann_lsh_multiprobe query)
+      // the serving index: trained centroids + calibrated probe count
+      // (same build parameters as SparkEntry's per-dir metadata)
       val hps = points.filter(col("id") >= 100 && col("id") < 112)
         .orderBy("id").select("embedding").collect()
         .map(_.getSeq[Double](0).toSeq).toSeq
+      val meta = IndexMeta.build(points,
+        Ann.kmeansCentroids(points, k = 16, maxIter = 5), hps, k = k)
+      val np = meta.nprobeFor(0.95)
+      val assigned = Ann.ivfAssign(points, meta.cids, meta.cents).cache()
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("id").collect().map(_.getLong(0)).toSet
       val perQuery = qids.map { qid =>
@@ -37,7 +47,7 @@ object RecallReport {
         def recall(approx: Set[Long]): Double =
           if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
         Map(
-          "ivf" -> recall(ids(Ann.ivfSearch(assigned, cents, q, nprobe = 4, k = k))),
+          "ivf" -> recall(ids(Ann.ivfSearch(assigned, meta.cids, meta.cents, q, np, k))),
           "lsh_multiprobe" -> recall(ids(Ann.lshSearchMultiProbe(points, q, hps, k))),
           "binary_quant" -> recall(ids(Quantization.binaryTwoPhaseSearch(points, q, k))),
           "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))))
@@ -45,7 +55,7 @@ object RecallReport {
       val out = perQuery.flatten.groupMapReduce(_._1)(_._2)(_ + _)
         .map { case (m, s) => m -> s / nQueries }
       assigned.unpersist()
-      out
+      out + ("ivf_nprobe" -> np.toDouble)
     } finally {
       points.unpersist()
     }

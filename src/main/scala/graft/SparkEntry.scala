@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Collection, Dedup, Events, Multimodal, Quantization, Relational, Search, Stats, TextAnalysis}
+import graft.operators.{Ann, Collection, Dedup, Events, IndexMeta, Multimodal, Quantization, Relational, Search, Stats, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -36,12 +36,46 @@ object SparkEntry {
     * per JVM per scale dir under /tmp, then reused by every indexed_* query
     * — modeling the real lifecycle where the index is materialized at write
     * time and queries only read it. */
-  /** Side-table path for the KMeans-trained IVF centroids: written by the
-    * ann_ivf_kmeans query, read back by BOTH engines (Spark re-reads it for
-    * assignment; the DuckDB oracle scans the same parquet), so the
-    * non-SQL-expressible training step drops out of the comparison. */
-  private val kmeansCentroidPath = "/tmp/graft_kmeans_centroids"
+  private def san(dir: String) = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Side-table path for the KMeans-trained IVF centroids: trained + written
+    * ONCE per JVM per scale dir (index-build lifecycle), read back by BOTH
+    * engines (Spark re-reads it for assignment; the DuckDB oracle scans the
+    * same parquet), so the non-SQL-expressible training step drops out of
+    * the comparison. These are the SERVING centroids: ann_ivf_kmeans, the
+    * indexed store, and (via [[indexMeta]]) the adaptive/policy paths all
+    * share them. */
+  private def kmeansPath(dir: String) = "/tmp/graft_kmeans_" + san(dir)
+  /** Alias of the most recently trained centroid table — the static oracle
+    * SQL reads this (a Verify/bench JVM serves exactly one scale dir, so
+    * alias == that dir's centroids); Spark always reads the dir-keyed
+    * path, which stays correct even in multi-dir JVMs (test suites). */
+  private val kmeansAlias = "/tmp/graft_kmeans_current"
   private val kmeansBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
+    val path = kmeansPath(dir)
+    kmeansBuilt.computeIfAbsent(path, _ => {
+      val cents = Ann.kmeansCentroids(Collection.load(s, dir), k = 16, maxIter = 5)
+      cents.coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(kmeansAlias)
+      path
+    })
+    s.read.parquet(path)
+  }
+
+  /** Serving-layer index metadata (trained centroids, calibrated recall
+    * curve, LSH hyperplanes, collection count) — built once per JVM per
+    * scale dir and cached, so constructing a search query does zero Spark
+    * jobs and zero re-collects (VERDICT r5 #7). */
+  private def indexMeta(s: SparkSession, dir: String): IndexMeta =
+    IndexMeta.forStore("entry_" + dir) {
+      val points = Collection.load(s, dir)
+      val hps = points.filter(col("id") >= 100 && col("id") < 112)
+        .orderBy("id").select("embedding").collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      IndexMeta.build(points, trainedCentroids(s, dir), hps, k = 10)
+    }
 
   /** NPY migration fixture: the embeddings table dumped ONCE per JVM per
     * scale dir as a real float32 `.npy` file — standing in for the foreign
@@ -63,11 +97,13 @@ object SparkEntry {
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val path = "/tmp/graft_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = "/tmp/graft_index_" + san(dir)
     indexBuilt.computeIfAbsent(path, _ => {
       val points = Collection.load(s, dir)
+      // cells come from the TRAINED serving centroids (VERDICT r5 #1), so
+      // the persisted partition layout is the quantizer queries probe
       graft.sources.CollectionStore.saveIndexed(
-        points, path, Ann.seedCentroids(points, 16))
+        points, path, trainedCentroids(s, dir))
       path
     })
     graft.sources.CollectionStore.loadIndexed(s, path)
@@ -317,25 +353,20 @@ object SparkEntry {
     "ann_lsh_search" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
-      // hyperplane directions = normalized vectors of ids 100..111 (index
-      // parameters — tiny deterministic collect, like broadcasting metadata)
-      val hps = points.filter(col("id") >= 100 && col("id") < 112)
-        .orderBy("id").select("embedding").collect()
-        .map(_.getSeq[Double](0).toSeq).toSeq
-      Ann.lshSearch(points, q, hps, k = 10)
+      // hyperplane directions = normalized vectors of ids 100..111, held as
+      // index parameters in the cached per-collection metadata
+      Ann.lshSearch(points, q, indexMeta(s, dir).hyperplanes, k = 10)
     }),
     "ann_lsh_multiprobe" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
-      val hps = points.filter(col("id") >= 100 && col("id") < 112)
-        .orderBy("id").select("embedding").collect()
-        .map(_.getSeq[Double](0).toSeq).toSeq
-      Ann.lshSearchMultiProbe(points, q, hps, k = 10)
+      Ann.lshSearchMultiProbe(points, q, indexMeta(s, dir).hyperplanes, k = 10)
     }),
     "ann_adaptive" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
-      Ann.adaptiveSearch(points, q, k = 10, threshold = 0.1)
+      Ann.adaptiveSearch(points, q, k = 10, threshold = 0.1,
+        meta = Some(indexMeta(s, dir)))
     }),
     // Bulk k-NN self-join: every point -> top-3 neighbors via IVF cells
     // (data side top-1 cell, query side probes top-2) in ONE job.
@@ -450,12 +481,7 @@ object SparkEntry {
       // dir, every subsequent query reads the persisted centroids. maxIter
       // 5: on near-uniform vectors the assignment stabilizes in a few
       // sweeps; IVF recall is governed by nprobe/C, not residual drift.
-      kmeansBuilt.computeIfAbsent(dir, _ => {
-        val cents = Ann.kmeansCentroids(points, k = 16, maxIter = 5)
-        cents.coalesce(1).write.mode("overwrite").parquet(kmeansCentroidPath)
-        dir
-      })
-      val persisted = s.read.parquet(kmeansCentroidPath)
+      val persisted = trainedCentroids(s, dir)
       Ann.ivfSearch(Ann.ivfAssign(points, persisted), persisted, q, nprobe = 4, k = 10)
     }),
     // Keyset-paginated scroll (vector-DB scroll endpoint): page after the
@@ -489,7 +515,7 @@ object SparkEntry {
     "binary_quant_search" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
-      Quantization.binaryTwoPhaseSearch(points, q, k = 10, oversample = 4.0)
+      Quantization.binaryTwoPhaseSearch(points, q, k = 10, oversample = 32.0)
     }),
     // --- persisted-index read paths (CollectionStore.saveIndexed):
     // cid is a partition DIRECTORY (probes prune it), sig/pq are stored
@@ -507,7 +533,7 @@ object SparkEntry {
     "indexed_binary_quant" -> ((s, dir) => {
       val (store, _) = indexedStore(s, dir)
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
-      Quantization.binaryTwoPhaseSearch(store, q, k = 10, oversample = 4.0)
+      Quantization.binaryTwoPhaseSearch(store, q, k = 10, oversample = 32.0)
     }),
     // Full reference adaptive-policy search (ef/exact/oversample/nprobe all
     // size-derived — advanced_indexing.py:230-261). At oracle scale the
@@ -515,7 +541,8 @@ object SparkEntry {
     "ann_policy_search" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
-      Ann.policySearch(points, q, k = 10, threshold = 0.1)
+      Ann.policySearch(points, q, k = 10, threshold = 0.1,
+        meta = Some(indexMeta(s, dir)))
     }),
     // Near-dup pair graph → transitive dedup clusters (iterative min-label
     // connected components; oracle = DuckDB recursive CTE).
@@ -622,6 +649,13 @@ object SparkEntry {
     s"""list_reduce([0::BIGINT] || list_transform(range(least(len($ne), 64)), j ->
        |    CASE WHEN $ne[j+1] > 0 THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)::BIGINT ELSE 1::BIGINT << j END)
        |         ELSE 0::BIGINT END), (a,b) -> a | b)""".stripMargin
+  /** Oracle-side glob of the persisted trained-centroid side table: the
+    * current-build alias (one scale dir per Verify JVM, and the indexed
+    * store's `_centroids` side table is written from the same trained
+    * DataFrame, so one alias serves both the kmeans and indexed oracles). */
+  private def kmOracleGlob = s"'$kmeansAlias/*.parquet'"
+  private def idxOracleGlob = kmOracleGlob
+
   private def dict(l: String): String =
     graft.functions.TextOps.StopwordDicts(l).map(w => s"'$w'").mkString("[", ",", "]")
   private def swRatio(l: String): String =
@@ -917,7 +951,7 @@ object SparkEntry {
     // so assignment/probe/top-k stay hash-checked end to end).
     "ann_ivf_kmeans" ->
       s"""WITH $C,
-         |cent AS (SELECT cid, ce FROM read_parquet('/tmp/graft_kmeans_centroids/*.parquet')),
+         |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),
          |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
          |  row_number() OVER (PARTITION BY c.id
          |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
@@ -1276,13 +1310,17 @@ object SparkEntry {
          |FROM r JOIN tg ON r.user_id = tg.user_id
          |WHERE r.rank_in_group <= 3
          |ORDER BY tg.group_rank, r.rank_in_group""".stripMargin,
+    // tie-inclusive phase 1: every row scoring >= the 40th cheap score
+    // survives (mirrors Quantization.twoPhase tieInclusive)
     "binary_quant_search" ->
       s"""WITH $C,
          |sg AS (SELECT id, user_id, ne, ${bsig("ne")} AS sig FROM c),
          |q AS (SELECT ne AS qe, sig AS qsig FROM sg WHERE id = 0),
-         |p1 AS (SELECT sg.id, sg.user_id, sg.ne, q.qe,
-         |  (64 - bit_count(xor(sg.sig, q.qsig)))::INT AS cheap_score
-         |  FROM sg, q ORDER BY cheap_score DESC, id ASC LIMIT 40)
+         |p0 AS (SELECT sg.id, sg.user_id, sg.ne, q.qe,
+         |  (64 - bit_count(xor(sg.sig, q.qsig)))::INT AS cheap_score FROM sg, q),
+         |cut AS (SELECT min(cheap_score) AS cs FROM
+         |  (SELECT cheap_score FROM p0 ORDER BY cheap_score DESC, id ASC LIMIT 320)),
+         |p1 AS (SELECT p0.* FROM p0, cut WHERE p0.cheap_score >= cut.cs)
          |SELECT id, round(list_dot_product(ne, qe), 6) AS score, cheap_score, user_id
          |FROM p1 ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "stratified_sample" ->
@@ -1312,9 +1350,11 @@ object SparkEntry {
     // Indexed read paths return the same answers as their on-the-fly twins
     // (the stored sig/pq/cid columns are deterministic functions of the
     // embeddings), so each oracle recomputes the index from the raw table.
+    // cells/probes come from the SAME persisted trained-centroid side table
+    // the store was bucketed by (saveIndexed writes it next to the data)
     "indexed_ivf_search" ->
       s"""WITH $C,
-         |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 16),
+         |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),
          |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
          |  row_number() OVER (PARTITION BY c.id
          |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
@@ -1340,9 +1380,11 @@ object SparkEntry {
       s"""WITH $C,
          |sg AS (SELECT id, user_id, ne, ${bsig("ne")} AS sig FROM c),
          |q AS (SELECT ne AS qe, sig AS qsig FROM sg WHERE id = 0),
-         |p1 AS (SELECT sg.id, sg.user_id, sg.ne, q.qe,
-         |  (64 - bit_count(xor(sg.sig, q.qsig)))::INT AS cheap_score
-         |  FROM sg, q ORDER BY cheap_score DESC, id ASC LIMIT 40)
+         |p0 AS (SELECT sg.id, sg.user_id, sg.ne, q.qe,
+         |  (64 - bit_count(xor(sg.sig, q.qsig)))::INT AS cheap_score FROM sg, q),
+         |cut AS (SELECT min(cheap_score) AS cs FROM
+         |  (SELECT cheap_score FROM p0 ORDER BY cheap_score DESC, id ASC LIMIT 320)),
+         |p1 AS (SELECT p0.* FROM p0, cut WHERE p0.cheap_score >= cut.cs)
          |SELECT id, round(list_dot_product(ne, qe), 6) AS score, cheap_score, user_id
          |FROM p1 ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     // sf0.01 collection (2000 points) < 10k -> the policy's exact tier.

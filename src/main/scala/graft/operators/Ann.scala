@@ -48,13 +48,24 @@ object Ann {
     * ([[graft.sources.CollectionStore.saveIndexed]]). */
   def ivfAssign(points: DataFrame, centroids: DataFrame): DataFrame = {
     val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
-    val cids = rows.map(_.getLong(0)).toSeq
-    val cents = rows.map(_.getSeq[Double](1)).toSeq
-    points.withColumn("cid",
-      graft.plans.VectorExpressions.nearestCentroid(col("embedding"), cids, cents))
+    ivfAssign(points, rows.map(_.getLong(0)).toSeq,
+      rows.map(_.getSeq[Double](1)).toSeq)
   }
 
-  /** Deterministic seed centroids: the (normalized) vectors of ids < c. */
+  /** Literal-centroid assignment: the caller already holds the centroid
+    * arrays (an [[IndexMeta]]) — zero Spark jobs at query construction. */
+  def ivfAssign(points: DataFrame, cids: Seq[Long],
+      cents: Seq[Seq[Double]]): DataFrame =
+    points.withColumn("cid",
+      graft.plans.VectorExpressions.nearestCentroid(col("embedding"), cids, cents))
+
+  /** Deterministic seed centroids: the (normalized) vectors of ids < c.
+    * A BUCKETING quantizer, not a serving one: cells are well-defined and
+    * cross-engine reproducible (what the dedup/knn-join candidate
+    * generators and the oracle-mirrored `ann_ivf_search` need), but as a
+    * Voronoi quantizer it is poor — serving paths ([[adaptiveSearch]],
+    * [[policySearch]], the indexed store) use [[kmeansCentroids]] with an
+    * [[IndexMeta]]-calibrated nprobe instead. */
   def seedCentroids(points: DataFrame, c: Int): DataFrame =
     points.filter(col("id") < c)
       .select(col("id").as("cid"), col("embedding").as("ce"))
@@ -107,6 +118,25 @@ object Ann {
       .select(col("id"), col("score"), col("user_id"))
   }
 
+  /** Literal-centroid IVF search: probe selection is the map-side codegen
+    * [[graft.plans.TopCentroids]] over the cached centroid arrays (same
+    * rounded-score/cid-tiebreak order as [[probeCids]]) — no centroid scan,
+    * no crossJoin, zero jobs at query construction. */
+  def ivfSearch(
+      assigned: DataFrame, cids: Seq[Long], cents: Seq[Seq[Double]],
+      queryDf: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val probes = queryDf.select(explode(
+      graft.plans.VectorExpressions.topCentroids(
+        col("qemb"), cids, cents, nprobe)).as("cid"))
+    assigned
+      .join(broadcast(probes), Seq("cid"), "left_semi")
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("score", rdot(col("embedding"), col("qemb")))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
   /** Sign-LSH bucket signature as a bit string. `hyperplanes` are plain
     * Scala vectors (index parameters — tiny, embedded as literals so the
     * hot path is flat codegen'd expressions, the distributed analogue of
@@ -136,7 +166,17 @@ object Ann {
   /** Multi-probe sign-LSH: probe the query's bucket AND every bucket at
     * Hamming distance 1 (flip each signature bit) — the standard recall
     * recovery for sign-LSH (probing 1+b buckets instead of widening
-    * buckets). Still one broadcast semi-join on the bucket key. */
+    * buckets). Still one broadcast semi-join on the bucket key.
+    *
+    * NOT a serving-quality top-k path on this data, by measurement: at
+    * 64 dims the top-10 neighbors of a query sit at modest cosines, where
+    * sign bits carry almost no signal (measured recall@10 0.112 at sf0.1
+    * — same effect [[Dedup.embeddingCosinePairs]] documents for the
+    * near-dup threshold regime). It is a BUCKETING primitive: recall is
+    * high exactly when the neighbor is near-duplicate-close (the regime
+    * dedup uses it in). The serving policy ([[adaptiveParams]] /
+    * [[policySearch]]) routes exclusively exact-vs-IVF and can never
+    * select an LSH path — asserted in AnnSpec. */
   def lshSearchMultiProbe(
       points: DataFrame, queryDf: DataFrame,
       hyperplanes: Seq[Seq[Double]], k: Int): DataFrame = {
@@ -163,20 +203,36 @@ object Ann {
   }
 
   /** Adaptive physical-path choice (reference Q9): exact brute force below
-    * `fullScanThreshold` points, IVF above. Pass `knownCount` (cached once
-    * per collection version by a serving layer) to avoid the per-query
-    * count job; absent, the count is a cheap metadata read for parquet. */
+    * `fullScanThreshold` points, IVF above.
+    *
+    * The IVF branch is driven by an [[IndexMeta]] when the serving layer
+    * holds one (the normal case — built once per collection version):
+    * KMeans-TRAINED centroids and an nprobe derived from `recallTarget`
+    * via the calibrated recall curve, never the first-k seed quantizer
+    * (measured 0.575 recall@10 at nprobe=4/16 — not a shippable serving
+    * path). Without a meta, centroids are trained on the spot (correct but
+    * pays the build cost inside the query). `knownCount` falls back to the
+    * meta's cached count, then to a count job. */
   def adaptiveSearch(
       points: DataFrame, queryDf: DataFrame, k: Int, threshold: Double,
       fullScanThreshold: Long = 20000, nCentroids: Int = 16,
-      nprobe: Int = 4, knownCount: Option[Long] = None): DataFrame = {
-    val size = knownCount.getOrElse(points.count())
+      nprobe: Int = 4, knownCount: Option[Long] = None,
+      meta: Option[IndexMeta] = None,
+      recallTarget: Double = 0.95): DataFrame = {
+    val size = knownCount.orElse(meta.map(_.knownCount))
+      .getOrElse(points.count())
     if (size <= fullScanThreshold)
       Search.knn(points, queryDf, k, threshold)
-    else {
-      val cents = seedCentroids(points, nCentroids)
-      ivfSearch(ivfAssign(points, cents), cents, queryDf, nprobe, k)
-        .filter(col("score") >= threshold)
+    else meta match {
+      case Some(m) =>
+        val p = math.max(nprobe, m.nprobeFor(recallTarget))
+        ivfSearch(ivfAssign(points, m.cids, m.cents), m.cids, m.cents,
+          queryDf, p, k)
+          .filter(col("score") >= threshold)
+      case None =>
+        val cents = kmeansCentroids(points, nCentroids)
+        ivfSearch(ivfAssign(points, cents), cents, queryDf, nprobe, k)
+          .filter(col("score") >= threshold)
     }
   }
 
@@ -217,20 +273,39 @@ object Ann {
 
   /** Search driven end-to-end by [[adaptiveParams]] — the engine analogue of
     * the reference calling optimize_search_parameters before every query:
-    * exact scan when the policy says so, else IVF over ef-derived probes;
-    * when the policy enables quantized rescoring, the probed cells go
-    * through the INT8 two-phase path with the policy's oversampling. */
+    * exact scan when the policy says so, else IVF over probes sized to the
+    * LARGER of the ef-derived breadth and the recall-calibrated count
+    * ([[IndexMeta.nprobeFor]] — the policy's ef is a candidate-volume
+    * floor, the calibrated nprobe is the accuracy floor); when the policy
+    * enables quantized rescoring, the probed cells go through the INT8
+    * two-phase path with the policy's oversampling. Centroids are the
+    * meta's TRAINED set, or trained on the spot without one — the ANN tier
+    * never serves from the seed quantizer. */
   def policySearch(
       points: DataFrame, queryDf: DataFrame, k: Int, threshold: Double,
       knownCount: Option[Long] = None, nCentroids: Int = 16,
-      quantizationEnabled: Boolean = true): DataFrame = {
-    val size = knownCount.getOrElse(points.count())
+      quantizationEnabled: Boolean = true,
+      meta: Option[IndexMeta] = None,
+      recallTarget: Double = 0.95): DataFrame = {
+    val size = knownCount.orElse(meta.map(_.knownCount))
+      .getOrElse(points.count())
     val p = adaptiveParams(size, k, nCentroids, quantizationEnabled)
     if (p.useExact) Search.knn(points, queryDf, k, threshold)
     else {
-      val cents = seedCentroids(points, nCentroids)
-      val cells = ivfAssign(points, cents)
-        .join(broadcast(probeCids(cents, queryDf, p.nprobe)), Seq("cid"), "left_semi")
+      val (cids, cents) = meta match {
+        case Some(m) => (m.cids, m.cents)
+        case None =>
+          val c = kmeansCentroids(points, nCentroids)
+            .select(col("cid"), col("ce")).orderBy("cid").collect()
+          (c.map(_.getLong(0)).toSeq, c.map(_.getSeq[Double](1)).toSeq)
+      }
+      val np = math.max(p.nprobe,
+        meta.map(_.nprobeFor(recallTarget)).getOrElse(p.nprobe))
+      val probes = queryDf.select(explode(
+        graft.plans.VectorExpressions.topCentroids(
+          col("qemb"), cids, cents, np)).as("cid"))
+      val cells = ivfAssign(points, cids, cents)
+        .join(broadcast(probes), Seq("cid"), "left_semi")
       val hits = p.oversample match {
         case Some(os) => Quantization.twoPhaseSearch(cells, queryDf, k, os)
         case None =>

@@ -57,19 +57,43 @@ object Quantization {
     * code column the phase-1 parquet scan schema is (id, code): 64× (sign)
     * or 4-8× (int8) less I/O than the embedding column, which is the entire
     * point of quantization at 100 TB. The join-back is a broadcast of
-    * ≤fetchK ids against the store. */
+    * ≤fetchK ids against the store.
+    *
+    * `tieInclusive`: when the cheap score is COARSE (the 64-dim Hamming
+    * agreement has only 65 distinct values), a blind `LIMIT fetchK` cuts
+    * through a tie band at the boundary and drops true neighbors en masse
+    * (measured recall 0.4 at sf0.1). Instead phase 1 computes the fetchK-th
+    * score (a TakeOrdered on the tiny code projection) and keeps EVERY row
+    * scoring >= it — the survivor set is then a deterministic function of
+    * the data with no id-order dependence, and recall is governed by the
+    * quantizer's resolution, not by tie-breaking luck. Cost: one extra
+    * pass over the (id, code) projection; the cutoff travels as a broadcast
+    * scalar, never a driver collect. */
   private def twoPhase(
       points: DataFrame, q: DataFrame, k: Int, fetchK: Int,
-      codeCol: String, onTheFly: Column, cheapScore: Column): DataFrame = {
+      codeCol: String, onTheFly: Column, cheapScore: Column,
+      tieInclusive: Boolean = false): DataFrame = {
     val phase1Src =
       if (points.columns.contains(codeCol)) points.select(col("id"), col(codeCol))
       else points.select(col("id"), onTheFly.as(codeCol))
-    val survivors = phase1Src
+    val scored = phase1Src
       .crossJoin(broadcast(q))
       .withColumn("cheap_score", cheapScore)
-      .orderBy(desc("cheap_score"), asc("id"))
-      .limit(fetchK)
-      .select(col("id"), col("cheap_score"), col("qemb"))
+    val survivors =
+      if (tieInclusive) {
+        val cutoff = scored
+          .orderBy(desc("cheap_score"), asc("id"))
+          .limit(fetchK)
+          .agg(min("cheap_score").as("cutoff_score"))
+        scored
+          .crossJoin(broadcast(cutoff))
+          .filter(col("cheap_score") >= col("cutoff_score"))
+          .select(col("id"), col("cheap_score"), col("qemb"))
+      } else
+        scored
+          .orderBy(desc("cheap_score"), asc("id"))
+          .limit(fetchK)
+          .select(col("id"), col("cheap_score"), col("qemb"))
     points.select(col("id"), col("embedding"), col("user_id"))
       .join(broadcast(survivors), Seq("id"))
       .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
@@ -78,19 +102,27 @@ object Quantization {
   }
 
   /** Binary-quantized two-phase search: phase 1 ranks on sign-agreement
-    * (8-byte signatures, XOR+POPCNT kernel), keeps k·oversample; phase 2
-    * rescores the survivors exactly. Binary quantization is coarser than
-    * INT8, so the default oversampling is higher (4.0 vs 3.0). Both phases
-    * rank deterministically (rounded/int scores, id tiebreak). Reads a
-    * precomputed `sig` column when present. */
+    * (8-byte signatures, XOR+POPCNT kernel), keeps every row tied with the
+    * (k·oversample)-th agreement score (tie-inclusive — see [[twoPhase]]:
+    * with 65 distinct Hamming values, boundary ties are the recall killer);
+    * phase 2 rescores the survivors exactly. Binary quantization is coarser
+    * than INT8, so the default oversampling is much higher (32 vs 3):
+    * against weakly-correlated true neighbors (the top-10 of a random
+    * query sits at cosine ~0.4, barely 2σ above the sign-agreement bulk)
+    * a shallow phase 1 provably can't reach high recall — the fetch depth,
+    * not the tie handling alone, buys the accuracy. Even at 32× the
+    * survivors are ~k·32 rows of a corpus, and phase 1 still reads only
+    * the 8-byte signature column. Both phases rank deterministically
+    * (rounded/int scores, id tiebreak). Reads a precomputed `sig` column
+    * when present. */
   def binaryTwoPhaseSearch(
       points: DataFrame, queryDf: DataFrame, k: Int,
-      oversample: Double = 4.0): DataFrame = {
+      oversample: Double = 32.0): DataFrame = {
     val fetchK = math.max(k, (k * oversample).toInt)
     val q = queryDf.select(col("qemb"), signPack(col("qemb")).as("qsig"))
     twoPhase(points, q, k, fetchK, "sig",
       signPack(col("embedding")),
-      hammingScore(col("sig"), col("qsig")))
+      hammingScore(col("sig"), col("qsig")), tieInclusive = true)
       .select(col("id"), col("score"), col("cheap_score"), col("user_id"))
   }
 

@@ -89,12 +89,23 @@ class IndexedStoreSpec extends SparkSpec {
     val small = Ann.policySearch(points, q, 10, 0.1)
       .select("id").as[Long].collect().toSeq
     assert(small == exact)
-    // pretend the collection is 200k points: IVF + quantized-rescore path
+    // pretend the collection is 200k points: IVF + quantized-rescore path.
+    // Without a meta, nprobe comes from the policy's ef/size model alone
+    // (sized for the CLAIMED 200k corpus -> shallow on 500 points): only
+    // self-retrieval is contractual.
     val forced = Ann.policySearch(points, q, 10, 0.1,
       knownCount = Some(200000L))
       .select("id").as[Long].collect().toSet
     assert(forced.contains(0L), "self must survive the ANN policy path")
-    assert((forced intersect exact.toSet).size >= 5,
-      s"policy ANN recall too low: $forced vs $exact")
+    // With the serving meta (trained centroids + calibrated recall curve),
+    // the recall target governs nprobe and the ANN tier stays accurate.
+    val meta0 = graft.operators.IndexMeta.build(
+      points, Ann.kmeansCentroids(points, 16, 5), Seq.empty, k = 10)
+    val meta = meta0.copy(knownCount = 200000L) // keep the forced ANN tier
+    val served = Ann.policySearch(points, q, 10, 0.1, meta = Some(meta))
+      .select("id").as[Long].collect().toSet
+    assert(served.contains(0L))
+    assert((served intersect exact.toSet).size >= 8,
+      s"meta-driven policy ANN recall too low: $served vs $exact")
   }
 }
