@@ -94,6 +94,23 @@ object SparkEntry {
     })
   }
 
+  /** FAISS IndexFlat migration fixture (same lifecycle as [[npyFixture]]):
+    * the embeddings table written ONCE per JVM per scale dir as a real
+    * IndexFlatIP file — the foreign FAISS export the S6 bulk loader's
+    * second branch ingests. Deliverable under test: the distributed
+    * byte-range reconstruct_n READER. */
+  private val faissBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def faissFixture(s: SparkSession, dir: String): String = {
+    val path = "/tmp/graft_faiss_" + san(dir) + ".index"
+    faissBuilt.computeIfAbsent(path, _ => {
+      val rows = s.read.parquet(s"$dir/embeddings.parquet")
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Float](0).toArray)
+      graft.sources.FaissSource.writeIndexFlat(path, rows)
+      path
+    })
+  }
+
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -141,6 +158,19 @@ object SparkEntry {
     // oracle's direct parquet read.
     "migrate_npy" -> ((s, dir) => {
       val vecs = graft.sources.NpySource.readVectors(s, npyFixture(s, dir))
+      vecs.select(col("vec_id").as("id"),
+        concat(lit("migrated_user_"), col("vec_id").cast("string")).as("user_id"),
+        size(col("embedding")).as("dim"),
+        round(graft.functions.VectorOps.dot(col("embedding"), col("embedding")), 6)
+          .as("sq_norm"))
+        .orderBy("id")
+    }),
+    // S6 second branch: bulk load from a real FAISS IndexFlat file via the
+    // suffix-dispatching loader — distributed reconstruct_n; per-row squared
+    // norm proves byte-exact float32 parsing against the oracle's direct
+    // parquet read (same contract as migrate_npy).
+    "migrate_faiss" -> ((s, dir) => {
+      val vecs = graft.sources.FaissSource.readVectors(s, faissFixture(s, dir))
       vecs.select(col("vec_id").as("id"),
         concat(lit("migrated_user_"), col("vec_id").cast("string")).as("user_id"),
         size(col("embedding")).as("dim"),
@@ -1153,6 +1183,11 @@ object SparkEntry {
          |FROM s WHERE score >= 0.15
          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "migrate_npy" ->
+      """SELECT vec_id AS id, 'migrated_user_' || vec_id AS user_id,
+        |  len(embedding)::INT AS dim,
+        |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq_norm
+        |FROM embeddings ORDER BY id""".stripMargin,
+    "migrate_faiss" ->
       """SELECT vec_id AS id, 'migrated_user_' || vec_id AS user_id,
         |  len(embedding)::INT AS dim,
         |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq_norm

@@ -83,8 +83,24 @@ object CollectionStore {
     * ingest like every other write path. Returns the collection-shaped
     * frame ready for [[save]]. */
   def migrateNpy(spark: SparkSession, npyPath: String,
+      metadata: Option[DataFrame] = None): DataFrame =
+    migrateVectors(spark, NpySource.readVectors(spark, npyPath), metadata)
+
+  /** Bulk load dispatch on file suffix, exactly the reference's branch
+    * (migrate_from_faiss.py:66-72): `.npy` → the NumPy matrix reader,
+    * anything else → the FAISS IndexFlat reader (whose byte-range read IS
+    * reconstruct_n for a flat index). Both feed the same normalize +
+    * identity pipeline. */
+  def bulkLoad(spark: SparkSession, path: String,
       metadata: Option[DataFrame] = None): DataFrame = {
-    val vecs = NpySource.readVectors(spark, npyPath)
+    val vecs =
+      if (path.endsWith(".npy")) NpySource.readVectors(spark, path)
+      else FaissSource.readVectors(spark, path)
+    migrateVectors(spark, vecs, metadata)
+  }
+
+  private def migrateVectors(spark: SparkSession, vecs: DataFrame,
+      metadata: Option[DataFrame]): DataFrame = {
     val withMeta = metadata match {
       case Some(m) => vecs.join(m, Seq("vec_id"))
       case None => vecs.withColumn("user_id",
