@@ -62,6 +62,57 @@ object CollectionStore {
   def loadIndexed(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(path), spark.read.parquet(path + "_centroids"))
 
+  /** Persist a collection id-BUCKETED: `bucket = id mod nBuckets` as a
+    * partition directory. This is the mutation-friendly layout: an upsert
+    * batch touches only the buckets its ids hash to, so a merge rewrites
+    * those directories and nothing else ([[mergeBucketed]]) — O(batch ∪
+    * affected buckets), not O(store). Ids are uniform, so buckets stay
+    * balanced without salting; at 100 TB `nBuckets` scales with the store
+    * (e.g. ~1 bucket per few GB) keeping per-merge rewrite volume flat. */
+  def saveBucketed(points: DataFrame, path: String, nBuckets: Int): Unit =
+    points
+      .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+
+  /** Read a bucketed store back (bucket column dropped — layout detail). */
+  def loadBucketed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("bucket")
+
+  /** Merge an upsert batch into a bucketed store INCREMENTALLY: last-write-
+    * wins against only the buckets containing batch ids, written back via
+    * dynamic partition overwrite — untouched bucket directories keep their
+    * files byte-for-byte (spec-asserted). The batch's bucket set is a tiny
+    * driver collect (≤nBuckets ints); the read of the affected buckets is
+    * partition-pruned. This is the O(batch)-not-O(store) ingest the
+    * streaming write path uses per micro-batch. */
+  def mergeBucketed(spark: SparkSession, path: String, adds: DataFrame,
+      nBuckets: Int): Unit = {
+    val withBucket = adds
+      .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    val merged =
+      if (!exists) withBucket
+      else {
+        val affected = withBucket.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val existing = spark.read.parquet(path)
+          .filter(col("bucket").isin(affected: _*))
+        Collection.upsert(existing, withBucket)
+      }
+    // materialize BEFORE the overwrite: cuts the lineage back to `path`
+    // so affected buckets aren't read while being rewritten
+    merged.localCheckpoint()
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+  }
+
   /** Bulk migration (reference migrate_from_faiss.run_migration:153-255):
     * normalize source embeddings, attach ids/payload, one distributed
     * write — Spark's task parallelism replaces the reference's manual

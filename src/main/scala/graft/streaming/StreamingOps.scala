@@ -101,12 +101,17 @@ object StreamingOps {
   /** Streaming vector ingest — the reference's write path (batched upserts,
     * scripts/migrate_from_faiss.py migrate_batch / POST add_batch) driven
     * from a stream: each micro-batch L2-normalizes its vectors and merges
-    * into the persisted collection store with last-write-wins semantics
-    * inside `foreachBatch`. Checkpointed source offsets + an idempotent
-    * LWW merge give end-to-end exactly-once: re-running with the same
-    * checkpoint reprocesses nothing (spec-verified). Returns the final
-    * store count. */
-  def ingestStream(spark: SparkSession, sfDir: String, destPath: String): Long = {
+    * into the persisted id-BUCKETED collection store with last-write-wins
+    * semantics inside `foreachBatch`
+    * ([[graft.sources.CollectionStore.mergeBucketed]] — only the bucket
+    * directories containing batch ids rewrite, so the per-batch cost is
+    * O(batch ∪ affected buckets), never O(store): a 1k-row micro-batch
+    * against a 100 TB store touches ~1k bucket files, not the corpus).
+    * Checkpointed source offsets + an idempotent LWW merge give end-to-end
+    * exactly-once: re-running with the same checkpoint reprocesses nothing
+    * (spec-verified). Returns the final store count. */
+  def ingestStream(spark: SparkSession, sfDir: String, destPath: String,
+      nBuckets: Int = 16): Long = {
     import graft.operators.Collection
     import graft.sources.CollectionStore
     val batchSchema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
@@ -119,22 +124,14 @@ object StreamingOps {
         val adds = Collection.withNormalized(batch)
           .select(col("vec_id").as("id"), col("nemb").as("embedding"),
             col("label").as("user_id"), col("vec_id").cast("double").as("ts"))
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val exists = fs.exists(new org.apache.hadoop.fs.Path(destPath))
-        val merged =
-          if (exists) Collection.upsert(CollectionStore.load(spark, destPath), adds)
-          else adds
-        // materialize BEFORE the overwrite: cuts the lineage back to
-        // destPath so the store isn't read while being rewritten
-        CollectionStore.save(merged.localCheckpoint(), destPath)
+        CollectionStore.mergeBucketed(spark, destPath, adds, nBuckets)
         ()
       }
       .option("checkpointLocation", destPath + "_ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    CollectionStore.load(spark, destPath).count()
+    CollectionStore.loadBucketed(spark, destPath).count()
   }
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

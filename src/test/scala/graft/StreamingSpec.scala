@@ -29,6 +29,52 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == n1)
   }
 
+  test("bucketed merge rewrites ONLY the buckets containing batch ids") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.CollectionStore
+    val dest = java.nio.file.Files.createTempDirectory("bucketed")
+      .resolve("store").toString
+    val base = graft.operators.Collection.load(spark, sf001)
+    CollectionStore.saveBucketed(base, dest, nBuckets = 8)
+    // file inventory: path -> (size, mtime)
+    def files(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dest))
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      finally s.close()
+    }
+    val before = files()
+    assert(before.nonEmpty)
+    // batch touching only bucket 3 (ids ≡ 3 mod 8), newer ts wins
+    val adds = base.filter($"id" % 8 === 3)
+      .withColumn("ts", $"ts" + 10000.0)
+      .withColumn("user_id", lit(777).cast("int"))
+    CollectionStore.mergeBucketed(spark, dest, adds, nBuckets = 8)
+    val after = files()
+    def bucketOf(p: String): String =
+      "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("?")
+    for (b <- 0 until 8 if b != 3) {
+      val bs = b.toString
+      assert(before.filter(kv => bucketOf(kv._1) == bs) ==
+        after.filter(kv => bucketOf(kv._1) == bs),
+        s"untouched bucket $b was rewritten")
+    }
+    assert(before.keySet.filter(p => bucketOf(p) == "3") !=
+      after.keySet.filter(p => bucketOf(p) == "3"),
+      "affected bucket 3 must have new files")
+    // LWW applied, count unchanged
+    val merged = CollectionStore.loadBucketed(spark, dest)
+    assert(merged.count() == base.count())
+    val u = merged.filter($"id" % 8 === 3)
+      .select($"user_id".cast("long")).distinct().as[Long].collect().toSeq
+    assert(u == Seq(777L), s"bucket-3 rows not upserted: $u")
+  }
+
   test("streamed dedup distinct-users equals batch count(DISTINCT)") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.distinctUsersStream(spark, sf001).collect()
