@@ -8,6 +8,56 @@ import org.apache.spark.sql.SparkSession
   * BenchmarkSuite likewise excludes its first-batch warmup outlier —
   * BASELINE.md batch-add max 2863ms note). */
 object Bench {
+
+  /** Concurrent-search throughput phase — the analogue of the reference's
+    * BenchmarkSuite concurrent-QPS measurement
+    * (src/utils/performance.py:258-484, the ">1000 QPS" headline): N
+    * driver threads issue independent top-k searches against the cached
+    * collection simultaneously (Spark local mode schedules the per-query
+    * jobs concurrently across the worker threads). Queries arrive as
+    * LITERAL vectors (collected once up front), the serving shape — a
+    * real request carries its embedding; no per-request scan-for-query
+    * job. Returns threads/queries/seconds/qps. */
+  def qpsPhase(spark: SparkSession, sfDir: String,
+      threads: Int = 16, queriesPerThread: Int = 25): Map[String, Double] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val points = graft.operators.Collection.load(spark, sfDir).cache()
+    val n = points.count() // materializes the cache
+    val nQ = math.min(threads * queriesPerThread, n).toInt
+    val qVecs = points.filter(col("id") < nQ)
+      .select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // one warm search compiles the codegen outside the timed section
+    graft.operators.Search.knn(points,
+      Seq(qVecs(0L)).toDF("qemb"), 10, 0.1).count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val futures = (0 until threads).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var i = 0
+          while (i < queriesPerThread) {
+            val qid = ((t * queriesPerThread + i) % nQ).toLong
+            val q = Seq(qVecs(qid)).toDF("qemb")
+            graft.operators.Search.knn(points, q, k = 10, threshold = 0.1)
+              .collect()
+            done.incrementAndGet()
+            i += 1
+          }
+        }
+      })
+    }
+    futures.foreach(_.get())
+    val secs = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    points.unpersist()
+    Map("threads" -> threads.toDouble,
+      "queries" -> done.get().toDouble,
+      "seconds" -> math.rint(secs * 1000) / 1000,
+      "qps" -> math.rint(done.get() / secs * 10) / 10)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,7 +96,13 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (m, r) => "\"" + m + "\":" + math.rint(r * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$recall,"sf":"$sfDir"}""")
+    // concurrent-search throughput (reference BenchmarkSuite QPS phase)
+    val qps = (try qpsPhase(spark, sfDir)
+      catch { case _: Throwable => Map.empty[String, Double] })
+      .toSeq.sortBy(_._1)
+      .map { case (m, v) => "\"" + m + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$recall,"qps":$qps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
