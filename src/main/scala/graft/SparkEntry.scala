@@ -153,6 +153,21 @@ object SparkEntry {
           col("ts") >= 10.0 && col("ts") <= 100000.0),
         projectExtra = Seq("confidence_score", "face_quality", "enrollment_group"))
     }),
+    // §1.4 open payload on the COLLECTION view: filter + project through
+    // the schemaless metadata map next to its typed twins (the oracle
+    // recomputes the values from the raw derivation, proving the map is a
+    // faithful open view of the payload).
+    "collection_payload_map" -> ((s, dir) => {
+      val points = Collection.loadWithMeta(s, dir)
+      points.filter(
+        element_at(col("metadata"), "enrollment_group") === "grp_2" &&
+          element_at(col("metadata"), "face_quality").cast("int") >= 50)
+        .select(col("id"), col("user_id"),
+          element_at(col("metadata"), "enrollment_group").as("meta_group"),
+          element_at(col("metadata"), "face_quality").cast("long").as("meta_quality"),
+          element_at(col("metadata"), "confidence_score").cast("double").as("meta_conf"))
+        .orderBy("id")
+    }),
     // S6: bulk load from a real .npy file — distributed byte-range reader;
     // per-row squared norm proves byte-exact float32 parsing against the
     // oracle's direct parquet read.
@@ -1187,6 +1202,16 @@ object SparkEntry {
         |  len(embedding)::INT AS dim,
         |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq_norm
         |FROM embeddings ORDER BY id""".stripMargin,
+    "collection_payload_map" ->
+      """WITH cx AS (SELECT vec_id AS id, label AS user_id,
+        |  round((('0x' || substring(md5('conf_' || vec_id), 1, 15))::BIGINT % 1000000)::DOUBLE / 1e6, 6) AS confidence_score,
+        |  (('0x' || substring(md5('fq_' || vec_id), 1, 15))::BIGINT % 100)::INT AS face_quality,
+        |  'grp_' || (('0x' || substring(md5('eg_' || vec_id), 1, 15))::BIGINT % 5) AS enrollment_group
+        |  FROM embeddings)
+        |SELECT id, user_id, enrollment_group AS meta_group,
+        |  face_quality::BIGINT AS meta_quality, confidence_score AS meta_conf
+        |FROM cx WHERE enrollment_group = 'grp_2' AND face_quality >= 50
+        |ORDER BY id""".stripMargin,
     "migrate_faiss" ->
       """SELECT vec_id AS id, 'migrated_user_' || vec_id AS user_id,
         |  len(embedding)::INT AS dim,

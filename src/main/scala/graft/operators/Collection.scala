@@ -63,6 +63,21 @@ object Collection {
         concat(lit("grp_"), pmod(h("eg_"), lit(5L)).cast("string")))
   }
 
+  /** The full §1.4 payload model on the collection view itself: the TYPED
+    * payload-indexed columns ([[loadWithPayload]]) AND the open
+    * schemaless `metadata` map carrying the same fields as strings — the
+    * engine analogue of Qdrant points holding an arbitrary JSON payload
+    * next to the indexed fields (src/core/qdrant_client.py:208-213).
+    * Map access (`element_at`) is a pure projection; predicates over the
+    * typed twins stay scan-pushable, which is why a real store indexes
+    * the hot fields and leaves the map open. */
+  def loadWithMeta(spark: SparkSession, sfDir: String): DataFrame =
+    loadWithPayload(spark, sfDir)
+      .withColumn("metadata", map(
+        lit("confidence_score"), col("confidence_score").cast("string"),
+        lit("face_quality"), col("face_quality").cast("string"),
+        lit("enrollment_group"), col("enrollment_group")))
+
   /** Add a `nemb` (normalized DOUBLE embedding) column, evaluating the norm
     * once per row. Ingest-path analogue of reference V1/V2 normalize. */
   def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame =
