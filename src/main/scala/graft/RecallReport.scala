@@ -30,13 +30,18 @@ object RecallReport {
     try {
       val n = points.count()
       val qids = (0 until nQueries).map(i => i * (n / nQueries))
-      // the serving index: trained centroids + calibrated probe count
-      // (same build parameters as SparkEntry's per-dir metadata)
-      val hps = points.filter(col("id") >= 100 && col("id") < 112)
-        .orderBy("id").select("embedding").collect()
-        .map(_.getSeq[Double](0).toSeq).toSeq
-      val meta = IndexMeta.build(points,
-        Ann.kmeansCentroids(points, k = 16, maxIter = 5), hps, k = k)
+      // the serving index: trained centroids + calibrated probe count.
+      // Same cache key as SparkEntry's per-dir metadata, so a bench run
+      // that already served the adaptive queries reuses the built index
+      // instead of training twice per JVM.
+      val meta = IndexMeta.forStore("entry_" + sfDir) {
+        val hps = points.filter(col("id") >= 100 && col("id") < 112)
+          .orderBy("id").select("embedding").collect()
+          .map(_.getSeq[Double](0).toSeq).toSeq
+        IndexMeta.build(points,
+          Ann.kmeansCentroids(points, k = 16, maxIter = 5), hps, k = k)
+      }
+      val hps = meta.hyperplanes
       val np = meta.nprobeFor(0.95)
       val assigned = Ann.ivfAssign(points, meta.cids, meta.cents).cache()
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =

@@ -298,6 +298,10 @@ object SparkEntry {
         .select(col("doc_id"), element_at(col("meta"), "lang").as("meta_lang"),
           element_at(col("meta"), "n_chars").cast("long").as("meta_chars"))
         .orderBy("doc_id")),
+    // Gopher repetition filter: char fractions covered by the top word /
+    // duplicated words / top bi- and tri-gram, keep decision at thresholds.
+    "repetition_filter" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(s.read.parquet(s"$dir/documents.parquet"))),
     "top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 20)),
     "tfidf" -> ((s, dir) =>
@@ -622,6 +626,18 @@ object SparkEntry {
           sum(when(col("_keep"), col("doc_id")).otherwise(0L)).cast("long")
             .as("sampled_id_sum"))
         .orderBy("lang")),
+    // Temperature-based source mixing (alpha=0.5): per-source sample with
+    // share ~ sqrt(n_source), 25% overall target.
+    "temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("source"), totalFrac = 0.25, salt = "tm")
+        .groupBy("source")
+        .agg(count("*").cast("long").as("n_total"),
+          sum(when(col("_keep"), 1L).otherwise(0L)).cast("long").as("n_sampled"),
+          sum(when(col("_keep"), col("doc_id")).otherwise(0L)).cast("long")
+            .as("sampled_id_sum"))
+        .orderBy("source")),
     // Deterministic 80/20 train/test split (independent salt).
     "train_test_split" -> ((s, dir) =>
       graft.operators.Sampling.trainTestSplit(
@@ -743,6 +759,44 @@ object SparkEntry {
     "payload_map_filter" ->
       """SELECT doc_id, lang AS meta_lang, n_chars AS meta_chars
         |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin,
+    "repetition_filter" ->
+      s"""WITH $W,
+         |base AS (SELECT doc_id, w,
+         |  list_reduce([0] || list_transform(w, x -> length(x)), (a,b) -> a+b)::BIGINT AS c FROM t),
+         |wc AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM
+         |  (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY 1, 2),
+         |topw AS (SELECT doc_id, cnt * length(word) AS v,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word ASC) AS rn
+         |  FROM wc WHERE cnt > 1),
+         |dupw AS (SELECT doc_id,
+         |  sum(CASE WHEN cnt > 1 THEN cnt * length(word) ELSE 0 END)::BIGINT AS v FROM wc GROUP BY doc_id),
+         |bc AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM
+         |  (SELECT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
+         |     i -> w[i+1] || ' ' || w[i+2])) AS g FROM t) GROUP BY 1, 2),
+         |topb AS (SELECT doc_id, cnt * (length(g) - 1) AS v,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+         |  FROM bc WHERE cnt > 1),
+         |tc AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM
+         |  (SELECT doc_id, unnest(list_transform(range(greatest(len(w)-2, 0)),
+         |     i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g FROM t) GROUP BY 1, 2),
+         |topt AS (SELECT doc_id, cnt * (length(g) - 2) AS v,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+         |  FROM tc WHERE cnt > 1),
+         |f AS (SELECT base.doc_id, base.c AS total_chars,
+         |  round(coalesce(topw.v, 0)::DOUBLE / greatest(base.c, 1), 6) AS top_word_frac,
+         |  round(coalesce(dupw.v, 0)::DOUBLE / greatest(base.c, 1), 6) AS dup_word_frac,
+         |  round(coalesce(topb.v, 0)::DOUBLE / greatest(base.c, 1), 6) AS top_bigram_frac,
+         |  round(coalesce(topt.v, 0)::DOUBLE / greatest(base.c, 1), 6) AS top_trigram_frac
+         |  FROM base
+         |  LEFT JOIN (SELECT doc_id, v FROM topw WHERE rn = 1) topw USING (doc_id)
+         |  LEFT JOIN dupw USING (doc_id)
+         |  LEFT JOIN (SELECT doc_id, v FROM topb WHERE rn = 1) topb USING (doc_id)
+         |  LEFT JOIN (SELECT doc_id, v FROM topt WHERE rn = 1) topt USING (doc_id))
+         |SELECT doc_id, total_chars, top_word_frac, dup_word_frac,
+         |  top_bigram_frac, top_trigram_frac,
+         |  (top_word_frac <= 0.20 AND dup_word_frac <= 0.40
+         |   AND top_bigram_frac <= 0.18 AND top_trigram_frac <= 0.16)::INT AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "top_terms" ->
       s"""WITH $W,
          |e AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM t)
@@ -1394,6 +1448,24 @@ object SparkEntry {
         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
         |  sum(CASE WHEN keep THEN doc_id ELSE 0 END)::BIGINT AS sampled_id_sum
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "temperature_mix" ->
+      """WITH cnt AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n)::BIGINT AS nn,
+        |  list_reduce([0.0::DOUBLE] || list(sqrt(n::DOUBLE) ORDER BY source), (a,b) -> a+b) AS ss
+        |  FROM cnt),
+        |rt AS (SELECT cnt.source, least(1000000::BIGINT,
+        |  floor((((0.25::DOUBLE * tot.nn::DOUBLE) * sqrt(cnt.n::DOUBLE))
+        |         / (tot.ss * cnt.n::DOUBLE)) * 1000000.0::DOUBLE)::BIGINT) AS cut
+        |  FROM cnt, tot),
+        |b AS (SELECT doc_id, source,
+        |  ('0x' || substring(md5('tm_' || doc_id), 1, 15))::BIGINT % 1000000 AS bk
+        |  FROM documents),
+        |k AS (SELECT b.source, b.doc_id, (b.bk < rt.cut) AS keep
+        |  FROM b JOIN rt ON b.source = rt.source)
+        |SELECT source, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+        |  sum(CASE WHEN keep THEN doc_id ELSE 0 END)::BIGINT AS sampled_id_sum
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "train_test_split" ->
       """WITH b AS (SELECT *,
         |    ('0x' || substring(md5('sp_' || doc_id), 1, 15))::BIGINT % 1000000 AS bk

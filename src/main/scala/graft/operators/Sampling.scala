@@ -52,4 +52,41 @@ object Sampling {
     df.withColumn("split",
       when(hashBucket(idCol, salt) < lit((trainFrac * Buckets).toLong),
         lit("train")).otherwise(lit("test")))
+
+  /** Temperature-based source mixing — the standard recipe for balancing a
+    * multi-source training corpus (sampling sources ∝ n^α with α < 1
+    * upweights small sources; α = 0.5 here, the multilingual-sampling
+    * default popularized by mBERT/XLM-R and used for dataset mixing at
+    * scale): target a `totalFrac` overall sample whose per-source share is
+    * ∝ √n_source, i.e. rate_s = min(1, totalFrac·N·√n_s / (Σ√ · n_s)),
+    * rounded to 6dp. Rates derive from the tiny per-source count table
+    * (one agg + driver fold in SOURCE ORDER — √ is IEEE-exact in any
+    * engine, and the ordered fold makes the Σ reproducible); membership
+    * is then the same salted-hash map-side filter as [[stratifiedSample]],
+    * so the pass over the corpus is shuffle-free. */
+  def temperatureMix(
+      df: DataFrame, idCol: Column, sourceCol: Column,
+      totalFrac: Double, salt: String): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("_src"))
+      .agg(count("*").as("_n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val sumSqrt = counts.foldLeft(0.0) { case (acc, (_, c)) =>
+      acc + math.sqrt(c.toDouble)
+    }
+    // integer bucket cutoffs (floor — identical in any IEEE engine given
+    // the same operation order), never a re-derived double rate
+    val cutoffs = counts.map { case (s, c) =>
+      s -> math.min(Buckets, math.floor(
+        totalFrac * n * math.sqrt(c.toDouble) / (sumSqrt * c.toDouble) * 1e6)
+        .toLong)
+    }
+    val cutoff = cutoffs.foldLeft(lit(0L)) { case (acc, (value, k)) =>
+      when(sourceCol === value, lit(k)).otherwise(acc)
+    }
+    df.withColumn("_bucket", hashBucket(idCol, salt))
+      .withColumn("_keep", col("_bucket") < cutoff)
+  }
 }

@@ -41,6 +41,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition filter (Rae et al. '21 "Scaling Language
+    * Models" Table A1: documents dominated by a repeated word/n-gram are
+    * removed before training): per doc, the fraction of characters covered
+    * by the most frequent word, by duplicated words, and by the top
+    * bi-/tri-gram, plus the keep decision at (adapted) Gopher thresholds.
+    * One map-side [[graft.plans.RepetitionCounts]] pass builds integer
+    * numerators per row — the whole filter is a shuffle-free projection at
+    * any corpus size; fractions are exact integer divisions rounded 6dp
+    * BEFORE thresholding (cross-engine determinism rule). */
+  def repetitionStats(
+      docs: DataFrame,
+      maxTopWord: Double = 0.20, maxDupWord: Double = 0.40,
+      maxTopBigram: Double = 0.18, maxTopTrigram: Double = 0.16): DataFrame = {
+    val r = graft.plans.TextExpressions.repetitionCounts(TextOps.words(col("text")))
+    def frac(num: Column): Column =
+      round(num.cast("double") / greatest(col("total_chars"), lit(1L)), 6)
+    docs
+      .withColumn("r", r)
+      .select(col("doc_id"), col("r.*"))
+      .withColumn("top_word_frac", frac(col("top_word_chars")))
+      .withColumn("dup_word_frac", frac(col("dup_word_chars")))
+      .withColumn("top_bigram_frac", frac(col("top_bigram_chars")))
+      .withColumn("top_trigram_frac", frac(col("top_trigram_chars")))
+      .withColumn("keep",
+        (col("top_word_frac") <= maxTopWord &&
+          col("dup_word_frac") <= maxDupWord &&
+          col("top_bigram_frac") <= maxTopBigram &&
+          col("top_trigram_frac") <= maxTopTrigram).cast("int"))
+      .select(col("doc_id"), col("total_chars"), col("top_word_frac"),
+        col("dup_word_frac"), col("top_bigram_frac"),
+        col("top_trigram_frac"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Stopword-dictionary language id: per-language hit ratio; prediction =
     * argmax with fixed priority (en,de,es,fr) and 'und' (undetermined) when
     * no dictionary hits. A classic n-gram/function-word heuristic — the

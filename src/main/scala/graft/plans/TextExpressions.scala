@@ -151,6 +151,103 @@ case class MinHashSig(child: Expression, k: Int, p: Long)
     copy(child = c)
 }
 
+/** Per-document repetition counts (the Gopher repetition-filter family —
+  * Rae et al. '21 Table A1 measures a document's fraction of characters
+  * covered by its most common word/n-gram and by duplicated n-grams) in
+  * ONE native pass over the word array. Returns integer numerators plus
+  * the char total so the caller forms fractions as exact-integer
+  * divisions (cross-engine bit-identical):
+  *
+  *   struct(total_chars,           Σ len(word)
+  *          top_word_chars,        count·len of the most frequent word
+  *          dup_word_chars,        Σ count·len over words with count>1
+  *          top_bigram_chars,      count·content-len of the top bigram
+  *          top_trigram_chars)     count·content-len of the top trigram
+  *
+  * Ties break lexicographically smallest (ASCII corpus — same order in
+  * DuckDB). Content length of an n-gram excludes the joining spaces. A
+  * map-side projection: the whole filter runs with zero shuffles at any
+  * corpus size. */
+case class RepetitionCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_chars", LongType, nullable = false),
+    StructField("top_word_chars", LongType, nullable = false),
+    StructField("dup_word_chars", LongType, nullable = false),
+    StructField("top_bigram_chars", LongType, nullable = false),
+    StructField("top_trigram_chars", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"repetition_counts expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val w = new Array[String](n)
+    var totalChars = 0L
+    var i = 0
+    while (i < n) {
+      w(i) = words.getUTF8String(i).toString
+      totalChars += w(i).length
+      i += 1
+    }
+    // top REPEATED gram = max by (count, then lexicographically smallest)
+    // among grams occurring >= 2 times (a gram seen once is not
+    // repetition — without this floor every short all-distinct doc would
+    // "repeat" its longest gram); value = count * content chars, 0 if
+    // nothing repeats
+    def top(counts: java.util.HashMap[String, Int],
+        contentLen: String => Int): Long = {
+      var bestGram: String = null
+      var bestCnt = 1
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        if (c > bestCnt || (c == bestCnt && bestGram != null &&
+            e.getKey.compareTo(bestGram) < 0)) {
+          bestGram = e.getKey; bestCnt = c
+        }
+      }
+      if (bestGram == null) 0L else bestCnt.toLong * contentLen(bestGram)
+    }
+    val wc = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i < n) { wc.merge(w(i), 1, Integer.sum _); i += 1 }
+    var dupWordChars = 0L
+    val wit = wc.entrySet().iterator()
+    while (wit.hasNext) {
+      val e = wit.next()
+      if (e.getValue > 1) dupWordChars += e.getValue.toLong * e.getKey.length
+    }
+    def gramCounts(k: Int): java.util.HashMap[String, Int] = {
+      val m = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j + k <= n) {
+        val sb = new java.lang.StringBuilder(w(j))
+        var l = 1
+        while (l < k) { sb.append(' ').append(w(j + l)); l += 1 }
+        m.merge(sb.toString, 1, Integer.sum _)
+        j += 1
+      }
+      m
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      totalChars,
+      top(wc, _.length),
+      dupWordChars,
+      top(gramCounts(2), g => g.length - 1),
+      top(gramCounts(3), g => g.length - 2))
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionCounts =
+    copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftBridge
   def hash60(s: Column): Column = GraftBridge.column(Hash60(GraftBridge.expression(s)))
@@ -158,4 +255,6 @@ object TextExpressions {
     GraftBridge.column(ShingleHashSet60(GraftBridge.expression(words), n))
   def minHashSig(sh: Column, k: Int, p: Long): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(sh), k, p))
+  def repetitionCounts(words: Column): Column =
+    GraftBridge.column(RepetitionCounts(GraftBridge.expression(words)))
 }

@@ -43,6 +43,32 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(sampled("de") - 100L) < 60, s"de=${sampled("de")}")
   }
 
+  test("temperature mix: small sources upweighted, overall fraction near target") {
+    // skewed corpus: one giant source, two small ones
+    val rows = (0 until 4000).map(i => (i.toLong, "big")) ++
+      (4000 until 4400).map(i => (i.toLong, "mid")) ++
+      (4400 until 4500).map(i => (i.toLong, "tiny"))
+    val df = rows.toDF("doc_id", "source")
+    val mixed = Sampling.temperatureMix(df, col("doc_id"), col("source"),
+      totalFrac = 0.25, salt = "tm")
+    val per = mixed.filter(col("_keep")).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val total = per.values.sum.toDouble
+    // overall near 25% of 4500 (binomial tolerance)
+    assert(math.abs(total - 1125) < 180, s"total=$total")
+    // sampling RATE must increase as source size decreases (alpha<1)
+    val rate = Map("big" -> per.getOrElse("big", 0L) / 4000.0,
+      "mid" -> per.getOrElse("mid", 0L) / 400.0,
+      "tiny" -> per.getOrElse("tiny", 0L) / 100.0)
+    assert(rate("tiny") > rate("mid") && rate("mid") > rate("big"), s"$rate")
+    // membership deterministic across repartitioning
+    val again = Sampling.temperatureMix(df.repartition(5), col("doc_id"),
+      col("source"), totalFrac = 0.25, salt = "tm")
+      .filter(col("_keep")).select("doc_id").as[Long].collect().toSet
+    assert(again == mixed.filter(col("_keep")).select("doc_id")
+      .as[Long].collect().toSet)
+  }
+
   test("train/test split is total, disjoint, and near the requested fraction") {
     val split = Sampling.trainTestSplit(docs, col("doc_id"), 0.8, salt = "sp")
     assert(split.count() == docs.count())

@@ -42,6 +42,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition filter: handcrafted fractions and keep decisions") {
+    val docs = Seq(
+      // "spam spam spam spam": one word covers 100% of chars -> dropped
+      (1L, "spam spam spam spam"),
+      // all-distinct words, no repeated grams -> kept
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // repeated bigram "go stop": 3x2 occurrences of 6 content chars
+      (3L, "go stop go stop go stop word tail ends the line here now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Long, Double, Double, Double, Double, Int)]
+      .collect().map(x => x._1 -> x).toMap
+    // doc 1: 16 chars, top word 4*4=16 -> frac 1.0, dropped
+    assert(r(1L)._2 == 16L && r(1L)._3 == 1.0 && r(1L)._7 == 0)
+    // doc 2: nothing repeats -> dup fraction 0, kept
+    assert(r(2L)._4 == 0.0 && r(2L)._7 == 1)
+    // doc 3: "go stop" occurs 3x, content 6 chars; total chars =
+    // 2+4+2+4+2+4+4+4+4+3+4+4+3 = 44 -> bigram frac 18/44
+    assert(math.abs(r(3L)._5 - math.rint(18.0 / 44 * 1e6) / 1e6) < 1e-9,
+      s"bigram frac ${r(3L)._5}")
+    // and the whole pass is shuffle-free (map-side projection)
+    val plan = TextAnalysis.repetitionStats(docs).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
+      s"repetition stats shuffled:\n$plan")
+  }
+
   test("minShared raises the flagging bar") {
     val eval = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq((200L, "alpha beta gamma unrelated tail")).toDF("doc_id", "text")
