@@ -43,6 +43,10 @@ object RecallReport {
       }
       val hps = meta.hyperplanes
       val np = meta.nprobeFor(0.95)
+      // the reference's own accuracy bar (99.2% recall@10 —
+      // PERFORMANCE_OPTIMIZATION_GUIDE.md:89): the same curve inversion
+      // at that target, showing parity is one parameter away
+      val npHi = meta.nprobeFor(0.992)
       val assigned = Ann.ivfAssign(points, meta.cids, meta.cents).cache()
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("id").collect().map(_.getLong(0)).toSet
@@ -53,14 +57,16 @@ object RecallReport {
           if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
         Map(
           "ivf" -> recall(ids(Ann.ivfSearch(assigned, meta.cids, meta.cents, q, np, k))),
+          "ivf_ref_target" -> recall(ids(Ann.ivfSearch(assigned, meta.cids, meta.cents, q, npHi, k))),
           "lsh_multiprobe" -> recall(ids(Ann.lshSearchMultiProbe(points, q, hps, k))),
           "binary_quant" -> recall(ids(Quantization.binaryTwoPhaseSearch(points, q, k))),
+          "cascade" -> recall(ids(Quantization.cascadeSearch(points, q, k))),
           "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))))
       }
       val out = perQuery.flatten.groupMapReduce(_._1)(_._2)(_ + _)
         .map { case (m, s) => m -> s / nQueries }
       assigned.unpersist()
-      out + ("ivf_nprobe" -> np.toDouble)
+      out + ("ivf_nprobe" -> np.toDouble) + ("ivf_ref_nprobe" -> npHi.toDouble)
     } finally {
       points.unpersist()
     }

@@ -560,6 +560,13 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Search.knnGroups(points, q, "user_id", groupSize = 3, k = 5, threshold = 0.1)
     }),
+    // Three-stage quantization cascade: binary prefilter -> int8 rescore
+    // -> exact top-k (each stage reads a smaller set at higher precision).
+    "cascade_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Quantization.cascadeSearch(points, q, k = 10)
+    }),
     // Binary (1-bit) quantization + Hamming-prefilter two-phase search.
     "binary_quant_search" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -1424,6 +1431,21 @@ object SparkEntry {
          |FROM r JOIN tg ON r.user_id = tg.user_id
          |WHERE r.rank_in_group <= 3
          |ORDER BY tg.group_rank, r.rank_in_group""".stripMargin,
+    "cascade_search" ->
+      s"""WITH $C,
+         |sg AS (SELECT id, user_id, ne, ${bsig("ne")} AS sig,
+         |  list_transform(ne, x -> greatest(-127, least(127, round(x*127)::INT))) AS pv FROM c),
+         |q AS (SELECT ne AS qe, sig AS qsig, pv AS qv FROM sg WHERE id = 0),
+         |p0 AS (SELECT sg.id, (64 - bit_count(xor(sg.sig, q.qsig)))::INT AS c1 FROM sg, q),
+         |cut AS (SELECT min(c1) AS cs FROM
+         |  (SELECT c1 FROM p0 ORDER BY c1 DESC, id ASC LIMIT 320)),
+         |s1 AS (SELECT p0.id FROM p0, cut WHERE p0.c1 >= cut.cs),
+         |p2 AS (SELECT sg.id,
+         |  round(list_dot_product(sg.pv::DOUBLE[], q.qv::DOUBLE[]) / 16129.0, 6) AS c2
+         |  FROM sg JOIN s1 USING (id), q ORDER BY c2 DESC, id ASC LIMIT 30),
+         |f AS (SELECT sg.id, round(list_dot_product(sg.ne, q.qe), 6) AS score, sg.user_id
+         |  FROM sg JOIN p2 USING (id), q)
+         |SELECT id, score, user_id FROM f ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     // tie-inclusive phase 1: every row scoring >= the 40th cheap score
     // survives (mirrors Quantization.twoPhase tieInclusive)
     "binary_quant_search" ->

@@ -126,6 +126,53 @@ object Quantization {
       .select(col("id"), col("score"), col("cheap_score"), col("user_id"))
   }
 
+  /** Cascaded THREE-stage search: 1-bit Hamming prefilter (tie-inclusive,
+    * wide) → INT8 rescore of the survivors (narrow) → exact rescore of the
+    * int8 top k·int8Oversample. Each stage reads one strictly smaller set
+    * at one higher precision: at 100 TB stage 1 scans only the 8-byte
+    * `sig` column of the store, stage 2 reads the int8 codes of ~k·32
+    * rows, stage 3 touches the float column for ~k·3 rows — the standard
+    * quantization cascade (binary prefilter + scalar-quantized rescore is
+    * the design Qdrant documents for its own binary quantization; the
+    * reference enables the INT8 stage of it, settings.py:48-51). All
+    * three stages rank deterministically. */
+  def cascadeSearch(
+      points: DataFrame, queryDf: DataFrame, k: Int,
+      binaryOversample: Double = 32.0,
+      int8Oversample: Double = 3.0): DataFrame = {
+    val f1 = math.max(k, (k * binaryOversample).toInt)
+    val f2 = math.max(k, (k * int8Oversample).toInt)
+    val q = queryDf.select(col("qemb"),
+      signPack(col("qemb")).as("qsig"), quantize(col("qemb")).as("qq"))
+    val sigSrc =
+      if (points.columns.contains("sig")) points.select(col("id"), col("sig"))
+      else points.select(col("id"), signPack(col("embedding")).as("sig"))
+    val scored1 = sigSrc
+      .crossJoin(broadcast(q.select(col("qsig"))))
+      .withColumn("c1", hammingScore(col("sig"), col("qsig")))
+    val cut1 = scored1
+      .orderBy(desc("c1"), asc("id")).limit(f1)
+      .agg(min("c1").as("cut1"))
+    val s1 = scored1.crossJoin(broadcast(cut1))
+      .filter(col("c1") >= col("cut1")).select("id")
+    val pqSrc =
+      if (points.columns.contains("pq")) points.select(col("id"), col("pq"))
+      else points.select(col("id"), quantize(col("embedding")).as("pq"))
+    val s2 = pqSrc
+      .join(broadcast(s1), Seq("id"), "left_semi")
+      .crossJoin(broadcast(q.select(col("qq"))))
+      .withColumn("c2", round(int8Score(col("pq"), col("qq")), 6))
+      .orderBy(desc("c2"), asc("id")).limit(f2)
+      .select("id")
+    points.select(col("id"), col("embedding"), col("user_id"))
+      .join(broadcast(s2), Seq("id"))
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
   /** INT8 two-phase search: rank all points by the int8 score, keep
     * k·oversample, rescore exactly, return top-k. Reads a precomputed `pq`
     * column when present. */

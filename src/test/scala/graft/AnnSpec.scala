@@ -82,9 +82,13 @@ class AnnSpec extends SparkSpec {
 
   test("bench recall report covers all approximate paths with sane floors") {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
-    assert(r.keySet == Set("ivf", "ivf_nprobe", "lsh_multiprobe",
-      "binary_quant", "int8_quant"))
-    assert((r - "ivf_nprobe").values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(r.keySet == Set("ivf", "ivf_nprobe", "ivf_ref_target",
+      "ivf_ref_nprobe", "lsh_multiprobe", "binary_quant", "cascade",
+      "int8_quant"))
+    assert((r - "ivf_nprobe" - "ivf_ref_nprobe")
+      .values.forall(v => v >= 0.0 && v <= 1.0))
+    // the reference-bar config can't recall less than the 0.95-target one
+    assert(r("ivf_ref_target") >= r("ivf"))
     // the serving IVF config (trained centroids + calibrated nprobe) and
     // the tie-inclusive binary phase 1 are quality paths: strong floors.
     // lsh_multiprobe stays reported-only (bucketing primitive, see Ann).
