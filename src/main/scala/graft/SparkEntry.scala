@@ -560,6 +560,12 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Search.knnGroups(points, q, "user_id", groupSize = 3, k = 5, threshold = 0.1)
     }),
+    // Contrastive (anchor, positive, negative) triplet mining for
+    // retrieval training data: exact nearest non-self positive above a
+    // floor, deterministic hash-argmin negative below a ceiling.
+    "mine_pairs" -> ((s, dir) =>
+      Search.contrastivePairs(Collection.load(s, dir), nAnchors = 20,
+        posThreshold = 0.2, negThreshold = 0.0, salt = "cp")),
     // Three-stage quantization cascade: binary prefilter -> int8 rescore
     // -> exact top-k (each stage reads a smaller set at higher precision).
     "cascade_search" -> ((s, dir) => {
@@ -1431,6 +1437,21 @@ object SparkEntry {
          |FROM r JOIN tg ON r.user_id = tg.user_id
          |WHERE r.rank_in_group <= 3
          |ORDER BY tg.group_rank, r.rank_in_group""".stripMargin,
+    "mine_pairs" ->
+      s"""WITH $C,
+         |a AS (SELECT id AS qid, ne AS qe FROM c WHERE id < 20),
+         |cand AS (SELECT a.qid, c.id, round(list_dot_product(c.ne, a.qe), 6) AS score
+         |  FROM c, a WHERE c.id <> a.qid),
+         |pos AS (SELECT qid, id AS pos_id, score AS pos_score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+         |  FROM cand WHERE score >= 0.2),
+         |neg AS (SELECT qid, id AS neg_id, score AS neg_score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY
+         |    ('0x' || substring(md5('cp_' || qid || '_' || id), 1, 15))::BIGINT ASC, id ASC) AS rn
+         |  FROM cand WHERE score < 0.0)
+         |SELECT pos.qid, pos.pos_id, pos.pos_score, neg.neg_id, neg.neg_score
+         |FROM pos JOIN neg ON pos.qid = neg.qid AND pos.rn = 1 AND neg.rn = 1
+         |ORDER BY pos.qid""".stripMargin,
     "cascade_search" ->
       s"""WITH $C,
          |sg AS (SELECT id, user_id, ne, ${bsig("ne")} AS sig,

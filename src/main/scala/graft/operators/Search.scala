@@ -277,4 +277,45 @@ object Search {
       .orderBy(desc("score"), asc("id")).limit(k)
       .select(col("id"), col("score"), col("user_id"))
   }
+
+  /** Contrastive-pair mining — the retrieval-training-data primitive
+    * (anchor, positive, negative) triplets: for each anchor (ids <
+    * `nAnchors`), positive = its exact nearest non-self neighbor with
+    * cosine >= `posThreshold`; negative = a DETERMINISTIC pseudo-random
+    * point among those with cosine < `negThreshold` (argmin of the salted
+    * per-(anchor, candidate) hash — reproducible across runs/engines,
+    * unlike rand()-based negative sampling, and auditable after the
+    * fact). Anchors with no qualifying positive drop out; every surviving
+    * anchor gets exactly one (positive, negative) pair.
+    *
+    * Scale shape: one broadcast of the anchor set, scoring map-side, two
+    * windows on the anchor key (bounded by nAnchors·|corpus| candidate
+    * rows — at 100 TB swap the exact positive stage for [[Ann.knnJoin]]'s
+    * cell-candidate generation and keep the same mining semantics; the
+    * hash-argmin negative needs no change, sampling is cheap). */
+  def contrastivePairs(
+      points: DataFrame, nAnchors: Int,
+      posThreshold: Double, negThreshold: Double,
+      salt: String): DataFrame = {
+    val anchors = points.filter(col("id") < nAnchors)
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    val cand = points.select(col("id"), col("embedding"))
+      .join(broadcast(anchors), col("id") =!= col("qid"))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+    val wPos = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    val pos = cand.filter(col("score") >= posThreshold)
+      .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("qid"), col("id").as("pos_id"), col("score").as("pos_score"))
+    val wNeg = Window.partitionBy("qid").orderBy(asc("h"), asc("id"))
+    val neg = cand.filter(col("score") < negThreshold)
+      .withColumn("h", graft.functions.TextOps.hash60(
+        concat(lit(salt + "_"), col("qid").cast("string"),
+          lit("_"), col("id").cast("string"))))
+      .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+      .select(col("qid"), col("id").as("neg_id"), col("score").as("neg_score"))
+    pos.join(neg, Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("pos_score"),
+        col("neg_id"), col("neg_score"))
+      .orderBy("qid")
+  }
 }

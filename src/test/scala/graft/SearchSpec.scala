@@ -130,4 +130,25 @@ class SearchSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(fused.sorted == plain.sorted)
   }
+
+  test("contrastive pairs: positive is the true nearest, negative deterministic and below ceiling") {
+    val pairs = Search.contrastivePairs(points, nAnchors = 10,
+      posThreshold = 0.2, negThreshold = 0.0, salt = "t")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (qid, posId, posScore, negId, negScore) =>
+      assert(posId != qid && negId != qid)
+      assert(posScore >= 0.2 && negScore < 0.0)
+      // positive = exact top non-self neighbor when it clears the floor
+      val q = points.filter($"id" === qid).select($"embedding".as("qemb"))
+      val exactTop = Search.knn(points.filter($"id" =!= qid), q, 1, -1.0)
+        .select("id", "score").as[(Long, Double)].head()
+      if (exactTop._2 >= 0.2) assert(posId == exactTop._1, s"anchor $qid")
+    }
+    // deterministic across physical layout
+    val again = Search.contrastivePairs(points.repartition(7), nAnchors = 10,
+      posThreshold = 0.2, negThreshold = 0.0, salt = "t")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(again.sortBy(_._1).toSeq == pairs.sortBy(_._1).toSeq)
+  }
 }
