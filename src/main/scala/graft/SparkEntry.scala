@@ -736,6 +736,12 @@ object SparkEntry {
     s"round(len(list_filter(w, x -> list_contains(${dict(l)}, x)))::DOUBLE / len(w), 6)"
 
   def oracleSql: Map[String, String] = Map(
+    // quality_score: Spark's round() rounds the double's SHORTEST DECIMAL
+    // REPR (BigDecimal.valueOf) while DuckDB rounds the true binary value;
+    // they split when a product's shortest repr lands exactly on a 7-digit
+    // half boundary (2/5000 rows at sf0.1). The ::VARCHAR::DECIMAL(38,20)
+    // round-trip makes the oracle round the shortest repr too (scale 20:
+    // shortest reprs carry up to 17 fractional digits).
     "text_quality" ->
       s"""WITH $W,
          |s AS (SELECT doc_id, len(w)::BIGINT AS word_count, length(text)::BIGINT AS char_count,
@@ -744,7 +750,8 @@ object SparkEntry {
          |  ${swRatio("en")} AS stopword_ratio
          |  FROM t)
          |SELECT doc_id, word_count, char_count, distinct_ratio, avg_word_len, stopword_ratio,
-         |  round(least(1.0, word_count / 100.0) * (1 - stopword_ratio) * distinct_ratio, 6) AS quality_score
+         |  round((least(1.0::DOUBLE, word_count::DOUBLE / 100.0::DOUBLE)
+         |    * (1.0::DOUBLE - stopword_ratio) * distinct_ratio)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       s"""WITH $W,
