@@ -56,10 +56,10 @@ object IndexMeta {
     *
     * Calibration cost is an index-BUILD cost, not a query cost: `nSample`
     * exact top-k jobs plus one tiny cell lookup each, all over the same
-    * data the index build already scans. The sample ids sit at shifted
-    * midpoints so they are disjoint from [[graft.RecallReport]]'s
-    * evenly-spread report sample — the reported recall is held-out, not
-    * the calibration set grading itself. */
+    * data the index build already scans. The sample is a deterministic
+    * salted-hash pick over the ids present, disjoint in practice from
+    * [[graft.RecallReport]]'s evenly-spread report sample — the reported
+    * recall is held-out, not the calibration set grading itself. */
   def build(points: DataFrame, centroids: DataFrame,
       hyperplanes: Seq[Seq[Double]], k: Int = 10,
       nSample: Int = 8): IndexMeta = {
@@ -70,9 +70,15 @@ object IndexMeta {
     val n = points.count()
     val assigned = Ann.ivfAssign(points, cids, cents)
       .select(col("id"), col("cid"))
-    // calibration queries: midpoints between the report sample's ids
-    val qids = (0 until nSample).map(i =>
-      (i * (n / nSample) + n / (2 * nSample)) % n)
+    // calibration queries: a deterministic salted-hash pick over the ids
+    // actually present (no contiguity assumption — works on any id set),
+    // disjoint in practice from RecallReport's evenly-spread sample
+    val qids = points.select(col("id"))
+      .orderBy(pmod(graft.functions.TextOps.hash60(
+        concat(lit("cal_"), col("id").cast("string"))), lit(999983L)),
+        col("id"))
+      .limit(nSample)
+      .collect().map(_.getLong(0)).toSeq
     // per query: the cell-rank of each true top-k neighbor (rank of the
     // neighbor's cell in the query's rounded-dot probe order)
     val coverage = Array.fill(nC)(0.0)
