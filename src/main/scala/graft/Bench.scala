@@ -37,6 +37,7 @@ object Bench {
       Seq(qVecs(0L)).toDF("qemb"), 10, 0.1).count()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val done = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val t0 = System.nanoTime()
     val futures = (0 until threads).map { t =>
       pool.submit(new Runnable {
@@ -45,8 +46,10 @@ object Bench {
           while (i < queriesPerThread) {
             val qid = ((t * queriesPerThread + i) % nQ).toLong
             val q = Seq(qVecs(qid)).toDF("qemb")
+            val s0 = System.nanoTime()
             graft.operators.Search.knn(points, q, k = 10, threshold = 0.1)
               .collect()
+            lats.add((System.nanoTime() - s0) / 1e6) // ms
             done.incrementAndGet()
             i += 1
           }
@@ -56,6 +59,14 @@ object Bench {
     futures.foreach(_.get())
     val secs = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
+    // per-request latency percentiles under concurrency (the reference
+    // suite reports avg/max search latencies next to its QPS number)
+    val sortedLat = {
+      import scala.jdk.CollectionConverters._
+      lats.asScala.toArray.sorted
+    }
+    def pct(p: Double): Double =
+      math.rint(sortedLat(((sortedLat.length - 1) * p).toInt) * 10) / 10
     // batched serving mode: the engine's high-QPS shape. Per-request jobs
     // pay Spark's driver-side plan+schedule cost (~0.1s) regardless of
     // data size; a serving layer that micro-batches B in-flight requests
@@ -81,15 +92,31 @@ object Bench {
       bi += 1
     }
     val bsecs = (System.nanoTime() - tb0) / 1e9
+    // insertion throughput (reference BenchmarkSuite insertion phase):
+    // normalize + LWW-merge a batch into the bucketed store, rows/sec
+    val ingestDest = "/tmp/graft_bench_ingest"
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(ingestDest), true)
+    val allRows = graft.operators.Collection.load(spark, sfDir)
+    val ti0 = System.nanoTime()
+    graft.sources.CollectionStore.mergeBucketed(spark, ingestDest, allRows, 16)
+    graft.sources.CollectionStore.mergeBucketed(spark, ingestDest,
+      allRows.filter(col("id") % 16 === 3), 16) // incremental single-bucket merge
+    val isecs = (System.nanoTime() - ti0) / 1e9
+    val ingested = n + n / 16
     points.unpersist()
     pointsPar.unpersist()
     Map("threads" -> threads.toDouble,
       "queries" -> done.get().toDouble,
       "seconds" -> math.rint(secs * 1000) / 1000,
       "qps" -> math.rint(done.get() / secs * 10) / 10,
+      "lat_p50_ms" -> pct(0.50), "lat_p95_ms" -> pct(0.95),
+      "lat_p99_ms" -> pct(0.99),
       "batch_queries" -> (bQ * iters).toDouble,
       "batch_seconds" -> math.rint(bsecs * 1000) / 1000,
-      "batch_qps" -> math.rint(bQ * iters / bsecs * 10) / 10)
+      "batch_qps" -> math.rint(bQ * iters / bsecs * 10) / 10,
+      "ingest_rows_per_sec" -> math.rint(ingested / isecs))
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
