@@ -28,37 +28,40 @@ object Bench {
     val points = graft.operators.Collection.load(spark, sfDir)
       .coalesce(1).cache()
     val n = points.count() // materializes the cache
-    val nQ = math.min(threads * queriesPerThread, n).toInt
-    val qVecs = points.filter(col("id") < nQ)
-      .select("id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // query pool from the ids actually present (no contiguity assumption)
+    val qPool = points.orderBy("id")
+      .limit(math.min(threads * queriesPerThread, n).toInt)
+      .select("embedding").collect()
+      .map(_.getSeq[Double](0))
+    val nQ = qPool.length
     // one warm search compiles the codegen outside the timed section
     graft.operators.Search.knn(points,
-      Seq(qVecs(0L)).toDF("qemb"), 10, 0.1).count()
+      Seq(qPool(0)).toDF("qemb"), 10, 0.1).count()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val done = new java.util.concurrent.atomic.AtomicLong(0L)
     val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val t0 = System.nanoTime()
-    val futures = (0 until threads).map { t =>
-      pool.submit(new Runnable {
-        def run(): Unit = {
-          var i = 0
-          while (i < queriesPerThread) {
-            val qid = ((t * queriesPerThread + i) % nQ).toLong
-            val q = Seq(qVecs(qid)).toDF("qemb")
-            val s0 = System.nanoTime()
-            graft.operators.Search.knn(points, q, k = 10, threshold = 0.1)
-              .collect()
-            lats.add((System.nanoTime() - s0) / 1e6) // ms
-            done.incrementAndGet()
-            i += 1
-          }
+    val secs =
+      try {
+        val futures = (0 until threads).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = 0
+              while (i < queriesPerThread) {
+                val q = Seq(qPool((t * queriesPerThread + i) % nQ)).toDF("qemb")
+                val s0 = System.nanoTime()
+                graft.operators.Search.knn(points, q, k = 10, threshold = 0.1)
+                  .collect()
+                lats.add((System.nanoTime() - s0) / 1e6) // ms
+                done.incrementAndGet()
+                i += 1
+              }
+            }
+          })
         }
-      })
-    }
-    futures.foreach(_.get())
-    val secs = (System.nanoTime() - t0) / 1e9
-    pool.shutdown()
+        futures.foreach(_.get())
+        (System.nanoTime() - t0) / 1e9
+      } finally pool.shutdownNow() // non-daemon workers must not outlive a failure
     // per-request latency percentiles under concurrency (the reference
     // suite reports avg/max search latencies next to its QPS number)
     val sortedLat = {
@@ -80,7 +83,7 @@ object Bench {
       .repartition(16).cache()
     pointsPar.count()
     val batchReqs = (0 until bQ)
-      .map(i => (i.toLong, qVecs((i % nQ).toLong))).toDF("query_id", "qemb")
+      .map(i => (i.toLong, qPool(i % nQ))).toDF("query_id", "qemb")
     graft.operators.Search.knnBatch(pointsPar, batchReqs, k = 10, threshold = 0.1)
       .count() // warm the batched plan outside the timed section
     val iters = 3

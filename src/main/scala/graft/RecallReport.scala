@@ -30,17 +30,11 @@ object RecallReport {
     try {
       val n = points.count()
       val qids = (0 until nQueries).map(i => i * (n / nQueries))
-      // the serving index: trained centroids + calibrated probe count.
-      // Same cache key as SparkEntry's per-dir metadata, so a bench run
-      // that already served the adaptive queries reuses the built index
-      // instead of training twice per JVM.
-      val meta = IndexMeta.forStore("entry_" + sfDir) {
-        val hps = points.filter(col("id") >= 100 && col("id") < 112)
-          .orderBy("id").select("embedding").collect()
-          .map(_.getSeq[Double](0).toSeq).toSeq
-        IndexMeta.build(points,
-          Ann.kmeansCentroids(points, k = 16, maxIter = 5), hps, k = k)
-      }
+      // the serving index, via the ONE per-dir builder (SparkEntry
+      // .indexMeta) — the report grades exactly the cached metadata the
+      // serving queries run on, and a bench run that already served the
+      // adaptive queries reuses it instead of training twice per JVM
+      val meta = SparkEntry.indexMeta(spark, sfDir)
       val hps = meta.hyperplanes
       val np = meta.nprobeFor(0.95)
       // the reference's own accuracy bar (99.2% recall@10 —

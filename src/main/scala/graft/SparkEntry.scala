@@ -67,8 +67,10 @@ object SparkEntry {
   /** Serving-layer index metadata (trained centroids, calibrated recall
     * curve, LSH hyperplanes, collection count) — built once per JVM per
     * scale dir and cached, so constructing a search query does zero Spark
-    * jobs and zero re-collects (VERDICT r5 #7). */
-  private def indexMeta(s: SparkSession, dir: String): IndexMeta =
+    * jobs and zero re-collects (VERDICT r5 #7). The SINGLE builder for
+    * this cache key — RecallReport measures through it, so the graded
+    * index and the served index can never drift. */
+  private[graft] def indexMeta(s: SparkSession, dir: String): IndexMeta =
     IndexMeta.forStore("entry_" + dir) {
       val points = Collection.load(s, dir)
       val hps = points.filter(col("id") >= 100 && col("id") < 112)

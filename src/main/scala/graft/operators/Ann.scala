@@ -230,7 +230,9 @@ object Ann {
           queryDf, p, k)
           .filter(col("score") >= threshold)
       case None =>
-        val cents = kmeansCentroids(points, nCentroids)
+        // maxIter 5: same training config as the IndexMeta/persisted
+        // builders, so meta-less and meta-driven paths share one index
+        val cents = kmeansCentroids(points, nCentroids, maxIter = 5)
         ivfSearch(ivfAssign(points, cents), cents, queryDf, nprobe, k)
           .filter(col("score") >= threshold)
     }
@@ -295,7 +297,7 @@ object Ann {
       val (cids, cents) = meta match {
         case Some(m) => (m.cids, m.cents)
         case None =>
-          val c = kmeansCentroids(points, nCentroids)
+          val c = kmeansCentroids(points, nCentroids, maxIter = 5)
             .select(col("cid"), col("ce")).orderBy("cid").collect()
           (c.map(_.getLong(0)).toSeq, c.map(_.getSeq[Double](1)).toSeq)
       }

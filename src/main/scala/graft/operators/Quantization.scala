@@ -94,8 +94,19 @@ object Quantization {
           .orderBy(desc("cheap_score"), asc("id"))
           .limit(fetchK)
           .select(col("id"), col("cheap_score"), col("qemb"))
-    points.select(col("id"), col("embedding"), col("user_id"))
-      .join(broadcast(survivors), Seq("id"))
+    // tie-inclusive survivors are UNBOUNDED (degenerate tie bands on
+    // duplicate-heavy data can pass most of the corpus), so the join-back
+    // is NOT hint-forced to broadcast — AQE broadcasts when the runtime
+    // size is small (the normal case) and falls back to a shuffle join
+    // when a tie band explodes. The bounded LIMIT path keeps the hint.
+    val joinBack =
+      if (tieInclusive)
+        points.select(col("id"), col("embedding"), col("user_id"))
+          .join(survivors, Seq("id"))
+      else
+        points.select(col("id"), col("embedding"), col("user_id"))
+          .join(broadcast(survivors), Seq("id"))
+    joinBack
       .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
       .orderBy(desc("score"), asc("id"))
       .limit(k)
@@ -158,8 +169,10 @@ object Quantization {
     val pqSrc =
       if (points.columns.contains("pq")) points.select(col("id"), col("pq"))
       else points.select(col("id"), quantize(col("embedding")).as("pq"))
+    // s1 is a tie-inclusive (unbounded) set — no forced broadcast hint,
+    // AQE picks broadcast only when the runtime size allows (see twoPhase)
     val s2 = pqSrc
-      .join(broadcast(s1), Seq("id"), "left_semi")
+      .join(s1, Seq("id"), "left_semi")
       .crossJoin(broadcast(q.select(col("qq"))))
       .withColumn("c2", round(int8Score(col("pq"), col("qq")), 6))
       .orderBy(desc("c2"), asc("id")).limit(f2)

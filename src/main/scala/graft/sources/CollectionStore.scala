@@ -97,10 +97,13 @@ object CollectionStore {
     val merged =
       if (!exists) withBucket
       else {
+        val store = spark.read.parquet(path)
+        require(store.columns.contains("bucket"),
+          s"store at $path is not id-bucketed (no 'bucket' partition column) — " +
+            "rewrite it with saveBucketed before incremental merging")
         val affected = withBucket.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
-        val existing = spark.read.parquet(path)
-          .filter(col("bucket").isin(affected: _*))
+        val existing = store.filter(col("bucket").isin(affected: _*))
         Collection.upsert(existing, withBucket)
       }
     // materialize BEFORE the overwrite: cuts the lineage back to `path`

@@ -62,11 +62,14 @@ class TextAnalysisSpec extends SparkSpec {
     // 2+4+2+4+2+4+4+4+4+3+4+4+3 = 44 -> bigram frac 18/44
     assert(math.abs(r(3L)._5 - math.rint(18.0 / 44 * 1e6) / 1e6) < 1e-9,
       s"bigram frac ${r(3L)._5}")
-    // and the whole pass is shuffle-free (map-side projection)
+    // and the whole pass is shuffle-free except the presentation sort:
+    // exactly ONE Exchange, and it is the final ORDER BY's range partition
     val plan = TextAnalysis.repetitionStats(docs).queryExecution
       .executedPlan.toString
-    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
-      s"repetition stats shuffled:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.length == 1 &&
+      exchanges.head.contains("rangepartitioning"),
+      s"repetition stats shuffled beyond the output sort:\n$plan")
   }
 
   test("minShared raises the flagging bar") {
