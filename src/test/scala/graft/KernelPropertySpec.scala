@@ -68,6 +68,40 @@ class KernelPropertySpec extends SparkSpec {
     got.foreach { case (i, n, h) => assert(n == h, s"row $i: $n != $h") }
   }
 
+  test("RepetitionCounts equals a naive Scala implementation on 200 random docs") {
+    def naive(w: Seq[String]): (Long, Long, Long, Long, Long) = {
+      val total = w.map(_.length.toLong).sum
+      def top(grams: Seq[String], contentLen: String => Int): Long = {
+        val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+        val repeated = counts.filter(_._2 >= 2)
+        if (repeated.isEmpty) 0L
+        else {
+          val (g, c) = repeated.minBy { case (g, c) => (-c, g) }
+          c.toLong * contentLen(g)
+        }
+      }
+      val wc = w.groupBy(identity).view.mapValues(_.size).toMap
+      val dup = wc.collect { case (g, c) if c > 1 => c.toLong * g.length }.sum
+      val bi = w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tri = w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      (total, top(w, _.length), dup,
+        top(bi, g => g.length - 1), top(tri, g => g.length - 2))
+    }
+    val docs = (0 until 200).map { i =>
+      val words = Seq.fill(rnd.nextInt(40))(s"w${rnd.nextInt(6)}x${rnd.nextInt(3)}")
+      (i.toLong, words)
+    }
+    val got = docs.toDF("i", "w")
+      .select($"i", graft.plans.TextExpressions.repetitionCounts($"w").as("r"))
+      .select($"i", $"r.total_chars", $"r.top_word_chars", $"r.dup_word_chars",
+        $"r.top_bigram_chars", $"r.top_trigram_chars")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5, t._6)).toMap
+    docs.foreach { case (i, w) =>
+      assert(got(i) == naive(w), s"doc $i (${w.take(8)}...): ${got(i)} != ${naive(w)}")
+    }
+  }
+
   test("ShingleHashSet60 equals the HOF shingle pipeline") {
     val docs = (0 until 100).map { i =>
       val words = Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(10)}")
