@@ -439,6 +439,15 @@ object SparkEntry {
     // A3/A4: exact-moment + percentile metric summaries.
     "metric_summary" -> ((s, dir) =>
       Stats.metricSummary(Events.load(s, dir), Seq("event_type"), "value")),
+    // Bivariate stats: Pearson corr from exact decimal co-moment sums.
+    "value_hour_corr" -> ((s, dir) =>
+      Stats.corrSummary(
+        Events.load(s, dir).withColumn("hod", hour(col("ts"))),
+        Seq("event_type"), "value", "hod")),
+    // Fixed-width doc-length histogram (map-side integer binning).
+    "doc_length_histogram" -> ((s, dir) =>
+      Stats.histogramBins(
+        s.read.parquet(s"$dir/documents.parquet"), "n_chars", nBins = 10)),
     // §4.4: INT8 quantization + oversampled two-phase rescore.
     "quantized_two_phase" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -1162,6 +1171,30 @@ object SparkEntry {
          |  FROM pq, qq ORDER BY cheap DESC, id ASC LIMIT 30)
          |SELECT id, round(list_dot_product(ne, qe), 6) AS score, user_id FROM phase1
          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "value_hour_corr" ->
+      """WITH e AS (SELECT event_type, value, extract(hour FROM ts)::INT AS hod FROM events),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sx, sum(hod::DECIMAL(18,2))::DOUBLE AS sy,
+        |  sum(value::DECIMAL(18,2) * value::DECIMAL(18,2))::DOUBLE AS sxx,
+        |  sum(hod::DECIMAL(18,2) * hod::DECIMAL(18,2))::DOUBLE AS syy,
+        |  sum(value::DECIMAL(18,2) * hod::DECIMAL(18,2))::DOUBLE AS sxy
+        |  FROM e GROUP BY event_type),
+        |d AS (SELECT *,
+        |  sqrt(greatest(n::DOUBLE * sxx - sx * sx, 0.0::DOUBLE))
+        |    * sqrt(greatest(n::DOUBLE * syy - sy * sy, 0.0::DOUBLE)) AS denom FROM a)
+        |SELECT event_type, n, round(sx / n::DOUBLE, 6) AS mean_x,
+        |  round(sy / n::DOUBLE, 6) AS mean_y,
+        |  round(CASE WHEN denom > 0.0::DOUBLE
+        |    THEN (n::DOUBLE * sxy - sx * sy) / denom END, 6) AS pearson_r
+        |FROM d ORDER BY event_type""".stripMargin,
+    "doc_length_histogram" ->
+      """WITH b AS (SELECT min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi FROM documents),
+        |w AS (SELECT lo, greatest(1, (hi - lo + 10) // 10) AS width FROM b),
+        |k AS (SELECT (d.n_chars - w.lo) // w.width AS bin, d.n_chars
+        |  FROM documents d, w)
+        |SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+        |  min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi
+        |FROM k GROUP BY bin ORDER BY bin""".stripMargin,
     "streaming_hourly_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*)::BIGINT AS n_events,

@@ -42,4 +42,51 @@ object Stats {
         round(percentile(m, lit(0.99)), 6).as("p99"))
       .orderBy(groupCols.map(col): _*)
   }
+
+  /** Grouped Pearson correlation of two fixed-decimal metric columns,
+    * computed from EXACT decimal co-moment sums (never the engine's
+    * float-accumulating corr() — accumulation order differs across
+    * engines): r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)).
+    * One map-side-combined aggregate — the same 100 TB shape as any sum. */
+  def corrSummary(df: DataFrame, groupCols: Seq[String],
+      x: String, y: String, decimals: Int = 2): DataFrame = {
+    val dx = col(x).cast(s"decimal(18,$decimals)")
+    val dy = col(y).cast(s"decimal(18,$decimals)")
+    val n = count("*").cast("double")
+    val sx = sum(dx).cast("double"); val sy = sum(dy).cast("double")
+    val sxx = sum(dx * dx).cast("double"); val syy = sum(dy * dy).cast("double")
+    val sxy = sum(dx * dy).cast("double")
+    val denom = sqrt(greatest(n * sxx - sx * sx, lit(0.0d))) *
+      sqrt(greatest(n * syy - sy * sy, lit(0.0d)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count("*").cast("long").as("n"),
+        round((sx / n), 6).as("mean_x"),
+        round((sy / n), 6).as("mean_y"),
+        round(when(denom > 0.0d, (n * sxy - sx * sy) / denom)
+          .otherwise(lit(null)), 6).as("pearson_r"))
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Fixed-width histogram of an integer metric — the "length buckets"
+    * report a curation pipeline emits. Bounds come from one min/max agg
+    * (two longs to the driver — index-metadata scale); bin assignment is
+    * then pure INTEGER arithmetic folded into the scan projection, so the
+    * pass is map-side at any corpus size. (Equi-DEPTH binning via a
+    * global-window ntile would be the single-partition trap — see
+    * TextAnalysis.packSequences for the same avoidance — and
+    * cutpoint-based depth bins inherit cross-engine percentile
+    * interpolation ulps; fixed width is the deterministic shape.) */
+  def histogramBins(df: DataFrame, metric: String, nBins: Int): DataFrame = {
+    val b = df.agg(min(col(metric)).cast("long"), max(col(metric)).cast("long"))
+      .head()
+    val lo = b.getLong(0)
+    val width = math.max(1L, (b.getLong(1) - lo + nBins) / nBins)
+    df.withColumn("bin", ((col(metric).cast("long") - lo) / lit(width))
+        .cast("long"))
+      .groupBy("bin")
+      .agg(count("*").cast("long").as("n"),
+        min(col(metric)).cast("long").as("lo"),
+        max(col(metric)).cast("long").as("hi"))
+      .orderBy("bin")
+  }
 }
