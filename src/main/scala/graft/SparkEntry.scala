@@ -598,6 +598,14 @@ object SparkEntry {
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10)
     }),
+    // Filtered search ON the persisted index: payload predicate composes
+    // with cell pruning (the reference's filtered-HNSW analogue) — the
+    // filter rides the partition-pruned probe scan.
+    "indexed_ivf_filtered" -> ((s, dir) => {
+      val (store, cents) = indexedStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.ivfSearch(store.filter(col("user_id") < 5), cents, q, nprobe = 4, k = 10)
+    }),
     "indexed_two_phase" -> ((s, dir) => {
       val (store, _) = indexedStore(s, dir)
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
@@ -1582,6 +1590,20 @@ object SparkEntry {
          |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
          |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
          |  FROM pts p, q WHERE p.cid IN (SELECT cid FROM probes))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "indexed_ivf_filtered" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
+         |  FROM pts p, q WHERE p.user_id < 5 AND p.cid IN (SELECT cid FROM probes))
          |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "indexed_two_phase" ->
       s"""WITH $C, q0 AS (SELECT ne AS qe FROM c WHERE id = 0),
