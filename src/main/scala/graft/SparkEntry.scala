@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Collection, Dedup, Events, IndexMeta, Multimodal, Quantization, Relational, Search, Stats, TextAnalysis}
+import graft.operators.{Ann, Collection, Dedup, Events, IndexMeta, Multimodal, Privacy, Quantization, Relational, Search, Stats, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -712,7 +712,43 @@ object SparkEntry {
     "multimodal_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(
         Multimodal.extractFeaturesExpr(Multimodal.loadAssets(s, dir)))),
+    // PII audit: per-event-type totals of each PII category over the
+    // synthesized contact-profile string (the fixture has no natural PII,
+    // so the profile derives deterministic emails/IPs/phones from fixture
+    // fields — the operator under test is the scan itself).
+    "pii_scan" -> ((s, dir) =>
+      graft.operators.Privacy.scanReport(
+        piiProfile(Events.load(s, dir)), "profile", Seq("event_type"))),
+    // PII scrub: redacted projection of the first profile page.
+    "pii_redact" -> ((s, dir) =>
+      graft.operators.Privacy.redactRows(
+        piiProfile(Events.load(s, dir)).filter(col("event_id") < 500),
+        "event_id", "profile")),
+    // Per-type z-score outliers of the event value metric.
+    "value_outliers" -> ((s, dir) =>
+      Stats.zOutliers(Events.load(s, dir), Seq("event_type"), "event_id",
+        "value", threshold = 1.5)),
+    // Adjacent-bigram PMI/lift collocations (tokenizer-merge statistics).
+    "pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(
+        s.read.parquet(s"$dir/documents.parquet"), k = 30, minCount = 2)),
+    // Watermarked stream-stream join (click -> error within 1h, same user).
+    "streaming_click_error_join" -> ((s, dir) =>
+      StreamingOps.clickErrorJoinStream(s, dir, windowMin = 60)),
   )
+
+  /** Deterministic PII-bearing profile string derived from fixture fields
+    * (side-channel-free stand-in for the reference's free-form payload
+    * JSON, which is where real PII lands — src/api/schemas.py:19,38). */
+  private def piiProfile(events: DataFrame): DataFrame =
+    events.withColumn("profile", concat(
+      lit("user"), col("user_id").cast("string"),
+      lit("@example.com ip 10.0."),
+      (col("user_id") % 256).cast("string"), lit("."),
+      (col("event_id") % 256).cast("string"),
+      lit(" tel +1-555-"),
+      lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+      lit(" "), col("props")))
 
   /** DuckDB portable 60-bit hash matching TextOps.hash60. */
   private def h60(x: String): String =
@@ -1632,5 +1668,75 @@ object SparkEntry {
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q)
          |SELECT id, score, user_id FROM s WHERE score >= 0.1
          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "pii_scan" ->
+      s"""WITH $PP
+         |SELECT event_type, count(*)::BIGINT AS n_rows,
+         |  sum(len(regexp_extract_all(profile, '${Privacy.emailRe}')))::BIGINT AS n_email,
+         |  sum(len(regexp_extract_all(profile, '${Privacy.phoneRe}')))::BIGINT AS n_phone,
+         |  sum(len(regexp_extract_all(profile, '${Privacy.ipv4Re}')))::BIGINT AS n_ipv4,
+         |  sum(len(regexp_extract_all(profile, '${Privacy.digitRunRe}')))::BIGINT AS n_digit_run,
+         |  sum(CASE WHEN len(regexp_extract_all(profile, '${Privacy.emailRe}')) > 0
+         |        OR len(regexp_extract_all(profile, '${Privacy.phoneRe}')) > 0
+         |        OR len(regexp_extract_all(profile, '${Privacy.ipv4Re}')) > 0
+         |        OR len(regexp_extract_all(profile, '${Privacy.digitRunRe}')) > 0
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_rows_with_pii
+         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pii_redact" ->
+      s"""WITH $PP
+         |SELECT event_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  profile, '${Privacy.emailRe}', '<EMAIL>', 'g'),
+         |  '${Privacy.phoneRe}', '<PHONE>', 'g'),
+         |  '${Privacy.ipv4Re}', '<IP>', 'g'),
+         |  '${Privacy.digitRunRe}', '<NUM>', 'g') AS redacted
+         |FROM p WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+    "value_outliers" ->
+      """WITH s AS (SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(value::DECIMAL(28,2))::DOUBLE AS sx,
+        |  sum(value::DECIMAL(18,2) * value::DECIMAL(18,2))::DOUBLE AS sxx
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT event_type, sx / n AS gm,
+        |  CASE WHEN n > 1 THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)) END AS gs
+        |  FROM s),
+        |z AS (SELECT event_id, events.event_type, value,
+        |  round(CASE WHEN gs > 0 THEN (value - gm) / gs END, 6) AS z,
+        |  round(gm, 6) AS g_mean
+        |  FROM events JOIN g ON events.event_type = g.event_type)
+        |SELECT event_id, event_type, value, z, g_mean FROM z
+        |WHERE abs(z) > 1.5 ORDER BY event_id""".stripMargin,
+    "pmi_bigrams" ->
+      s"""WITH $W,
+         |tot AS (SELECT sum(len(w))::DOUBLE AS n_words,
+         |  sum(greatest(len(w) - 1, 0))::DOUBLE AS n_bigrams FROM t),
+         |uni AS (SELECT word, count(*)::BIGINT AS c FROM
+         |  (SELECT unnest(w) AS word FROM t) GROUP BY word),
+         |bi AS (SELECT bg.a AS a, bg.b AS b, count(*)::BIGINT AS c_ab FROM
+         |  (SELECT unnest(list_transform(range(greatest(len(w) - 1, 0)),
+         |     i -> {'a': w[i+1], 'b': w[i+2]})) AS bg FROM t WHERE len(w) >= 2)
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |j AS (SELECT bi.a, bi.b, bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  (bi.c_ab::DOUBLE / tot.n_bigrams) /
+         |    ((ua.c::DOUBLE / tot.n_words) * (ub.c::DOUBLE / tot.n_words)) AS lift0
+         |  FROM bi JOIN uni ua ON ua.word = bi.a
+         |          JOIN uni ub ON ub.word = bi.b
+         |          CROSS JOIN tot)
+         |SELECT a, b, c_ab, c_a, c_b, round(lift0, 6) AS lift,
+         |  round(ln(lift0), 6) AS pmi
+         |FROM j ORDER BY round(lift0, 6) DESC, a ASC, b ASC LIMIT 30""".stripMargin,
+    "streaming_click_error_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS error_id, a.user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'error'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        |ORDER BY click_id, error_id""".stripMargin,
   )
+
+  /** DuckDB CTE synthesizing the PII profile string (mirrors
+    * [[piiProfile]] exactly — same concatenation, same modular fields). */
+  private val PP =
+    """p AS (SELECT event_id, event_type,
+      |  'user' || CAST(user_id AS VARCHAR) || '@example.com ip 10.0.' ||
+      |  CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) ||
+      |  ' tel +1-555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+      |  ' ' || props AS profile FROM events)""".stripMargin
 }

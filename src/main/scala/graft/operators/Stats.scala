@@ -67,6 +67,35 @@ object Stats {
       .orderBy(groupCols.map(col): _*)
   }
 
+  /** Per-group z-score outlier detection — the metric-anomaly pass (flag
+    * rows whose metric deviates > `threshold` sample standard deviations
+    * from their group's mean). Group moments come from the same EXACT
+    * decimal sums as [[metricSummary]] (cross-engine determinism); the
+    * per-group stats table is GROUP-cardinality small, so the join back to
+    * the rows is a broadcast hash join — the corpus pass stays map-side at
+    * any scale (one partial-aggregate shuffle of |groups| rows, then a
+    * map-only flag projection). z is rounded 6dp BEFORE thresholding, per
+    * the shared determinism rule. */
+  def zOutliers(df: DataFrame, groupCols: Seq[String], idCol: String,
+      metric: String, threshold: Double, decimals: Int = 2): DataFrame = {
+    val m = col(metric)
+    val dsum = sum(m.cast(s"decimal(28,$decimals)")).cast("double")
+    val dsumsq = sum(m.cast(s"decimal(18,$decimals)") * m.cast(s"decimal(18,$decimals)"))
+      .cast("double")
+    val n = count(lit(1))
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg((dsum / n).as("g_mean"),
+        when(n > 1, sqrt(greatest(
+          (dsumsq - dsum * dsum / n) / (n - 1), lit(0.0d)))).as("g_stddev"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z", round(
+        when(col("g_stddev") > 0.0d, (m - col("g_mean")) / col("g_stddev")), 6))
+      .filter(abs(col("z")) > threshold)
+      .select((Seq(col(idCol)) ++ groupCols.map(col) ++
+        Seq(m, col("z"), round(col("g_mean"), 6).as("g_mean"))): _*)
+      .orderBy(idCol)
+  }
+
   /** Fixed-width histogram of an integer metric — the "length buckets"
     * report a curation pipeline emits. Bounds come from one min/max agg
     * (two longs to the driver — index-metadata scale); bin assignment is

@@ -126,6 +126,50 @@ object TextAnalysis {
       .orderBy(desc("doc_freq"), asc("term"))
       .limit(k)
 
+  /** Pointwise mutual information of adjacent word pairs — the collocation
+    * statistic a tokenizer/vocabulary-construction pass computes to decide
+    * which pairs merge (the association score behind BPE-style merges and
+    * phrase detection à la word2vec's phrase pass). For bigram (a,b):
+    * lift = P(a,b) / (P(a)·P(b)) with P from corpus counts, pmi = ln(lift).
+    *
+    * Determinism: counts are exact integers; lift is a fixed-order chain of
+    * IEEE double divisions (bit-identical across engines), rounded 6dp
+    * before ranking; ties broken on (a,b).
+    *
+    * Physical shape: two map-side-combined hash aggregates (unigram counts
+    * — vocabulary-sized — and adjacent-bigram counts), the unigram table
+    * broadcast onto the bigram table twice, totals as a broadcast single
+    * row, top-k via TakeOrderedAndProject. At 100 TB both aggregates are
+    * the canonical word-count topology; nothing grows beyond |vocab|². */
+  def pmiBigrams(docs: DataFrame, k: Int, minCount: Long = 2): DataFrame = {
+    val t = docs.select(TextOps.words(col("text")).as("w"))
+    val totals = t.agg(
+      sum(size(col("w"))).cast("double").as("n_words"),
+      sum(greatest(size(col("w")) - 1, lit(0))).cast("double").as("n_bigrams"))
+    val uni = t.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("c"))
+    val bi = t.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> named_struct(" +
+          "'a', element_at(w, i), 'b', element_at(w, i + 1)))")).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("long").as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val lift = (col("c_ab").cast("double") / col("n_bigrams")) /
+      ((col("c_a").cast("double") / col("n_words")) *
+        (col("c_b").cast("double") / col("n_words")))
+    bi
+      .join(broadcast(uni.select(col("word").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("word").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift", round(lift, 6))
+      .withColumn("pmi", round(log(lift), 6))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift"), col("pmi"))
+      .orderBy(desc("lift"), asc("a"), asc("b"))
+      .limit(k)
+  }
+
   /** TF-IDF per (doc, term): tf = term count / doc length, idf =
     * ln(N / df). Two aggregations (per-doc-term and per-term) joined back;
     * the doc-frequency side is small (vocabulary) and broadcasts. */

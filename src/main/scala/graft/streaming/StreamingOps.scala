@@ -134,6 +134,46 @@ object StreamingOps {
     CollectionStore.loadBucketed(spark, destPath).count()
   }
 
+  /** Watermarked stream-stream inner join — the funnel-attribution shape
+    * (which error followed a click by the same user within `windowMin`
+    * minutes?) run as two live streams. Both sides carry a watermark and
+    * the join predicate carries the event-time range constraint, so the
+    * state store retains each side only for watermark + window: bounded
+    * state at any input rate (without the constraint, stream-stream join
+    * state grows forever — THE scale failure mode of streaming joins).
+    * Results are emitted incrementally as matches arrive (append mode);
+    * the batch DuckDB oracle checks the complete set. */
+  def clickErrorJoinStream(spark: SparkSession, sfDir: String,
+      windowMin: Int = 60): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "2 hours")
+    val clicks = side("click", "click_id", "user_id", "click_ts")
+    val errors = side("error", "error_id", "e_user", "error_ts")
+    val joined = clicks.join(errors, expr(
+      s"""user_id = e_user AND
+         |error_ts >= click_ts AND
+         |error_ts <= click_ts + interval $windowMin minutes""".stripMargin))
+      .select(col("click_id"), col("error_id"), col("user_id"))
+    val name = s"graft_join_${System.nanoTime()}"
+    val q = withStatePartitions(spark, 8) {
+      joined.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name).orderBy("click_id", "error_id")
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       value: Double)
   case class Session(user_id: Long, session_id: Long,

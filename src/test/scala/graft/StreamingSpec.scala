@@ -15,6 +15,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("stream-stream join equals the batch time-range join") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.clickErrorJoinStream(spark, sf001, windowMin = 60)
+      .as[(Long, Long, Long)].collect().toSet
+    val e = Events.load(spark, sf001)
+    val batch = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .join(e.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id").as("u2"),
+            col("ts").as("ets")),
+        col("user_id") === col("u2") && col("ets") >= col("cts") &&
+          col("ets") <= col("cts") + expr("interval 60 minutes"))
+      .select("click_id", "error_id", "user_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty, "fixture must produce at least one pair")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("streaming ingest builds the same collection as batch load; rerun is exactly-once") {
     val dest = java.nio.file.Files.createTempDirectory("ingest")
       .resolve("store").toString
