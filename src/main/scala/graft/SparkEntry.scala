@@ -584,6 +584,45 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Quantization.cascadeSearch(points, q, k = 10)
     }),
+    // Euclid member of the public distance surface, over RAW vectors
+    // (three-dot identity — see Search.nearestEuclid).
+    "knn_search_euclid" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("embedding"),
+          col("label"))
+      val q = raw.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Search.nearestEuclid(raw, q, k = 10, projectExtra = Seq("label"))
+    }),
+    // Dot (max inner product) member — magnitude-sensitive, raw vectors.
+    "knn_search_mips" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("embedding"),
+          col("label"))
+      val q = raw.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Search.maxInnerProduct(raw, q, k = 10, projectExtra = Seq("label"))
+    }),
+    // Discovery search: target + (positive, negative) context pairs; rank
+    // by pairs satisfied, then target similarity (public discover API).
+    "discover_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      def v(i: Long, n: String) =
+        points.filter(col("id") === i).select(col("embedding").as(n))
+      val ctx = v(0, "qemb")
+        .crossJoin(v(1, "p0")).crossJoin(v(2, "n0"))
+        .crossJoin(v(3, "p1")).crossJoin(v(4, "n1"))
+        .select(col("qemb"), array(col("p0"), col("p1")).as("pos"),
+          array(col("n0"), col("n1")).as("neg"))
+      Search.discover(points, ctx, nPairs = 2, k = 10,
+        preFilter = Some(col("id") > 4))
+    }),
+    // Matryoshka two-phase: prefix-dim phase 1, full-vector rescore.
+    "matryoshka_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Search.matryoshkaSearch(points, q, k = 10, prefixDims = 16)
+    }),
     // Binary (1-bit) quantization + Hamming-prefilter two-phase search.
     "binary_quant_search" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -1538,6 +1577,39 @@ object SparkEntry {
          |SELECT pos.qid, pos.pos_id, pos.pos_score, neg.neg_id, neg.neg_score
          |FROM pos JOIN neg ON pos.qid = neg.qid AND pos.rn = 1 AND neg.rn = 1
          |ORDER BY pos.qid""".stripMargin,
+    "knn_search_euclid" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE id = 0),
+        |s AS (SELECT e.id, round(sqrt(greatest(
+        |    (list_dot_product(e.emb, e.emb) + list_dot_product(q.qe, q.qe))
+        |      - 2.0 * list_dot_product(e.emb, q.qe), 0.0)), 6) AS dist, e.label
+        |  FROM e, q)
+        |SELECT id, dist, label FROM s ORDER BY dist ASC, id ASC LIMIT 10""".stripMargin,
+    "knn_search_mips" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE id = 0),
+        |s AS (SELECT e.id, round(list_dot_product(e.emb, q.qe), 6) AS score, e.label
+        |  FROM e, q)
+        |SELECT id, score, label FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "discover_search" ->
+      s"""WITH $C,
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |p0 AS (SELECT ne FROM c WHERE id = 1), n0 AS (SELECT ne FROM c WHERE id = 2),
+         |p1 AS (SELECT ne FROM c WHERE id = 3), n1 AS (SELECT ne FROM c WHERE id = 4),
+         |s AS (SELECT c.id,
+         |  ((CASE WHEN round(list_dot_product(c.ne, p0.ne), 6) > round(list_dot_product(c.ne, n0.ne), 6) THEN 1 ELSE 0 END)
+         |   + (CASE WHEN round(list_dot_product(c.ne, p1.ne), 6) > round(list_dot_product(c.ne, n1.ne), 6) THEN 1 ELSE 0 END))::INT AS ctx_score,
+         |  round(list_dot_product(c.ne, q.qe), 6) AS target_score, c.user_id
+         |  FROM c, q, p0, n0, p1, n1 WHERE c.id > 4)
+         |SELECT id, ctx_score, target_score, user_id FROM s
+         |ORDER BY ctx_score DESC, target_score DESC, id ASC LIMIT 10""".stripMargin,
+    "matryoshka_search" ->
+      s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |p1 AS (SELECT c.id, round(list_dot_product(c.ne[1:16], q.qe[1:16]), 6) AS cheap_score
+         |  FROM c, q ORDER BY cheap_score DESC, id ASC LIMIT 80),
+         |f AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM c JOIN p1 USING (id), q)
+         |SELECT id, score, user_id FROM f ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "cascade_search" ->
       s"""WITH $C,
          |sg AS (SELECT id, user_id, ne, ${bsig("ne")} AS sig,

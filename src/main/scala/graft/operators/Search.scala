@@ -318,4 +318,112 @@ object Search {
         col("neg_id"), col("neg_score"))
       .orderBy("qid")
   }
+
+  /** Top-k by EUCLIDEAN distance over RAW (un-normalized) vectors. The
+    * reference's collection is cosine-only, but the vector-DB distance
+    * surface it configures (Qdrant `Distance`, src/core/qdrant_client.py:105)
+    * publicly offers Euclid and Dot as peers — this is the Euclid member.
+    *
+    * Cross-engine determinism: the distance is computed via the three-dot
+    * identity ‖a−b‖² = (a·a + b·b) − 2·a·b — each dot is the same
+    * left-to-right kernel both engines already share, and the three doubles
+    * combine in one fixed shape, so the 6dp-rounded distance is identical
+    * across engines (a zip-subtract-square fold would associate additions
+    * differently than any SQL formulation).
+    *
+    * Physical shape: identical to [[knn]] — broadcast query, map-only
+    * scoring, TakeOrderedAndProject (ascending). */
+  def nearestEuclid(
+      raw: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      projectExtra: Seq[String] = Nil): DataFrame = {
+    val d2 = (VectorOps.normSq(col("embedding")) + VectorOps.normSq(col("qemb"))) -
+      lit(2.0d) * VectorOps.dot(col("embedding"), col("qemb"))
+    raw
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("dist", round(sqrt(greatest(d2, lit(0.0d))), 6))
+      .orderBy(asc("dist"), asc("id"))
+      .limit(k)
+      .select((Seq("id", "dist") ++ projectExtra).map(col): _*)
+  }
+
+  /** Top-k by INNER PRODUCT over RAW (un-normalized) vectors — the Dot
+    * member of the public distance surface (MIPS). On raw vectors this is
+    * NOT cosine: magnitude matters, which is exactly what the metric is
+    * for (e.g. popularity-scaled item embeddings). Same physical shape as
+    * [[knn]]. */
+  def maxInnerProduct(
+      raw: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      projectExtra: Seq[String] = Nil): DataFrame =
+    raw
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select((Seq("id", "score") ++ projectExtra).map(col): _*)
+
+  /** Discovery search (the public vector-DB "discover" API shape): rank by
+    * how many (positive, negative) context pairs a point satisfies —
+    * sim(v, posᵢ) > sim(v, negᵢ) — then by similarity to the target, then
+    * id. `ctxRow` is ONE row with `qemb` (target), `pos` and `neg`
+    * (aligned arrays of `nPairs` context vectors); seed points are
+    * excluded by the caller's preFilter.
+    *
+    * The pair loop is unrolled statically (nPairs is index metadata), so
+    * the whole score is one flat codegen projection over a broadcast
+    * context row — map-only, like every other search. */
+  def discover(
+      points: DataFrame,
+      ctxRow: DataFrame,
+      nPairs: Int,
+      k: Int,
+      preFilter: Option[Column] = None): DataFrame = {
+    val filtered = preFilter.map(points.filter).getOrElse(points)
+    val ctxScore = (0 until nPairs).map { i =>
+      when(score(col("embedding"), col("pos")(i)) >
+        score(col("embedding"), col("neg")(i)), 1).otherwise(0)
+    }.reduce(_ + _)
+    filtered
+      .crossJoin(broadcast(ctxRow))
+      .withColumn("ctx_score", ctxScore.cast("int"))
+      .withColumn("target_score", score(col("embedding"), col("qemb")))
+      .orderBy(desc("ctx_score"), desc("target_score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("ctx_score"), col("target_score"), col("user_id"))
+  }
+
+  /** Matryoshka two-phase search (Kusupati et al. 2022, public): phase 1
+    * ranks on the dot product of the first `prefixDims` dimensions — with
+    * MRL-trained embeddings the prefix is itself a valid low-d embedding —
+    * keeps k·oversample candidates, phase 2 rescores with the full vector.
+    *
+    * At 100 TB the prefix belongs in its OWN materialized column (like the
+    * indexed store's `sig`/`pq` codes) so the phase-1 scan reads
+    * prefixDims/dim of the float bytes; on the fly, as here, the win is
+    * compute only. The fixture's embeddings are not MRL-trained, so prefix
+    * ordering is a lossy proxy — recall is governed by `oversample`
+    * exactly as in the quantized paths (measured in the bench recall
+    * report). */
+  def matryoshkaSearch(
+      points: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      prefixDims: Int,
+      oversample: Double = 8.0): DataFrame = {
+    val fetchK = math.max(k, (k * oversample).toInt)
+    points
+      .select(col("id"), col("embedding"), col("user_id"))
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("cheap_score",
+        round(VectorOps.dot(slice(col("embedding"), 1, prefixDims),
+          slice(col("qemb"), 1, prefixDims)), 6))
+      .orderBy(desc("cheap_score"), asc("id")).limit(fetchK)
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
 }

@@ -151,4 +151,74 @@ class SearchSpec extends SparkSpec {
       .as[(Long, Long, Double, Long, Double)].collect()
     assert(again.sortBy(_._1).toSeq == pairs.sortBy(_._1).toSeq)
   }
+
+  test("euclid: self-match distance 0, ascending order, agrees with cosine rank on normalized vectors") {
+    val q7 = points.filter($"id" === 7).select($"embedding".as("qemb"))
+    val got = Search.nearestEuclid(points, q7, k = 10)
+      .select("id", "dist").as[(Long, Double)].collect()
+    assert(got.head == ((7L, 0.0)))
+    assert(got.map(_._2).sliding(2).forall(p => p.head <= p.last), "ascending")
+    // on normalized vectors d² = 2−2cos, so euclid rank == cosine rank
+    val cosIds = Search.knn(points, q7, k = 10, threshold = -1.0)
+      .select("id").as[Long].collect().toSeq
+    assert(got.map(_._1).toSeq == cosIds)
+  }
+
+  test("mips: magnitude matters — scaling a vector up promotes it") {
+    val raw = points.select($"id", $"embedding", $"user_id")
+    val boosted = raw.withColumn("embedding",
+      when($"id" === 250, transform($"embedding", x => x * 10.0d))
+        .otherwise($"embedding"))
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val plain = Search.maxInnerProduct(raw, q, k = 500)
+      .select("id", "score").as[(Long, Double)].collect()
+    val scaled = Search.maxInnerProduct(boosted, q, k = 500)
+      .select("id", "score").as[(Long, Double)].collect()
+    val rankPlain = plain.indexWhere(_._1 == 250L)
+    val rankScaled = scaled.indexWhere(_._1 == 250L)
+    val s0 = plain.find(_._1 == 250L).get._2
+    if (s0 > 0) assert(rankScaled < rankPlain, "positive-dot vector must climb when scaled")
+    assert(math.abs(scaled.find(_._1 == 250L).get._2 - s0 * 10.0) < 1e-4)
+  }
+
+  test("discover: every returned point's ctx_score counts its satisfied pairs; full-ctx points outrank partial ones") {
+    def v(i: Long, n: String) =
+      points.filter($"id" === i).select($"embedding".as(n))
+    val ctx = v(0, "qemb")
+      .crossJoin(v(1, "p0")).crossJoin(v(2, "n0"))
+      .crossJoin(v(3, "p1")).crossJoin(v(4, "n1"))
+      .select($"qemb", array($"p0", $"p1").as("pos"), array($"n0", $"n1").as("neg"))
+    val got = Search.discover(points, ctx, nPairs = 2, k = 50,
+      preFilter = Some($"id" > 4))
+      .select("id", "ctx_score", "target_score").as[(Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, c, _) => c >= 0 && c <= 2 })
+    // ranking invariant: ctx_score non-increasing; ties ranked by target sim
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    got.groupBy(_._2).values.foreach { grp =>
+      assert(grp.map(_._3).sliding(2).forall(p => p.size < 2 || p.head >= p.last))
+    }
+    // verify one row's ctx_score by recomputation
+    val (rid, rctx, _) = got.head
+    val r = points.filter($"id" === rid).select($"embedding").as[Seq[Double]].head()
+    val vecs = (0L to 4L).map(i =>
+      points.filter($"id" === i).select($"embedding").as[Seq[Double]].head())
+    def dot6(a: Seq[Double], b: Seq[Double]) =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Seq((1, 2), (3, 4)).count { case (p, n) =>
+      dot6(r, vecs(p)) > dot6(r, vecs(n)) }
+    assert(rctx == expect)
+  }
+
+  test("matryoshka: oversampled prefix phase recovers the exact top-k head") {
+    val q = points.filter($"id" === 7).select($"embedding".as("qemb"))
+    val got = Search.matryoshkaSearch(points, q, k = 10, prefixDims = 16,
+      oversample = 8.0).select("id").as[Long].collect().toSeq
+    assert(got.head == 7L, "self-match survives the prefix phase")
+    val exact = Search.knn(points, q, k = 10, threshold = -1.0)
+      .select("id").as[Long].collect().toSeq
+    val recall = got.count(exact.toSet).toDouble / exact.size
+    assert(recall >= 0.5, s"prefix recall@10 too low: $recall")
+  }
 }
