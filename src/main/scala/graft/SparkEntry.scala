@@ -584,6 +584,23 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Quantization.cascadeSearch(points, q, k = 10)
     }),
+    // Index health: per-cell point count/share of the SERVING quantizer
+    // (trained centroids) — the balance readout behind the nprobe model.
+    "ivf_cell_stats" -> ((s, dir) => {
+      val meta = indexMeta(s, dir)
+      Ann.cellStats(
+        Ann.ivfAssign(Collection.load(s, dir), meta.cids, meta.cents))
+    }),
+    // Cluster topic labels: top-5 doc-frequency terms per embedding cell
+    // (embeddings vec_id aligns with documents doc_id in the fixtures).
+    "cluster_topics" -> ((s, dir) => {
+      val meta = indexMeta(s, dir)
+      val assigned = Ann.ivfAssign(Collection.load(s, dir), meta.cids, meta.cents)
+        .select(col("id").as("doc_id"), col("cid"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .join(assigned, Seq("doc_id"))
+      TextAnalysis.clusterTopics(docs, perCluster = 5)
+    }),
     // Euclid member of the public distance surface, over RAW vectors
     // (three-dot identity — see Search.nearestEuclid).
     "knn_search_euclid" -> ((s, dir) => {
@@ -1577,6 +1594,33 @@ object SparkEntry {
          |SELECT pos.qid, pos.pos_id, pos.pos_score, neg.neg_id, neg.neg_score
          |FROM pos JOIN neg ON pos.qid = neg.qid AND pos.rn = 1 AND neg.rn = 1
          |ORDER BY pos.qid""".stripMargin,
+    "ivf_cell_stats" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),
+         |asgn AS (SELECT c.id, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, cid FROM asgn WHERE rn = 1),
+         |tot AS (SELECT count(*)::DOUBLE AS total FROM pts)
+         |SELECT cid, count(*)::BIGINT AS n_points,
+         |  round(count(*)::DOUBLE / (SELECT total FROM tot), 6) AS pct
+         |FROM pts GROUP BY cid ORDER BY cid""".stripMargin,
+    "cluster_topics" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),
+         |asgn AS (SELECT c.id, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id AS doc_id, cid FROM asgn WHERE rn = 1),
+         |w AS (SELECT p.cid, unnest(list_distinct(string_split(d.text, ' '))) AS term
+         |  FROM documents d JOIN pts p USING (doc_id)),
+         |cnt AS (SELECT cid, term, count(*)::BIGINT AS doc_freq FROM w GROUP BY 1, 2),
+         |r AS (SELECT cid, term, doc_freq,
+         |  row_number() OVER (PARTITION BY cid ORDER BY doc_freq DESC, term ASC)::BIGINT AS rank
+         |  FROM cnt)
+         |SELECT cid, rank, term, doc_freq FROM r WHERE rank <= 5 ORDER BY cid, rank""".stripMargin,
     "knn_search_euclid" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb, label FROM embeddings),
         |q AS (SELECT emb AS qe FROM e WHERE id = 0),

@@ -374,4 +374,24 @@ object Ann {
       .select(col("qid"), col("id"), col("score"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Index-health stats of an IVF assignment: per-cell point count and
+    * corpus share. The balance readout an operator checks before trusting
+    * the nprobe/latency model (a skewed quantizer makes probe cost
+    * unpredictable and motivates retraining) — the engine-side analogue of
+    * the reference's segment/collection stats rollup
+    * (src/core/qdrant_client.py:484-520).
+    *
+    * One map-side-combined hash aggregate on C keys plus a broadcast of the
+    * single-row total — scale-free. */
+  def cellStats(assigned: DataFrame): DataFrame = {
+    val counts = assigned.groupBy("cid")
+      .agg(count("*").cast("long").as("n_points"))
+    val total = assigned.agg(count("*").cast("double").as("total"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("pct", round(col("n_points").cast("double") / col("total"), 6))
+      .select(col("cid"), col("n_points"), col("pct"))
+      .orderBy("cid")
+  }
 }

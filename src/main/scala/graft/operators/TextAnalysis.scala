@@ -126,6 +126,31 @@ object TextAnalysis {
       .orderBy(desc("doc_freq"), asc("term"))
       .limit(k)
 
+  /** Cluster topic labels: top-`perCluster` terms by document frequency
+    * within each embedding cluster — the "describe each semantic cluster"
+    * step of a corpus-curation pass (the readable face of the SemDeDup-style
+    * cluster machinery: after clustering, an operator has to say what each
+    * cluster IS). `docs` must carry (cid, doc_id, text); term = distinct
+    * word per doc (document frequency, like [[topTerms]]), ties on term.
+    *
+    * Physical shape: explode → one hash aggregate keyed (cid, term) with
+    * map-side combine, then a per-cid window bounded by the cluster's
+    * vocabulary — no shuffle wider than the word-count topology; at 100 TB
+    * this is the canonical word-count plus a top-n, both scale-safe. */
+  def clusterTopics(docs: DataFrame, perCluster: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(desc("doc_freq"), asc("term"))
+    docs
+      .select(col("cid"),
+        explode(array_distinct(TextOps.words(col("text")))).as("term"))
+      .groupBy("cid", "term")
+      .agg(count("*").cast("long").as("doc_freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perCluster)
+      .select(col("cid"), col("rank"), col("term"), col("doc_freq"))
+      .orderBy(col("cid"), col("rank"))
+  }
+
   /** Pointwise mutual information of adjacent word pairs — the collocation
     * statistic a tokenizer/vocabulary-construction pass computes to decide
     * which pairs merge (the association score behind BPE-style merges and

@@ -219,4 +219,14 @@ class AnnSpec extends SparkSpec {
     val exact = Search.knn(points, q, 10, 0.1).select("id").as[Long].collect().toSeq
     assert(adaptive == exact)
   }
+
+  test("cellStats: counts partition the corpus, shares sum to 1") {
+    val cents = Ann.seedCentroids(points, 8)
+    val stats = Ann.cellStats(Ann.ivfAssign(points, cents))
+      .as[(Long, Long, Double)].collect()
+    assert(stats.map(_._2).sum == points.count())
+    assert(math.abs(stats.map(_._3).sum - 1.0) < 1e-4)
+    assert(stats.forall { case (_, n, p) => n > 0 && p > 0.0 })
+    assert(stats.map(_._1).toSeq == stats.map(_._1).sorted.toSeq)
+  }
 }

@@ -78,4 +78,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.decontaminate(corpus, eval, n = 3, minShared = 1).count() == 1)
     assert(TextAnalysis.decontaminate(corpus, eval, n = 3, minShared = 2).count() == 0)
   }
+
+  test("clusterTopics: doc-frequency top terms per cluster, rank-dense, tie on term") {
+    val docs = Seq(
+      (0L, 1L, "apple banana apple"), // apple counts once per doc
+      (1L, 1L, "apple cherry"),
+      (2L, 2L, "dog dog cat"),
+      (3L, 2L, "cat emu"))
+      .toDF("doc_id", "cid", "text")
+    val got = TextAnalysis.clusterTopics(docs, perCluster = 2)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "apple", 2L), (1L, 2L, "banana", 1L),
+      (2L, 1L, "cat", 2L), (2L, 2L, "dog", 1L)))
+  }
 }
