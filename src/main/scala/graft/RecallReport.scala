@@ -35,6 +35,7 @@ object RecallReport {
       // serving queries run on, and a bench run that already served the
       // adaptive queries reuses it instead of training twice per JVM
       val meta = SparkEntry.indexMeta(spark, sfDir)
+      val pqCb = SparkEntry.pqMeta(spark, sfDir)
       val hps = meta.hyperplanes
       val np = meta.nprobeFor(0.95)
       // the reference's own accuracy bar (99.2% recall@10 —
@@ -55,7 +56,8 @@ object RecallReport {
           "lsh_multiprobe" -> recall(ids(Ann.lshSearchMultiProbe(points, q, hps, k))),
           "binary_quant" -> recall(ids(Quantization.binaryTwoPhaseSearch(points, q, k))),
           "cascade" -> recall(ids(Quantization.cascadeSearch(points, q, k))),
-          "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))))
+          "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))),
+          "pq_adc" -> recall(ids(Quantization.pqAdcSearch(points, q, pqCb, k))))
       }
       val out = perQuery.flatten.groupMapReduce(_._1)(_._2)(_ + _)
         .map { case (m, s) => m -> s / nQueries }

@@ -199,4 +199,128 @@ object Quantization {
       round(int8Score(col("pq"), col("qq")), 6))
       .select(col("id"), col("score"), col("user_id"))
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid: "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011 — public literature). The vector
+  // is split into `m` subvectors; each subvector is vector-quantized
+  // against its own `ksub`-centroid codebook; a point is stored as m small
+  // codes (m·log2(ksub) bits — here 8 bytes for a 512-byte float64 vector,
+  // like `sig`, but with learned, data-adaptive resolution instead of sign
+  // bits). Search scores candidates ASYMMETRICALLY (ADC): the query stays
+  // full-precision and dot(q, x) is approximated by Σ_s dot(q_s, cent_s[
+  // code_s(x)]) — m lookups per candidate against a per-query lookup table
+  // of m·ksub sub-dots.
+  // --------------------------------------------------------------------
+
+  /** A trained PQ codebook held as plan literals (index metadata, like the
+    * IVF centroid arrays): `cents(s)(c)` is subspace s's c-th centroid. */
+  case class PqCodebook(m: Int, ksub: Int, dsub: Int,
+      cents: IndexedSeq[IndexedSeq[Seq[Double]]]) {
+    require(cents.length == m && cents.forall(_.length == ksub) &&
+      cents.forall(_.forall(_.length == dsub)), "malformed PQ codebook")
+  }
+
+  /** Train a PQ codebook: an independent MLlib KMeans (fixed seed per
+    * subspace) over each dsub-dim slice of the (normalized) embeddings.
+    * Returns the (sub, code, cent) table to PERSIST next to the collection
+    * — the same build-once lifecycle as the IVF centroid side table; not
+    * oracle-expressible (iterative training), but everything downstream of
+    * the persisted table is. */
+  def pqTrain(points: DataFrame, dim: Int, m: Int, ksub: Int,
+      maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val spark = points.sparkSession
+    import spark.implicits._
+    val rows = (0 until m).flatMap { s =>
+      val train = points.select(array_to_vector(
+        slice(col("embedding"), s * dsub + 1, dsub)).as("features"))
+      val model = new KMeans()
+        .setK(ksub).setMaxIter(maxIter).setSeed(42L + s)
+        .fit(train)
+      model.clusterCenters.zipWithIndex.map { case (v, c) =>
+        (s, c.toLong, v.toArray.toSeq)
+      }
+    }
+    rows.toDF("sub", "code", "cent")
+  }
+
+  /** Collect a persisted (sub, code, cent) table into plan-literal form. */
+  def pqCodebookOf(df: DataFrame): PqCodebook = {
+    val rows = df.select(col("sub"), col("code"), col("cent")).collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt, r.getSeq[Double](2).toSeq))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val byPos = rows.map(r => (r._1, r._2) -> r._3).toMap
+    val cents = IndexedSeq.tabulate(m, ksub)((s, c) => byPos((s, c)))
+    PqCodebook(m, ksub, cents.head.head.length, cents)
+  }
+
+  /** PQ-encode an embedding: array of m codes, code_s = L2-argmin of the
+    * subvector over subspace s's codebook. Implemented as m statically
+    * unrolled [[graft.plans.NearestCentroid]] argmax kernels over
+    * AUGMENTED centroids [c, −‖c‖²/2] against [x_s, 1]: dot gives
+    * c·x − ‖c‖²/2, whose argmax IS the L2 argmin (‖x‖² is constant per
+    * row) — so encoding reuses the 6dp-rounded, lowest-code-tiebreak
+    * semantics the oracle can reproduce, and runs as one flat map-side
+    * codegen projection. */
+  def pqEncode(emb: Column, cb: PqCodebook): Column = {
+    val codes = (0 until cb.m).map { s =>
+      val aug = (0 until cb.ksub).map { c =>
+        val cent = cb.cents(s)(c)
+        cent :+ (-cent.map(x => x * x).sum / 2.0d)
+      }
+      graft.plans.VectorExpressions.nearestCentroid(
+        concat(slice(emb, s * cb.dsub + 1, cb.dsub), array(lit(1.0d))),
+        (0 until cb.ksub).map(_.toLong), aug)
+    }
+    array(codes: _*)
+  }
+
+  /** Asymmetric-distance (ADC) score: Σ_s dot(q_s, cent_s[code_s]),
+    * accumulated in subspace order s = 0..m−1 (the same left-to-right
+    * association as one sequential dot over the reconstruction — and as
+    * the oracle's ordered list_reduce), rounded once at 6dp. The codebook
+    * rides as a flat array literal; per candidate this is m lookups + m
+    * sub-dots of the FULL-PRECISION query — no reconstruction
+    * materialized. */
+  def pqAdcScore(codes: Column, qemb: Column, cb: PqCodebook): Column = {
+    val flat: Seq[Seq[Double]] =
+      for (s <- 0 until cb.m; c <- 0 until cb.ksub) yield cb.cents(s)(c)
+    val cbLit = typedLit(flat)
+    round(aggregate(
+      transform(codes, (c, i) => VectorOps.dot(
+        slice(qemb, i * cb.dsub + lit(1), lit(cb.dsub)),
+        element_at(cbLit, (i * cb.ksub).cast("int") + c.cast("int") + lit(1)))),
+      lit(0.0d), (acc, x) => acc + x), 6)
+  }
+
+  /** PQ two-phase search: phase 1 ranks every point by the ADC
+    * approximation of the cosine — reading a precomputed `pqc` codes
+    * column when the store carries one (m bytes vs 512: the phase-1 scan
+    * I/O win, same as `sig`/`pq`) — keeps k·oversample candidates, phase 2
+    * rescores the survivors with the exact float dot. Both phases rank on
+    * 6dp-rounded scores with id tiebreaks (oracle-deterministic). */
+  def pqAdcSearch(
+      points: DataFrame, queryDf: DataFrame, cb: PqCodebook, k: Int,
+      oversample: Double = 16.0): DataFrame = {
+    val fetchK = math.max(k, (k * oversample).toInt)
+    val phase1Src =
+      if (points.columns.contains("pqc")) points.select(col("id"), col("pqc"))
+      else points.select(col("id"), pqEncode(col("embedding"), cb).as("pqc"))
+    val survivors = phase1Src
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("adc", pqAdcScore(col("pqc"), col("qemb"), cb))
+      .orderBy(desc("adc"), asc("id")).limit(fetchK)
+      .select(col("id"), col("qemb"))
+    points.select(col("id"), col("embedding"), col("user_id"))
+      .join(broadcast(survivors), Seq("id"))
+      .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
 }

@@ -47,12 +47,19 @@ object CollectionStore {
     * until the ≤k·oversample survivors are rescored. */
   def saveIndexed(
       points: DataFrame, path: String, centroids: DataFrame,
-      numFiles: Int = 4): Unit = {
+      numFiles: Int = 4,
+      pqCodebook: Option[graft.operators.Quantization.PqCodebook] = None): Unit = {
     centroids.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(path + "_centroids")
-    graft.operators.Ann.ivfAssign(points, centroids)
+    val withCodes = graft.operators.Ann.ivfAssign(points, centroids)
       .withColumn("sig", graft.operators.Quantization.signPack(col("embedding")))
       .withColumn("pq", graft.operators.Quantization.quantize(col("embedding")))
+    // product-quantization codes (m bytes/point) when a codebook is given:
+    // the ADC phase-1 scan then reads (id, pqc) only, like sig/pq
+    pqCodebook.fold(withCodes) { cb =>
+      withCodes.withColumn("pqc",
+        graft.operators.Quantization.pqEncode(col("embedding"), cb))
+    }
       .repartition(numFiles, col("cid"))
       .sortWithinPartitions("cid", "user_id", "id")
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Collection, Quantization, Search}
+
+/** Product-quantization specs: codebook shape, encode optimality (true L2
+  * argmin per subspace), determinism across physical layout, ADC recall
+  * against exact search, and the persisted-codes read path. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val points = Collection.load(spark, sf001).cache()
+  private lazy val cb = Quantization.pqCodebookOf(
+    Quantization.pqTrain(points, dim = 64, m = 8, ksub = 16, maxIter = 5))
+
+  test("codebook: m x ksub centroids of dsub dims") {
+    assert(cb.m == 8 && cb.ksub == 16 && cb.dsub == 8)
+    assert(cb.cents.length == 8 && cb.cents.forall(_.length == 16))
+    assert(cb.cents.flatten.forall(_.length == 8))
+  }
+
+  test("encode: every code is the true L2 argmin of its subvector") {
+    val sample = points.filter($"id" < 20)
+      .select($"id", $"embedding",
+        Quantization.pqEncode($"embedding", cb).as("pqc"))
+      .as[(Long, Seq[Double], Seq[Long])].collect()
+    assert(sample.nonEmpty)
+    sample.foreach { case (id, emb, codes) =>
+      assert(codes.length == cb.m)
+      codes.zipWithIndex.foreach { case (code, s) =>
+        val xs = emb.slice(s * cb.dsub, (s + 1) * cb.dsub)
+        def d2(c: Seq[Double]) =
+          xs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        val best = d2(cb.cents(s)(code.toInt))
+        cb.cents(s).zipWithIndex.foreach { case (c, ci) =>
+          assert(best <= d2(c) + 1e-9,
+            s"id=$id sub=$s picked $code but $ci is closer")
+        }
+      }
+    }
+  }
+
+  test("encode is deterministic across partition layout") {
+    val a = points.select($"id",
+      Quantization.pqEncode($"embedding", cb).as("pqc"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val b = points.repartition(7).select($"id",
+      Quantization.pqEncode($"embedding", cb).as("pqc"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("ADC search: self-match survives, recall@10 clears the floor") {
+    val qids = Seq(0L, 100L, 200L, 300L)
+    val recalls = qids.map { qid =>
+      val q = points.filter($"id" === qid).select($"embedding".as("qemb"))
+      val exact = Search.knn(points, q, 10, -1.0)
+        .select("id").as[Long].collect().toSet
+      val approx = Quantization.pqAdcSearch(points, q, cb, k = 10)
+        .select("id").as[Long].collect().toSet
+      assert(approx.contains(qid), s"self-match lost for $qid")
+      (approx & exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"PQ ADC recall@10 too low: $recalls")
+  }
+
+  test("materialized pqc column is read as-is and gives identical results") {
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_store").toString + "/store"
+    points.withColumn("pqc", Quantization.pqEncode($"embedding", cb))
+      .write.parquet(path)
+    val store = spark.read.parquet(path)
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val a = Quantization.pqAdcSearch(points, q, cb, 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    val b = Quantization.pqAdcSearch(store, q, cb, 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(a == b)
+    // phase 1 of the stored-codes path must not re-run the encoder: zero
+    // nearest_centroid kernels in the plan (vs 8 when encoding on the fly)
+    def encoders(df: org.apache.spark.sql.DataFrame): Int =
+      "nearestcentroid".r.findAllIn(df.queryExecution.optimizedPlan
+        .toString.toLowerCase.replace("_", "")).size
+    assert(encoders(Quantization.pqAdcSearch(store, q, cb, 10)) == 0)
+    assert(encoders(Quantization.pqAdcSearch(points, q, cb, 10)) > 0)
+  }
+}
