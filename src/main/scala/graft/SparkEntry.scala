@@ -707,6 +707,13 @@ object SparkEntry {
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Quantization.binaryTwoPhaseSearch(store, q, k = 10, oversample = 32.0)
     }),
+    // IVF-PQ (FAISS-style composition): cell pruning x ADC code ranking x
+    // exact rescore on the persisted index.
+    "ivf_pq_search" -> ((s, dir) => {
+      val (store, cents) = indexedStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.ivfPqSearch(store, cents, pqMeta(s, dir), q, nprobe = 4, k = 10)
+    }),
     // PQ ADC on the persisted index: phase 1 reads the stored `pqc` codes
     // column (m bytes/point) — the float column is untouched until rescore.
     "indexed_pq_adc" -> ((s, dir) => {
@@ -906,7 +913,7 @@ object SparkEntry {
        |adc AS (SELECT id,
        |  round(list_reduce([0.0::DOUBLE] || list(l ORDER BY sub), (a, b) -> a + b), 6) AS adc
        |  FROM luts GROUP BY id),
-       |p1 AS (SELECT id FROM adc ORDER BY adc DESC, id ASC LIMIT 160),
+       |p1 AS (SELECT id FROM adc ORDER BY adc DESC, id ASC LIMIT 320),
        |f AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
        |  FROM c JOIN p1 USING (id), q)
        |SELECT id, score, user_id FROM f ORDER BY score DESC, id ASC LIMIT 10""".stripMargin
@@ -1742,11 +1749,46 @@ object SparkEntry {
     // PQ: codes = per-subspace L2 argmin vs the persisted codebook
     // (augmented-dot argmax, 6dp rounding, lowest-code tiebreak —
     // mirroring NearestCentroid); ADC = ordered sum of per-subspace
-    // query·centroid dots; then exact rescore of the top 160.
+    // query·centroid dots; then exact rescore of the top 320.
     "pq_adc_search" -> pqAdcOracle,
     // the indexed store's pqc codes are the same deterministic encoding,
     // so the persisted-index read path has the identical oracle
     "indexed_pq_adc" -> pqAdcOracle,
+    // IVF-PQ: assignment + probe CTEs (as ann_ivf_kmeans) composed with
+    // the PQ codes/ADC/rescore CTEs (as pq_adc_search), cells from the
+    // persisted trained-centroid table, codebook from the PQ side table.
+    "ivf_pq_search" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |pp AS (SELECT * FROM pts WHERE cid IN (SELECT cid FROM probes)),
+         |cb AS (SELECT sub, code, cent,
+         |  cent || [-list_dot_product(cent, cent) / 2.0] AS caug
+         |  FROM read_parquet($pqOracleGlob)),
+         |sv AS (SELECT pp.id, s.range::INT AS sub,
+         |  list_slice(pp.ne, s.range*8 + 1, s.range*8 + 8) AS xs FROM pp, range(8) s),
+         |dist AS (SELECT sv.id, sv.sub, cb.code,
+         |  row_number() OVER (PARTITION BY sv.id, sv.sub
+         |    ORDER BY round(list_dot_product(sv.xs || [1.0], cb.caug), 6) DESC, cb.code ASC) AS rn
+         |  FROM sv JOIN cb USING (sub)),
+         |codes AS (SELECT id, sub, code FROM dist WHERE rn = 1),
+         |luts AS (SELECT codes.id, codes.sub,
+         |  list_dot_product(list_slice(q.qe, codes.sub*8 + 1, codes.sub*8 + 8), cb.cent) AS l
+         |  FROM codes JOIN cb USING (sub, code), q),
+         |adc AS (SELECT id,
+         |  round(list_reduce([0.0::DOUBLE] || list(l ORDER BY sub), (a, b) -> a + b), 6) AS adc
+         |  FROM luts GROUP BY id),
+         |p1 AS (SELECT id FROM adc ORDER BY adc DESC, id ASC LIMIT 320),
+         |f AS (SELECT pp.id, round(list_dot_product(pp.ne, q.qe), 6) AS score, pp.user_id
+         |  FROM pp JOIN p1 USING (id), q)
+         |SELECT id, score, user_id FROM f ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     // tie-inclusive phase 1: every row scoring >= the 40th cheap score
     // survives (mirrors Quantization.twoPhase tieInclusive)
     "binary_quant_search" ->

@@ -137,6 +137,24 @@ object Ann {
       .select(col("id"), col("score"), col("user_id"))
   }
 
+  /** IVF-PQ search — the classic composed big-scale ANN layout (FAISS's
+    * IVFPQ, Jégou '11 §V): coarse quantizer prunes to the `nprobe` cells
+    * nearest the query (on the persisted store a directory-pruned scan),
+    * product-quantization ADC ranks the probed cells' codes, exact rescore
+    * of the k·oversample survivors. Phase-1 I/O on an indexed store is
+    * (id, pqc) of nprobe/C of the corpus — the layout where BOTH
+    * multiplicative savings (cell pruning × code compression) apply, which
+    * is what serves 100 TB: the float column is touched for ~k·oversample
+    * rows total. */
+  def ivfPqSearch(
+      store: DataFrame, centroids: DataFrame,
+      cb: Quantization.PqCodebook, queryDf: DataFrame,
+      nprobe: Int, k: Int, oversample: Double = 32.0): DataFrame = {
+    val probes = probeCids(centroids, queryDf, nprobe)
+    val probed = store.join(broadcast(probes), Seq("cid"), "left_semi")
+    Quantization.pqAdcSearch(probed, queryDf, cb, k, oversample)
+  }
+
   /** Sign-LSH bucket signature as a bit string. `hyperplanes` are plain
     * Scala vectors (index parameters — tiny, embedded as literals so the
     * hot path is flat codegen'd expressions, the distributed analogue of

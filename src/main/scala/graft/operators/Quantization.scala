@@ -306,7 +306,7 @@ object Quantization {
     * 6dp-rounded scores with id tiebreaks (oracle-deterministic). */
   def pqAdcSearch(
       points: DataFrame, queryDf: DataFrame, cb: PqCodebook, k: Int,
-      oversample: Double = 16.0): DataFrame = {
+      oversample: Double = 32.0): DataFrame = {
     val fetchK = math.max(k, (k * oversample).toInt)
     val phase1Src =
       if (points.columns.contains("pqc")) points.select(col("id"), col("pqc"))

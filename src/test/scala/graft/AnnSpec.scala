@@ -84,7 +84,7 @@ class AnnSpec extends SparkSpec {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
     assert(r.keySet == Set("ivf", "ivf_nprobe", "ivf_ref_target",
       "ivf_ref_nprobe", "lsh_multiprobe", "binary_quant", "cascade",
-      "int8_quant"))
+      "int8_quant", "pq_adc"))
     assert((r - "ivf_nprobe" - "ivf_ref_nprobe")
       .values.forall(v => v >= 0.0 && v <= 1.0))
     // the reference-bar config can't recall less than the 0.95-target one
@@ -94,6 +94,7 @@ class AnnSpec extends SparkSpec {
     // lsh_multiprobe stays reported-only (bucketing primitive, see Ann).
     assert(r("ivf") >= 0.7, s"ivf recall ${r("ivf")}")
     assert(r("binary_quant") >= 0.7, s"binary recall ${r("binary_quant")}")
+    assert(r("pq_adc") >= 0.7, s"pq recall ${r("pq_adc")}")
     assert(r("ivf_nprobe") >= 1 && r("ivf_nprobe") <= 16)
   }
 
@@ -218,6 +219,25 @@ class AnnSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     val exact = Search.knn(points, q, 10, 0.1).select("id").as[Long].collect().toSeq
     assert(adaptive == exact)
+  }
+
+  test("ivfPqSearch: probing every cell with deep oversample = exact top-k") {
+    val cents = Ann.kmeansCentroids(points, k = 8, maxIter = 3)
+    val cb = graft.operators.Quantization.pqCodebookOf(
+      graft.operators.Quantization.pqTrain(points, 64, 8, 16, 3))
+    val assigned = Ann.ivfAssign(points, cents)
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val full = Ann.ivfPqSearch(assigned, cents, cb, q,
+      nprobe = 8, k = 10, oversample = 1000.0)
+      .select("id").as[Long].collect().toSeq
+    val exact = Search.knn(points, q, 10, -1.0).select("id").as[Long].collect().toSeq
+    assert(full == exact)
+    // narrow probe returns only points from the probed cells
+    val probes = Ann.probeCids(cents, q, 2).as[Long].collect().toSet
+    val narrow = Ann.ivfPqSearch(assigned, cents, cb, q, nprobe = 2, k = 10)
+      .select("id").as[Long].collect().toSeq
+    val cellOf = assigned.select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(narrow.forall(id => probes(cellOf(id))))
   }
 
   test("cellStats: counts partition the corpus, shares sum to 1") {
