@@ -661,6 +661,31 @@ object SparkEntry {
       Search.discover(points, ctx, nPairs = 2, k = 10,
         preFilter = Some(col("id") > 4))
     }),
+    // Hybrid text+vector retrieval: BM25 branch and cosine branch each
+    // rank top-20 over the aligned documents/embeddings tables; RRF fuses.
+    "hybrid_text_vector" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      // rank windows run over the 20-row post-limit branches — single
+      // tiny partition by construction, not a corpus-wide window
+      val vec = Search.knn(points, q, k = 20, threshold = -1.0)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("id"))).cast("long"))
+        .select("id", "rank")
+      val text = TextAnalysis.bm25Search(
+        s.read.parquet(s"$dir/documents.parquet"),
+        queryTerms = Seq("spark", "join", "shuffle", "window"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("rank"))
+      Search.rrfCombine(Seq(text, vec), k = 10)
+    }),
+    // Distance matrix (search-matrix API): pairwise cosine over a bounded
+    // deterministic sample of one user's points, top-3 per point.
+    "search_matrix" -> ((s, dir) =>
+      Search.searchMatrix(Collection.load(s, dir), sampleLimit = 50,
+        matK = 3, preFilter = Some(col("user_id") === 3))),
     // Matryoshka two-phase: prefix-dim phase 1, full-vector rescore.
     "matryoshka_search" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -1724,6 +1749,42 @@ object SparkEntry {
          |  FROM c, q, p0, n0, p1, n1 WHERE c.id > 4)
          |SELECT id, ctx_score, target_score, user_id FROM s
          |ORDER BY ctx_score DESC, target_score DESC, id ASC LIMIT 10""".stripMargin,
+    "hybrid_text_vector" ->
+      s"""WITH $C, $W,
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |vs AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score FROM c, q
+         |  ORDER BY score DESC, id ASC LIMIT 20),
+         |vr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC)::BIGINT AS rank FROM vs),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+         |  sum(len(w))::DOUBLE / count(*) AS avgdl FROM t),
+         |terms AS (SELECT doc_id, len(w) AS doc_len, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, doc_len, term, count(*)::DOUBLE AS tf FROM terms
+         |       WHERE term IN ('spark', 'join', 'shuffle', 'window') GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         |bc AS (SELECT tf.doc_id,
+         |  (ln((stats.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |   * tf.tf * 2.2::DOUBLE
+         |   / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * tf.doc_len / stats.avgdl))
+         |  )::DECIMAL(28,12) AS contrib
+         |  FROM tf, df, stats WHERE tf.term = df.term),
+         |bs AS (SELECT doc_id, round(sum(contrib)::DOUBLE, 6) AS bm25 FROM bc
+         |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+         |tr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)::BIGINT AS rank FROM bs),
+         |u AS (SELECT * FROM vr UNION ALL SELECT * FROM tr)
+         |SELECT id, round(sum(1.0::DOUBLE / (60.0::DOUBLE + rank)), 6) AS rrf_score,
+         |  count(*)::BIGINT AS branches
+         |FROM u GROUP BY id
+         |ORDER BY rrf_score DESC, branches DESC, id ASC LIMIT 10""".stripMargin,
+    "search_matrix" ->
+      s"""WITH $C,
+         |sm AS (SELECT id, ne FROM c WHERE user_id = 3 ORDER BY id ASC LIMIT 50),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  round(list_dot_product(a.ne, b.ne), 6) AS score,
+         |  row_number() OVER (PARTITION BY a.id
+         |    ORDER BY round(list_dot_product(a.ne, b.ne), 6) DESC, b.id ASC)::BIGINT AS rank
+         |  FROM sm a, sm b WHERE a.id <> b.id)
+         |SELECT id_a, id_b, score, rank FROM p WHERE rank <= 3
+         |ORDER BY id_a, rank""".stripMargin,
     "matryoshka_search" ->
       s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
          |p1 AS (SELECT c.id, round(list_dot_product(c.ne[1:16], q.qe[1:16]), 6) AS cheap_score

@@ -155,6 +155,52 @@ object Search {
       .limit(k)
   }
 
+  /** Rank-level fusion of heterogeneous PRE-RANKED branches — the hybrid
+    * text+vector pattern of the public vector-DB query APIs (lexical BM25
+    * branch and embedding branch each produce (id, rank); RRF makes their
+    * scores commensurable where raw score scales are not). Each input
+    * carries (id, rank in 1..branchK). Determinism: the fused sum has one
+    * term per branch (IEEE addition of two doubles is order-insensitive
+    * for the 2-branch case; ranks are exact ints), rounded 6dp, ties by
+    * branch count then id. */
+  def rrfCombine(branches: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    val tagged = branches.map(_.select(col("id"), col("rank")))
+      .reduce(_ unionAll _)
+    tagged.groupBy("id")
+      .agg(round(sum(lit(1.0d) / (lit(rrfK.toDouble) + col("rank"))), 6).as("rrf_score"),
+        count("*").cast("long").as("branches"))
+      .orderBy(desc("rrf_score"), desc("branches"), asc("id"))
+      .limit(k)
+  }
+
+  /** Distance matrix (the public vector-DB "search matrix" API): pairwise
+    * cosine among a BOUNDED deterministic sample of the (optionally
+    * filtered) collection — lowest `sampleLimit` ids, the reproducible
+    * stand-in for the API's random sample — returning each sampled point's
+    * `matK` nearest sampled neighbors. The pairwise product is bounded by
+    * the API contract (sampleLimit² pairs, broadcast one side), never
+    * corpus-shaped; corpus-wide all-pairs is [[graft.operators.Ann.knnJoin]]'s
+    * job. */
+  def searchMatrix(
+      points: DataFrame,
+      sampleLimit: Int,
+      matK: Int,
+      preFilter: Option[Column] = None): DataFrame = {
+    val sample = preFilter.map(points.filter).getOrElse(points)
+      .orderBy(asc("id")).limit(sampleLimit)
+      .select(col("id"), col("embedding"))
+    val a = sample.select(col("id").as("id_a"), col("embedding").as("ea"))
+    val b = sample.select(col("id").as("id_b"), col("embedding").as("eb"))
+    val w = Window.partitionBy("id_a").orderBy(desc("score"), asc("id_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("score", score(col("ea"), col("eb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= matK)
+      .select(col("id_a"), col("id_b"), col("score"), col("rank"))
+      .orderBy(col("id_a"), col("rank"))
+  }
+
   /** Hybrid search: cosine relevance blended with a structured payload
     * boost — score = α·cos + (1-α)·boost where boost = 1 if the payload
     * predicate holds. The vector-DB "filtered boost" pattern (soft filter

@@ -211,6 +211,32 @@ class SearchSpec extends SparkSpec {
     assert(rctx == expect)
   }
 
+  test("rrfCombine: ids on both branches outrank single-branch ids at equal rank") {
+    val b1 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b2 = Seq((2L, 1L), (4L, 2L), (3L, 3L)).toDF("id", "rank")
+    val got = Search.rrfCombine(Seq(b1, b2), k = 4)
+      .as[(Long, Double, Long)].collect().toSeq
+    // 2: 1/62+1/61 best; 3: two rank-3s; 1: 1/61; 4: 1/62
+    assert(got.map(_._1) == Seq(2L, 3L, 1L, 4L))
+    assert(got.head._3 == 2L && got(2)._3 == 1L)
+  }
+
+  test("searchMatrix: self excluded, filter respected, ranks dense, symmetric scores") {
+    val got = Search.searchMatrix(points, sampleLimit = 20, matK = 3,
+      preFilter = Some($"user_id" === 3))
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, _, _) => a != b })
+    val users = points.filter($"user_id" === 3).select("id").as[Long].collect().toSet
+    assert(got.forall { case (a, b, _, _) => users(a) && users(b) })
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length)) }
+    // cosine is symmetric: score(a,b) present as score(b,a) when both kept
+    val m = got.map { case (a, b, s, _) => (a, b) -> s }.toMap
+    m.foreach { case ((a, b), s) =>
+      m.get((b, a)).foreach(s2 => assert(s == s2)) }
+  }
+
   test("matryoshka: oversampled prefix phase recovers the exact top-k head") {
     val q = points.filter($"id" === 7).select($"embedding".as("qemb"))
     val got = Search.matryoshkaSearch(points, q, k = 10, prefixDims = 16,
