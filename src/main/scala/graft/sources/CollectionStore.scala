@@ -48,26 +48,132 @@ object CollectionStore {
   def saveIndexed(
       points: DataFrame, path: String, centroids: DataFrame,
       numFiles: Int = 4,
-      pqCodebook: Option[graft.operators.Quantization.PqCodebook] = None): Unit = {
+      pqCodebook: Option[graft.operators.Quantization.PqCodebook] = None,
+      idSidecarBuckets: Option[Int] = None): Unit = {
     centroids.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(path + "_centroids")
-    val withCodes = graft.operators.Ann.ivfAssign(points, centroids)
-      .withColumn("sig", graft.operators.Quantization.signPack(col("embedding")))
-      .withColumn("pq", graft.operators.Quantization.quantize(col("embedding")))
+    val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
     // product-quantization codes (m bytes/point) when a codebook is given:
     // the ADC phase-1 scan then reads (id, pqc) only, like sig/pq
-    pqCodebook.fold(withCodes) { cb =>
-      withCodes.withColumn("pqc",
-        graft.operators.Quantization.pqEncode(col("embedding"), cb))
-    }
+    val assigned = withIndexCols(points,
+      rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Double](1)).toSeq,
+      pqCodebook)
+    assigned
       .repartition(numFiles, col("cid"))
       .sortWithinPartitions("cid", "user_id", "id")
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)
+    // id→cid sidecar for incremental maintenance ([[mergeIndexed]])
+    idSidecarBuckets.foreach(n => saveIdSidecar(assigned, path, n))
   }
 
   /** Read back an indexed store and its centroid side-table. */
   def loadIndexed(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(path), spark.read.parquet(path + "_centroids"))
+
+  /** Derive the index-artifact columns an indexed-store row carries. */
+  private def withIndexCols(points: DataFrame, cids: Seq[Long],
+      cents: Seq[Seq[Double]],
+      pqCodebook: Option[graft.operators.Quantization.PqCodebook]): DataFrame = {
+    val base = graft.operators.Ann.ivfAssign(points, cids, cents)
+      .withColumn("sig", graft.operators.Quantization.signPack(col("embedding")))
+      .withColumn("pq", graft.operators.Quantization.quantize(col("embedding")))
+    pqCodebook.fold(base)(cb => base.withColumn("pqc",
+      graft.operators.Quantization.pqEncode(col("embedding"), cb)))
+  }
+
+  /** Write the id→cid SIDECAR of an indexed store: `<path>_ids`, bucketed
+    * by `id mod nBuckets` as a partition dir. The sidecar answers "which
+    * cell does point X currently live in?" with a bucket-pruned read —
+    * the lookup [[mergeIndexed]] needs to find the cells UPDATED vectors
+    * move OUT of without scanning the store (the role Qdrant's internal
+    * id→point mapping plays for its segment updates). */
+  def saveIdSidecar(assigned: DataFrame, path: String, nBuckets: Int): Unit =
+    assigned.select(col("id"), col("cid").cast("long").as("cid"))
+      .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(path + "_ids")
+
+  /** Merge an upsert batch into a cid-partitioned indexed store
+    * INCREMENTALLY — O(affected cells + affected id-buckets), not
+    * O(store):
+    *
+    *  1. assign the batch map-side (cells, sig/pq/pqc codes);
+    *  2. find the cells updated ids currently live in via the bucket-pruned
+    *     id→cid sidecar (an updated vector may MOVE cells — its old copy
+    *     must leave its old cell, which no scan of the new assignment
+    *     reveals);
+    *  3. last-write-wins merge against ONLY the affected cell partitions,
+    *     written back with dynamic partition overwrite (untouched cell dirs
+    *     keep their files byte-for-byte — spec-asserted);
+    *  4. drop cell dirs whose every row was moved away (dynamic overwrite
+    *     cannot rewrite a partition it has no rows for);
+    *  5. merge the sidecar's affected buckets the same way.
+    *
+    * At 100 TB this makes index maintenance proportional to the batch's
+    * footprint: a 1k-row upsert touches ≤1k id-buckets and ≤2k cell dirs
+    * (usually far fewer), while search keeps the same directory-pruned
+    * layout it had. */
+  def mergeIndexed(
+      spark: SparkSession, path: String, adds: DataFrame,
+      cids: Seq[Long], cents: Seq[Seq[Double]], nBuckets: Int,
+      pqCodebook: Option[graft.operators.Quantization.PqCodebook] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val assignedAdds = withIndexCols(adds, cids, cents, pqCodebook)
+      .localCheckpoint() // one assignment pass; reused by steps 2/3/5
+    val batchIds = assignedAdds.select("id")
+    val buckets = assignedAdds
+      .select(pmod(col("id"), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // 2. old cells of updated ids — bucket-pruned sidecar lookup
+    val sidecar = spark.read.parquet(path + "_ids")
+    val oldCells = sidecar
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+      .select("cid").distinct().collect().map(_.getLong(0)).toSet
+    val newCells = assignedAdds.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val affected = (oldCells ++ newCells).toSeq.sorted
+    // 3. LWW against only the affected cell partitions (partition column
+    // reads back as its inferred narrow type — normalize to long)
+    val current = spark.read.parquet(path)
+      .filter(col("cid").isin(affected: _*))
+      .withColumn("cid", col("cid").cast("long"))
+    val merged = graft.operators.Collection
+      .upsert(current, assignedAdds)
+      .localCheckpoint() // cut lineage back to `path` before the overwrite
+    merged
+      .repartition(col("cid"))
+      .sortWithinPartitions("cid", "user_id", "id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(path)
+    // 4. a cell whose every row moved away has no rows in `merged` —
+    // dynamic overwrite leaves its stale dir; drop it explicitly
+    val surviving = merged.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    (affected.toSet -- surviving).foreach { cid =>
+      fs.delete(new Path(s"$path/cid=$cid"), true)
+    }
+    // 5. sidecar: same incremental shape on the id-bucket dirs
+    val sidecarMerged = sidecar
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(batchIds), Seq("id"), "left_anti")
+      .select("id", "cid", "bucket")
+      .unionByName(assignedAdds
+        .select(col("id"), col("cid").cast("long").as("cid"))
+        .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int")))
+      .localCheckpoint()
+    sidecarMerged
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path + "_ids")
+  }
 
   /** Persist a collection id-BUCKETED: `bucket = id mod nBuckets` as a
     * partition directory. This is the mutation-friendly layout: an upsert

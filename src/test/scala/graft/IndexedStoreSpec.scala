@@ -108,4 +108,72 @@ class IndexedStoreSpec extends SparkSpec {
     assert((served intersect exact.toSet).size >= 8,
       s"meta-driven policy ANN recall too low: $served vs $exact")
   }
+
+  test("mergeIndexed: O(affected-cells) upsert — moves cells, spares untouched dirs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("merge_idx").toString
+    val path = s"$dir/store"
+    val nBuckets = 8
+    val cents = Ann.kmeansCentroids(points, 8, 3)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    CollectionStore.saveIndexed(points, path, cents,
+      idSidecarBuckets = Some(nBuckets))
+    val before = Ann.ivfAssign(points, cids, ces)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    // batch: move id=5 onto a DIFFERENT cell's centroid, keep id=6 in
+    // place with a new user_id, and insert a brand-new id
+    val targetCell = cids.find(_ != before(5L)).get
+    val targetCe = ces(cids.indexOf(targetCell))
+    val adds = Seq(
+      (5L, targetCe, 901, 1e9),
+      (6L, points.filter($"id" === 6).select($"embedding")
+        .as[Seq[Double]].head(), 902, 1e9),
+      (100000L, points.filter($"id" === 7).select($"embedding")
+        .as[Seq[Double]].head(), 903, 1e9))
+      .toDF("id", "embedding", "user_id", "ts")
+    def fileMap(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val filesBefore = fileMap()
+    CollectionStore.mergeIndexed(spark, path, adds, cids, ces, nBuckets)
+    val filesAfter = fileMap()
+    // LWW + move semantics: merged store == scratch-built store of the
+    // upserted collection (same id→(cid, user_id) everywhere)
+    val (store, _) = CollectionStore.loadIndexed(spark, path)
+    def asMap(rows: Array[(Long, Long, Int)]): Map[Long, (Long, Int)] =
+      rows.map(t => t._1 -> ((t._2, t._3))).toMap
+    val got = asMap(store
+      .select($"id", $"cid".cast("long"), $"user_id".cast("int"))
+      .as[(Long, Long, Int)].collect())
+    val expect = asMap(Ann.ivfAssign(
+        graft.operators.Collection.upsert(points, adds), cids, ces)
+      .select($"id", $"cid", $"user_id".cast("int"))
+      .as[(Long, Long, Int)].collect())
+    assert(got == expect)
+    assert(got(5L)._1 == targetCell && got(5L)._2 == 901)
+    assert(got(100000L)._2 == 903)
+    // untouched cell dirs keep their files byte-for-byte (same paths,
+    // same mtimes); affected cells were rewritten
+    val affected = Set(before(5L), targetCell, before(6L), got(100000L)._1)
+    def cellOf(p: String): Long =
+      "cid=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    val untouchedBefore = filesBefore.filter(kv => !affected(cellOf(kv._1)))
+    val untouchedAfter = filesAfter.filter(kv => !affected(cellOf(kv._1)))
+    assert(untouchedBefore == untouchedAfter, "untouched cell dirs changed")
+    assert(filesBefore.keySet.filter(p => cellOf(p) == before(5L)) !=
+      filesAfter.keySet.filter(p => cellOf(p) == before(5L)),
+      "the moved-from cell must be rewritten")
+    // idempotent rerun (exactly-once analogue): same result
+    CollectionStore.mergeIndexed(spark, path, adds, cids, ces, nBuckets)
+    val again = asMap(CollectionStore.loadIndexed(spark, path)._1
+      .select($"id", $"cid".cast("long"), $"user_id".cast("int"))
+      .as[(Long, Long, Int)].collect())
+    assert(again == got)
+  }
 }
