@@ -686,6 +686,13 @@ object SparkEntry {
     "search_matrix" -> ((s, dir) =>
       Search.searchMatrix(Collection.load(s, dir), sampleLimit = 50,
         matK = 3, preFilter = Some(col("user_id") === 3))),
+    // MMR diversity rerank of the top-20 candidates (Carbonell '98);
+    // greedy loop runs as one executor task over the bounded set.
+    "mmr_rerank" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Search.mmrRerank(points, q, k = 5, candK = 20, lambdaRel = 0.7)
+    }),
     // Matryoshka two-phase: prefix-dim phase 1, full-vector rescore.
     "matryoshka_search" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -1775,6 +1782,30 @@ object SparkEntry {
          |  count(*)::BIGINT AS branches
          |FROM u GROUP BY id
          |ORDER BY rrf_score DESC, branches DESC, id ASC LIMIT 10""".stripMargin,
+    // recursive-CTE MMR: same greedy objective, rounded terms, id ties
+    "mmr_rerank" ->
+      s"""WITH RECURSIVE $C,
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |cand AS (SELECT c.id, c.ne, round(list_dot_product(c.ne, q.qe), 6) AS rel
+         |  FROM c, q ORDER BY rel DESC, id ASC LIMIT 20),
+         |sims AS (SELECT a.id AS ia, b.id AS ib,
+         |  round(list_dot_product(a.ne, b.ne), 6) AS s
+         |  FROM cand a, cand b WHERE a.id <> b.id),
+         |mmr AS (
+         |  SELECT 1 AS step, id, rel AS mmr_score, [id] AS sel
+         |  FROM (SELECT id, rel FROM cand ORDER BY rel DESC, id ASC LIMIT 1)
+         |  UNION ALL
+         |  SELECT step + 1, nxt.id, nxt.score, list_append(mmr.sel, nxt.id)
+         |  FROM mmr, LATERAL (
+         |    SELECT cand.id, round(0.7::DOUBLE * cand.rel - (1.0::DOUBLE - 0.7::DOUBLE) *
+         |      (SELECT max(s) FROM sims
+         |       WHERE sims.ia = cand.id AND list_contains(mmr.sel, sims.ib)), 6) AS score
+         |    FROM cand WHERE NOT list_contains(mmr.sel, cand.id)
+         |    ORDER BY score DESC, cand.id ASC LIMIT 1) nxt
+         |  WHERE step < 5
+         |)
+         |SELECT step::BIGINT AS step, id, mmr_score::DOUBLE AS mmr_score
+         |FROM mmr ORDER BY step""".stripMargin,
     "search_matrix" ->
       s"""WITH $C,
          |sm AS (SELECT id, ne FROM c WHERE user_id = 3 ORDER BY id ASC LIMIT 50),

@@ -365,6 +365,80 @@ object Search {
       .orderBy("qid")
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein '98, public):
+    * diversify a top-`candK` candidate set by greedily picking
+    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), k times. The
+    * vector-DB answer to "my top-10 are ten near-duplicates".
+    *
+    * MMR is sequential BY DEFINITION (each pick changes the next
+    * objective), so the engine shape is: distributed exact top-candK
+    * (TakeOrderedAndProject over the full collection — the scalable part),
+    * then the O(k·candK) greedy loop as ONE executor task over the bounded
+    * candidate partition (API contract: candK ≤ a few hundred). No driver
+    * collect; the loop's input never scales with the corpus.
+    *
+    * Determinism: rel and pairwise sims are 6dp-rounded on computation
+    * (same BigDecimal HALF_UP as the `round` expression); each step's
+    * objective is `λ·rel − (1−λ)·maxSim` rounded 6dp with id tiebreak —
+    * reproducible by the oracle's recursive CTE. */
+  def mmrRerank(
+      points: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      candK: Int = 20,
+      lambdaRel: Double = 0.7): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val cand = points
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("rel", score(col("embedding"), col("qemb")))
+      .orderBy(desc("rel"), asc("id")).limit(candK)
+      .select(col("id"), col("rel"), col("embedding"))
+      .as[(Long, Double, Seq[Double])]
+    val picked = cand.coalesce(1).mapPartitions { rows =>
+      val cs = rows.toArray.sortBy(_._1) // id-ascending scan order
+      val emb = cs.map(_._3.toArray)
+      def sim(i: Int, j: Int): Double = {
+        var s = 0.0d; var d = 0
+        while (d < emb(i).length) { s += emb(i)(d) * emb(j)(d); d += 1 }
+        r6(s)
+      }
+      val n = cs.length
+      val taken = new Array[Boolean](n)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var step = 1
+      while (step <= math.min(k, n)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val objective =
+              if (step == 1) cs(i)._2
+              else {
+                var pen = Double.NegativeInfinity
+                var j = 0
+                while (j < n) {
+                  if (taken(j)) { val s = sim(i, j); if (s > pen) pen = s }
+                  j += 1
+                }
+                r6(lambdaRel * cs(i)._2 - (1.0d - lambdaRel) * pen)
+              }
+            // ids ascend within cs, so strict > keeps the lowest id on ties
+            if (objective > bestScore) { best = i; bestScore = objective }
+          }
+          i += 1
+        }
+        taken(best) = true
+        out += ((step.toLong, cs(best)._1, bestScore))
+        step += 1
+      }
+      out.result().iterator
+    }
+    picked.toDF("step", "id", "mmr_score").orderBy("step")
+  }
+
   /** Top-k by EUCLIDEAN distance over RAW (un-normalized) vectors. The
     * reference's collection is cosine-only, but the vector-DB distance
     * surface it configures (Qdrant `Distance`, src/core/qdrant_client.py:105)

@@ -237,6 +237,38 @@ class SearchSpec extends SparkSpec {
       m.get((b, a)).foreach(s2 => assert(s == s2)) }
   }
 
+  test("mmrRerank: near-duplicate of the top pick is deferred behind a diverse candidate") {
+    // q = e1; top pick TILTED off the query axis so a candidate's sim to
+    // it differs from its own relevance (the non-degenerate MMR regime):
+    // near-dup of the top scores rel .89 but sim-to-top ~.9998; the
+    // diverse candidate scores rel .85 with sim-to-top only ~.535.
+    def v(x: Double, y: Double) = {
+      val n = math.sqrt(x * x + y * y)
+      Seq(x / n, y / n) ++ Seq.fill(62)(0.0)
+    }
+    val pts = Seq(
+      (1L, v(0.9, 0.43589), 0),   // top (rel 0.9)
+      (2L, v(0.89, 0.45596), 0),  // near-dup of 1 (rel 0.89)
+      (3L, v(0.85, -0.52678), 0)) // diverse (rel 0.85)
+      .toDF("id", "embedding", "user_id")
+    val q = Seq(Tuple1(v(1.0, 0.0))).toDF("qemb")
+    val got = Search.mmrRerank(pts, q, k = 3, candK = 3, lambdaRel = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L),
+      s"MMR must defer the near-dup: $got")
+    // plain top-k would rank the near-dup second
+    val plain = Search.knn(pts, q, 3, -1.0).select("id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+    // invariants on real data: step 1 = exact top-1, k unique ids
+    val points0 = points
+    val q0 = points0.filter($"id" === 0).select($"embedding".as("qemb"))
+    val real = Search.mmrRerank(points0, q0, k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(real.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(real.map(_._2).distinct.size == 5)
+    assert(real.head._2 == 0L, "step 1 is the exact top-1 (self)")
+  }
+
   test("matryoshka: oversampled prefix phase recovers the exact top-k head") {
     val q = points.filter($"id" === 7).select($"embedding".as("qemb"))
     val got = Search.matryoshkaSearch(points, q, k = 10, prefixDims = 16,
