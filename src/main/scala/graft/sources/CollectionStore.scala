@@ -124,6 +124,15 @@ object CollectionStore {
       spark.sparkContext.hadoopConfiguration)
     val assignedAdds = withIndexCols(adds, cids, cents, pqCodebook)
       .localCheckpoint() // one assignment pass; reused by steps 2/3/5
+    // first batch against an empty location: plain indexed write
+    if (!fs.exists(new Path(path))) {
+      assignedAdds
+        .repartition(col("cid"))
+        .sortWithinPartitions("cid", "user_id", "id")
+        .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)
+      saveIdSidecar(assignedAdds, path, nBuckets)
+      return
+    }
     val batchIds = assignedAdds.select("id")
     val buckets = assignedAdds
       .select(pmod(col("id"), lit(nBuckets.toLong)).cast("int").as("bucket"))

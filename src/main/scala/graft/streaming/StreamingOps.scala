@@ -134,6 +134,41 @@ object StreamingOps {
     CollectionStore.loadBucketed(spark, destPath).count()
   }
 
+  /** Streaming ingest into the INDEXED store: each micro-batch is
+    * cell-assigned map-side and merged through
+    * [[graft.sources.CollectionStore.mergeIndexed]] — only the cell
+    * partitions the batch lands in (or moves vectors out of, via the
+    * bucket-pruned id→cid sidecar) rewrite, so a live stream keeps the
+    * search-optimized cid layout CURRENT without ever paying O(store):
+    * searches against the store see every ingested vector in the right
+    * cell the moment its micro-batch commits. Same checkpoint + idempotent
+    * LWW = exactly-once contract as [[ingestStream]]. */
+  def ingestIndexedStream(spark: SparkSession, sfDir: String,
+      destPath: String, cids: Seq[Long], cents: Seq[Seq[Double]],
+      nBuckets: Int = 16): Long = {
+    import graft.operators.Collection
+    import graft.sources.CollectionStore
+    val batchSchema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val adds = Collection.withNormalized(batch)
+          .select(col("vec_id").as("id"), col("nemb").as("embedding"),
+            col("label").as("user_id"), col("vec_id").cast("double").as("ts"))
+        CollectionStore.mergeIndexed(spark, destPath, adds,
+          cids, cents, nBuckets)
+        ()
+      }
+      .option("checkpointLocation", destPath + "_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(destPath).count()
+  }
+
   /** Watermarked stream-stream inner join — the funnel-attribution shape
     * (which error followed a click by the same user within `windowMin`
     * minutes?) run as two live streams. Both sides carry a watermark and

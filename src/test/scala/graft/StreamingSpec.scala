@@ -49,6 +49,33 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == n1)
   }
 
+  test("streaming indexed ingest: store lands cell-partitioned, searchable, exactly-once") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, Collection, Search}
+    val dest = java.nio.file.Files.createTempDirectory("ingest_idx")
+      .resolve("store").toString
+    val points = Collection.load(spark, sf001)
+    val cents = Ann.kmeansCentroids(points, 8, 3)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    val n1 = StreamingOps.ingestIndexedStream(spark, sf001, dest, cids, ces)
+    assert(n1 == points.count())
+    // the ingested store IS the search layout: cid partition dirs exist
+    // and an IVF search over it matches the on-the-fly assignment
+    val store = spark.read.parquet(dest)
+    assert(Seq("cid", "sig", "pq").forall(store.columns.contains))
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(top(Ann.ivfSearch(store.withColumn("cid", $"cid".cast("long")),
+        cids, ces, q, nprobe = 8, k = 10)) ==
+      top(Search.knn(points, q, 10, -1.0)))
+    // same checkpoint, no new files: exactly-once rerun, same count
+    val n2 = StreamingOps.ingestIndexedStream(spark, sf001, dest, cids, ces)
+    assert(n2 == n1)
+  }
+
   test("bucketed merge rewrites ONLY the buckets containing batch ids") {
     import org.apache.spark.sql.functions._
     import graft.sources.CollectionStore
