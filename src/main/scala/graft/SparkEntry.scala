@@ -578,6 +578,17 @@ object SparkEntry {
       Collection.scroll(Collection.load(s, dir), limit = 25,
         afterTs = Some(300.0), afterId = Some(300L),
         pred = Some(col("user_id") < 5))),
+    // order_by scroll: keyset pagination on a payload field (conf DESC,
+    // id ASC), cursor = pushed range predicate — never OFFSET.
+    "scroll_ordered" -> ((s, dir) =>
+      Collection.scrollOrderedBy(Collection.loadWithPayload(s, dir),
+        field = "confidence_score", limit = 25,
+        afterVal = Some(0.9), afterId = Some(0L),
+        pred = Some(col("face_quality") >= 20))),
+    // best_score recommend strategy (peer of the average_vector one).
+    "recommend_best_score" -> ((s, dir) =>
+      Search.recommendBestScore(Collection.load(s, dir),
+        positiveIds = Seq(1L, 3L), negativeIds = Seq(2L), k = 10)),
     // Filtered exact count (vector-DB count endpoint).
     "count_filtered" -> ((s, dir) =>
       Collection.countWhere(Collection.load(s, dir),
@@ -1498,6 +1509,27 @@ object SparkEntry {
          |      FROM c, q WHERE c.user_id = 5)
          |SELECT id, score, user_id FROM s WHERE score >= 0.0
          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "scroll_ordered" ->
+      s"""WITH $C,
+         |cx AS (SELECT id, user_id,
+         |  round((('0x' || substring(md5('conf_' || id), 1, 15))::BIGINT % 1000000)::DOUBLE / 1e6, 6) AS confidence_score,
+         |  (('0x' || substring(md5('fq_' || id), 1, 15))::BIGINT % 100)::INT AS face_quality
+         |  FROM c)
+         |SELECT id, user_id, confidence_score FROM cx
+         |WHERE face_quality >= 20
+         |  AND (confidence_score < 0.9 OR (confidence_score = 0.9 AND id > 0))
+         |ORDER BY confidence_score DESC, id ASC LIMIT 25""".stripMargin,
+    "recommend_best_score" ->
+      s"""WITH $C,
+         |p0 AS (SELECT ne FROM c WHERE id = 1), p1 AS (SELECT ne FROM c WHERE id = 3),
+         |n0 AS (SELECT ne FROM c WHERE id = 2),
+         |s AS (SELECT c.id, c.user_id,
+         |  greatest(round(list_dot_product(c.ne, p0.ne), 6),
+         |           round(list_dot_product(c.ne, p1.ne), 6)) AS bp,
+         |  round(list_dot_product(c.ne, n0.ne), 6) AS bn
+         |  FROM c, p0, p1, n0 WHERE c.id NOT IN (1, 2, 3))
+         |SELECT id, CASE WHEN bp > bn THEN bp ELSE -bn END AS score, user_id
+         |FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "knn_search_advanced_filters" ->
       s"""WITH $C,
          |cx AS (SELECT id, user_id, ts, ne,

@@ -141,6 +141,33 @@ object Collection {
       .select(col("id"), col("user_id"), col("ts"))
   }
 
+  /** Keyset scroll ordered by an arbitrary (payload) field — the public
+    * order_by scroll API. Deterministic (field DESC, id ASC) pagination;
+    * the cursor is the last row's (field value, id) and the next page is a
+    * PUSHED range predicate, never OFFSET (OFFSET at 100 TB re-reads
+    * everything before the page; a keyset cursor reads only rows past it,
+    * and a store sorted on the field skips whole row groups). */
+  def scrollOrderedBy(
+      points: DataFrame,
+      field: String,
+      limit: Int,
+      afterVal: Option[Double] = None,
+      afterId: Option[Long] = None,
+      pred: Option[Column] = None): DataFrame = {
+    val base = pred.map(p => points.filter(coalesce(p, lit(false))))
+      .getOrElse(points)
+    val cursored = (afterVal, afterId) match {
+      case (Some(v), Some(i)) =>
+        base.filter(col(field) < v || (col(field) === v && col("id") > i))
+      case (Some(v), None) => base.filter(col(field) < v)
+      case _ => base
+    }
+    cursored
+      .orderBy(desc(field), asc("id"))
+      .limit(limit)
+      .select(col("id"), col("user_id"), col(field))
+  }
+
   /** Filtered exact count — the vector-DB "count points matching a filter"
     * endpoint. NULL-evaluating predicates don't match (same tri-state rule
     * as deleteWhere). One map-side-combined aggregate; at 100 TB this is a

@@ -274,6 +274,51 @@ object Search {
       .select(col("id"), col("score"), col("user_id"))
   }
 
+  /** The BEST_SCORE recommend strategy — the second of the two public
+    * recommend strategies (average_vector is [[recommend]]): every
+    * candidate is scored against every example individually; a point
+    * closer to its best positive than to its best negative keeps the best
+    * positive score, otherwise it is pushed below every such point by the
+    * negated best negative score. No combined query vector exists, so
+    * multi-modal positive sets (two clusters of "good") are not averaged
+    * into a meaningless midpoint.
+    *
+    * Physical shape: the example vectors are index-metadata-sized (a tiny
+    * broadcast crossJoin of one assembled row); best-pos/best-neg are
+    * statically unrolled `greatest(...)` chains over codegen dots — one
+    * map-only projection, then the usual TakeOrderedAndProject. */
+  def recommendBestScore(
+      points: DataFrame,
+      positiveIds: Seq[Long],
+      negativeIds: Seq[Long],
+      k: Int): DataFrame = {
+    require(positiveIds.nonEmpty, "recommend requires at least one positive id")
+    def vcol(id: Long, n: String): DataFrame =
+      points.filter(col("id") === id).select(col("embedding").as(n))
+    val ex = (positiveIds.zipWithIndex.map { case (id, i) => vcol(id, s"p$i") }
+      ++ negativeIds.zipWithIndex.map { case (id, i) => vcol(id, s"n$i") })
+      .reduce(_ crossJoin _)
+    val bestPos = positiveIds.indices
+      .map(i => score(col("embedding"), col(s"p$i")))
+      .reduce((a, b) => greatest(a, b))
+    val bestNeg =
+      if (negativeIds.isEmpty) lit(-1.0d)
+      else negativeIds.indices
+        .map(i => score(col("embedding"), col(s"n$i")))
+        .reduce((a, b) => greatest(a, b))
+    val seeds = positiveIds ++ negativeIds
+    points
+      .filter(!col("id").isin(seeds: _*))
+      .crossJoin(broadcast(ex))
+      .withColumn("bp", bestPos)
+      .withColumn("bn", bestNeg)
+      .withColumn("score",
+        when(col("bp") > col("bn"), col("bp")).otherwise(-col("bn")))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
   /** Grouped search (the vector-DB "search groups" pattern): the best
     * `groupSize` hits per group, for the `k` groups with the highest best
     * hit. Two-stage shape that avoids any global sort: (1) per-group top-n

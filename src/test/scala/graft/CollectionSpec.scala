@@ -100,4 +100,21 @@ class CollectionSpec extends SparkSpec {
     val after = Collection.deleteWhere(df, $"tag" === "a")
     assert(after.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
+
+  test("scrollOrderedBy: payload-field keyset pages concatenate to the global order") {
+    val ext = Collection.loadWithPayload(spark, sf001)
+    val all = Collection.scrollOrderedBy(ext, "confidence_score", limit = 20)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(all.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    val (lastConf, lastId) = (all.last._3, all.last._1)
+    val page2 = Collection.scrollOrderedBy(ext, "confidence_score",
+      limit = 20, afterVal = Some(lastConf), afterId = Some(lastId))
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(page2.nonEmpty)
+    assert((all.map(_._1).toSet & page2.map(_._1).toSet).isEmpty, "pages overlap")
+    // two keyset pages == the first 40 of one big page
+    val big = Collection.scrollOrderedBy(ext, "confidence_score", limit = 40)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(all ++ page2 == big)
+  }
 }

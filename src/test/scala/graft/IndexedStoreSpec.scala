@@ -10,9 +10,12 @@ class IndexedStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val points = Collection.load(spark, sf001).cache()
+  private lazy val pqCb = Quantization.pqCodebookOf(
+    Quantization.pqTrain(points, 64, 8, 16, 3))
   private lazy val storePath = {
     val p = "/tmp/graft_test_indexed_store"
-    CollectionStore.saveIndexed(points, p, Ann.seedCentroids(points, 16))
+    CollectionStore.saveIndexed(points, p, Ann.seedCentroids(points, 16),
+      pqCodebook = Some(pqCb))
     p
   }
 
@@ -57,7 +60,8 @@ class IndexedStoreSpec extends SparkSpec {
     val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
     for ((df, code) <- Seq(
         (Quantization.twoPhaseSearch(store, q, 10), "pq"),
-        (Quantization.binaryTwoPhaseSearch(store, q, 10), "sig"))) {
+        (Quantization.binaryTwoPhaseSearch(store, q, 10), "sig"),
+        (Quantization.pqAdcSearch(store, q, pqCb, 10), "pqc"))) {
       val scans = df.queryExecution.executedPlan.toString
         .linesIterator.filter(_.contains("ReadSchema")).toSeq
       val phase1 = scans.filter(_.contains(code))

@@ -269,6 +269,26 @@ class SearchSpec extends SparkSpec {
     assert(real.head._2 == 0L, "step 1 is the exact top-1 (self)")
   }
 
+  test("recommendBestScore: near-positive points win, near-negative points sink") {
+    val got = Search.recommendBestScore(points,
+      positiveIds = Seq(1L, 3L), negativeIds = Seq(2L), k = 400)
+      .as[(Long, Double, Int)].collect()
+    assert(!got.map(_._1).toSet.exists(Set(1L, 2L, 3L)), "seeds excluded")
+    // recompute one row's score from first principles
+    def emb(i: Long) =
+      points.filter($"id" === i).select($"embedding").as[Seq[Double]].head()
+    def dot6(a: Seq[Double], b: Seq[Double]) =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rid = got.head._1
+    val (e, p0, p1, n0) = (emb(rid), emb(1L), emb(3L), emb(2L))
+    val bp = math.max(dot6(e, p0), dot6(e, p1)); val bn = dot6(e, n0)
+    assert(got.head._2 == (if (bp > bn) bp else -bn))
+    // ranking is non-increasing and every neg-dominated score is the
+    // negated best-negative (strictly <= any pos-dominated winner's bp)
+    assert(got.map(_._2).sliding(2).forall(p => p.size < 2 || p.head >= p.last))
+  }
+
   test("matryoshka: oversampled prefix phase recovers the exact top-k head") {
     val q = points.filter($"id" === 7).select($"embedding".as("qemb"))
     val got = Search.matryoshkaSearch(points, q, k = 10, prefixDims = 16,
