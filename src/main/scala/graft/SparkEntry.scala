@@ -578,6 +578,10 @@ object SparkEntry {
       Collection.scroll(Collection.load(s, dir), limit = 25,
         afterTs = Some(300.0), afterId = Some(300L),
         pred = Some(col("user_id") < 5))),
+    // RAG/context chunking: 32-token windows every 24 tokens (overlap 8).
+    "chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(
+        s.read.parquet(s"$dir/documents.parquet"), chunkSize = 32, stride = 24)),
     // order_by scroll: keyset pagination on a payload field (conf DESC,
     // id ASC), cursor = pushed range predicate — never OFFSET.
     "scroll_ordered" -> ((s, dir) =>
@@ -1509,6 +1513,13 @@ object SparkEntry {
          |      FROM c, q WHERE c.user_id = 5)
          |SELECT id, score, user_id FROM s WHERE score >= 0.0
          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "chunk_documents" ->
+      s"""WITH $W,
+         |s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS st FROM t)
+         |SELECT doc_id, (st / 24)::BIGINT AS chunk_id,
+         |  array_to_string(list_slice(w, st + 1, st + 32), ' ') AS chunk_text,
+         |  len(list_slice(w, st + 1, st + 32))::BIGINT AS n_tokens
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "scroll_ordered" ->
       s"""WITH $C,
          |cx AS (SELECT id, user_id,

@@ -126,6 +126,35 @@ object TextAnalysis {
       .orderBy(desc("doc_freq"), asc("term"))
       .limit(k)
 
+  /** Sliding-window document chunking — the context-preparation primitive
+    * of RAG / embedding pipelines: each doc explodes into word-window
+    * chunks of `chunkSize` tokens every `stride` tokens (overlap =
+    * chunkSize − stride). Deterministic: chunk boundaries are pure integer
+    * arithmetic on the shared whitespace tokenization.
+    *
+    * Physical shape: one generate (sequence+explode) per doc — map-only,
+    * no shuffle except the presentation sort; chunk count rides with
+    * document length, so the output is a constant factor of the corpus,
+    * never quadratic. */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      "need stride >= 1 and chunkSize >= stride (non-negative overlap)")
+    docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(stride))).as("st"))
+      .select(
+        col("doc_id"),
+        (col("st") / lit(stride)).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("w"), col("st") + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("w"), col("st") + 1, lit(chunkSize)))
+          .cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Cluster topic labels: top-`perCluster` terms by document frequency
     * within each embedding cluster — the "describe each semantic cluster"
     * step of a corpus-curation pass (the readable face of the SemDeDup-style

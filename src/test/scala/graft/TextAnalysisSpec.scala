@@ -79,6 +79,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.decontaminate(corpus, eval, n = 3, minShared = 2).count() == 0)
   }
 
+  test("chunkDocuments: full coverage, fixed overlap, tail clamps") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, chunkSize = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val d1 = got.filter(_._1 == 1L)
+    // starts 0,3,6,9: windows of 4 words, overlap 1, tail clamped
+    assert(d1.map(_._3) == Seq("w1 w2 w3 w4", "w4 w5 w6 w7",
+      "w7 w8 w9 w10", "w10"))
+    assert(d1.map(_._4) == Seq(4L, 4L, 4L, 1L))
+    assert(d1.map(_._2) == Seq(0L, 1L, 2L, 3L))
+    // every word of the doc appears in some chunk (full coverage)
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+    // short doc: one chunk, whole text
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, "a b", 2L)))
+  }
+
   test("clusterTopics: doc-frequency top terms per cluster, rank-dense, tie on term") {
     val docs = Seq(
       (0L, 1L, "apple banana apple"), // apple counts once per doc
