@@ -754,6 +754,17 @@ object SparkEntry {
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Quantization.binaryTwoPhaseSearch(store, q, k = 10, oversample = 32.0)
     }),
+    // Batched IVF: 3 queries served by one pass over the union of their
+    // probe sets (cells shared by queries scanned once).
+    "ivf_batch_search" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val meta = indexMeta(s, dir)
+      val assigned = Ann.ivfAssign(points, meta.cids, meta.cents)
+      val queries = points.filter(col("id") < 3)
+        .select(col("id").as("query_id"), col("embedding").as("qemb"))
+      Ann.ivfSearchBatch(assigned, meta.cids, meta.cents, queries,
+        nprobe = 4, k = 5)
+    }),
     // IVF-PQ (FAISS-style composition): cell pruning x ADC code ranking x
     // exact rescore on the persisted index.
     "ivf_pq_search" -> ((s, dir) => {
@@ -1889,6 +1900,28 @@ object SparkEntry {
     // the indexed store's pqc codes are the same deterministic encoding,
     // so the persisted-index read path has the identical oracle
     "indexed_pq_adc" -> pqAdcOracle,
+    "ivf_batch_search" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, ne, cid FROM asgn WHERE rn = 1),
+         |qs AS (SELECT id AS query_id, ne AS qe FROM c WHERE id < 3),
+         |pr AS (SELECT qs.query_id, cent.cid,
+         |  row_number() OVER (PARTITION BY qs.query_id
+         |    ORDER BY round(list_dot_product(cent.ce, qs.qe), 6) DESC, cent.cid ASC) AS rn
+         |  FROM qs, cent),
+         |probes AS (SELECT query_id, cid FROM pr WHERE rn <= 4),
+         |s AS (SELECT q.query_id, p.id,
+         |  round(list_dot_product(p.ne, q.qe), 6) AS score,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY round(list_dot_product(p.ne, q.qe), 6) DESC, p.id ASC)::BIGINT AS rank
+         |  FROM pts p JOIN probes pb ON p.cid = pb.cid
+         |  JOIN qs q ON q.query_id = pb.query_id)
+         |SELECT query_id, id, score, rank FROM s WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     // IVF-PQ: assignment + probe CTEs (as ann_ivf_kmeans) composed with
     // the PQ codes/ADC/rescore CTEs (as pq_adc_search), cells from the
     // persisted trained-centroid table, codebook from the PQ side table.

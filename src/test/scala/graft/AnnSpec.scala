@@ -240,6 +240,26 @@ class AnnSpec extends SparkSpec {
     assert(narrow.forall(id => probes(cellOf(id))))
   }
 
+  test("ivfSearchBatch: per-query blocks match single-query ivfSearch") {
+    val cents = Ann.kmeansCentroids(points, 8, 3)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    val assigned = Ann.ivfAssign(points, cids, ces)
+    val queries = points.filter($"id" < 4)
+      .select($"id".as("query_id"), $"embedding".as("qemb"))
+    val batch = Ann.ivfSearchBatch(assigned, cids, ces, queries,
+      nprobe = 3, k = 5)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val q = points.filter($"id" === qid).select($"embedding".as("qemb"))
+      val single = Ann.ivfSearch(assigned, cids, ces, q, nprobe = 3, k = 5)
+        .select("id", "score").as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid diverges")
+    }
+  }
+
   test("cellStats: counts partition the corpus, shares sum to 1") {
     val cents = Ann.seedCentroids(points, 8)
     val stats = Ann.cellStats(Ann.ivfAssign(points, cents))
