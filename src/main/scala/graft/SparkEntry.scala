@@ -754,6 +754,20 @@ object SparkEntry {
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Quantization.binaryTwoPhaseSearch(store, q, k = 10, oversample = 32.0)
     }),
+    // Embedding arithmetic (word2vec-style analogy): query =
+    // normalize(a - b + c), seeds excluded — pure composition of the
+    // normalize kernel and exact knn.
+    "vector_analogy" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      def v(i: Long, n: String) =
+        points.filter(col("id") === i).select(col("embedding").as(n))
+      val q = v(10, "a").crossJoin(v(11, "b")).crossJoin(v(12, "c"))
+        .select(graft.plans.VectorExpressions.normalizeL2(
+          expr("zip_with(zip_with(a, b, (x, y) -> x - y), c, (d, z) -> d + z)"))
+          .as("qemb"))
+      Search.knn(points, q, k = 10, threshold = -1.0,
+        preFilter = Some(!col("id").isin(10L, 11L, 12L)))
+    }),
     // Batched IVF: 3 queries served by one pass over the union of their
     // probe sets (cells shared by queries scanned once).
     "ivf_batch_search" -> ((s, dir) => {
@@ -1900,6 +1914,17 @@ object SparkEntry {
     // the indexed store's pqc codes are the same deterministic encoding,
     // so the persisted-index read path has the identical oracle
     "indexed_pq_adc" -> pqAdcOracle,
+    "vector_analogy" ->
+      s"""WITH $C,
+         |a AS (SELECT ne FROM c WHERE id = 10), b AS (SELECT ne FROM c WHERE id = 11),
+         |cc AS (SELECT ne FROM c WHERE id = 12),
+         |raw AS (SELECT list_transform(range(len(a.ne)),
+         |  i -> a.ne[i+1] - b.ne[i+1] + cc.ne[i+1]) AS rv FROM a, b, cc),
+         |q AS (SELECT list_transform(rv,
+         |  x -> x / greatest(sqrt(list_dot_product(rv, rv)), 1e-12)) AS qe FROM raw),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM c, q WHERE c.id NOT IN (10, 11, 12))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "ivf_batch_search" ->
       s"""WITH $C,
          |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),
