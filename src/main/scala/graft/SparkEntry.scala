@@ -471,6 +471,11 @@ object SparkEntry {
       Stats.corrSummary(
         Events.load(s, dir).withColumn("hod", hour(col("ts"))),
         Seq("event_type"), "value", "hod")),
+    // Distribution-drift monitor: bucketed two-sample KS between the
+    // value distributions of two event types.
+    "ks_drift" -> ((s, dir) =>
+      Stats.ksDrift(Events.load(s, dir), "event_type", "click", "purchase",
+        metric = "value", nBins = 200)),
     // Fixed-width doc-length histogram (map-side integer binning).
     "doc_length_histogram" -> ((s, dir) =>
       Stats.histogramBins(
@@ -1925,6 +1930,24 @@ object SparkEntry {
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
          |  FROM c, q WHERE c.id NOT IN (10, 11, 12))
          |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "ks_drift" ->
+      """WITH e AS (SELECT event_type, value::DOUBLE AS v FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |bd AS (SELECT min(v) AS lo, greatest((max(v) - min(v)) / 200.0, 1e-12) AS width FROM e),
+        |bins AS (SELECT least(199, floor((e.v - bd.lo) / bd.width))::BIGINT AS bin,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca_,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb_
+        |  FROM e, bd GROUP BY 1),
+        |tot AS (SELECT sum(ca_)::DOUBLE AS na, sum(cb_)::DOUBLE AS nb FROM bins),
+        |cum AS (SELECT bin,
+        |  sum(ca_) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::DOUBLE AS ca,
+        |  sum(cb_) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::DOUBLE AS cb
+        |  FROM bins),
+        |d AS (SELECT bin, round(abs(ca / tot.na - cb / tot.nb), 6) AS d
+        |  FROM cum, tot)
+        |SELECT d AS ks_stat, bin AS at_bin,
+        |  (SELECT na FROM tot)::BIGINT AS n_a, (SELECT nb FROM tot)::BIGINT AS n_b
+        |FROM d ORDER BY d DESC, bin ASC LIMIT 1""".stripMargin,
     "ivf_batch_search" ->
       s"""WITH $C,
          |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),

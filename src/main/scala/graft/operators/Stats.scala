@@ -105,6 +105,49 @@ object Stats {
     * TextAnalysis.packSequences for the same avoidance — and
     * cutpoint-based depth bins inherit cross-engine percentile
     * interpolation ulps; fixed width is the deterministic shape.) */
+  /** Two-sample Kolmogorov–Smirnov drift statistic over fixed-width
+    * buckets — the distribution-shift monitor a training pipeline runs
+    * between data snapshots (did `metric` drift between source A and
+    * source B / last week and this week?). KS = max |F_A − F_B| over the
+    * bucketed ECDFs; bucketing bounds the error by the largest bucket
+    * mass and, crucially, bounds the CUMSUM domain: the running sums run
+    * over ≤`nBins` aggregated rows, so the one global window here is a
+    * bounded-cardinality frame by construction, not the single-partition
+    * trap (exact KS would need a global sort of raw values).
+    *
+    * Cross-engine determinism: bucket width derives from one min/max agg
+    * with the same double arithmetic both engines run; bin assignment is
+    * floor of one division; ECDF differences are fixed-shape double
+    * divisions rounded 6dp; argmax ties break on the lowest bin. */
+  def ksDrift(df: DataFrame, groupCol: String, a: String, b: String,
+      metric: String, nBins: Int = 200): DataFrame = {
+    val f = df.filter(col(groupCol).isin(a, b))
+    val bounds = f.agg(min(col(metric)).cast("double"),
+      max(col(metric)).cast("double")).head()
+    val lo = bounds.getDouble(0)
+    val width = math.max((bounds.getDouble(1) - lo) / nBins, 1e-12)
+    val binned = f
+      .withColumn("bin", least(lit(nBins - 1L),
+        floor((col(metric).cast("double") - lit(lo)) / lit(width))).cast("long"))
+      .groupBy("bin")
+      .agg(
+        sum(when(col(groupCol) === a, 1L).otherwise(0L)).cast("long").as("ca_"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).cast("long").as("cb_"))
+    val tot = binned.agg(sum("ca_").cast("double").as("na"),
+      sum("cb_").cast("double").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    binned
+      .withColumn("ca", sum("ca_").over(w).cast("double"))
+      .withColumn("cb", sum("cb_").over(w).cast("double"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", round(abs(col("ca") / col("na") - col("cb") / col("nb")), 6))
+      .orderBy(desc("d"), asc("bin"))
+      .limit(1)
+      .select(col("d").as("ks_stat"), col("bin").as("at_bin"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"))
+  }
+
   def histogramBins(df: DataFrame, metric: String, nBins: Int): DataFrame = {
     val b = df.agg(min(col(metric)).cast("long"), max(col(metric)).cast("long"))
       .head()

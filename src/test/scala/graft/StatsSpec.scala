@@ -36,4 +36,26 @@ class BivariateStatsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("ksDrift: 0 for identical samples, ~1 for disjoint, counts faithful") {
+    val same = (1 to 100).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("grp", "value")
+    val ks0 = Stats.ksDrift(same, "grp", "a", "b", "value", nBins = 20)
+      .as[(Double, Long, Long, Long)].head()
+    assert(ks0._1 == 0.0 && ks0._3 == 100L && ks0._4 == 100L)
+    val disjoint = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", 1000.0 + i)))
+      .toDF("grp", "value")
+    val ks1 = Stats.ksDrift(disjoint, "grp", "a", "b", "value", nBins = 20)
+      .as[(Double, Long, Long, Long)].head()
+    assert(ks1._1 == 1.0, s"disjoint samples must give KS 1, got $ks1")
+    // a partial shift lands strictly between
+    val shifted = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", 50.0 + i)))
+      .toDF("grp", "value")
+    val ksMid = Stats.ksDrift(shifted, "grp", "a", "b", "value", nBins = 20)
+      .as[(Double, Long, Long, Long)].head()._1
+    assert(ksMid > 0.2 && ksMid < 0.8, s"shifted KS out of range: $ksMid")
+  }
 }
