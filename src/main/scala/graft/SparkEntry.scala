@@ -471,6 +471,26 @@ object SparkEntry {
       Stats.corrSummary(
         Events.load(s, dir).withColumn("hod", hour(col("ts"))),
         Seq("event_type"), "value", "hod")),
+    // End-to-end corpus curation (the composed pretraining pipeline):
+    // quality floor x language filter x exact-dedup canonicalization —
+    // three verified operators composed into one assembly plan.
+    "curate_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val q = TextAnalysis.qualityStats(docs)
+        .select(col("doc_id"), col("quality_score"))
+      val l = TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("predicted_lang"))
+      val canon = TextAnalysis.fingerprints(docs)
+        .withColumn("canonical",
+          col("doc_id") === min("doc_id").over(Window.partitionBy("bow_key")))
+        .select(col("doc_id"), col("canonical"))
+      q.join(l, Seq("doc_id")).join(canon, Seq("doc_id"))
+        .filter(col("quality_score") >= 0.2 &&
+          col("predicted_lang") === "en" && col("canonical"))
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
     // Distribution-drift monitor: bucketed two-sample KS between the
     // value distributions of two event types.
     "ks_drift" -> ((s, dir) =>
@@ -1930,6 +1950,28 @@ object SparkEntry {
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
          |  FROM c, q WHERE c.id NOT IN (10, 11, 12))
          |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "curate_corpus" ->
+      s"""WITH $W,
+         |qs AS (SELECT doc_id, len(w)::BIGINT AS word_count,
+         |  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio,
+         |  ${swRatio("en")} AS stopword_ratio FROM t),
+         |q AS (SELECT doc_id,
+         |  round((least(1.0::DOUBLE, word_count::DOUBLE / 100.0::DOUBLE)
+         |    * (1.0::DOUBLE - stopword_ratio) * distinct_ratio)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS quality_score
+         |  FROM qs),
+         |ls AS (SELECT doc_id, ${swRatio("en")} AS score_en, ${swRatio("de")} AS score_de,
+         |  ${swRatio("es")} AS score_es, ${swRatio("fr")} AS score_fr FROM t),
+         |lb AS (SELECT *, greatest(score_en, score_de, score_es, score_fr) AS best FROM ls),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN best = 0.0 THEN 'und' WHEN score_en = best THEN 'en'
+         |       WHEN score_de = best THEN 'de' WHEN score_es = best THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang FROM lb),
+         |bk AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bow_key FROM t),
+         |canon AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY bow_key) AS canonical FROM bk)
+         |SELECT q.doc_id, q.quality_score
+         |FROM q JOIN lang USING (doc_id) JOIN canon USING (doc_id)
+         |WHERE q.quality_score >= 0.2 AND lang.predicted_lang = 'en' AND canon.canonical
+         |ORDER BY doc_id""".stripMargin,
     "ks_drift" ->
       """WITH e AS (SELECT event_type, value::DOUBLE AS v FROM events
         |  WHERE event_type IN ('click', 'purchase')),
