@@ -491,6 +491,10 @@ object SparkEntry {
         .select(col("doc_id"), col("quality_score"))
         .orderBy("doc_id")
     }),
+    // PSI drift (integrated shift; companion of the KS point divergence).
+    "psi_drift" -> ((s, dir) =>
+      Stats.psiDrift(Events.load(s, dir), "event_type", "click", "purchase",
+        metric = "value", nBins = 200)),
     // Distribution-drift monitor: bucketed two-sample KS between the
     // value distributions of two event types.
     "ks_drift" -> ((s, dir) =>
@@ -1972,6 +1976,22 @@ object SparkEntry {
          |FROM q JOIN lang USING (doc_id) JOIN canon USING (doc_id)
          |WHERE q.quality_score >= 0.2 AND lang.predicted_lang = 'en' AND canon.canonical
          |ORDER BY doc_id""".stripMargin,
+    "psi_drift" ->
+      """WITH e AS (SELECT event_type, value::DOUBLE AS v FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |bd AS (SELECT min(v) AS lo, greatest((max(v) - min(v)) / 200.0, 1e-12) AS width FROM e),
+        |bins AS (SELECT least(199, floor((e.v - bd.lo) / bd.width))::BIGINT AS bin,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca_,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb_
+        |  FROM e, bd GROUP BY 1),
+        |tot AS (SELECT sum(ca_)::DOUBLE AS na, sum(cb_)::DOUBLE AS nb FROM bins),
+        |terms AS (SELECT bin,
+        |  (ca_::DOUBLE / tot.na + 1e-6) AS pa, (cb_::DOUBLE / tot.nb + 1e-6) AS pb
+        |  FROM bins, tot)
+        |SELECT round(list_reduce([0.0::DOUBLE] ||
+        |    list((pa - pb) * ln(pa / pb) ORDER BY bin), (x, y) -> x + y), 6) AS psi,
+        |  (SELECT na FROM tot)::BIGINT AS n_a, (SELECT nb FROM tot)::BIGINT AS n_b
+        |FROM terms""".stripMargin,
     "ks_drift" ->
       """WITH e AS (SELECT event_type, value::DOUBLE AS v FROM events
         |  WHERE event_type IN ('click', 'purchase')),

@@ -148,6 +148,46 @@ object Stats {
         col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"))
   }
 
+  /** Population stability index over the same fixed-width buckets as
+    * [[ksDrift]]: PSI = Σ_bins (p_A − p_B)·ln(p_A / p_B) with ε-smoothed
+    * shares (industry-standard drift score; >0.25 conventionally = major
+    * shift). KS sees the worst POINT divergence, PSI integrates shift
+    * across the whole distribution — monitors run both.
+    *
+    * Determinism: the Σ is an ORDERED fold — per-bin terms are collected
+    * into a bin-sorted array and reduced left-to-right (matching the
+    * oracle's ordered list_reduce) because a hash-aggregate SUM of
+    * doubles associates nondeterministically. The array is ≤nBins
+    * entries: bounded, like the KS cumsum. */
+  def psiDrift(df: DataFrame, groupCol: String, a: String, b: String,
+      metric: String, nBins: Int = 200, eps: Double = 1e-6): DataFrame = {
+    val f = df.filter(col(groupCol).isin(a, b))
+    val bounds = f.agg(min(col(metric)).cast("double"),
+      max(col(metric)).cast("double")).head()
+    val lo = bounds.getDouble(0)
+    val width = math.max((bounds.getDouble(1) - lo) / nBins, 1e-12)
+    val binned = f
+      .withColumn("bin", least(lit(nBins - 1L),
+        floor((col(metric).cast("double") - lit(lo)) / lit(width))).cast("long"))
+      .groupBy("bin")
+      .agg(
+        sum(when(col(groupCol) === a, 1L).otherwise(0L)).cast("long").as("ca_"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).cast("long").as("cb_"))
+    val tot = binned.agg(sum("ca_").cast("double").as("na"),
+      sum("cb_").cast("double").as("nb"))
+    binned
+      .crossJoin(broadcast(tot))
+      .withColumn("pa", col("ca_").cast("double") / col("na") + lit(eps))
+      .withColumn("pb", col("cb_").cast("double") / col("nb") + lit(eps))
+      .withColumn("term", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+      .agg(
+        round(aggregate(
+          expr("transform(array_sort(collect_list(struct(bin, term))), s -> s.term)"),
+          lit(0.0d), (acc, x) => acc + x), 6).as("psi"),
+        max(col("na")).cast("long").as("n_a"),
+        max(col("nb")).cast("long").as("n_b"))
+  }
+
   def histogramBins(df: DataFrame, metric: String, nBins: Int): DataFrame = {
     val b = df.agg(min(col(metric)).cast("long"), max(col(metric)).cast("long"))
       .head()

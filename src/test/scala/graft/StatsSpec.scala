@@ -58,4 +58,21 @@ class BivariateStatsSpec extends SparkSpec {
       .as[(Double, Long, Long, Long)].head()._1
     assert(ksMid > 0.2 && ksMid < 0.8, s"shifted KS out of range: $ksMid")
   }
+
+  test("psiDrift: ~0 for identical samples, large for disjoint, order-stable") {
+    val same = (1 to 100).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("grp", "value")
+    val psi0 = Stats.psiDrift(same, "grp", "a", "b", "value", nBins = 20)
+      .as[(Double, Long, Long)].head()
+    assert(math.abs(psi0._1) < 1e-6 && psi0._2 == 100L)
+    val disjoint = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", 1000.0 + i))).toDF("grp", "value")
+    val psi1 = Stats.psiDrift(disjoint, "grp", "a", "b", "value", nBins = 20)
+      .as[(Double, Long, Long)].head()._1
+    assert(psi1 > 1.0, s"disjoint PSI should be large: $psi1")
+    // deterministic across physical layout (the ordered-fold contract)
+    val again = Stats.psiDrift(disjoint.repartition(7), "grp", "a", "b",
+      "value", nBins = 20).as[(Double, Long, Long)].head()._1
+    assert(again == psi1)
+  }
 }
