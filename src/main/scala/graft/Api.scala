@@ -88,6 +88,35 @@ object Api {
           col("max_norm_err") < 1e-6).as("healthy"),
         col("point_count"), col("distinct_dims"), col("max_norm_err"))
 
+  /** Deadline enforcement for a blocking query action — the reference's
+    * `search_timeout` (src/config/settings.py:32, passed as the client
+    * timeout at src/core/qdrant_client.py:48; its recorded benchmark run
+    * failed EVERY search against the 0.1 s default — BASELINE.md). The
+    * engine analogue: run the action under a Spark job group with
+    * interrupt-on-cancel and cancel the group when the deadline passes, so
+    * a runaway query releases its executors instead of occupying the
+    * cluster. The job group is THREAD-LOCAL, so it is set inside the
+    * action's own thread. */
+  def withTimeout[T](spark: org.apache.spark.sql.SparkSession,
+      timeoutSec: Double, tag: String)(body: => T): T = {
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+    import scala.concurrent.duration._
+    require(timeoutSec > 0, s"timeout must be positive, got $timeoutSec")
+    val group = s"graft-$tag-${java.util.UUID.randomUUID()}"
+    val fut = Future {
+      spark.sparkContext.setJobGroup(group,
+        s"graft $tag (deadline ${timeoutSec}s)", interruptOnCancel = true)
+      try body finally spark.sparkContext.clearJobGroup()
+    }(ExecutionContext.global)
+    try Await.result(fut, timeoutSec.seconds)
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        throw new RuntimeException(
+          s"graft: '$tag' exceeded its ${timeoutSec}s deadline and was cancelled")
+    }
+  }
+
   /** Service info (reference GET /info, endpoints.py:282-306): the static
     * engine configuration as a single-row frame. */
   def info(points: DataFrame): DataFrame = {

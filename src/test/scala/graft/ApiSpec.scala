@@ -92,4 +92,21 @@ class ApiSpec extends SparkSpec {
       .count()
     assert(ok == 0)
   }
+
+  test("withTimeout: fast queries pass through, runaway queries are cancelled") {
+    // generous deadline: result returned untouched
+    val n = Api.withTimeout(spark, timeoutSec = 60.0, tag = "fast") {
+      points.limit(5).count()
+    }
+    assert(n == 5L)
+    // tight deadline on a deliberately huge job: cancelled, not hung
+    val err = intercept[RuntimeException] {
+      Api.withTimeout(spark, timeoutSec = 0.5, tag = "runaway") {
+        spark.range(Long.MaxValue / 4).selectExpr("sum(id * id)").count()
+      }
+    }
+    assert(err.getMessage.contains("deadline"))
+    // the session is still usable afterwards (group cancel, not ctx stop)
+    assert(points.limit(1).count() == 1L)
+  }
 }
