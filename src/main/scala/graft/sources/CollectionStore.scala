@@ -184,6 +184,38 @@ object CollectionStore {
       .partitionBy("bucket").parquet(path + "_ids")
   }
 
+  /** Morton (Z-order) value of two non-negative integer columns: the low
+    * 16 bits of each, bit-interleaved (a in even positions, b in odd) — a
+    * space-filling curve key. Statically unrolled shift/mask terms: one
+    * flat codegen projection, no UDF. */
+  def zValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Persist sorted along the Z-order curve of TWO filter columns — the
+    * lakehouse layout (publicly, Delta's OPTIMIZE ZORDER / Hudi space-
+    * filling curves) for tables queried by more than one predicate: a
+    * single-column sort gives row-group min/max pruning on that column
+    * and NOTHING on any other, while the Morton interleave localizes both
+    * dimensions at once, so parquet row-group stats skip files for
+    * predicates on EITHER (or both) columns. At 100 TB this is the
+    * difference between "user_id queries prune, time-range queries scan
+    * everything" and both pruning to ~√F of the files. */
+  def saveZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int = 8): Unit = {
+    val z = df.withColumn("_z", zValue(col(colA), col(colB)))
+    z.repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Persist a collection id-BUCKETED: `bucket = id mod nBuckets` as a
     * partition directory. This is the mutation-friendly layout: an upsert
     * batch touches only the buckets its ids hash to, so a merge rewrites

@@ -93,6 +93,31 @@ class ApiSpec extends SparkSpec {
     assert(ok == 0)
   }
 
+  test("z-ordered layout localizes BOTH dimensions; single-sort only one") {
+    // synthetic 2-d grid: two independent uniform dims
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    def avgSpread(path: String, dim: String): Double = {
+      val per = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(dim) - min(dim)).as("s"))
+        .select(avg("s")).first().getDouble(0)
+      per
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString + "/z"
+    val sDir = java.nio.file.Files.createTempDirectory("zord").toString + "/s"
+    CollectionStore.saveZOrdered(grid, zDir, "a", "b", numFiles = 16)
+    grid.repartitionByRange(16, $"a").sortWithinPartitions("a")
+      .write.parquet(sDir)
+    // single-sort: a localizes, b spans its full range in every file
+    assert(avgSpread(sDir, "a") < 16.0)
+    assert(avgSpread(sDir, "b") > 48.0)
+    // z-order: BOTH dims localized well below their global range (63)
+    assert(avgSpread(zDir, "a") < 32.0, s"z a-spread ${avgSpread(zDir, "a")}")
+    assert(avgSpread(zDir, "b") < 32.0, s"z b-spread ${avgSpread(zDir, "b")}")
+    // and the z layout loses nothing: same rows
+    assert(spark.read.parquet(zDir).count() == 4096)
+  }
+
   test("withTimeout: fast queries pass through, runaway queries are cancelled") {
     // generous deadline: result returned untouched
     val n = Api.withTimeout(spark, timeoutSec = 60.0, tag = "fast") {
