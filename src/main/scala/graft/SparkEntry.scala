@@ -139,6 +139,21 @@ object SparkEntry {
     })
   }
 
+  /** Z-ordered events store (write-once-per-JVM lifecycle like the other
+    * persisted layouts): Morton-sorted on (user_id, floor(value)) so both
+    * predicate families prune row groups. */
+  private val zBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zStore(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_zorder_" + san(dir)
+    zBuilt.computeIfAbsent(path, _ => {
+      val ev = Events.load(s, dir)
+        .withColumn("vbin", least(lit(65535L), floor(col("value")).cast("long")))
+      graft.sources.CollectionStore.saveZOrdered(ev, path, "user_id", "vbin")
+      path
+    })
+    s.read.parquet(path)
+  }
+
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -520,6 +535,17 @@ object SparkEntry {
     // Streaming ingest dedup (watermarked dropDuplicates state).
     "streaming_dedup_distinct" -> ((s, dir) =>
       StreamingOps.distinctUsersStream(s, dir)),
+    // Stream-static enrichment join (stateless dim lookup per micro-batch).
+    "streaming_enrich_join" -> ((s, dir) =>
+      StreamingOps.enrichJoinStream(s, dir)),
+    // Compound-predicate aggregate over the Z-ORDERED store (layout is
+    // result-invariant — the oracle reads the raw table — but the read
+    // path exercises saveZOrdered's files and double-pruned row groups).
+    "events_zorder_range" -> ((s, dir) =>
+      zStore(s, dir)
+        .filter(col("user_id").between(10, 20) && col("value") >= 500.0)
+        .agg(count("*").cast("long").as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))),
     // Engine-level health check (reference GET /health).
     "health_check" -> ((s, dir) =>
       graft.Api.health(Collection.load(s, dir))),
@@ -1976,6 +2002,14 @@ object SparkEntry {
          |FROM q JOIN lang USING (doc_id) JOIN canon USING (doc_id)
          |WHERE q.quality_score >= 0.2 AND lang.predicted_lang = 'en' AND canon.canonical
          |ORDER BY doc_id""".stripMargin,
+    "streaming_enrich_join" ->
+      """SELECT c.c_nationkey::INT AS nationkey, count(*)::BIGINT AS n_events,
+        |  sum(e.value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
+    "events_zorder_range" ->
+      """SELECT count(*)::BIGINT AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events WHERE user_id BETWEEN 10 AND 20 AND value >= 500.0""".stripMargin,
     "psi_drift" ->
       """WITH e AS (SELECT event_type, value::DOUBLE AS v FROM events
         |  WHERE event_type IN ('click', 'purchase')),

@@ -169,6 +169,40 @@ object StreamingOps {
     spark.read.parquet(destPath).count()
   }
 
+  /** Stream-STATIC enrichment join — the dimension-lookup shape (each
+    * event enriched with its customer's nation): the static side is a
+    * plain batch DataFrame Spark broadcasts per micro-batch, so the join
+    * keeps NO streaming state at all (contrast the watermarked
+    * stream-stream join below, whose state retention is the design
+    * problem). At 100 TB the dim table stays broadcast-sized or becomes a
+    * bucketed storage-side join; the stream side never buffers. */
+  def enrichJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val dims = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val agg = stream
+      .join(broadcast(dims), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(count("*").cast("long").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val name = s"graft_enrich_${System.nanoTime()}"
+    val q = withStatePartitions(spark, 8) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name).orderBy("nationkey")
+  }
+
   /** Watermarked stream-stream inner join — the funnel-attribution shape
     * (which error followed a click by the same user within `windowMin`
     * minutes?) run as two live streams. Both sides carry a watermark and
