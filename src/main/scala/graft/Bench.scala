@@ -70,31 +70,55 @@ object Bench {
     }
     def pct(p: Double): Double =
       math.rint(sortedLat(((sortedLat.length - 1) * p).toInt) * 10) / 10
-    // batched serving mode: the engine's high-QPS shape. Per-request jobs
-    // pay Spark's driver-side plan+schedule cost (~0.1s) regardless of
-    // data size; a serving layer that micro-batches B in-flight requests
-    // into ONE knnBatch job amortizes that cost B ways — same results,
-    // per-query top-k, one window job (the reference hits its >1000 QPS
-    // with an in-process index; this is the Spark-idiomatic equivalent).
-    val bQ = 1000
+    // batched serving mode — Api.batchedServer, the first-class operator
+    // (graft.BatchedServer): per-request jobs pay Spark's driver-side
+    // plan+schedule cost (~0.1s) regardless of data size; the serving
+    // layer micro-batches in-flight requests into ONE knnBatch job per
+    // flush, amortizing that cost across the flush — same per-request
+    // results (ApiSpec-asserted), per-query top-k, one window job (the
+    // reference hits its >1000 QPS with an in-process index; this is the
+    // Spark-idiomatic equivalent). Measured open-loop: 32 submitter
+    // threads fire their whole queue, latency = submit→future-complete.
+    val bThreads = 32
+    val perSubmitter = 100
+    val bQ = bThreads * perSubmitter
     // batch mode scores in parallel: the wide scoring stage wants the
     // store spread across workers, unlike the one-task per-request shard
     val pointsPar = graft.operators.Collection.load(spark, sfDir)
       .repartition(16).cache()
     pointsPar.count()
-    val batchReqs = (0 until bQ)
-      .map(i => (i.toLong, qPool(i % nQ))).toDF("query_id", "qemb")
-    graft.operators.Search.knnBatch(pointsPar, batchReqs, k = 10, threshold = 0.1)
-      .count() // warm the batched plan outside the timed section
-    val iters = 3
-    val tb0 = System.nanoTime()
-    var bi = 0
-    while (bi < iters) {
-      graft.operators.Search.knnBatch(pointsPar, batchReqs, k = 10, threshold = 0.1)
-        .collect()
-      bi += 1
-    }
-    val bsecs = (System.nanoTime() - tb0) / 1e9
+    val srv = Api.batchedServer(pointsPar, k = 10,
+      scoreThreshold = Some(0.1), maxBatch = 1024, maxWaitMs = 20)
+    val (bsecs, bLatSorted) =
+      try {
+        // warm the batched plan outside the timed section
+        scala.concurrent.Await.result(srv.submit(qPool(0)),
+          scala.concurrent.duration.Duration(120, "s"))
+        val bPool = java.util.concurrent.Executors.newFixedThreadPool(bThreads)
+        val bLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val tb0 = System.nanoTime()
+        val bFutures = (0 until bThreads).map { t =>
+          bPool.submit(new Runnable {
+            def run(): Unit = {
+              import scala.concurrent.duration._
+              val submitted = (0 until perSubmitter).map { i =>
+                val s0 = System.nanoTime()
+                (srv.submit(qPool((t * perSubmitter + i) % nQ)), s0)
+              }
+              submitted.foreach { case (f, s0) =>
+                scala.concurrent.Await.result(f, 10.minutes)
+                bLats.add((System.nanoTime() - s0) / 1e6) // ms
+              }
+            }
+          })
+        }
+        try bFutures.foreach(_.get()) finally bPool.shutdownNow()
+        val secs = (System.nanoTime() - tb0) / 1e9
+        import scala.jdk.CollectionConverters._
+        (secs, bLats.asScala.toArray.sorted)
+      } finally srv.close()
+    def bPct(p: Double): Double =
+      math.rint(bLatSorted(((bLatSorted.length - 1) * p).toInt) * 10) / 10
     // insertion throughput (reference BenchmarkSuite insertion phase):
     // normalize + LWW-merge a batch into the bucketed store, rows/sec
     val ingestDest = "/tmp/graft_bench_ingest"
@@ -116,10 +140,38 @@ object Bench {
       "qps" -> math.rint(done.get() / secs * 10) / 10,
       "lat_p50_ms" -> pct(0.50), "lat_p95_ms" -> pct(0.95),
       "lat_p99_ms" -> pct(0.99),
-      "batch_queries" -> (bQ * iters).toDouble,
+      "batch_queries" -> bQ.toDouble,
       "batch_seconds" -> math.rint(bsecs * 1000) / 1000,
-      "batch_qps" -> math.rint(bQ * iters / bsecs * 10) / 10,
+      "batch_qps" -> math.rint(bQ / bsecs * 10) / 10,
+      "batch_lat_p50_ms" -> bPct(0.50), "batch_lat_p99_ms" -> bPct(0.99),
       "ingest_rows_per_sec" -> math.rint(ingested / isecs))
+  }
+
+  /** Grade measured serving numbers against the reference's recorded
+    * self-evaluation targets (BenchmarkSuite._analyze_performance,
+    * src/utils/performance.py:448-484; BASELINE.md): search throughput
+    * ≥1000 ops/s, search latency ≤20 ms. Renders an explicit pass/fail
+    * verdict per path — the per-request path is EXPECTED to fail the
+    * QPS bar on Spark (fixed driver scheduling cost), which is exactly
+    * why batched serving is the first-class operator. */
+  def targetsJson(qps: Map[String, Double]): String = {
+    val refQps = 1000.0
+    val refLatMs = 20.0
+    def field(name: String, measured: Option[Double], pass: Option[Boolean]) =
+      measured.zip(pass).map { case (m, p) =>
+        "\"" + name + "\":{\"measured\":" + m + ",\"pass\":" + p + "}"
+      }
+    val checks =
+      field("per_request_qps_vs_1000",
+        qps.get("qps"), qps.get("qps").map(_ >= refQps)) ++
+      field("per_request_p50_ms_vs_20",
+        qps.get("lat_p50_ms"), qps.get("lat_p50_ms").map(_ <= refLatMs)) ++
+      field("batched_qps_vs_1000",
+        qps.get("batch_qps"), qps.get("batch_qps").map(_ >= refQps)) ++
+      field("batched_p50_ms_vs_20",
+        qps.get("batch_lat_p50_ms"), qps.get("batch_lat_p50_ms").map(_ <= refLatMs))
+    (Seq("\"ref_qps_min\":" + refQps, "\"ref_search_ms_max\":" + refLatMs) ++ checks)
+      .mkString("{", ",", "}")
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,12 +212,23 @@ object Bench {
       .map { case (m, r) => "\"" + m + "\":" + math.rint(r * 1000) / 1000 }
       .mkString("{", ",", "}")
     // concurrent-search throughput (reference BenchmarkSuite QPS phase)
-    val qps = (try qpsPhase(spark, sfDir)
-      catch { case _: Throwable => Map.empty[String, Double] })
-      .toSeq.sortBy(_._1)
+    val qpsMap = try qpsPhase(spark, sfDir)
+      catch { case _: Throwable => Map.empty[String, Double] }
+    val qps = qpsMap.toSeq.sortBy(_._1)
       .map { case (m, v) => "\"" + m + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$recall,"qps":$qps,"sf":"$sfDir"}""")
+    // explicit pass/fail vs the reference's self-evaluation targets
+    val targets = targetsJson(qpsMap)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$recall,"qps":$qps,"targets":$targets,"sf":"$sfDir"}"""
+    println(line)
+    // persist the FULL artifact from inside the bench itself — committed
+    // per round so per-query deltas are adjudicable (a shell-tail capture
+    // of stdout truncates and corrupts the round-over-round signal)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -291,6 +291,17 @@ object SparkEntry {
         .select(col("id"), col("user_id"), col("ts"))
         .orderBy(col("id"))
     }),
+    // D1: delete by point id (reference src/core/qdrant_client.py:407-432):
+    // remove id=7, then prove the survivor set — count, id checksum, and
+    // that the victim is gone — all in one pass over the anti-filter.
+    "delete_by_id" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      Collection.deleteById(points, lit(7))
+        .agg(
+          count("*").cast("long").as("remaining_count"),
+          sum(col("id")).cast("long").as("survivor_id_sum"),
+          max((col("id") === 7).cast("long")).as("victim_present"))
+    }),
     // D2: predicate delete returning the TRUE deleted count.
     "delete_by_user" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -1711,6 +1722,11 @@ object SparkEntry {
         |d AS (SELECT id, user_id, ts,
         |             row_number() OVER (PARTITION BY id ORDER BY ts DESC, gen DESC) AS rn FROM u)
         |SELECT id, user_id, ts FROM d WHERE rn = 1 AND id < 20 ORDER BY id""".stripMargin,
+    "delete_by_id" ->
+      """SELECT count(*)::BIGINT AS remaining_count,
+        |       sum(vec_id)::BIGINT AS survivor_id_sum,
+        |       max(CASE WHEN vec_id = 7 THEN 1 ELSE 0 END)::BIGINT AS victim_present
+        |FROM embeddings WHERE vec_id <> 7""".stripMargin,
     "delete_by_user" ->
       """SELECT sum(CASE WHEN label = 3 THEN 1 ELSE 0 END)::BIGINT AS deleted_count,
         |       sum(CASE WHEN label = 3 THEN 0 ELSE 1 END)::BIGINT AS remaining_count

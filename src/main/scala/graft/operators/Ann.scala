@@ -386,32 +386,24 @@ object Ann {
     *
     * At 100 TB: C scales with N to bound cell size (cells ≈ N/C points);
     * candidate volume is nprobe·N²/C. Cell-size skew (hot centroids) is
-    * the known hazard — AQE skew-join splitting or salting the big cells
-    * handles it; recall follows the IVF probe analysis (self-cell plus
-    * nprobe−1 next cells). */
+    * the known hazard, and it is handled HERE, not left to AQE: a cell
+    * whose point count exceeds `skewFactor`× the mean cell size is salted
+    * into ⌈n/mean⌉ (≤64) sub-cells — the data side scatters its rows by
+    * hash(id), the probe side replicates each probing query to every salt
+    * of that cell, and the equi-join key becomes (cid, salt). Every
+    * (query, point) candidate pair still arises exactly once (a point
+    * keeps exactly one salt; a probing query visits all of them), so
+    * results are byte-identical while the hot cell's quadratic task
+    * shrinks to ~mean-sized slices. Cold cells keep salt 0 and pay
+    * nothing. The per-cell counts are one C-row aggregate — the same
+    * index metadata [[cellStats]] reports. */
   def knnJoin(
       points: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int = 2): DataFrame = {
+      k: Int, nprobe: Int = 2, skewFactor: Double = 4.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
-    val cids = rows.map(_.getLong(0)).toSeq
-    val cents = rows.map(_.getSeq[Double](1)).toSeq
-    // Explicit per-cell exchanges on BOTH sides (fixed partition count, so
-    // AQE can't coalesce them away on its tiny PRE-join size estimates):
-    // the join's cost is its quadratic per-cell OUTPUT, and whichever side
-    // the planner streams must already be spread cell-per-task — otherwise
-    // a broadcast join inherits the scan's few partitions and the scoring
-    // serializes. At scale these are exactly the exchanges a shuffle join
-    // would insert anyway.
-    val data = ivfAssign(points, centroids)
-      .select(col("cid"), col("id"), col("embedding"))
-      .repartition(cids.length, col("cid"))
-    val queries = points.select(col("id").as("qid"), col("embedding").as("qemb"))
-      .withColumn("cid", explode(
-        graft.plans.VectorExpressions.topCentroids(col("qemb"), cids, cents, nprobe)))
-      .repartition(cids.length, col("cid"))
+    val (data, queries, _) = knnJoinSides(points, centroids, nprobe, skewFactor)
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
-    queries.join(data, Seq("cid"))
+    queries.join(data, Seq("cid", "salt"))
       .filter(col("qid") =!= col("id"))
       // project the embeddings away with the score: the rank shuffle moves
       // (qid, id, score) triples, not kilobyte vector pairs
@@ -421,6 +413,56 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("score"), col("rank"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The two salted, pre-partitioned join sides of [[knnJoin]] (split out
+    * as the spec hook for the skew remedy). Returns (data, probes,
+    * nSubCells): data carries (cid, salt, id, embedding) with exactly one
+    * (cid, salt) per point; probes carry (cid, salt, qid, qemb) with one
+    * row per (probed cell × salt).
+    *
+    * Explicit per-sub-cell exchanges on BOTH sides (fixed partition count,
+    * so AQE can't coalesce them away on its tiny PRE-join size estimates):
+    * the join's cost is its quadratic per-cell OUTPUT, and whichever side
+    * the planner streams must already be spread sub-cell-per-task —
+    * otherwise a broadcast join inherits the scan's few partitions and the
+    * scoring serializes. At scale these are exactly the exchanges a
+    * shuffle join would insert anyway. */
+  private[graft] def knnJoinSides(
+      points: DataFrame, centroids: DataFrame,
+      nprobe: Int, skewFactor: Double): (DataFrame, DataFrame, Int) = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val cents = rows.map(_.getSeq[Double](1)).toSeq
+    val assigned = ivfAssign(points, centroids)
+      .select(col("cid"), col("id"), col("embedding"))
+    // per-cell counts: C rows of index metadata (one map-side-combined agg)
+    val counts = assigned.groupBy("cid")
+      .agg(count("*").cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mean = math.max(1.0,
+      counts.values.sum.toDouble / math.max(1, counts.size))
+    def nsaltOf(cid: Long): Int = {
+      val n = counts.getOrElse(cid, 0L)
+      if (n > skewFactor * mean) math.min(64, math.ceil(n / mean).toInt) else 1
+    }
+    val saltDf = cids.map(c => (c, nsaltOf(c))).toDF("cid", "nsalt")
+    val nSubCells = cids.map(nsaltOf).sum
+    val data = assigned
+      .join(broadcast(saltDf), Seq("cid"))
+      .withColumn("salt", pmod(hash(col("id")), col("nsalt")).cast("int"))
+      .select(col("cid"), col("salt"), col("id"), col("embedding"))
+      .repartition(nSubCells, col("cid"), col("salt"))
+    val queries = points
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+      .withColumn("cid", explode(
+        graft.plans.VectorExpressions.topCentroids(col("qemb"), cids, cents, nprobe)))
+      .join(broadcast(saltDf), Seq("cid"))
+      .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
+      .repartition(nSubCells, col("cid"), col("salt"))
+    (data, queries, nSubCells)
   }
 
   /** Index-health stats of an IVF assignment: per-cell point count and

@@ -159,15 +159,26 @@ object Search {
     * text+vector pattern of the public vector-DB query APIs (lexical BM25
     * branch and embedding branch each produce (id, rank); RRF makes their
     * scores commensurable where raw score scales are not). Each input
-    * carries (id, rank in 1..branchK). Determinism: the fused sum has one
-    * term per branch (IEEE addition of two doubles is order-insensitive
-    * for the 2-branch case; ranks are exact ints), rounded 6dp, ties by
-    * branch count then id. */
+    * carries (id, rank in 1..branchK). Determinism: the fused sum is an
+    * ORDERED fold — per-branch ranks are collected into a branch-index-
+    * sorted array and reduced left-to-right (a hash-aggregate SUM of
+    * doubles associates nondeterministically once there are ≥3 branches;
+    * for 2 branches the fold computes the identical IEEE value, so hashes
+    * are unchanged). The array is ≤branches.size entries: bounded. Rounded
+    * 6dp, ties by branch count then id. */
   def rrfCombine(branches: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
-    val tagged = branches.map(_.select(col("id"), col("rank")))
-      .reduce(_ unionAll _)
+    require(branches.nonEmpty, "rrfCombine needs at least one branch")
+    val tagged = branches.zipWithIndex.map { case (b, i) =>
+      b.select(col("id"), col("rank").cast("long").as("rank"),
+        lit(i).as("bix"))
+    }.reduce(_ unionAll _)
     tagged.groupBy("id")
-      .agg(round(sum(lit(1.0d) / (lit(rrfK.toDouble) + col("rank"))), 6).as("rrf_score"),
+      .agg(
+        round(aggregate(
+          expr("transform(array_sort(collect_list(struct(bix, rank))), s -> s.rank)"),
+          lit(0.0d),
+          (acc, r) => acc + lit(1.0d) / (lit(rrfK.toDouble) + r)), 6)
+          .as("rrf_score"),
         count("*").cast("long").as("branches"))
       .orderBy(desc("rrf_score"), desc("branches"), asc("id"))
       .limit(k)

@@ -123,7 +123,13 @@ object Stats {
       metric: String, nBins: Int = 200): DataFrame = {
     val f = df.filter(col(groupCol).isin(a, b))
     val bounds = f.agg(min(col(metric)).cast("double"),
-      max(col(metric)).cast("double")).head()
+      max(col(metric)).cast("double"),
+      sum(when(col(groupCol) === a, 1L).otherwise(0L)),
+      sum(when(col(groupCol) === b, 1L).otherwise(0L))).head()
+    require(!bounds.isNullAt(0) && bounds.getLong(2) > 0 && bounds.getLong(3) > 0,
+      s"ksDrift: both groups '$a' and '$b' need at least one non-null '$metric' row " +
+        s"(got a=${if (bounds.isNullAt(2)) 0 else bounds.getLong(2)}, " +
+        s"b=${if (bounds.isNullAt(3)) 0 else bounds.getLong(3)})")
     val lo = bounds.getDouble(0)
     val width = math.max((bounds.getDouble(1) - lo) / nBins, 1e-12)
     val binned = f
@@ -163,7 +169,13 @@ object Stats {
       metric: String, nBins: Int = 200, eps: Double = 1e-6): DataFrame = {
     val f = df.filter(col(groupCol).isin(a, b))
     val bounds = f.agg(min(col(metric)).cast("double"),
-      max(col(metric)).cast("double")).head()
+      max(col(metric)).cast("double"),
+      sum(when(col(groupCol) === a, 1L).otherwise(0L)),
+      sum(when(col(groupCol) === b, 1L).otherwise(0L))).head()
+    require(!bounds.isNullAt(0) && bounds.getLong(2) > 0 && bounds.getLong(3) > 0,
+      s"psiDrift: both groups '$a' and '$b' need at least one non-null '$metric' row " +
+        s"(got a=${if (bounds.isNullAt(2)) 0 else bounds.getLong(2)}, " +
+        s"b=${if (bounds.isNullAt(3)) 0 else bounds.getLong(3)})")
     val lo = bounds.getDouble(0)
     val width = math.max((bounds.getDouble(1) - lo) / nBins, 1e-12)
     val binned = f

@@ -133,6 +133,25 @@ object CollectionStore {
       saveIdSidecar(assignedAdds, path, nBuckets)
       return
     }
+    // Fail fast on the two silent schema couplings that otherwise surface
+    // as opaque runtime errors deep inside the merge: (a) the persisted
+    // store and this batch must agree on PQ codes (upsert's unionByName
+    // cannot reconcile a store saved with `pqc` against a batch assigned
+    // without a codebook, or vice versa); (b) the store must carry the
+    // id→cid sidecar this incremental path is built on.
+    val storeHasPq = spark.read.parquet(path)
+      .schema.fieldNames.contains("pqc")
+    require(storeHasPq == pqCodebook.isDefined,
+      if (storeHasPq)
+        s"mergeIndexed: store at $path was saved WITH pq codes (pqc) — pass " +
+          "the same pqCodebook it was built with"
+      else
+        s"mergeIndexed: store at $path was saved WITHOUT pq codes — drop the " +
+          "pqCodebook argument or rebuild the store with it")
+    require(fs.exists(new Path(path + "_ids")),
+      s"mergeIndexed: no id sidecar at ${path}_ids — the store must be " +
+        "written via saveIndexed(..., idSidecarBuckets = Some(n)) before " +
+        "incremental merges can locate the old cells of updated ids")
     val batchIds = assignedAdds.select("id")
     val buckets = assignedAdds
       .select(pmod(col("id"), lit(nBuckets.toLong)).cast("int").as("bucket"))

@@ -80,6 +80,48 @@ class AnnSpec extends SparkSpec {
     assert(byQ.values.forall(g => g.map(_._3).sorted.toSeq == (1L to g.length)))
   }
 
+  test("knnJoin salts hot cells: identical results, bounded sub-cell tasks") {
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def basis(dim: Int, hot: Int, eps: Seq[(Int, Double)]): Seq[Double] = {
+      val a = Array.fill(dim)(0.0); a(hot) = 1.0
+      eps.foreach { case (i, v) => a(i) += v }
+      unit(a.toSeq)
+    }
+    // adversarial fixture: 16 cells, ONE holding 50% of the 400 points
+    val hot = (0L until 200L).map(i =>
+      (i, basis(16, 0, Seq(1 -> 0.002 * (i % 7), 2 -> 0.001 * (i % 11)))))
+    val cold = (200L until 400L).map { i =>
+      val c = (i % 15).toInt + 1
+      (i, basis(16, c, Seq(0 -> 0.002 * (i % 5))))
+    }
+    val pts = (hot ++ cold).toDF("id", "embedding")
+    val cents = (0L until 16L)
+      .map(c => (c, basis(16, c.toInt, Nil))).toDF("cid", "ce")
+    // 1. salting is result-invariant: default skewFactor vs effectively-off
+    val salted = Ann.knnJoin(pts, cents, k = 3, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val unsalted = Ann.knnJoin(pts, cents, k = 3, nprobe = 4, skewFactor = 1e18)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(salted == unsalted, "salting must not change any (qid,id,score,rank)")
+    // 2. the hot cell actually split and sub-cell task inputs are bounded
+    val (data, probes, nSubCells) = Ann.knnJoinSides(pts, cents, nprobe = 4,
+      skewFactor = 4.0)
+    assert(nSubCells == 15 + 8, s"hot cell (200 pts, mean 25) must salt 8 ways")
+    val perSub = data.groupBy("cid", "salt").count()
+      .select("cid", "salt", "count").as[(Long, Int, Long)].collect()
+    val hotSalts = perSub.filter(_._1 == 0L)
+    assert(hotSalts.length == 8, s"hot cell salts: ${hotSalts.length}")
+    val maxSub = perSub.map(_._3).max
+    assert(maxSub <= 50, // 2x the 25-point mean: hash spread, not one giant task
+      s"max sub-cell $maxSub must be bounded near the mean, not the 200-pt cell")
+    // probes replicate per salt of each probed cell
+    val probeHot = probes.filter($"cid" === 0L).select("salt")
+      .distinct().as[Int].collect().toSet
+    assert(probeHot == (0 until 8).toSet)
+  }
+
   test("bench recall report covers all approximate paths with sane floors") {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
     assert(r.keySet == Set("ivf", "ivf_nprobe", "ivf_ref_target",

@@ -118,6 +118,54 @@ class ApiSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 4096)
   }
 
+  test("serveBatched: per-request results identical to solo search, across flushes") {
+    val embs = points.orderBy("id").limit(24)
+      .select("embedding").as[Seq[Double]].collect().toSeq
+    // maxBatch=7 forces 4+ flushes over the 24-request queue
+    val batched = Api.serveBatched(points, embs, k = 10,
+      scoreThreshold = Some(0.1), maxBatch = 7, maxWaitMs = 5)
+    assert(batched.length == embs.length)
+    embs.zip(batched).foreach { case (e, hits) =>
+      val solo = Api.search(points, Seq(e).toDF("qemb"), k = 10,
+        scoreThreshold = Some(0.1)).collect()
+      assert(hits.length == solo.length)
+      hits.zip(solo).foreach { case (h, s) =>
+        assert(h.get(0) == s.get(0), "id parity")      // id
+        assert(h.get(1) == s.get(1), "score parity")   // score
+        assert(h.get(2) == s.get(2), "user_id parity") // user_id
+      }
+    }
+  }
+
+  test("batchedServer: concurrent submitters each get their own top-k") {
+    intercept[IllegalArgumentException](Api.batchedServer(points, k = 0))
+    val embs = points.orderBy("id").limit(16)
+      .select("embedding").as[Seq[Double]].collect()
+    val srv = Api.batchedServer(points, k = 5, scoreThreshold = Some(0.1),
+      maxBatch = 16, maxWaitMs = 10)
+    try {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val futures = embs.map { e =>
+        pool.submit(new java.util.concurrent.Callable[Array[org.apache.spark.sql.Row]] {
+          def call() = Await.result(srv.submit(e), 2.minutes)
+        })
+      }
+      val results = futures.map(_.get())
+      pool.shutdown()
+      embs.zip(results).foreach { case (e, hits) =>
+        val solo = Api.search(points, Seq(e.toSeq).toDF("qemb"), k = 5,
+          scoreThreshold = Some(0.1)).collect()
+        assert(hits.map(_.get(0)).toSeq == solo.map(_.get(0)).toSeq)
+        assert(hits.map(_.get(1)).toSeq == solo.map(_.get(1)).toSeq)
+      }
+      intercept[IllegalArgumentException](srv.submit(Seq.empty[Double]))
+    } finally srv.close()
+    // closed server refuses new work
+    intercept[IllegalArgumentException](srv.submit(embs(0)))
+  }
+
   test("withTimeout: fast queries pass through, runaway queries are cancelled") {
     // generous deadline: result returned untouched
     val n = Api.withTimeout(spark, timeoutSec = 60.0, tag = "fast") {
