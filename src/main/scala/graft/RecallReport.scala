@@ -62,7 +62,11 @@ object RecallReport {
       val out = perQuery.flatten.groupMapReduce(_._1)(_._2)(_ + _)
         .map { case (m, s) => m -> s / nQueries }
       assigned.unpersist()
-      out + ("ivf_nprobe" -> np.toDouble) + ("ivf_ref_nprobe" -> npHi.toDouble)
+      // target-vs-measured: `ivf` is the measured held-out recall,
+      // `ivf_target` the calibration target its nprobe was chosen for —
+      // side by side so a calibration undershoot is visible in every bench
+      out + ("ivf_nprobe" -> np.toDouble) + ("ivf_ref_nprobe" -> npHi.toDouble) +
+        ("ivf_target" -> 0.95)
     } finally {
       points.unpersist()
     }

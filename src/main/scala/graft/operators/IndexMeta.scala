@@ -33,12 +33,19 @@ final case class IndexMeta(
     cids: Seq[Long],
     cents: Seq[Seq[Double]],
     hyperplanes: Seq[Seq[Double]],
-    recallCurve: Seq[Double]) {
+    recallCurve: Seq[Double],
+    recallLcb: Seq[Double] = Nil) {
 
-  /** Smallest nprobe whose calibrated recall@k >= target (all cells if the
-    * target is unreachable — degrades to exact-within-cells, recall 1.0). */
+  /** Smallest nprobe whose calibrated recall@k >= target — judged on the
+    * LOWER confidence bound of the per-query recall sample when available
+    * (`recallLcb`), not its mean: a curve calibrated on one sample is
+    * optimistic on held-out queries, and a serving config that misses its
+    * own stated target erodes the `recallTarget` API. Falls back to every
+    * cell if the target is unreachable — degrades to exact-within-cells,
+    * recall 1.0. */
   def nprobeFor(target: Double): Int = {
-    val i = recallCurve.indexWhere(_ >= target)
+    val curve = if (recallLcb.nonEmpty) recallLcb else recallCurve
+    val i = curve.indexWhere(_ >= target)
     if (i < 0) cids.length else i + 1
   }
 }
@@ -54,15 +61,23 @@ object IndexMeta {
 
   /** Measure the IVF recall curve and assemble the metadata.
     *
-    * Calibration cost is an index-BUILD cost, not a query cost: `nSample`
-    * exact top-k jobs plus one tiny cell lookup each, all over the same
-    * data the index build already scans. The sample is a deterministic
-    * salted-hash pick over the ids present, disjoint in practice from
-    * [[graft.RecallReport]]'s evenly-spread report sample — the reported
-    * recall is held-out, not the calibration set grading itself. */
+    * Calibration cost is an index-BUILD cost, not a query cost, and it is
+    * BATCHED: all `nSample` exact top-k searches run as ONE
+    * [[Search.knnBatch]] job (plus one embedding collect and one cell
+    * lookup), so growing the sample doesn't grow the number of driver
+    * round trips. The sample is a deterministic salted-hash pick over the
+    * ids present, disjoint in practice from [[graft.RecallReport]]'s
+    * evenly-spread report sample — the reported recall is held-out, not
+    * the calibration set grading itself.
+    *
+    * Alongside the mean recall curve, the per-query recall sample yields a
+    * one-sided lower confidence bound per probe count
+    * (mean − z·sd/√n, z = 1.28 ≈ 90%): [[IndexMeta.nprobeFor]] inverts
+    * THAT curve, so the chosen nprobe carries a safety margin against
+    * sample optimism instead of betting the target on the sample mean. */
   def build(points: DataFrame, centroids: DataFrame,
       hyperplanes: Seq[Seq[Double]], k: Int = 10,
-      nSample: Int = 8): IndexMeta = {
+      nSample: Int = 32): IndexMeta = {
     val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
     val cids = rows.map(_.getLong(0)).toSeq
     val cents = rows.map(_.getSeq[Double](1)).toSeq
@@ -79,33 +94,50 @@ object IndexMeta {
         col("id"))
       .limit(nSample)
       .collect().map(_.getLong(0)).toSeq
-    // per query: the cell-rank of each true top-k neighbor (rank of the
-    // neighbor's cell in the query's rounded-dot probe order)
-    val coverage = Array.fill(nC)(0.0)
-    qids.foreach { qid =>
-      val qEmb = points.filter(col("id") === qid)
-        .select(col("embedding")).head().getSeq[Double](0)
-      // probe order: same (round 6dp desc, cid asc) rule as TopCentroids
-      val order = cids.indices
-        .map(i => (math.rint(dot(qEmb, cents(i)) * 1e6) / 1e6, cids(i)))
-        .sortBy { case (s, c) => (-s, c) }
-        .map(_._2)
-      val rankOf = order.zipWithIndex.toMap
-      val q = points.filter(col("id") === qid)
-        .select(col("embedding").as("qemb"))
-      val topK = Search.knn(points, q, k, -1.0)
-        .select("id").collect().map(_.getLong(0))
-      val cellOf = assigned.filter(col("id").isin(topK: _*))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      topK.foreach { nb =>
-        val r = rankOf(cellOf(nb)) // 0-based cell rank of this neighbor
-        var p = r
-        while (p < nC) { coverage(p) += 1.0; p += 1 }
+    // one collect: every calibration query's embedding
+    val qEmbOf = points.filter(col("id").isin(qids: _*))
+      .select(col("id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // ONE batched exact top-k job for the whole sample
+    val qdf = points.filter(col("id").isin(qids: _*))
+      .select(col("id").as("query_id"), col("embedding").as("qemb"))
+    val topByQ = Search.knnBatch(points, qdf, k, -1.0)
+      .select(col("query_id"), col("id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    // one cell lookup for every true neighbor across all queries
+    val allNeighbors = topByQ.values.flatten.toSeq.distinct
+    val cellOf = assigned.filter(col("id").isin(allNeighbors: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per query: recall-at-probe-count curve from the cell-rank of each
+    // true neighbor (rank of the neighbor's cell in the query's
+    // rounded-dot probe order — same (round 6dp desc, cid asc) rule as
+    // TopCentroids)
+    val perQuery: Seq[Array[Double]] = qids.flatMap { qid =>
+      topByQ.get(qid).map { topK =>
+        val qEmb = qEmbOf(qid)
+        val order = cids.indices
+          .map(i => (math.rint(dot(qEmb, cents(i)) * 1e6) / 1e6, cids(i)))
+          .sortBy { case (s, c) => (-s, c) }
+          .map(_._2)
+        val rankOf = order.zipWithIndex.toMap
+        val cov = Array.fill(nC)(0.0)
+        topK.foreach { nb =>
+          var p = rankOf(cellOf(nb)) // 0-based cell rank of this neighbor
+          while (p < nC) { cov(p) += 1.0; p += 1 }
+        }
+        cov.map(_ / topK.length)
       }
     }
-    val denom = (qids.size * k).toDouble
-    IndexMeta(n, cids, cents, hyperplanes,
-      coverage.map(_ / denom).toSeq)
+    val nq = perQuery.size.toDouble
+    val meanCurve = (0 until nC).map(p => perQuery.map(_(p)).sum / nq)
+    val lcbCurve = (0 until nC).map { p =>
+      val m = meanCurve(p)
+      val sd =
+        if (nq < 2) 0.0
+        else math.sqrt(perQuery.map(c => (c(p) - m) * (c(p) - m)).sum / (nq - 1))
+      math.max(0.0, m - 1.28 * sd / math.sqrt(nq))
+    }
+    IndexMeta(n, cids, cents, hyperplanes, meanCurve, lcbCurve)
   }
 
   private def dot(a: Seq[Double], b: Seq[Double]): Double = {
