@@ -205,15 +205,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // recall@10 of every approximate path vs exact at this scale — guards
-    // against index-parameter changes silently trading recall for speed
-    val recall = (try RecallReport.report(spark, sfDir)
-      catch { case _: Throwable => Map.empty[String, Double] })
+    // against index-parameter changes silently trading recall for speed.
+    // (Skipped under a query-name filter: ONLY runs are local iteration
+    // on specific queries; the phases belong to full measurement runs.)
+    val recall = (try {
+      if (only.isDefined) Map.empty[String, Double]
+      else RecallReport.report(spark, sfDir)
+    } catch { case _: Throwable => Map.empty[String, Double] })
       .toSeq.sortBy(_._1)
       .map { case (m, r) => "\"" + m + "\":" + math.rint(r * 1000) / 1000 }
       .mkString("{", ",", "}")
     // concurrent-search throughput (reference BenchmarkSuite QPS phase)
-    val qpsMap = try qpsPhase(spark, sfDir)
-      catch { case _: Throwable => Map.empty[String, Double] }
+    val qpsMap = try {
+      if (only.isDefined) Map.empty[String, Double]
+      else qpsPhase(spark, sfDir)
+    } catch { case _: Throwable => Map.empty[String, Double] }
     val qps = qpsMap.toSeq.sortBy(_._1)
       .map { case (m, v) => "\"" + m + "\":" + v }
       .mkString("{", ",", "}")

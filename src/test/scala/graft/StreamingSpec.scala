@@ -35,6 +35,53 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("stream-stream join: late arrivals beyond the watermark are dropped deterministically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val errors = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cdf = clicks.toDF().toDF("click_id", "user_id", "click_ts")
+      .withWatermark("click_ts", "2 hours")
+    val edf = errors.toDF().toDF("error_id", "e_user", "error_ts")
+      .withWatermark("error_ts", "2 hours")
+    // same join predicate as clickErrorJoinStream (60-minute window)
+    val joined = cdf.join(edf, expr(
+      """user_id = e_user AND
+        |error_ts >= click_ts AND
+        |error_ts <= click_ts + interval 60 minutes""".stripMargin))
+      .select("click_id", "error_id", "user_id")
+    val name = "graft_wm_spec"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: in-window pair matches; out-of-window error (90 min after
+      // the click) must NOT match even though it is on time
+      clicks.addData((1L, 7L, ts("10:00")))
+      errors.addData((100L, 7L, ts("10:10")), (101L, 7L, ts("11:30")))
+      q.processAllAvailable()
+      // batch 2: advance event time to 16:00 on both sides — the global
+      // watermark moves to 14:00 (16:00 − 2 h delay)
+      clicks.addData((2L, 8L, ts("16:00")))
+      errors.addData((200L, 8L, ts("16:05")))
+      q.processAllAvailable()
+      // batch 3: a LATE error at 10:05 (behind the 14:00 watermark) would
+      // have matched click 1 in-window — it must be dropped, every run
+      errors.addData((300L, 7L, ts("10:05")))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("click_id", "error_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 100L)), "in-window on-time pair must match")
+      assert(got.contains((2L, 200L)))
+      assert(!got.exists(_._2 == 101L),
+        "error 90 min after the click is outside the 60-min join window")
+      assert(!got.exists(_._2 == 300L),
+        "late arrival behind the watermark must be dropped, not joined")
+      assert(got.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming ingest builds the same collection as batch load; rerun is exactly-once") {
     val dest = java.nio.file.Files.createTempDirectory("ingest")
       .resolve("store").toString
