@@ -193,18 +193,25 @@ object Dedup {
     * topology is identical.) */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30, smallGraphEdges: Long = 4000000L): DataFrame = {
+      maxIter: Int = 30, smallGraphEdges: Long = 4000000L,
+      starGraphEdges: Long = 64000000L): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE — the
     // bidirectional edge union would otherwise evaluate it twice
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
     // Adaptive physical path (the same size-switch pattern as
-    // Ann.adaptiveSearch and Spark's own broadcast threshold): the pair
-    // graph of a dedup run is orders of magnitude smaller than the corpus —
-    // when it fits comfortably on the driver (~16 bytes/edge), a
-    // path-compressed union-find is exact and costs milliseconds, vs one
-    // shuffle ROUND TRIP per propagation step. The distributed loop below
-    // remains the path for genuinely huge pair graphs.
-    if (p.count() <= smallGraphEdges) return unionFindLocal(p)
+    // Ann.adaptiveSearch and Spark's own broadcast threshold), THREE tiers:
+    //  - driver union-find when the pair graph fits on the driver
+    //    (~16 bytes/edge): exact, milliseconds, zero shuffles;
+    //  - min-label + pointer-jumping (below) for the mid range: O(log
+    //    diameter) rounds, each one join + one aggregate — near-dup
+    //    clusters are dense and shallow, so this is a handful of rounds;
+    //  - large-star/small-star contraction ([[starContraction]]) for
+    //    genuinely huge graphs, whose worst case (deep, path-shaped
+    //    components) the paper bounds in O(log² n) rounds INDEPENDENT of
+    //    diameter, with per-round cost linear in the edge count.
+    val edgeCount = p.count()
+    if (edgeCount <= smallGraphEdges) return unionFindLocal(p)
+    if (edgeCount > starGraphEdges) return starContraction(p, maxIter)._1
     val edges = p.union(p.select(col("b"), col("a")))
       .toDF("src", "dst")
       .distinct()
@@ -245,6 +252,77 @@ object Dedup {
       it += 1
     }
     labels.select(col("node"), col("lab").as("cluster_id"))
+  }
+
+  /** Large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public literature):
+    * the huge-graph tier of [[connectedComponents]].
+    *
+    * Each round is two edge rewrites, each one hash aggregate + one
+    * equi-join on node id:
+    *  - LARGE-STAR: per node u over its bidirectional neighborhood,
+    *    m = min(Γ(u) ∪ {u}); every strictly-larger neighbor re-attaches
+    *    to m: emit (v, m) for v ∈ Γ(u), v > u.
+    *  - SMALL-STAR: edges oriented child→parent (u > v); per node u,
+    *    m = min(N⁻(u) ∪ {u}) = min over its smaller neighbors; emit
+    *    (v, m) for v ∈ N⁻(u), v ≠ m, plus (u, m).
+    * The alternation converges to a forest of stars — every edge is
+    * (node, component-min) — in O(log² n) rounds regardless of component
+    * DIAMETER (the min-label loop's O(log diameter) is great for shallow
+    * near-dup clusters but a path-shaped component makes diameter ≈ n).
+    * Fixpoint test: the canonical oriented edge set stops changing
+    * (count equality + one-sided except on deduplicated sets).
+    *
+    * Returns (labels, rounds) — rounds exposed for the log-bound property
+    * spec. */
+  private[graft] def starContraction(
+      p: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    // canonical orientation (child u > parent v), self-loops dropped
+    var edges = p
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR over the bidirectional view
+      val bidir = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = bidir.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      // SMALL-STAR over the canonical orientation
+      val lo = large
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val minsS = lo.groupBy("u").agg(min(col("v")).as("m"))
+      val small = lo.join(minsS, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u_"), col("m"))
+        .union(minsS.select(col("u").as("u_"), col("m")))
+      val next = small
+        .select(greatest(col("u_"), col("m")).as("u"),
+          least(col("u_"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // fixpoint is a star forest: every surviving edge is (node, its
+    // component min); the min itself labels itself
+    val labels = edges.select(col("u").as("node"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("node"), col("v").as("cluster_id"))
+        .distinct())
+      .distinct()
+    (labels, rounds)
   }
 
   /** Apply dedup decisions: keep exactly one document per near-dup cluster

@@ -54,13 +54,23 @@ object Multimodal {
   final case class AssetFeatures(asset_id: Long, media_type: String,
       n_bytes: Long, f0: Double, f1: Double, f2: Double, f3: Double)
 
-  /** Batched decode path: one iterator per partition, native per-batch work
-    * inside — the shape a real codec integration uses (the Scala analogue
-    * of mapInPandas). The decode itself is the SAME deterministic stub as
-    * the expression path, so the two paths are differential-testable. */
-  def extractFeaturesPartitioned(assets: DataFrame): Dataset[AssetFeatures] = {
-    import assets.sparkSession.implicits._
-    assets.as[Asset].mapPartitions { it =>
+  /** The pluggable decode seam: a codec is shipped to executors
+    * (Serializable) and `open()`ed ONCE PER PARTITION — where a real
+    * integration initializes its native decoder (JNI image library, audio
+    * resampler, frame sampler) and amortizes that cost over the
+    * partition's batch. The returned function decodes one asset's bytes
+    * into the fixed-width feature vector. */
+  trait MediaCodec extends Serializable {
+    /** Per-partition init; returns (media_type, content) => 4 features. */
+    def open(): (String, Array[Byte]) => Array[Double]
+  }
+
+  /** Default codec: THE STUB — this container has no media codecs, so
+    * decode derives deterministic md5 pseudo-features from the bytes.
+    * Identical arithmetic to [[extractFeaturesExpr]]'s expression twin,
+    * which is what keeps the two paths differential-testable. */
+  object StubCodec extends MediaCodec {
+    def open(): (String, Array[Byte]) => Array[Double] = {
       // >>> STUB DECODE: a real implementation decodes image/audio bytes
       // here (per-partition codec init, batched native calls). We derive
       // deterministic pseudo-features from the bytes instead. <<<
@@ -69,10 +79,28 @@ object Multimodal {
         val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
         java.lang.Long.parseLong(hex.take(15), 16)
       }
+      (_, content) => {
+        val hx = content.map("%02x".format(_)).mkString
+        Array.tabulate(4)(i => (hash60(hx + i.toString) % 1000L).toDouble / 1000.0d)
+      }
+    }
+  }
+
+  /** Batched decode path: one iterator per partition, native per-batch work
+    * inside — the shape a real codec integration uses (the Scala analogue
+    * of mapInPandas). The codec is the seam: the default stays the
+    * deterministic stub; swapping in a real [[MediaCodec]] changes no
+    * plumbing (schema, partitioning, batching are codec-independent —
+    * spec-asserted with a test codec). */
+  def extractFeaturesPartitioned(assets: DataFrame,
+      codec: MediaCodec = StubCodec): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      val decode = codec.open() // once per partition
       it.map { a =>
-        val hx = a.content.map("%02x".format(_)).mkString
-        def f(i: Int): Double = (hash60(hx + i) % 1000L).toDouble / 1000.0d
-        AssetFeatures(a.asset_id, a.media_type, a.n_bytes, f(0), f(1), f(2), f(3))
+        val f = decode(a.media_type, a.content)
+        AssetFeatures(a.asset_id, a.media_type, a.n_bytes,
+          f(0), f(1), f(2), f(3))
       }
     }
   }

@@ -98,6 +98,34 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("star contraction: 1000-node chain converges in log-bounded rounds, labels unchanged") {
+    // the adversarial case for label propagation: one component whose
+    // DIAMETER is the node count — a path graph
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.starContraction(chain)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 1000, s"every chain node labeled: ${got.length}")
+    assert(got.forall(_._2 == 0L), "one component, min label 0")
+    assert(got.map(_._1).toSet == (0L until 1000L).toSet)
+    // Kiveris et al. bound O(log^2 n); a path collapses much faster —
+    // pin a 2*log2(n) working bound so a regression to linear rounds fails
+    assert(rounds <= 20, s"rounds $rounds exceeds the log bound for n=1000")
+    // and the labels equal the exact union-find path's labels
+    val exact = Dedup.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got.toSet == exact)
+  }
+
+  test("star contraction agrees with union-find on a mixed multi-component graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b") // chain+chain+cycle
+    val stars = Dedup.starContraction(pairs.toDF("a", "b"))._1
+      .as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(stars == local)
+  }
+
   test("applyDedup keeps one doc per cluster plus all unclustered docs") {
     val docsIds = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L)
       .map(i => (i, s"text $i")).toDF("doc_id", "text")

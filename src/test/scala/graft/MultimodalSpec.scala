@@ -17,6 +17,40 @@ class MultimodalSpec extends SparkSpec {
     assert(expr.zip(part).forall { case (a, b) => a == b })
   }
 
+  test("codec seam: a swapped-in codec drives the same plumbing; stub stays default") {
+    // a "real" codec stand-in: features from the raw bytes themselves
+    // (first byte, last byte, length parity, media-type arity) — anything
+    // deterministic that is NOT the stub's md5 arithmetic
+    object ByteCodec extends Multimodal.MediaCodec {
+      def open(): (String, Array[Byte]) => Array[Double] =
+        (mt, bytes) => Array(
+          (bytes(0) & 0xff) / 256.0,
+          (bytes(bytes.length - 1) & 0xff) / 256.0,
+          (bytes.length % 2).toDouble,
+          mt.length.toDouble)
+    }
+    val assets = Multimodal.loadAssets(spark, sf001)
+    val swapped = Multimodal.extractFeaturesPartitioned(assets, ByteCodec)
+      .collect().sortBy(_.asset_id)
+    val stub = Multimodal.extractFeaturesPartitioned(assets)
+      .collect().sortBy(_.asset_id)
+    assert(swapped.length == stub.length && swapped.length > 0)
+    // same rows, same schema/keys — only the decoded features move
+    assert(swapped.zip(stub).forall { case (a, b) =>
+      a.asset_id == b.asset_id && a.media_type == b.media_type &&
+        a.n_bytes == b.n_bytes
+    })
+    assert(swapped.exists(f => f.f3 == 5.0 || f.f3 == 4.0),
+      "test codec's media-type-arity feature must flow through")
+    assert(!swapped.sameElements(stub), "swapped codec must change features")
+    // and the codec really decoded the bytes: recompute one row directly
+    val one = assets.orderBy("asset_id").limit(1)
+      .select("content", "media_type").collect()(0)
+    val expect = ByteCodec.open()(one.getString(1), one.getAs[Array[Byte]](0))
+    val got = swapped.head
+    assert(Seq(got.f0, got.f1, got.f2, got.f3) == expect.toSeq)
+  }
+
   test("binary content is opaque bytes with correct metadata") {
     val a = Multimodal.loadAssets(spark, sf001)
     val r = a.select("n_bytes").distinct().as[Long].collect()
