@@ -154,6 +154,33 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Z-ordered COLLECTION layout (same build-once lifecycle as [[zStore]],
+    * but over the collection's own payload dims): Morton-sorted on
+    * (confidence_score scaled into 16 bits, ts) so BOTH the order_by
+    * scroll's cursor range on confidence_score and time-range predicates
+    * prune row groups — a single-sort store prunes only one of the two.
+    * BOTH dims are min-max scaled to the full 16-bit width first: the
+    * Morton interleave weights bit positions, so a dim that uses fewer
+    * bits (ts tops out at the row count) would surrender the curve's high
+    * bits to the other dim and never localize. Layout is result-invariant;
+    * the oracle reads the raw table. */
+  private val zCollBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zCollection(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_zcoll_" + san(dir)
+    zCollBuilt.computeIfAbsent(path, _ => {
+      val raw = Collection.loadWithPayload(s, dir)
+      val maxTs = raw.agg(max(col("ts"))).head().getDouble(0)
+      val pts = raw
+        .withColumn("cbin", least(lit(65535L),
+          floor(col("confidence_score") * 65536.0d).cast("long")))
+        .withColumn("tbin", least(lit(65535L),
+          floor(col("ts") / (maxTs + 1.0d) * 65536.0d).cast("long")))
+      graft.sources.CollectionStore.saveZOrdered(pts, path, "cbin", "tbin")
+      path
+    })
+    s.read.parquet(path).drop("cbin", "tbin")
+  }
+
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -655,6 +682,14 @@ object SparkEntry {
         field = "confidence_score", limit = 25,
         afterVal = Some(0.9), afterId = Some(0L),
         pred = Some(col("face_quality") >= 20))),
+    // order_by scroll over the Z-ORDERED collection store: the cursor's
+    // range on confidence_score AND the time-range predicate both prune
+    // row groups in one layout (ApiSpec pins the per-file spread).
+    "zorder_scroll_ordered" -> ((s, dir) =>
+      Collection.scrollOrderedBy(zCollection(s, dir),
+        field = "confidence_score", limit = 25,
+        afterVal = Some(0.9), afterId = Some(0L),
+        pred = Some(col("ts").between(100.0, 4000.0)))),
     // best_score recommend strategy (peer of the average_vector one).
     "recommend_best_score" -> ((s, dir) =>
       Search.recommendBestScore(Collection.load(s, dir),
@@ -1621,6 +1656,14 @@ object SparkEntry {
          |WHERE face_quality >= 20
          |  AND (confidence_score < 0.9 OR (confidence_score = 0.9 AND id > 0))
          |ORDER BY confidence_score DESC, id ASC LIMIT 25""".stripMargin,
+    "zorder_scroll_ordered" ->
+      """WITH cx AS (SELECT vec_id AS id, label AS user_id, vec_id::DOUBLE AS ts,
+        |  round((('0x' || substring(md5('conf_' || vec_id), 1, 15))::BIGINT % 1000000)::DOUBLE / 1e6, 6) AS confidence_score
+        |  FROM embeddings)
+        |SELECT id, user_id, confidence_score FROM cx
+        |WHERE ts BETWEEN 100.0 AND 4000.0
+        |  AND (confidence_score < 0.9 OR (confidence_score = 0.9 AND id > 0))
+        |ORDER BY confidence_score DESC, id ASC LIMIT 25""".stripMargin,
     "recommend_best_score" ->
       s"""WITH $C,
          |p0 AS (SELECT ne FROM c WHERE id = 1), p1 AS (SELECT ne FROM c WHERE id = 3),

@@ -118,6 +118,33 @@ class ApiSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 4096)
   }
 
+  test("z-ordered collection store localizes BOTH confidence and time per file") {
+    val raw = Collection.loadWithPayload(spark, sf001)
+    val maxTs = raw.agg(max($"ts")).first().getDouble(0)
+    // both dims min-max scaled to the full 16-bit width — a dim using
+    // fewer bits surrenders the Morton curve's high bits to the other
+    val pts = raw
+      .withColumn("cbin", least(lit(65535L),
+        floor($"confidence_score" * 65536.0d).cast("long")))
+      .withColumn("tbin", least(lit(65535L),
+        floor($"ts" / (maxTs + 1.0d) * 65536.0d).cast("long")))
+    val dest = java.nio.file.Files.createTempDirectory("zcoll").toString + "/store"
+    CollectionStore.saveZOrdered(pts, dest, "cbin", "tbin", numFiles = 8)
+    val stored = spark.read.parquet(dest)
+    def avgSpread(dim: String): Double = stored
+      .groupBy(input_file_name()).agg((max(dim) - min(dim)).as("s"))
+      .select(avg("s")).first().getDouble(0)
+    def globalRange(dim: String): Double = stored
+      .agg((max(dim) - min(dim)).cast("double")).first().getDouble(0)
+    // both dims localized well below their global ranges (a single-sort
+    // layout localizes one and leaves the other at ~full range per file)
+    assert(avgSpread("cbin") < globalRange("cbin") * 0.55,
+      s"cbin spread ${avgSpread("cbin")} vs range ${globalRange("cbin")}")
+    assert(avgSpread("tbin") < globalRange("tbin") * 0.55,
+      s"tbin spread ${avgSpread("tbin")} vs range ${globalRange("tbin")}")
+    assert(stored.count() == pts.count())
+  }
+
   test("serveBatched: per-request results identical to solo search, across flushes") {
     val embs = points.orderBy("id").limit(24)
       .select("embedding").as[Seq[Double]].collect().toSeq
