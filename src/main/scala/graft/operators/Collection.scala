@@ -127,8 +127,12 @@ object Collection {
       afterTs: Option[Double] = None,
       afterId: Option[Long] = None,
       pred: Option[Column] = None): DataFrame = {
-    val base = pred.map(p => points.filter(coalesce(p, lit(false))))
-      .getOrElse(points)
+    // plain filter(p): NULL-evaluating rows already don't match (filter
+    // keeps only TRUE), and a bare predicate reaches the parquet scan as
+    // PushedFilters — a coalesce(p, false) wrapper is semantically
+    // identical here but untranslatable for pushdown, which would cost
+    // the row-group pruning this scroll exists for
+    val base = pred.map(points.filter).getOrElse(points)
     val cursored = (afterTs, afterId) match {
       case (Some(t), Some(i)) =>
         base.filter(col("ts") < t || (col("ts") === t && col("id") > i))
@@ -154,8 +158,9 @@ object Collection {
       afterVal: Option[Double] = None,
       afterId: Option[Long] = None,
       pred: Option[Column] = None): DataFrame = {
-    val base = pred.map(p => points.filter(coalesce(p, lit(false))))
-      .getOrElse(points)
+    // bare filter(p), not coalesce(p, false): same NULL-doesn't-match
+    // semantics, but pushdown-translatable (see scroll)
+    val base = pred.map(points.filter).getOrElse(points)
     val cursored = (afterVal, afterId) match {
       case (Some(v), Some(i)) =>
         base.filter(col(field) < v || (col(field) === v && col("id") > i))
@@ -185,7 +190,7 @@ object Collection {
     * shuffle). */
   def facet(points: DataFrame, field: String, pred: Column, topN: Int): DataFrame =
     points
-      .filter(coalesce(pred, lit(false)))
+      .filter(pred) // NULL doesn't match; bare pred stays pushdown-translatable
       .groupBy(col(field).as("facet_value"))
       .agg(count("*").cast("long").as("n"))
       .orderBy(desc("n"), asc("facet_value"))
