@@ -671,6 +671,17 @@ object SparkEntry {
       Collection.scroll(Collection.load(s, dir), limit = 25,
         afterTs = Some(300.0), afterId = Some(300L),
         pred = Some(col("user_id") < 5))),
+    // Span-level dedup (substring analogue of doc dedup): every 8-token
+    // window hashed in one native pass (stride 1, positions kept), one
+    // hash agg -> top cross-doc duplicated spans.
+    "duplicate_spans" -> ((s, dir) =>
+      TextAnalysis.duplicateSpans(
+        s.read.parquet(s"$dir/documents.parquet"), w = 8, minDocs = 2, k = 20)),
+    // Per-doc duplicate-span exposure: the keep/trim signal span dedup
+    // acts on (docs carrying spans that also occur elsewhere).
+    "span_dup_exposure" -> ((s, dir) =>
+      TextAnalysis.spanDupExposure(
+        s.read.parquet(s"$dir/documents.parquet"), w = 8, minDocs = 2)),
     // RAG/context chunking: 32-token windows every 24 tokens (overlap 8).
     "chunk_documents" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(
@@ -1646,6 +1657,24 @@ object SparkEntry {
          |  array_to_string(list_slice(w, st + 1, st + 32), ' ') AS chunk_text,
          |  len(list_slice(w, st + 1, st + 32))::BIGINT AS n_tokens
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "duplicate_spans" ->
+      s"""WITH $W,
+         |sp AS (SELECT doc_id,
+         |  ('0x' || substring(md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS span_h
+         |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM t))
+         |SELECT span_h, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_hits
+         |FROM sp GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_hits DESC, span_h ASC LIMIT 20""".stripMargin,
+    "span_dup_exposure" ->
+      s"""WITH $W,
+         |sp AS (SELECT doc_id,
+         |  ('0x' || substring(md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS span_h
+         |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM t)),
+         |dup AS (SELECT span_h FROM sp GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+         |  count(DISTINCT sp.span_h)::BIGINT AS n_dup_keys
+         |FROM sp JOIN dup USING (span_h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "scroll_ordered" ->
       s"""WITH $C,
          |cx AS (SELECT id, user_id,

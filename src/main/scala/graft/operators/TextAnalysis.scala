@@ -314,6 +314,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Substring-level duplicate-span detection — the span analogue of doc
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": repeated spans poison training even when no two DOCS
+    * are near-dups, so production pipelines dedup at the span level too).
+    * Suffix arrays find variable-length repeats; the Spark-idiomatic
+    * equivalent hashes every fixed-width w-token window map-side
+    * ([[graft.plans.SpanHashes60]] — ALL positions, stride 1, one native
+    * pass; position counts matter, so this is NOT the distinct shingle
+    * set) and one hash aggregate over the 60-bit keys surfaces spans
+    * occurring in more than `minDocs` documents.
+    *
+    * Scale shape: candidate volume = token count (one 8-byte key per
+    * position), one map-side-combined aggregate on uniform hash keys —
+    * no joins, no skew (a hot span is ONE key with a big partial-agg
+    * count, not a hot partition). Returns the top `k` duplicated spans by
+    * cross-doc spread: (span_hash, n_docs, n_hits). */
+  def duplicateSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+      k: Int = 20): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.spanHashes60(
+          TextOps.words(col("text")), w)).as("span_h"))
+      .groupBy("span_h")
+      .agg(countDistinct("doc_id").cast("long").as("n_docs"),
+        count("*").cast("long").as("n_hits"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(desc("n_docs"), desc("n_hits"), asc("span_h"))
+      .limit(k)
+
+  /** Per-document duplicate-span exposure: which documents carry spans
+    * that also occur elsewhere in the corpus, and how much of each doc is
+    * covered — the keep/trim signal span-level dedup acts on. Two passes
+    * over the span keys (one aggregate to find cross-doc spans, one
+    * semi-join back); the join side is the DUPLICATED key set only, which
+    * dedup assumptions make a small fraction of the corpus. */
+  def spanDupExposure(docs: DataFrame, w: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.spanHashes60(
+          TextOps.words(col("text")), w)).as("span_h"))
+    val dupKeys = spans.groupBy("span_h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("span_h")
+    spans.join(dupKeys, Seq("span_h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count("*").cast("long").as("n_dup_spans"),
+        countDistinct("span_h").cast("long").as("n_dup_keys"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing for training batches: assign documents to packs of
     * at most ~`budgetTokens` whitespace tokens, greedily in doc_id order
     * WITHIN a hash shard — the standard "pack shuffled docs into

@@ -107,6 +107,60 @@ case class ShingleHashSet60(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** POSITIONAL hash60 values of every w-token window (stride 1) — the span
+  * kernel behind substring-level dedup. Unlike [[ShingleHashSet60]] this
+  * keeps one hash PER POSITION, unsorted and undeduplicated: occurrence
+  * counts matter for duplicate-span statistics (a span repeated inside
+  * one doc is still repetition). Semantics identical to
+  * `transform(sequence(0, size(words)-w), i -> hash60(concat_ws(" ",
+  * slice(words, i+1, w))))`, but one native pass — the lambda version
+  * re-inlines the words expression per element under projection collapse
+  * (the O(tokens·split) trap the README documents). */
+case class SpanHashes60(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"span_hashes expects array<string>, got ${t.simpleString}")
+  }
+
+  private val space = Array[Byte](' ')
+
+  override def nullSafeEval(v: Any): Any = {
+    val md = TextHash.localMd()
+    val words = v.asInstanceOf[ArrayData]
+    val nw = words.numElements()
+    if (nw < w) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](nw - w + 1)
+    var i = 0
+    while (i <= nw - w) {
+      md.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) md.update(space)
+        md.update(words.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      val hi =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      out(i) = hi >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SpanHashes60 =
+    copy(child = c)
+}
+
 /** k-permutation MinHash signature of a 60-bit shingle-hash set in ONE pass:
   * sig[i] = min over sh of ((sh mod p)·(2i+1) + (i·40503 mod p)) mod p.
   * Identical values to the explode → k flat `min()` aggregates formulation
@@ -253,6 +307,8 @@ object TextExpressions {
   def hash60(s: Column): Column = GraftBridge.column(Hash60(GraftBridge.expression(s)))
   def shingleHashSet60(words: Column, n: Int): Column =
     GraftBridge.column(ShingleHashSet60(GraftBridge.expression(words), n))
+  def spanHashes60(words: Column, w: Int): Column =
+    GraftBridge.column(SpanHashes60(GraftBridge.expression(words), w))
   def minHashSig(sh: Column, k: Int, p: Long): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(sh), k, p))
   def repetitionCounts(words: Column): Column =

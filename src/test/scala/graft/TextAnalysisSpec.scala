@@ -6,6 +6,40 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("duplicate spans: cross-doc repeats found, intra-doc repeats counted, native = lambda") {
+    val phrase = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"alpha beta $phrase gamma delta"),        // carries the phrase
+      (2L, s"$phrase zeta eta theta iota kappa"),     // carries it too
+      (3L, "nothing in common with anything here at all ok"),
+      (4L, s"x $phrase y $phrase z"))                 // carries it TWICE
+      .toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicateSpans(corpus, w = 8, minDocs = 2, k = 50)
+      .as[(Long, Long, Long)].collect()
+    // the planted 8-token phrase is a span seen in docs 1, 2 and 4 — with
+    // 4 occurrences total (doc 4 repeats it)
+    assert(spans.exists { case (_, nd, nh) => nd == 3L && nh == 4L },
+      s"planted phrase not found: ${spans.mkString(",")}")
+    val exposure = TextAnalysis.spanDupExposure(corpus, w = 8, minDocs = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(exposure.contains(1L) && exposure.contains(2L) && exposure.contains(4L))
+    assert(!exposure.contains(3L), "doc 3 shares no span")
+    // the native kernel equals the declarative lambda formulation
+    import org.apache.spark.sql.functions._
+    val native = corpus.select($"doc_id",
+      graft.plans.TextExpressions.spanHashes60(
+        graft.functions.TextOps.words($"text"), 8).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val lambda = corpus
+      .withColumn("w", graft.functions.TextOps.words($"text"))
+      .select($"doc_id", transform(
+        sequence(lit(0), greatest(size($"w") - 8, lit(-1))),
+        i => graft.functions.TextOps.hash60(
+          concat_ws(" ", slice($"w", i + lit(1), lit(8))))).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == lambda)
+  }
+
   test("decontamination flags docs sharing n-grams with the eval set only") {
     val eval = Seq((1L, "the quick brown fox jumps over the dog"))
       .toDF("doc_id", "text")
