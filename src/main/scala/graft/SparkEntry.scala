@@ -181,6 +181,27 @@ object SparkEntry {
     s.read.parquet(path).drop("cbin", "tbin")
   }
 
+  /** Quality-classifier side table (same build-once lifecycle as
+    * [[kmeansPath]]): NB log-odds weights trained ONCE per JVM per scale
+    * dir on weak heuristic labels and persisted; Spark scores against the
+    * read-back table and the DuckDB oracle recomputes scores from the
+    * SAME parquet — the training step drops out of the comparison. */
+  private def nbqPath(dir: String) = "/tmp/graft_nbq_" + san(dir)
+  private val nbqAlias = "/tmp/graft_nbq_current"
+  private val nbqBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def qualityModel(s: SparkSession, dir: String): DataFrame = {
+    val path = nbqPath(dir)
+    nbqBuilt.computeIfAbsent(path, _ => {
+      val m = TextAnalysis.trainQualityModel(
+        s.read.parquet(s"$dir/documents.parquet"))
+      m.coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(nbqAlias)
+      path
+    })
+    s.read.parquet(path)
+  }
+
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -671,6 +692,12 @@ object SparkEntry {
       Collection.scroll(Collection.load(s, dir), limit = 25,
         afterTs = Some(300.0), afterId = Some(300L),
         pred = Some(col("user_id") < 5))),
+    // Trained quality classifier (NB log-odds over hashed bag-of-words,
+    // weak heuristic labels; model = persisted side table both engines
+    // read): per-doc scores, the model-based quality-filter stage.
+    "quality_model_score" -> ((s, dir) =>
+      TextAnalysis.scoreQualityModel(
+        s.read.parquet(s"$dir/documents.parquet"), qualityModel(s, dir))),
     // Span-level dedup (substring analogue of doc dedup): every 8-token
     // window hashed in one native pass (stride 1, positions kept), one
     // hash agg -> top cross-doc duplicated spans.
@@ -1657,6 +1684,15 @@ object SparkEntry {
          |  array_to_string(list_slice(w, st + 1, st + 32), ' ') AS chunk_text,
          |  len(list_slice(w, st + 1, st + 32))::BIGINT AS n_tokens
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "quality_model_score" ->
+      s"""WITH $W,
+         |m AS (SELECT fid, w FROM read_parquet('/tmp/graft_nbq_current/*.parquet')),
+         |f AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024 AS fid
+         |      FROM (SELECT doc_id, unnest(w) AS tok FROM t)),
+         |j AS (SELECT f.doc_id, m.w FROM f JOIN m USING (fid))
+         |SELECT doc_id, round(sum(w::DECIMAL(18,6))::DOUBLE, 6) AS nb_score,
+         |  count(*)::BIGINT AS n_tokens
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "duplicate_spans" ->
       s"""WITH $W,
          |sp AS (SELECT doc_id,

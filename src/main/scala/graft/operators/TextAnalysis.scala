@@ -314,6 +314,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Trained quality classifier — the model-based "quality filter" stage
+    * of LLM data pipelines (public practice: GPT-3 §2.2's LR filter,
+    * CCNet, RefinedWeb — train a cheap linear classifier on weak labels,
+    * score the corpus, keep high scorers). Engine shape: NAIVE BAYES
+    * LOG-ODDS over hashed bag-of-words features.
+    *
+    * Training: weak labels come from the heuristic quality gate this
+    * engine already computes ([[qualityStats]] — the standard bootstrap
+    * when no human labels exist); per-feature class counts are one
+    * map-side-combined aggregate over (token-count)-many 8-byte keys; the
+    * model is a ≤`dim`-row table of 6dp-rounded log-odds weights
+    * w_f = log((c_pos+α)/(T_pos+αD)) − log((c_neg+α)/(T_neg+αD)),
+    * persisted as a side table (same build-once lifecycle as the kmeans
+    * centroids — training cost is an index-build cost). The class prior
+    * is a rank-invariant constant and is deliberately left out.
+    *
+    * At 100 TB: training = one agg, model = kilobytes, scoring = map-side
+    * feature hashing + a broadcast join + one DECIMAL sum per doc. */
+  def trainQualityModel(docs: DataFrame, dim: Int = 1024,
+      alpha: Double = 1.0, labelThreshold: Double = 0.2): DataFrame = {
+    val labeled = qualityStats(docs)
+      .select(col("doc_id"), (col("quality_score") >= labelThreshold).as("pos"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val feats = labeled
+      .select(col("pos"), explode(TextOps.words(col("text"))).as("tok"))
+      .withColumn("fid", pmod(TextOps.hash60(col("tok")), lit(dim.toLong)))
+    val counts = feats.groupBy("fid")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+    val tot = feats.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).cast("double").as("tpos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).cast("double").as("tneg"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("fid"),
+        round(log((col("cpos") + alpha) / (col("tpos") + alpha * dim))
+          - log((col("cneg") + alpha) / (col("tneg") + alpha * dim)), 6).as("w"))
+  }
+
+  /** Score documents against a trained [[trainQualityModel]] table: hash
+    * tokens to feature ids map-side, broadcast-join the ≤dim-row model,
+    * and sum the matched weights per doc IN DECIMAL — the weights are
+    * exact 6dp values, so the exact decimal sum is order-free where a
+    * double sum would be association-nondeterministic (the engine's
+    * standard money-sum rule). Both engines score from the SAME persisted
+    * weights, so training determinism is not load-bearing. */
+  def scoreQualityModel(docs: DataFrame, model: DataFrame,
+      dim: Int = 1024): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("tok"))
+      .withColumn("fid", pmod(TextOps.hash60(col("tok")), lit(dim.toLong)))
+      .join(broadcast(model), Seq("fid"))
+      .groupBy("doc_id")
+      .agg(
+        round(sum(col("w").cast("decimal(18,6)")).cast("double"), 6).as("nb_score"),
+        count("*").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
   /** Substring-level duplicate-span detection — the span analogue of doc
     * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better": repeated spans poison training even when no two DOCS

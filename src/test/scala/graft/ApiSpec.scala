@@ -193,6 +193,25 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](srv.submit(embs(0)))
   }
 
+  test("batchedServer latency bound: a lone request flushes after maxWaitMs, not maxBatch") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val e = points.orderBy("id").limit(1)
+      .select("embedding").as[Seq[Double]].head()
+    val srv = Api.batchedServer(points, k = 3, scoreThreshold = Some(0.1),
+      maxBatch = 100000, maxWaitMs = 30) // batch can never fill
+    try {
+      Await.result(srv.submit(e), 2.minutes) // warm the plan
+      val t0 = System.nanoTime()
+      val hits = Await.result(srv.submit(e), 2.minutes)
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(hits.nonEmpty)
+      // bound = flush window + one warmed batched job + slack; what it
+      // must NOT be is "forever, waiting for 99,999 more requests"
+      assert(ms < 5000, s"lone request took ${ms}ms — flush window ignored?")
+    } finally srv.close()
+  }
+
   test("withTimeout: fast queries pass through, runaway queries are cancelled") {
     // generous deadline: result returned untouched
     val n = Api.withTimeout(spark, timeoutSec = 60.0, tag = "fast") {

@@ -1,10 +1,34 @@
 package graft
 
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions.avg
 
 /** Decontamination semantics on a handcrafted fixture. */
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("quality model: learned log-odds separate the weak-label classes") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val model = TextAnalysis.trainQualityModel(docs).cache()
+    assert(model.count() <= 1024 && model.count() > 0)
+    // persist/read-back round trip scores identically (what the driver does)
+    val dest = java.nio.file.Files.createTempDirectory("nbq").toString + "/m"
+    model.write.parquet(dest)
+    val persisted = spark.read.parquet(dest)
+    val a = TextAnalysis.scoreQualityModel(docs, model).collect()
+    val b = TextAnalysis.scoreQualityModel(docs, persisted).collect()
+    assert(a.sameElements(b))
+    // the classifier must have learned the weak-label signal: mean score
+    // of positive-label docs > mean score of negative-label docs
+    val labels = TextAnalysis.qualityStats(docs)
+      .select($"doc_id", ($"quality_score" >= 0.2).as("pos"))
+    val sep = TextAnalysis.scoreQualityModel(docs, model)
+      .join(labels, Seq("doc_id"))
+      .groupBy("pos").agg(avg("nb_score").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(sep(true) > sep(false),
+      s"positive mean ${sep(true)} must exceed negative mean ${sep(false)}")
+  }
 
   test("duplicate spans: cross-doc repeats found, intra-doc repeats counted, native = lambda") {
     val phrase = "one two three four five six seven eight"
