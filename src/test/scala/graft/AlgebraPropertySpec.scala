@@ -1,0 +1,115 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Collection, Dedup, Search}
+import graft.sources.CollectionStore
+
+/** Operator-level algebraic invariants on seeded random inputs — the
+  * properties that must hold at ANY scale, checked the same way the
+  * kernel differentials are: against an independent formulation. */
+class AlgebraPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(1234)
+
+  test("connected components: all three tiers agree on 20 random graphs") {
+    (0 until 20).foreach { g =>
+      val n = 5 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(60)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        val uf = Dedup.connectedComponents(df, "a", "b") // driver union-find
+          .as[(Long, Long)].collect().toMap
+        val loop = Dedup.connectedComponents(df, "a", "b",
+          smallGraphEdges = 0L) // distributed min-label + pointer jumping
+          .as[(Long, Long)].collect().toMap
+        val (starDf, _) = Dedup.starContraction(df.select($"a", $"b"))
+        val stars = starDf.as[(Long, Long)].collect().toMap
+        assert(uf == loop, s"graph $g: min-label loop != union-find")
+        assert(uf == stars, s"graph $g: star contraction != union-find")
+      }
+    }
+  }
+
+  test("upsert is idempotent and last-write-wins on random batches") {
+    val base = (0L until 50L)
+      .map(i => (i, Seq.fill(4)(rnd.nextDouble()), i.toInt % 5, i.toDouble))
+      .toDF("id", "embedding", "user_id", "ts")
+    // unique ids (some overlapping base, some new), deterministic data
+    val batch = rnd.shuffle((0L until 60L).toList).take(20)
+      .map(i => (i, Seq.fill(4)(rnd.nextDouble()), 99, 1000.0 + rnd.nextInt(10)))
+      .toDF("id", "embedding", "user_id", "ts")
+    val once = Collection.upsert(base, batch)
+    val twice = Collection.upsert(once, batch)
+    val a = once.orderBy("id").collect()
+    val b = twice.orderBy("id").collect()
+    assert(a.sameElements(b), "re-applying the same batch must change nothing")
+    // one row per id, and every batch id carries the batch's user_id (LWW)
+    assert(once.groupBy("id").count().filter($"count" > 1).count() == 0)
+    val batchIds = batch.select("id").as[Long].collect().toSet
+    val winners = once.filter($"id".isin(batchIds.toSeq: _*))
+      .select("user_id").distinct().as[Int].collect().toSet
+    assert(winners == Set(99), s"batch rows must win LWW: $winners")
+  }
+
+  test("keyset scroll pages partition the filtered set in order, no gaps") {
+    val pts = Collection.loadWithPayload(spark, sf001)
+    val pred = col("face_quality") >= 30
+    val expected = pts.filter(pred)
+      .orderBy(desc("confidence_score"), asc("id"))
+      .select("id").as[Long].collect().toSeq
+    // walk pages of 37 via the (value, id) cursor until exhausted
+    var cursor: Option[(Double, Long)] = None
+    val walked = scala.collection.mutable.ArrayBuffer[Long]()
+    var done = false
+    while (!done) {
+      val page = Collection.scrollOrderedBy(pts, "confidence_score", 37,
+        afterVal = cursor.map(_._1), afterId = cursor.map(_._2),
+        pred = Some(pred)).collect()
+      if (page.isEmpty) done = true
+      else {
+        walked ++= page.map(_.getLong(0))
+        val last = page.last
+        cursor = Some((last.getDouble(2), last.getLong(0)))
+        if (page.length < 37) done = true
+      }
+    }
+    assert(walked.toSeq == expected,
+      s"pages must partition the ordered filtered set: ${walked.length} vs ${expected.length}")
+  }
+
+  test("z-value interleave is bijective on random 16-bit pairs") {
+    val pairs = Seq.fill(300)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("a", "b")
+      .select($"a", $"b", CollectionStore.zValue($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      // deinterleave: even bits -> a, odd bits -> b
+      var da = 0L; var db = 0L
+      (0 until 16).foreach { i =>
+        da |= ((z >> (2 * i)) & 1L) << i
+        db |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(da == a && db == b, s"roundtrip failed for ($a,$b): z=$z -> ($da,$db)")
+    }
+  }
+
+  test("rrfCombine is invariant to branch order (any branch count)") {
+    val branches = (0 until 4).map { bix =>
+      Seq.fill(15)((rnd.nextInt(30).toLong, 0L))
+        .map(_._1).distinct.zipWithIndex
+        .map { case (id, r) => (id, (r + 1).toLong) }
+        .toDF("id", "rank")
+    }
+    val fwd = Search.rrfCombine(branches, k = 10).collect()
+    val rev = Search.rrfCombine(branches.reverse, k = 10).collect()
+    val shuf = Search.rrfCombine(
+      Seq(branches(2), branches(0), branches(3), branches(1)), k = 10).collect()
+    assert(fwd.sameElements(rev), "reversed branch order changed the result")
+    assert(fwd.sameElements(shuf), "shuffled branch order changed the result")
+  }
+}
