@@ -758,6 +758,14 @@ object SparkEntry {
     "mine_pairs" -> ((s, dir) =>
       Search.contrastivePairs(Collection.load(s, dir), nAnchors = 20,
         posThreshold = 0.2, negThreshold = 0.0, salt = "cp")),
+    // ANN-scale pair mining: positives from IVF cell candidates, negatives
+    // from a salted-hash sample — the 100 TB shape of mine_pairs.
+    "mine_pairs_ann" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      Search.contrastivePairsAnn(points, Ann.seedCentroids(points, 32),
+        nAnchors = 20, posThreshold = 0.2, negThreshold = 0.0,
+        salt = "cpa", nprobe = 2, negSampleInv = 4L)
+    }),
     // Three-stage quantization cascade: binary prefilter -> int8 rescore
     // -> exact top-k (each stage reads a smaller set at higher precision).
     "cascade_search" -> ((s, dir) => {
@@ -1947,6 +1955,32 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY
          |    ('0x' || substring(md5('cp_' || qid || '_' || id), 1, 15))::BIGINT ASC, id ASC) AS rn
          |  FROM cand WHERE score < 0.0)
+         |SELECT pos.qid, pos.pos_id, pos.pos_score, neg.neg_id, neg.neg_score
+         |FROM pos JOIN neg ON pos.qid = neg.qid AND pos.rn = 1 AND neg.rn = 1
+         |ORDER BY pos.qid""".stripMargin,
+    "mine_pairs_ann" ->
+      s"""WITH $C,
+         |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),
+         |scored AS (SELECT p.id, ct.cid,
+         |  row_number() OVER (PARTITION BY p.id
+         |    ORDER BY round(list_dot_product(p.ne, ct.ce), 6) DESC, ct.cid ASC) AS rn
+         |  FROM c p, cent ct),
+         |dside AS (SELECT id, cid FROM scored WHERE rn = 1),
+         |aprobe AS (SELECT id AS qid, cid FROM scored WHERE rn <= 2 AND id < 20),
+         |posc AS (SELECT a.qid, d.id, round(list_dot_product(cd.ne, ca.ne), 6) AS score
+         |  FROM aprobe a JOIN dside d ON a.cid = d.cid AND d.id <> a.qid
+         |  JOIN c ca ON ca.id = a.qid
+         |  JOIN c cd ON cd.id = d.id),
+         |pos AS (SELECT qid, id AS pos_id, score AS pos_score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+         |  FROM posc WHERE score >= 0.2),
+         |negc AS (SELECT a.id AS qid, cc.id,
+         |    ('0x' || substring(md5('cpa_' || a.id || '_' || cc.id), 1, 15))::BIGINT AS h,
+         |    round(list_dot_product(cc.ne, a.ne), 6) AS score
+         |  FROM (SELECT id, ne FROM c WHERE id < 20) a, c cc WHERE cc.id <> a.id),
+         |neg AS (SELECT qid, id AS neg_id, score AS neg_score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY h ASC, id ASC) AS rn
+         |  FROM negc WHERE h % 4 = 0 AND score < 0.0)
          |SELECT pos.qid, pos.pos_id, pos.pos_score, neg.neg_id, neg.neg_score
          |FROM pos JOIN neg ON pos.qid = neg.qid AND pos.rn = 1 AND neg.rn = 1
          |ORDER BY pos.qid""".stripMargin,

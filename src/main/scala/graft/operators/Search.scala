@@ -421,6 +421,58 @@ object Search {
       .orderBy("qid")
   }
 
+  /** ANN-scale contrastive mining — the documented 100 TB swap of
+    * [[contrastivePairs]] made concrete. Two changes, same
+    * (anchor, positive, negative) contract:
+    *  - the POSITIVE stage scores only IVF cell candidates (each anchor
+    *    probes its `nprobe` nearest cells, candidates are those cells'
+    *    points — the [[Ann.knnJoin]] candidate shape), so its window
+    *    input is nprobe·N/C per anchor instead of N;
+    *  - the NEGATIVE stage draws from a hash-sampled slice of the
+    *    candidate grid (`pmod(h, negSampleInv) = 0`, where `h` is the
+    *    SAME salted hash the argmin orders by): negatives don't need to
+    *    be nearest anything, only reproducible, so a 1/negSampleInv
+    *    sample preserves the contract while cutting the window input by
+    *    that factor.
+    * Anchors whose probed cells hold no qualifying positive drop out —
+    * the ANN trade, bounded by the probe analysis like any IVF search. */
+  def contrastivePairsAnn(
+      points: DataFrame, centroids: DataFrame, nAnchors: Int,
+      posThreshold: Double, negThreshold: Double, salt: String,
+      nprobe: Int = 2, negSampleInv: Long = 4L): DataFrame = {
+    val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val cents = rows.map(_.getSeq[Double](1)).toSeq
+    val assigned = Ann.ivfAssign(points, cids, cents)
+      .select(col("cid"), col("id"), col("embedding"))
+    val anchors = points.filter(col("id") < nAnchors)
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    val probes = anchors.withColumn("cid", explode(
+      graft.plans.VectorExpressions.topCentroids(col("qemb"), cids, cents, nprobe)))
+    val posCand = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", score(col("embedding"), col("qemb")))
+    val wPos = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    val pos = posCand.filter(col("score") >= posThreshold)
+      .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("qid"), col("id").as("pos_id"), col("score").as("pos_score"))
+    val wNeg = Window.partitionBy("qid").orderBy(asc("h"), asc("id"))
+    val neg = points.select(col("id"), col("embedding"))
+      .join(broadcast(anchors), col("id") =!= col("qid"))
+      .withColumn("h", graft.functions.TextOps.hash60(
+        concat(lit(salt + "_"), col("qid").cast("string"),
+          lit("_"), col("id").cast("string"))))
+      .filter(pmod(col("h"), lit(negSampleInv)) === 0)
+      .withColumn("score", score(col("embedding"), col("qemb")))
+      .filter(col("score") < negThreshold)
+      .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+      .select(col("qid"), col("id").as("neg_id"), col("score").as("neg_score"))
+    pos.join(neg, Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("pos_score"),
+        col("neg_id"), col("neg_score"))
+      .orderBy("qid")
+  }
+
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein '98, public):
     * diversify a top-`candK` candidate set by greedily picking
     * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), k times. The

@@ -152,6 +152,39 @@ class SearchSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq == pairs.sortBy(_._1).toSeq)
   }
 
+  test("ANN pair mining: valid pairs, positives bounded by exact, sampled negatives") {
+    import graft.operators.Ann
+    val cents = Ann.seedCentroids(points, 16)
+    val ann = Search.contrastivePairsAnn(points, cents, nAnchors = 10,
+      posThreshold = 0.2, negThreshold = 0.0, salt = "t",
+      nprobe = 2, negSampleInv = 4L)
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    val exact = Search.contrastivePairs(points, nAnchors = 10,
+      posThreshold = 0.2, negThreshold = 0.0, salt = "t")
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    ann.foreach { case (qid, posId, posScore, negId, negScore) =>
+      assert(posId != qid && negId != qid)
+      assert(posScore >= 0.2 && negScore < 0.0)
+      // cell-restricted positive can never beat the exact global positive
+      exact.get(qid).foreach(ex => assert(posScore <= ex + 1e-12, s"anchor $qid"))
+      // the negative really came from the salted 1/4 sample slice
+      assert(h60(s"t_${qid}_$negId") % 4 == 0, s"anchor $qid neg $negId")
+    }
+    // deterministic across physical layout
+    val again = Search.contrastivePairsAnn(points.repartition(7), cents,
+      nAnchors = 10, posThreshold = 0.2, negThreshold = 0.0, salt = "t",
+      nprobe = 2, negSampleInv = 4L)
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(again.sortBy(_._1).toSeq == ann.sortBy(_._1).toSeq)
+  }
+
   test("euclid: self-match distance 0, ascending order, agrees with cosine rank on normalized vectors") {
     val q7 = points.filter($"id" === 7).select($"embedding".as("qemb"))
     val got = Search.nearestEuclid(points, q7, k = 10)
