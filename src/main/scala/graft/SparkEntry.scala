@@ -970,6 +970,18 @@ object SparkEntry {
       Dedup.applyDedup(docs, labels)
         .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
+    // Quality-aware dedup apply: keep the BEST-quality doc per near-dup
+    // cluster (argmax quality, id tiebreak) instead of the min-id one —
+    // the representative policy production pipelines actually use.
+    "dedup_apply_quality" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val labels = Dedup.connectedComponents(
+        Dedup.simHashPairs(docs, maxHamming = 3), "doc_a", "doc_b")
+      val scores = TextAnalysis.qualityStats(docs)
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.applyDedupByQuality(docs, labels, scores)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
     // Deterministic per-language stratified sample (en 50%, de 25%,
     // default 10%) — membership is a pure hash of (salt, doc_id).
     "stratified_sample" -> ((s, dir) =>
@@ -1412,6 +1424,31 @@ object SparkEntry {
          |  SELECT e.dst, reach.lab FROM e, reach WHERE e.src = reach.node),
          |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
          |drops AS (SELECT node FROM comp WHERE node <> cluster_id)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT node FROM drops)
+         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_apply_quality" ->
+      s"""WITH RECURSIVE $W, $SIM,
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh2 a, sh2 b WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |      UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.lab FROM e, reach WHERE e.src = reach.node),
+         |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |qpre AS (SELECT doc_id, len(w)::BIGINT AS word_count,
+         |  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio,
+         |  ${swRatio("en")} AS stopword_ratio FROM t),
+         |q AS (SELECT doc_id, round((least(1.0::DOUBLE, word_count::DOUBLE / 100.0::DOUBLE)
+         |    * (1.0::DOUBLE - stopword_ratio) * distinct_ratio)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS qs
+         |  FROM qpre),
+         |winners AS (SELECT node, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY q.qs DESC, node ASC) AS rn
+         |  FROM comp JOIN q ON q.doc_id = comp.node),
+         |drops AS (SELECT node FROM winners WHERE rn <> 1)
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT node FROM drops)
          |ORDER BY d.doc_id""".stripMargin,

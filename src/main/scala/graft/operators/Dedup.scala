@@ -337,6 +337,27 @@ object Dedup {
     docs.join(broadcast(drops), docs(idCol) === drops("node"), "left_anti")
   }
 
+  /** Quality-aware dedup apply: keep the BEST-scoring document per
+    * near-dup cluster instead of the arbitrary min-id representative —
+    * what production pipelines actually do (when near-dups differ in
+    * quality, dropping the cleaner copy wastes signal). `scores` carries
+    * (idCol, scoreCol); the winner per cluster is argmax(score) with id
+    * tiebreak. Same broadcast-anti-join scale shape as [[applyDedup]]:
+    * the per-cluster argmax runs over the LABELS frame (Σ cluster sizes —
+    * tiny relative to the corpus), never the corpus itself. */
+  def applyDedupByQuality(
+      docs: DataFrame, labels: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "quality_score"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(desc(scoreCol), asc("node"))
+    val drops = labels
+      .join(scores.select(col(idCol).as("node"), col(scoreCol)), Seq("node"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1)
+      .select("node")
+    docs.join(broadcast(drops), docs(idCol) === drops("node"), "left_anti")
+  }
+
   /** Driver-side union-find for pair graphs below the adaptive threshold:
     * min-id-rooted (the smaller root becomes the parent, so find() lands on
     * the component's minimum id — identical labels to the distributed

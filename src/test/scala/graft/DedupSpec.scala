@@ -126,6 +126,20 @@ class DedupSpec extends SparkSpec {
     assert(stars == local)
   }
 
+  test("applyDedupByQuality keeps the best-scoring doc per cluster, not min id") {
+    val docsIds = Seq(1L, 2L, 3L, 10L, 11L, 20L)
+      .map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "cluster_id")
+    // cluster {1,2,3}: doc 3 scores highest; cluster {10,11}: tie -> id 10
+    val scores = Seq((1L, 0.2), (2L, 0.5), (3L, 0.9), (10L, 0.4), (11L, 0.4),
+      (20L, 0.1)).toDF("doc_id", "quality_score")
+    val kept = Dedup.applyDedupByQuality(docsIds, labels, scores)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 10L, 20L),
+      s"argmax-quality winner per cluster + unclustered survivors: $kept")
+  }
+
   test("applyDedup keeps one doc per cluster plus all unclustered docs") {
     val docsIds = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L)
       .map(i => (i, s"text $i")).toDF("doc_id", "text")
