@@ -982,6 +982,14 @@ object SparkEntry {
       Dedup.applyDedupByQuality(docs, labels, scores)
         .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
+    // Per-source contribution cap (anti-dominance guard): deterministic
+    // hash reservoir keeps at most 15 docs per source; WindowGroupLimit
+    // trims hot sources map-side before the shuffle.
+    "cap_per_source" -> ((s, dir) =>
+      graft.operators.Sampling.capPerGroup(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("source"), col("doc_id"), n = 15, salt = "cap")
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
     // Deterministic per-language stratified sample (en 50%, de 25%,
     // default 10%) — membership is a pure hash of (salt, doc_id).
     "stratified_sample" -> ((s, dir) =>
@@ -1427,6 +1435,13 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT node FROM drops)
          |ORDER BY d.doc_id""".stripMargin,
+    "cap_per_source" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY
+        |    ('0x' || substring(md5('cap_' || source || '_' || doc_id), 1, 15))::BIGINT ASC,
+        |    doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
     "dedup_apply_quality" ->
       s"""WITH RECURSIVE $W, $SIM,
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -89,4 +89,26 @@ object Sampling {
     df.withColumn("_bucket", hashBucket(idCol, salt))
       .withColumn("_keep", col("_bucket") < cutoff)
   }
+
+  /** Per-group contribution cap — "no source may contribute more than `n`
+    * rows", the anti-dominance guard of corpus curation (one crawl dump
+    * must not drown the mix). Deterministic reservoir: rows rank within
+    * their group by a salted hash (uniform and reproducible — an audit
+    * can re-derive exactly why a row was kept) and the first `n` survive.
+    *
+    * Scale shape: row_number + `rank <= n` plans as WindowGroupLimit with
+    * a PARTIAL pass before the shuffle (the knnBatch top-k shape), so a
+    * dominant group is trimmed to ≤n per map task first — the shuffle
+    * moves O(n · tasks) rows per group, not the whole hot group. */
+  def capPerGroup(
+      df: DataFrame, groupCol: Column, idCol: Column,
+      n: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(asc("_h"), idCol.asc)
+    df.withColumn("_h", TextOps.hash60(concat_ws("_",
+        lit(salt), groupCol.cast("string"), idCol.cast("string"))))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_h", "_rn")
+  }
 }

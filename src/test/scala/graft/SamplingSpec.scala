@@ -69,6 +69,27 @@ class SamplingSpec extends SparkSpec {
       .as[Long].collect().toSet)
   }
 
+  test("capPerGroup: dominant group trimmed to n, small groups intact, deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 80L).map(i => (i, "big")) ++
+      (100L until 105L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val capped = Sampling.capPerGroup(df, col("source"), col("doc_id"),
+      n = 10, salt = "t")
+    val per = capped.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(per("big") == 10L, s"dominant group must cap at n: $per")
+    assert(per("small") == 5L, "under-cap groups keep everything")
+    // deterministic across physical layout
+    val again = Sampling.capPerGroup(df.repartition(7), col("source"),
+      col("doc_id"), n = 10, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == capped.select("doc_id").as[Long].collect().toSet)
+    // the rank<=n shape plans as WindowGroupLimit (partial pre-shuffle trim)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "expected WindowGroupLimit in plan")
+  }
+
   test("train/test split is total, disjoint, and near the requested fraction") {
     val split = Sampling.trainTestSplit(docs, col("doc_id"), 0.8, salt = "sp")
     assert(split.count() == docs.count())
