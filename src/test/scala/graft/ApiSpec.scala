@@ -193,6 +193,30 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](srv.submit(embs(0)))
   }
 
+  test("batchedServer: a failing flush fails the futures and close() returns") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val e = points.orderBy("id").limit(1)
+      .select("embedding").as[Seq[Double]].head()
+    // a collection whose execution throws: every flush over it must FAIL
+    // the submitted futures (not hang them) and leave the flusher alive
+    val poisoned = points.filter(expr("raise_error('graft-test-boom') IS NULL"))
+    val bad = Api.batchedServer(poisoned, k = 3, scoreThreshold = Some(0.1),
+      maxBatch = 4, maxWaitMs = 5)
+    try {
+      val fails = (0 until 3).map(_ => bad.submit(e))
+      fails.foreach { f =>
+        val err = intercept[Exception](Await.result(f, 2.minutes))
+        assert(err.toString.contains("boom") || err.getCause != null)
+      }
+    } finally bad.close() // must return promptly, not hang on a dead flush
+    // the session survives; a fresh server over good points serves fine
+    val good = Api.batchedServer(points, k = 3, scoreThreshold = Some(0.1),
+      maxBatch = 4, maxWaitMs = 5)
+    try assert(Await.result(good.submit(e), 2.minutes).nonEmpty)
+    finally good.close()
+  }
+
   test("batchedServer latency bound: a lone request flushes after maxWaitMs, not maxBatch") {
     import scala.concurrent.Await
     import scala.concurrent.duration._
