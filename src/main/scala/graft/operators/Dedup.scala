@@ -52,10 +52,16 @@ object Dedup {
       docs: DataFrame, n: Int, threshold: Double,
       blockOn: Option[String] = None): DataFrame = {
     val tp = threshold - 5e-7
+    // materialized once: `sh` feeds the prefix explode AND both verify
+    // join-backs, and the shingle kernel is map-side (no exchange for
+    // Spark to reuse) — without the barrier it would run 3× (same
+    // reasoning as minHashLshPairs; simHashPairs is fine as-is because
+    // its expensive stage is an aggregate whose exchange IS reused)
     val sh = docs
       .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id") +: col("sh") +: blockOn.map(col).toSeq: _*)
+      .localCheckpoint()
     // prefix length |S| - ceil(t'*|S|) + 1 (>= 1); tokens are pre-sorted
     val prefLen = (size(col("sh")) - ceil(size(col("sh")) * tp) + 1).cast("int")
     val pref = sh.select(
@@ -107,10 +113,17 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val rows = k / bands
     val p = TextOps.MinHashP
+    // materialize the shingle sets and the banded signatures ONCE: both
+    // feed a self-join (and `sh` also the verify join-back), and without
+    // a barrier each side re-runs the words→shingles→128-perm MinHash
+    // pipeline — the single most expensive map stage in the query,
+    // evaluated ~4×. Real LSH deployments persist signatures for the same
+    // reason; the banded stream is only (docs × bands) small rows.
     val sh = docs
       .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
     val sigs = sh.select(col("doc_id"),
       graft.plans.TextExpressions.minHashSig(col("sh"), k, p).as("sig"))
     val bandCols = (0 until bands).map { bIdx =>
@@ -119,6 +132,7 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+      .localCheckpoint()
     val cands = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
