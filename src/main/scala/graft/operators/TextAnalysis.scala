@@ -408,10 +408,14 @@ object TextAnalysis {
     * dedup assumptions make a small fraction of the corpus. */
   def spanDupExposure(docs: DataFrame, w: Int = 8,
       minDocs: Int = 2): DataFrame = {
+    // materialized once: the span stream feeds the dup-key aggregate AND
+    // the semi-join; the kernel is map-side, so without a barrier it
+    // would hash every window twice (same reasoning as minHashLshPairs)
     val spans = docs
       .select(col("doc_id"),
         explode(graft.plans.TextExpressions.spanHashes60(
           TextOps.words(col("text")), w)).as("span_h"))
+      .localCheckpoint()
     val dupKeys = spans.groupBy("span_h")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)
