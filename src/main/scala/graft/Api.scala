@@ -77,11 +77,15 @@ object Api {
     * return. Close the server to drain and stop the flusher. */
   def batchedServer(points: DataFrame, k: Int = 10,
       scoreThreshold: Option[Double] = None,
-      maxBatch: Int = 1024, maxWaitMs: Long = 20L): BatchedServer = {
+      maxBatch: Int = 1024, maxWaitMs: Long = 0L,
+      pipelineDepth: Int = 2,
+      localReplicaMaxRows: Long = BatchedServer.DefaultReplicaMaxRows)
+      : BatchedServer = {
     validateK(k)
     val t = scoreThreshold.getOrElse(DefaultThreshold)
     validateThreshold(t)
-    new BatchedServer(points, k, t, maxBatch, maxWaitMs)
+    new BatchedServer(points, k, t, maxBatch, maxWaitMs, pipelineDepth,
+      localReplicaMaxRows)
   }
 
   /** One-call convenience over a whole request queue: push every request
@@ -89,11 +93,14 @@ object Api {
     * request order. Blocks until the queue is served. */
   def serveBatched(points: DataFrame, requests: Seq[Seq[Double]],
       k: Int = 10, scoreThreshold: Option[Double] = None,
-      maxBatch: Int = 1024, maxWaitMs: Long = 20L)
+      maxBatch: Int = 1024, maxWaitMs: Long = 0L,
+      pipelineDepth: Int = 2,
+      localReplicaMaxRows: Long = BatchedServer.DefaultReplicaMaxRows)
       : Seq[Array[org.apache.spark.sql.Row]] = {
     import scala.concurrent.Await
     import scala.concurrent.duration._
-    val srv = batchedServer(points, k, scoreThreshold, maxBatch, maxWaitMs)
+    val srv = batchedServer(points, k, scoreThreshold, maxBatch, maxWaitMs,
+      pipelineDepth, localReplicaMaxRows)
     try {
       val futures = requests.map(srv.submit)
       futures.map(Await.result(_, 10.minutes))
@@ -155,7 +162,9 @@ object Api {
     worker.setDaemon(true)
     worker.start()
     ready.await() // group is set — the deadline clock starts only now
-    if (!done.await((timeoutSec * 1000).toLong, TimeUnit.MILLISECONDS)) {
+    // nanosecond resolution: a fractional-millisecond deadline must wait
+    // that fraction, not truncate to 0 ms and report a spurious miss
+    if (!done.await(math.max((timeoutSec * 1e9).toLong, 1L), TimeUnit.NANOSECONDS)) {
       spark.sparkContext.cancelJobGroup(group)
       worker.interrupt()
       throw new RuntimeException(

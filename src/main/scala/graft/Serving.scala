@@ -1,126 +1,394 @@
 package graft
 
-import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.{Executors, LinkedBlockingQueue, Semaphore, TimeUnit}
 
 import scala.collection.mutable.ArrayBuffer
 import scala.concurrent.{Future, Promise}
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.storage.StorageLevel
 
 /** Micro-batched serving loop — the engine's interactive point-serving
   * shape, graded against the reference BenchmarkSuite's targets
   * (≥1000 ops/s, ≤20 ms search — src/utils/performance.py:448-484,
   * README.md:7-8).
   *
-  * Why this exists: Spark's per-job driver cost (plan + schedule,
-  * ~0.1 s) bounds ANY one-job-per-request path near ~10 QPS per client
-  * thread regardless of data size — no plan shape removes it. The
-  * serving answer is to queue in-flight requests and flush them as ONE
-  * [[graft.operators.Search.knnBatch]] job: the fixed cost amortizes
-  * across the flush, per-query top-k semantics are preserved by the
-  * window rank inside knnBatch, and each caller gets back exactly the
-  * rows a solo [[graft.operators.Search.knn]] would return
-  * (spec-asserted in ApiSpec). Latency is bounded by
-  * `maxWaitMs + one batched job`; throughput scales with `maxBatch`.
+  * Why this exists: Spark's per-job driver cost (plan + schedule)
+  * bounds ANY one-job-per-request path near ~10 QPS per client thread
+  * regardless of data size — no plan shape removes it. The serving
+  * answer is to queue in-flight requests and flush them as ONE Spark
+  * job: the fixed cost amortizes across the flush, and each caller gets
+  * back exactly the rows a solo [[graft.operators.Search.knn]] would
+  * return (spec-asserted in ApiSpec).
   *
-  * This is the same trade the reference makes implicitly: its ≥1000 QPS
-  * headline comes from an in-process index serving many concurrent HTTP
-  * requests on one box; the Spark-idiomatic equivalent is batch
-  * amortization, not per-request jobs.
+  * Three latency levers beyond plain batching:
+  *
+  *  1. '''Plan-template reuse.''' The collection is pinned ONCE at
+  *     construction as an in-memory RDD of `(id, embedding, user_id)` —
+  *     the analyzed/optimized Catalyst plan runs exactly once to
+  *     materialize it. Every flush is then a single `mapPartitions`
+  *     stage over the pinned template with the query vectors as a tiny
+  *     broadcast: no per-flush analysis/optimization, no shuffle, no
+  *     second stage (the old shape re-planned a broadcast-join + window
+  *     job per flush). The per-partition kernel reproduces the engine's
+  *     scoring bit-for-bit: the same left-to-right dot product as the
+  *     codegen [[graft.plans.DotProductD]] and the same
+  *     `BigDecimal.valueOf(HALF_UP)` 6dp rounding as Spark's `round` —
+  *     parity is pinned by the batched≡solo ApiSpec. This is the one
+  *     sanctioned per-partition-imperative hot path (like mmrRerank's
+  *     bounded greedy loop): per-query top-k selection over a pinned
+  *     in-memory shard is genuinely imperative per-partition logic, and
+  *     a serving flush is latency-critical in a way no analytics query
+  *     is.
+  *  2. '''Pipelined flushes.''' Up to `pipelineDepth` flush jobs run
+  *     concurrently; the flusher thread keeps DRAINING the queue while
+  *     jobs are in flight, so batch formation overlaps job execution
+  *     (the old loop ran drain → job → distribute strictly serially,
+  *     so every request arriving mid-job waited that job out plus its
+  *     own full flush window).
+  *  3. '''Wave-coalescing batching.''' A flush takes everything queued
+  *     (up to `maxBatch`), waits at most `maxWaitMs` for the rest of a
+  *     near-synchronized client wave (the window only ticks while the
+  *     queue is EMPTY — a deep queue never waits), then closes as soon
+  *     as a pipeline slot is free, absorbing anything that arrived
+  *     while slots were busy. Under sustained load the in-flight job
+  *     time extends the batching window for free, so the default window
+  *     is 0: pipeline-slot backpressure coalesces waves by itself, and
+  *     an explicit wait is pure added latency (measured: 3 ms window
+  *     cost ≈ +3 ms p50 at 64 closed-loop clients, no QPS gain).
+  *  4. '''Shard-local replica tier.''' Even a perfectly-formed one-stage
+  *     job pays Spark's dispatch floor — measured on the dev box:
+  *     ~12 ms p50 for a 1-task collect, 15–18 ms for 8 tasks — so NO
+  *     per-flush-job design can meet the reference's ≤20 ms p50 under
+  *     concurrency. The reference meets it by serving from an
+  *     in-process index (qdrant local mode — src/core/qdrant_client.py);
+  *     the equivalent tier here: when the pinned shard is small enough
+  *     to replicate (`localReplicaMaxRows`, default 2^18 rows), the
+  *     first flush collects the template ONCE into a driver-local array
+  *     and every flush scores it on a local thread pool with the
+  *     bit-identical kernel — no job, no dispatch floor, p50 ~1 ms.
+  *     Replica≡job-path equality is spec-asserted. Beyond the threshold
+  *     the server degrades to the pinned-partition batched job, which is
+  *     the 100 TB path (the shard then IS the executor fleet's memory).
+  *
+  * At scale the pinned template is "the shard this server routes to":
+  * one executor-resident partition set serving point queries, exactly
+  * how a real vector store pins its index in RAM. The reference hits
+  * its >1000 QPS with an in-process index; this is the Spark-idiomatic
+  * equivalent.
   *
   * Thread model: callers [[submit]] from any number of threads; one
-  * daemon flusher drains the queue — a flush starts as soon as a request
-  * is available and closes when `maxBatch` requests are buffered or
-  * `maxWaitMs` has passed since the flush opened, whichever is first.
-  * A failed flush fails exactly that flush's futures.
+  * daemon flusher drains the queue and hands batches to a
+  * `pipelineDepth`-wide executor. A failed flush fails exactly that
+  * flush's futures. submit/close are synchronized so no request can be
+  * enqueued after close()'s final drain — a request either throws
+  * "closed" or is guaranteed a completed future.
   */
 final class BatchedServer(
     points: DataFrame,
     k: Int,
     threshold: Double,
     maxBatch: Int = 1024,
-    maxWaitMs: Long = 20L) extends AutoCloseable {
+    maxWaitMs: Long = 0L,
+    pipelineDepth: Int = 2,
+    localReplicaMaxRows: Long = BatchedServer.DefaultReplicaMaxRows)
+  extends AutoCloseable {
 
   require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
   require(maxWaitMs >= 0, s"maxWaitMs must be >= 0, got $maxWaitMs")
+  require(pipelineDepth >= 1, s"pipelineDepth must be >= 1, got $pipelineDepth")
+  require(localReplicaMaxRows >= 0,
+    s"localReplicaMaxRows must be >= 0, got $localReplicaMaxRows")
 
   private val spark = points.sparkSession
   import spark.implicits._
 
+  /** The serving template: collection projected to the three serving
+    * columns and pinned as deserialized JVM objects. Built lazily (the
+    * first flush materializes it), so constructing a server over a
+    * failing frame fails that flush's futures, not the constructor. */
+  private val template = points
+    .selectExpr("id", "embedding", "user_id")
+    .as[(Long, Array[Double], Int)]
+    .rdd
+    .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Test seam: (startNanos, endNanos) of every completed flush — the
+    * pipelining spec asserts two flush intervals overlap in time. */
+  private[graft] val flushLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+
   private final case class Pending(emb: Seq[Double], p: Promise[Array[Row]])
   private val queue = new LinkedBlockingQueue[Pending]()
+  private val lock = new Object
   @volatile private var open = true
+  private val slots = new Semaphore(pipelineDepth)
+  private val flushPool = Executors.newFixedThreadPool(
+    pipelineDepth,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-batched-server-flush")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Replica tier state: decided by the FIRST flush (count, then collect
+    * if within `localReplicaMaxRows`). Kept out of the constructor so a
+    * failing frame fails that flush's futures, not `new`. */
+  @volatile private var replica: Array[(Long, Array[Double], Int)] = null
+  @volatile private var replicaDecided = false
+  private val replicaInitLock = new Object
+  private val scoreParallelism =
+    math.min(8, Runtime.getRuntime.availableProcessors)
+  private val scorePool = Executors.newFixedThreadPool(
+    scoreParallelism,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-batched-server-score")
+      t.setDaemon(true)
+      t
+    })
+
+  private def ensureReplicaDecision(): Unit =
+    if (!replicaDecided) replicaInitLock.synchronized {
+      if (!replicaDecided) {
+        if (localReplicaMaxRows > 0 && template.count() <= localReplicaMaxRows) {
+          replica = template.collect()
+          // the replica owns serving from here — free the pinned blocks
+          template.unpersist(blocking = false)
+        }
+        replicaDecided = true
+      }
+    }
 
   /** Enqueue one search request; the future completes with this request's
     * top-k rows `(id, score, user_id)` in rank order — the same rows, in
     * the same order, as a solo `Search.knn(points, q, k, threshold)`. */
   def submit(qemb: Seq[Double]): Future[Array[Row]] = {
-    require(open, "BatchedServer is closed")
     require(qemb != null && qemb.nonEmpty,
       "empty embedding (min_items=1)") // same bar as Api.addVectors
     val p = Promise[Array[Row]]()
-    queue.put(Pending(qemb, p))
+    lock.synchronized {
+      require(open, "BatchedServer is closed")
+      queue.put(Pending(qemb, p))
+    }
     p.future
   }
 
-  /** One knnBatch job over a drained flush; per-request slices handed back
-    * through the promises. query_id is the position in THIS flush — ids
-    * never leave the flush, so concurrent flushes can't collide. */
-  private def flush(batch: Seq[Pending]): Unit =
+  /** One flush over a drained batch. Replica tier: per-slice top-k on
+    * the local score pool, no Spark job. Job tier: one single-stage
+    * map-only job over the pinned template. Both produce per-slice
+    * top-k candidates merged identically on the driver — per-slice
+    * top-k is a superset of each query's global top-k, so the merge is
+    * exact either way. Query index is the position in THIS flush —
+    * indices never leave the flush, so concurrent flushes can't collide. */
+  private def flush(batch: Seq[Pending]): Unit = {
+    val t0 = System.nanoTime()
     try {
-      val reqs = batch.zipWithIndex
-        .map { case (pd, i) => (i.toLong, pd.emb) }
-        .toDF("query_id", "qemb")
-      val out = operators.Search.knnBatch(points, reqs, k, threshold).collect()
-      val (qIx, idIx, scoreIx, rankIx, userIx) =
-        out.headOption.map { r =>
-          (r.fieldIndex("query_id"), r.fieldIndex("id"),
-            r.fieldIndex("score"), r.fieldIndex("rank"),
-            r.fieldIndex("user_id"))
-        }.getOrElse((0, 1, 2, 3, 4))
-      val byQuery = out.groupBy(_.getLong(qIx))
-      batch.zipWithIndex.foreach { case (pd, i) =>
-        val hits = byQuery.getOrElse(i.toLong, Array.empty[Row])
-          .sortBy(_.getLong(rankIx))
-          .map(r => Row(r.get(idIx), r.get(scoreIx), r.get(userIx)))
+      val kk = k
+      val th = threshold
+      val queries: Array[Array[Double]] = batch.map(_.emb.toArray).toArray
+      ensureReplicaDecision()
+      val cands: Array[(Int, Long, Double, Int)] =
+        if (replica != null) {
+          // slice the replica across the score pool; kernel identical to
+          // the job path, and slice boundaries can't change the merged
+          // result (per-slice top-k ⊇ per-query global top-k)
+          val rep = replica
+          val nSlices = math.min(scoreParallelism, math.max(rep.length, 1))
+          val tasks = new java.util.ArrayList[
+            java.util.concurrent.Callable[Array[(Int, Long, Double, Int)]]](nSlices)
+          var si = 0
+          while (si < nSlices) {
+            val lo = (rep.length.toLong * si / nSlices).toInt
+            val hi = (rep.length.toLong * (si + 1) / nSlices).toInt
+            tasks.add(() => BatchedServer.scoreRange(rep, lo, hi, queries, kk, th))
+            si += 1
+          }
+          import scala.jdk.CollectionConverters._
+          scorePool.invokeAll(tasks).asScala.toArray.flatMap(_.get())
+        } else {
+          // the query block rides in the task closure: Spark broadcasts
+          // the task binary per stage anyway, so an explicit Broadcast
+          // would only add create/unpersist latency to every flush
+          template.mapPartitions { rows =>
+            val nq = queries.length
+            val tops = Array.fill(nq)(new BatchedServer.TopK(kk))
+            while (rows.hasNext) {
+              val (id, emb, user) = rows.next()
+              var qi = 0
+              while (qi < nq) {
+                val s = BatchedServer.dotRound6(emb, queries(qi))
+                if (s >= th) tops(qi).offer(s, id, user)
+                qi += 1
+              }
+            }
+            tops.iterator.zipWithIndex.flatMap { case (t, qi) =>
+              t.drain().map { case (s, id, u) => (qi, id, s, u) }
+            }
+          }.collect()
+        }
+      val byQuery = cands.groupBy(_._1)
+      batch.zipWithIndex.foreach { case (pd, qi) =>
+        val hits = byQuery.getOrElse(qi, Array.empty[(Int, Long, Double, Int)])
+          .sortBy { case (_, id, s, _) => (-s, id) }
+          .take(kk)
+          .map { case (_, id, s, u) => Row(id, s, u) }
         pd.p.success(hits)
       }
     } catch {
       case e: Throwable => batch.foreach(_.p.tryFailure(e))
-    }
+    } finally flushLog.add((t0, System.nanoTime()))
+  }
 
   private val flusher = new Thread(() => {
     while (open || !queue.isEmpty) {
       val first = queue.poll(math.max(maxWaitMs, 1L), TimeUnit.MILLISECONDS)
       if (first != null) {
         val buf = ArrayBuffer(first)
+        drainInto(buf)
+        // straggler window: concurrent closed-loop clients fire in
+        // near-synchronized waves — waiting a FEW ms coalesces a whole
+        // wave into one job instead of two half-size staggered ones.
+        // Only ticks while the queue is empty; a deep queue never waits.
         val deadline = System.nanoTime() + maxWaitMs * 1000000L
-        var keepFilling = buf.size < maxBatch
-        while (keepFilling) {
-          // take everything already queued without waiting…
-          var draining = true
-          while (draining && buf.size < maxBatch) {
-            val more = queue.poll()
-            if (more == null) draining = false else buf += more
-          }
-          // …then wait out the remaining flush window for stragglers
-          val waitLeft = deadline - System.nanoTime()
-          if (buf.size >= maxBatch || waitLeft <= 0) keepFilling = false
+        var waiting = buf.size < maxBatch
+        while (waiting) {
+          val left = deadline - System.nanoTime()
+          if (left <= 0) waiting = false
           else {
-            val nxt = queue.poll(waitLeft, TimeUnit.NANOSECONDS)
-            if (nxt == null) keepFilling = false else buf += nxt
+            val nxt = queue.poll(left, TimeUnit.NANOSECONDS)
+            if (nxt == null) waiting = false
+            else {
+              buf += nxt
+              drainInto(buf)
+              waiting = buf.size < maxBatch
+            }
           }
         }
-        flush(buf.toSeq)
+        // wait for a pipeline slot; arrivals keep queuing meanwhile and
+        // join this flush below — in-flight job time extends the window
+        slots.acquire()
+        drainInto(buf)
+        val b = buf.toSeq
+        flushPool.execute(() => try flush(b) finally slots.release())
       }
     }
   }, "graft-batched-server-flusher")
   flusher.setDaemon(true)
   flusher.start()
 
-  /** Stop accepting requests, drain what's queued, and join the flusher. */
+  /** Move everything immediately available into `buf`, up to maxBatch. */
+  private def drainInto(buf: ArrayBuffer[Pending]): Unit = {
+    var draining = buf.size < maxBatch
+    while (draining) {
+      val more = queue.poll()
+      if (more == null) draining = false
+      else {
+        buf += more
+        draining = buf.size < maxBatch
+      }
+    }
+  }
+
+  /** Stop accepting requests, drain what's queued, run the remaining
+    * flushes, and release the pinned template. Any request that raced
+    * past the flusher's final empty-queue check is failed explicitly —
+    * no submitted future is ever left incomplete. */
   def close(): Unit = {
-    open = false
+    lock.synchronized { open = false }
     flusher.join()
+    flushPool.shutdown()
+    flushPool.awaitTermination(10, TimeUnit.MINUTES)
+    scorePool.shutdown()
+    var leftover = queue.poll()
+    while (leftover != null) {
+      leftover.p.tryFailure(
+        new IllegalStateException("BatchedServer closed before flush"))
+      leftover = queue.poll()
+    }
+    template.unpersist(blocking = false)
+  }
+}
+
+object BatchedServer {
+
+  /** Replica-tier cutoff: a shard this size (2^18 rows; ~128 MB at
+    * dim 64) replicates into serving memory, mirroring the reference's
+    * in-process index. Larger shards serve via the batched job path. */
+  val DefaultReplicaMaxRows: Long = 1L << 18
+
+  /** Spark `round(x, 6)` semantics (Round on DoubleType): shortest-repr
+    * BigDecimal, HALF_UP — identical to the oracle-parity kernel used in
+    * Search.mmrRerank. */
+  private[graft] def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The serving score kernel: same left-to-right accumulation as the
+    * codegen [[graft.plans.DotProductD]], same 6dp HALF_UP round as
+    * Spark's `round` — replica tier and job tier share it bit-for-bit. */
+  private[graft] def dotRound6(emb: Array[Double], q: Array[Double]): Double = {
+    val n = math.min(emb.length, q.length)
+    var s = 0.0d
+    var d = 0
+    while (d < n) { s += emb(d) * q(d); d += 1 }
+    round6(s)
+  }
+
+  /** Per-slice top-k over `rep(lo until hi)` for every query — the
+    * replica tier's unit of parallelism on the score pool. */
+  private[graft] def scoreRange(
+      rep: Array[(Long, Array[Double], Int)], lo: Int, hi: Int,
+      queries: Array[Array[Double]], k: Int, th: Double)
+      : Array[(Int, Long, Double, Int)] = {
+    val nq = queries.length
+    val tops = Array.fill(nq)(new TopK(k))
+    var i = lo
+    while (i < hi) {
+      val (id, emb, user) = rep(i)
+      var qi = 0
+      while (qi < nq) {
+        val s = dotRound6(emb, queries(qi))
+        if (s >= th) tops(qi).offer(s, id, user)
+        qi += 1
+      }
+      i += 1
+    }
+    val out = Array.newBuilder[(Int, Long, Double, Int)]
+    var qi = 0
+    while (qi < nq) {
+      tops(qi).drain().foreach { case (s, id, u) => out += ((qi, id, s, u)) }
+      qi += 1
+    }
+    out.result()
+  }
+
+  /** Bounded top-k of (score, id, user) under (score desc, id asc): a
+    * k-size min-heap whose root is the weakest kept hit. Per-partition
+    * top-k is a superset of each query's global top-k, so the driver
+    * merge is exact — the same argument TakeOrderedAndProject makes. */
+  private[graft] final class TopK(k: Int) {
+    private val pq = new java.util.PriorityQueue[(Double, Long, Int)](
+      math.max(k, 1),
+      new java.util.Comparator[(Double, Long, Int)] {
+        // root = weakest: lowest score first; on ties the HIGHER id is
+        // weaker (id asc wins the keep)
+        def compare(a: (Double, Long, Int), b: (Double, Long, Int)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        }
+      })
+    def offer(score: Double, id: Long, user: Int): Unit =
+      if (pq.size() < k) pq.add((score, id, user))
+      else {
+        val w = pq.peek()
+        if (score > w._1 || (score == w._1 && id < w._2)) {
+          pq.poll()
+          pq.add((score, id, user))
+        }
+      }
+    def drain(): Iterator[(Double, Long, Int)] = {
+      import scala.jdk.CollectionConverters._
+      pq.iterator().asScala.toArray.iterator
+    }
   }
 }

@@ -236,6 +236,51 @@ class ApiSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("batchedServer pipelines: an in-flight flush does not block the next one") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val embs = points.orderBy("id").limit(8)
+      .select("embedding").as[Seq[Double]].collect()
+    // maxBatch=2 over a 64-request burst forces many flushes; depth 2 lets
+    // the flusher hand flush N+1 to the pool while flush N's job runs.
+    // localReplicaMaxRows=0 forces the Spark-job tier — replica flushes
+    // are sub-ms, too short to reliably observe an overlap
+    val srv = Api.batchedServer(points, k = 3, scoreThreshold = Some(0.1),
+      maxBatch = 2, maxWaitMs = 5, pipelineDepth = 2, localReplicaMaxRows = 0)
+    try {
+      val futures = (0 until 64).map(i => srv.submit(embs(i % embs.length)))
+      futures.foreach(f => assert(Await.result(f, 2.minutes).nonEmpty))
+      import scala.jdk.CollectionConverters._
+      val intervals = srv.flushLog.asScala.toVector
+      assert(intervals.size >= 4, s"expected many flushes, got ${intervals.size}")
+      // pipelining evidence: some flush STARTED while another was in flight
+      val overlap = intervals.combinations(2).exists {
+        case Vector((s1, e1), (s2, e2)) => s1 < e2 && s2 < e1
+        case _ => false
+      }
+      assert(overlap, "no two flush intervals overlapped — flushes are serial")
+    } finally srv.close()
+  }
+
+  test("batchedServer replica tier ≡ Spark-job tier, row for row") {
+    val embs = points.orderBy("id").limit(12)
+      .select("embedding").as[Seq[Double]].collect().toSeq
+    // same requests through both tiers: the default server replicates the
+    // small fixture locally; localReplicaMaxRows=0 forces the job path
+    val viaReplica = Api.serveBatched(points, embs, k = 7,
+      scoreThreshold = Some(0.1), maxBatch = 5)
+    val viaJob = Api.serveBatched(points, embs, k = 7,
+      scoreThreshold = Some(0.1), maxBatch = 5, localReplicaMaxRows = 0)
+    viaReplica.zip(viaJob).foreach { case (r, j) =>
+      assert(r.length == j.length)
+      r.zip(j).foreach { case (a, b) =>
+        assert(a.get(0) == b.get(0), "id parity")
+        assert(a.get(1) == b.get(1), "score parity")
+        assert(a.get(2) == b.get(2), "user_id parity")
+      }
+    }
+  }
+
   test("withTimeout: fast queries pass through, runaway queries are cancelled") {
     // generous deadline: result returned untouched
     val n = Api.withTimeout(spark, timeoutSec = 60.0, tag = "fast") {
