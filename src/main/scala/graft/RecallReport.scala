@@ -37,7 +37,7 @@ object RecallReport {
       val meta = SparkEntry.indexMeta(spark, sfDir)
       val pqCb = SparkEntry.pqMeta(spark, sfDir)
       val hps = meta.hyperplanes
-      val np = meta.nprobeFor(0.95)
+      val np = meta.nprobeFor(operators.IndexMeta.DefaultRecallTarget)
       // the reference's own accuracy bar (99.2% recall@10 —
       // PERFORMANCE_OPTIMIZATION_GUIDE.md:89): the same curve inversion
       // at that target, showing parity is one parameter away
@@ -66,7 +66,7 @@ object RecallReport {
       // `ivf_target` the calibration target its nprobe was chosen for —
       // side by side so a calibration undershoot is visible in every bench
       out + ("ivf_nprobe" -> np.toDouble) + ("ivf_ref_nprobe" -> npHi.toDouble) +
-        ("ivf_target" -> 0.95)
+        ("ivf_target" -> operators.IndexMeta.DefaultRecallTarget)
     } finally {
       points.unpersist()
     }

@@ -52,7 +52,12 @@ object SparkEntry {
     * path, which stays correct even in multi-dir JVMs (test suites). */
   private val kmeansAlias = "/tmp/graft_kmeans_current"
   private val kmeansBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The scale dir whose side tables this JVM served most recently; the
+    * oracle globs resolve through it so rendered SQL pins the PER-DIR
+    * side-table paths (see [[sideGlob]]). */
+  @volatile private var oracleDir: String = null
   private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
+    oracleDir = dir
     val path = kmeansPath(dir)
     kmeansBuilt.computeIfAbsent(path, _ => {
       val cents = Ann.kmeansCentroids(Collection.load(s, dir), k = 16, maxIter = 5)
@@ -88,6 +93,7 @@ object SparkEntry {
   private val pqAlias = "/tmp/graft_pq_current"
   private val pqBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqCodebookDf(s: SparkSession, dir: String): DataFrame = {
+    oracleDir = dir
     val path = pqPath(dir)
     pqBuilt.computeIfAbsent(path, _ => {
       val cb = Quantization.pqTrain(Collection.load(s, dir),
@@ -190,6 +196,7 @@ object SparkEntry {
   private val nbqAlias = "/tmp/graft_nbq_current"
   private val nbqBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def qualityModel(s: SparkSession, dir: String): DataFrame = {
+    oracleDir = dir
     val path = nbqPath(dir)
     nbqBuilt.computeIfAbsent(path, _ => {
       val m = TextAnalysis.trainQualityModel(
@@ -1123,13 +1130,24 @@ object SparkEntry {
     s"""list_reduce([0::BIGINT] || list_transform(range(least(len($ne), 64)), j ->
        |    CASE WHEN $ne[j+1] > 0 THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)::BIGINT ELSE 1::BIGINT << j END)
        |         ELSE 0::BIGINT END), (a,b) -> a | b)""".stripMargin
-  /** Oracle-side glob of the persisted trained-centroid side table: the
-    * current-build alias (one scale dir per Verify JVM, and the indexed
-    * store's `_centroids` side table is written from the same trained
-    * DataFrame, so one alias serves both the kmeans and indexed oracles). */
-  private def kmOracleGlob = s"'$kmeansAlias/*.parquet'"
+  /** Oracle-side glob of the persisted trained-centroid side table.
+    * Resolution: the PER-DIR path once this JVM has built any side table
+    * (`oracleDir` — `oracleSql` is rendered after the queries ran, so in
+    * a Verify run this is exactly the served dir), else the current-build
+    * alias (cold dump with an `only` filter that built nothing). The
+    * per-dir path closes the ADVICE r7 race: a second scale dir (or a
+    * concurrent bench JVM) overwriting `_current` can no longer point the
+    * oracle at another dir's weights. The indexed store's `_centroids`
+    * side table is written from the same trained DataFrame, so one glob
+    * serves both the kmeans and indexed oracles. */
+  private def kmOracleGlob = sideGlob(kmeansPath, kmeansAlias)
   private def idxOracleGlob = kmOracleGlob
-  private def pqOracleGlob = s"'$pqAlias/*.parquet'"
+  private def pqOracleGlob = sideGlob(pqPath, pqAlias)
+  private def nbqOracleGlob = sideGlob(nbqPath, nbqAlias)
+  private def sideGlob(perDir: String => String, alias: String): String = {
+    val d = oracleDir
+    s"'${if (d != null) perDir(d) else alias}/*.parquet'"
+  }
 
   /** Shared oracle of the PQ ADC searches (on-the-fly and persisted-codes
     * variants encode identically, so one SQL serves both). */
@@ -1746,7 +1764,7 @@ object SparkEntry {
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "quality_model_score" ->
       s"""WITH $W,
-         |m AS (SELECT fid, w FROM read_parquet('/tmp/graft_nbq_current/*.parquet')),
+         |m AS (SELECT fid, w FROM read_parquet($nbqOracleGlob)),
          |f AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024 AS fid
          |      FROM (SELECT doc_id, unnest(w) AS tok FROM t)),
          |j AS (SELECT f.doc_id, m.w FROM f JOIN m USING (fid))

@@ -266,7 +266,7 @@ object Ann {
       fullScanThreshold: Long = 20000, nCentroids: Int = 16,
       nprobe: Int = 4, knownCount: Option[Long] = None,
       meta: Option[IndexMeta] = None,
-      recallTarget: Double = 0.95): DataFrame = {
+      recallTarget: Double = IndexMeta.DefaultRecallTarget): DataFrame = {
     val size = knownCount.orElse(meta.map(_.knownCount))
       .getOrElse(points.count())
     if (size <= fullScanThreshold)
@@ -336,7 +336,7 @@ object Ann {
       knownCount: Option[Long] = None, nCentroids: Int = 16,
       quantizationEnabled: Boolean = true,
       meta: Option[IndexMeta] = None,
-      recallTarget: Double = 0.95): DataFrame = {
+      recallTarget: Double = IndexMeta.DefaultRecallTarget): DataFrame = {
     val size = knownCount.orElse(meta.map(_.knownCount))
       .getOrElse(points.count())
     val p = adaptiveParams(size, k, nCentroids, quantizationEnabled)

@@ -226,6 +226,13 @@ object Dedup {
     val edgeCount = p.count()
     if (edgeCount <= smallGraphEdges) return unionFindLocal(p)
     if (edgeCount > starGraphEdges) return starContraction(p, maxIter)._1
+    minLabelPointerJump(p, maxIter)
+  }
+
+  /** Min-label propagation with pointer jumping over canonical pairs
+    * `(a, b)` — the mid tier of [[connectedComponents]], and the finisher
+    * [[starContraction]] falls back to if its round budget runs out. */
+  private def minLabelPointerJump(p: DataFrame, maxIter: Int): DataFrame = {
     val edges = p.union(p.select(col("b"), col("a")))
       .toDF("src", "dst")
       .distinct()
@@ -329,6 +336,21 @@ object Dedup {
         next.except(edges).isEmpty
       edges = next
       rounds += 1
+    }
+    if (!converged) {
+      // Round budget exhausted before the star-forest fixpoint: surviving
+      // edges need not be (node, component-min), so reading them as labels
+      // could mislabel nodes (ADVICE r7). Both rewrites PRESERVE which
+      // nodes are mutually connected (the paper's correctness invariant),
+      // so finish exactly on the contracted edge set — largely flattened
+      // by the star rounds, so the min-label finisher converges fast.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"starContraction hit maxIter=$maxIter before convergence; " +
+          "finishing with min-label pointer jumping on the contracted edges")
+      // a fresh budget: the exhausted star budget may be tiny, and the
+      // finisher's O(log diameter) rounds are on a different clock
+      return (minLabelPointerJump(edges.toDF("a", "b"), math.max(maxIter, 30)),
+        rounds)
     }
     // fixpoint is a star forest: every surviving edge is (node, its
     // component min); the min itself labels itself

@@ -52,6 +52,12 @@ final case class IndexMeta(
 
 object IndexMeta {
 
+  /** THE serving recall target: adaptive/policy search calibrate nprobe
+    * for it and RecallReport grades measured recall against it — one
+    * constant so the graded bar and the calibrated bar cannot drift
+    * (ADVICE r7). */
+  val DefaultRecallTarget: Double = 0.95
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, IndexMeta]()
 

@@ -116,6 +116,17 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet == exact)
   }
 
+  test("star contraction with an exhausted round budget still labels correctly (fallback)") {
+    // maxIter=1 cannot reach the star-forest fixpoint on a 64-node chain;
+    // the partial edge set must NOT be read as labels — the pointer-jump
+    // finisher on the contracted edges must produce the exact labels
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, _) = Dedup.starContraction(chain, maxIter = 1)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 64, s"every node labeled once: ${got.length}")
+    assert(got.forall(_._2 == 0L), "one component, min label 0")
+  }
+
   test("star contraction agrees with union-find on a mixed multi-component graph") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b") // chain+chain+cycle
