@@ -716,6 +716,15 @@ object SparkEntry {
     "span_dup_exposure" -> ((s, dir) =>
       TextAnalysis.spanDupExposure(
         s.read.parquet(s"$dir/documents.parquet"), w = 8, minDocs = 2)),
+    // Span-dedup APPLY: the cleaned corpus the exposure signal implies —
+    // drop docs whose foreign-owned duplicate-span coverage exceeds the
+    // threshold; every span's first-occurrence doc survives.
+    "span_dedup_apply" -> ((s, dir) =>
+      TextAnalysis.spanDedupApply(
+          s.read.parquet(s"$dir/documents.parquet"),
+          w = 8, minDocs = 2, maxDupCoverage = 0.5)
+        .select(col("doc_id"), col("source"), col("dup_coverage"))
+        .orderBy("doc_id")),
     // RAG/context chunking: 32-token windows every 24 tokens (overlap 8).
     "chunk_documents" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(
@@ -1789,6 +1798,23 @@ object SparkEntry {
          |  count(DISTINCT sp.span_h)::BIGINT AS n_dup_keys
          |FROM sp JOIN dup USING (span_h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "span_dedup_apply" ->
+      s"""WITH $W,
+         |sp AS (SELECT doc_id,
+         |  ('0x' || substring(md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS span_h
+         |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM t)),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+         |own AS (SELECT span_h, min(doc_id) AS owner FROM sp
+         |        GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2),
+         |fr AS (SELECT sp.doc_id, count(*) AS n_foreign
+         |       FROM sp JOIN own USING (span_h) WHERE sp.doc_id <> own.owner
+         |       GROUP BY sp.doc_id),
+         |cov AS (SELECT t.doc_id, t.source,
+         |  round(coalesce(fr.n_foreign, 0)::DOUBLE / greatest(coalesce(tot.n_spans, 0), 1), 6) AS dup_coverage
+         |  FROM t LEFT JOIN tot ON t.doc_id = tot.doc_id
+         |         LEFT JOIN fr ON t.doc_id = fr.doc_id)
+         |SELECT doc_id, source, dup_coverage FROM cov
+         |WHERE dup_coverage <= 0.5 ORDER BY doc_id""".stripMargin,
     "scroll_ordered" ->
       s"""WITH $C,
          |cx AS (SELECT id, user_id,

