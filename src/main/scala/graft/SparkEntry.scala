@@ -225,6 +225,28 @@ object SparkEntry {
     graft.sources.CollectionStore.loadIndexed(s, path)
   }
 
+  /** Indexed store WITH TOMBSTONES applied — a separate physical copy
+    * (the shared [[indexedStore]] serves many queries and must stay
+    * immutable): built once per JVM, then ids 1-4 are deleted through
+    * the O(affected-cells) [[graft.sources.CollectionStore.deleteIndexed]]
+    * path, exercising sidecar resolution + partial rewrite end-to-end. */
+  private val delStoreBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def indexedStoreAfterDelete(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val path = "/tmp/graft_index_del_" + san(dir)
+    delStoreBuilt.computeIfAbsent(path, _ => {
+      import s.implicits._
+      val points = Collection.load(s, dir)
+      graft.sources.CollectionStore.saveIndexed(
+        points, path, trainedCentroids(s, dir),
+        pqCodebook = Some(pqMeta(s, dir)), idSidecarBuckets = Some(8))
+      graft.sources.CollectionStore.deleteIndexed(
+        s, path, Seq(1L, 2L, 3L, 4L).toDF("id"), nBuckets = 8)
+      path
+    })
+    graft.sources.CollectionStore.loadIndexed(s, path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1: flagship exact top-k cosine search (self-query vec_id=0).
     "knn_search" -> ((s, dir) => {
@@ -906,6 +928,15 @@ object SparkEntry {
       val (store, cents) = indexedStore(s, dir)
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Ann.ivfSearch(store.filter(col("user_id") < 5), cents, q, nprobe = 4, k = 10)
+    }),
+    // Search-after-delete over the persisted index: tombstones applied
+    // through the incremental deleteIndexed path (affected cid dirs only,
+    // no compact), then the same partition-pruned probe search — deleted
+    // neighbors must vanish from the top-k.
+    "indexed_delete" -> ((s, dir) => {
+      val (store, cents) = indexedStoreAfterDelete(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10)
     }),
     "indexed_two_phase" -> ((s, dir) => {
       val (store, _) = indexedStore(s, dir)
@@ -2442,6 +2473,21 @@ object SparkEntry {
          |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
          |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
          |  FROM pts p, q WHERE p.user_id < 5 AND p.cid IN (SELECT cid FROM probes))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "indexed_delete" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn
+         |        WHERE rn = 1 AND id NOT IN (1, 2, 3, 4)),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
+         |  FROM pts p, q WHERE p.cid IN (SELECT cid FROM probes))
          |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "indexed_two_phase" ->
       s"""WITH $C, q0 AS (SELECT ne AS qe FROM c WHERE id = 0),

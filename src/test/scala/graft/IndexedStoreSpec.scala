@@ -180,4 +180,67 @@ class IndexedStoreSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect())
     assert(again == got)
   }
+
+  test("deleteIndexed: tombstones touch only their cells, spare every other dir") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("del_idx").toString
+    val path = s"$dir/store"
+    val nBuckets = 8
+    val cents = Ann.kmeansCentroids(points, 8, 3)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    CollectionStore.saveIndexed(points, path, cents,
+      idSidecarBuckets = Some(nBuckets))
+    val cellOfId = Ann.ivfAssign(points, cids, ces)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    def fileMap(root: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val filesBefore = fileMap(path)
+    val doomed = Seq(3L, 11L).toDF("id")
+    CollectionStore.deleteIndexed(spark, path, doomed, nBuckets)
+    val filesAfter = fileMap(path)
+    // the rows are gone from the store AND the sidecar
+    val (store, _) = CollectionStore.loadIndexed(spark, path)
+    val ids = store.select($"id").as[Long].collect().toSet
+    assert(!ids(3L) && !ids(11L), "deleted ids still present")
+    assert(ids.size == points.count() - 2, "exactly the doomed ids removed")
+    val sidecarIds = spark.read.parquet(path + "_ids")
+      .select($"id").as[Long].collect().toSet
+    assert(!sidecarIds(3L) && !sidecarIds(11L), "sidecar keeps deleted ids")
+    // only the cells the doomed ids lived in were rewritten
+    val affected = Set(cellOfId(3L), cellOfId(11L))
+    def cellOf(p: String): Long =
+      "cid=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    assert(filesBefore.filter(kv => !affected(cellOf(kv._1))) ==
+      filesAfter.filter(kv => !affected(cellOf(kv._1))),
+      "untouched cell dirs changed")
+    // search over the pruned store no longer returns the deleted ids
+    val q = points.filter($"id" === 3).select($"embedding".as("qemb"))
+    val hits = graft.operators.Search.knn(store.drop("cid", "sig", "pq"),
+      q, 10, -1.0).select($"id").as[Long].collect().toSet
+    assert(!hits(3L), "deleted id served from the indexed store")
+    // deleting ids that never existed is a no-op, byte for byte
+    CollectionStore.deleteIndexed(spark, path, Seq(987654L).toDF("id"), nBuckets)
+    assert(fileMap(path) == filesAfter, "no-op delete rewrote files")
+    // mergeIndexed with adds + tombstones in ONE pass: tombstone wins
+    val adds = Seq(
+      (12L, points.filter($"id" === 12).select($"embedding")
+        .as[Seq[Double]].head(), 955, 1e9),
+      (13L, points.filter($"id" === 13).select($"embedding")
+        .as[Seq[Double]].head(), 956, 1e9))
+      .toDF("id", "embedding", "user_id", "ts")
+    CollectionStore.mergeIndexed(spark, path, adds, cids, ces, nBuckets,
+      deletes = Some(Seq(12L, 14L).toDF("id")))
+    val after = CollectionStore.loadIndexed(spark, path)._1
+      .select($"id", $"user_id".cast("int")).as[(Long, Int)].collect().toMap
+    assert(!after.contains(12L), "tombstone must beat the same-batch add")
+    assert(!after.contains(14L), "plain tombstone not applied")
+    assert(after(13L) == 956, "the surviving add must land")
+  }
 }
