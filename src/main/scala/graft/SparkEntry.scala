@@ -1104,6 +1104,19 @@ object SparkEntry {
     "multimodal_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(
         Multimodal.extractFeaturesExpr(Multimodal.loadAssets(s, dir)))),
+    // REAL decode end-to-end (VERDICT r7 #4): genuinely encoded BMP/WAV
+    // bytes (JDK writers, executor-side) through the production
+    // mapPartitions path with the pure-JVM codec — javax.imageio +
+    // javax.sound.sampled. Closed-form pixel/sample content makes the
+    // decoded stats oracle-computable: a full hash-match on real decode.
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.extractFeaturesPartitioned(
+          Multimodal.genEncodedAssets(s, dir, nAssets = 40).toDF(),
+          Multimodal.JvmCodec)
+        .toDF()
+        .select(col("asset_id"), col("media_type"), col("f0"), col("f1"),
+          col("f2"), col("f3"))
+        .orderBy("asset_id")),
     // PII audit: per-event-type totals of each PII category over the
     // synthesized contact-profile string (the fixture has no natural PII,
     // so the profile derives deterministic emails/IPs/phones from fixture
@@ -1778,6 +1791,27 @@ object SparkEntry {
         |SELECT media_type, count(*)::BIGINT AS n_assets, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(f0::DECIMAL(18,3))::DOUBLE / count(*) AS avg_f0
         |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "multimodal_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |px AS (SELECT doc_id, ((doc_id * 31 + x * 7 + y * 13) % 256) AS g
+        |       FROM ids, range(8) rx(x), range(8) ry(y) WHERE doc_id % 2 = 0),
+        |img AS (SELECT doc_id AS asset_id, 'image' AS media_type,
+        |        8.0 AS f0, 8.0 AS f1,
+        |        round(sum(g)::DOUBLE / (8 * 8 * 255.0), 6) AS f2,
+        |        max(g)::DOUBLE AS f3
+        |        FROM px GROUP BY doc_id),
+        |smp AS (SELECT doc_id, i, ((doc_id * 7919 + i * 31) % 65536) - 32768 AS s
+        |        FROM ids, range(256) ri(i) WHERE doc_id % 2 = 1),
+        |lagd AS (SELECT doc_id, s,
+        |         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM smp),
+        |aud AS (SELECT doc_id AS asset_id, 'audio' AS media_type,
+        |        8000.0 AS f0, 256.0 AS f1,
+        |        round(sqrt(sum(s * s)::DOUBLE / 256.0) / 32768.0, 6) AS f2,
+        |        sum(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END)::DOUBLE AS f3
+        |        FROM lagd GROUP BY doc_id)
+        |SELECT asset_id, media_type, f0, f1, f2, f3
+        |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)
+        |ORDER BY asset_id""".stripMargin,
     "top_orders_per_customer" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank

@@ -10,13 +10,17 @@ import graft.functions.TextOps
 /** Multimodal-column plumbing: image/audio/video content as opaque BINARY
   * columns with typed metadata, plus batch feature extraction.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (md5-derived pseudo-features) — clearly marked below.
-  * Everything around it is the real engine surface: binary column schema,
-  * partition-preserving batched extraction via mapPartitions (the Scala
-  * analogue of mapInPandas: one iterator per partition, arbitrary
-  * per-batch native calls), and a column-expression fast path for
-  * metadata-only features.
+  * Two codecs ride the seam: [[JvmCodec]] is a REAL decoder (BMP via
+  * javax.imageio, WAV PCM via javax.sound.sampled — pure JDK, no native
+  * libs), exercised end-to-end by `multimodal_decode` over genuinely
+  * encoded bytes ([[genEncodedAssets]]); [[StubCodec]] remains the
+  * default for formats this container cannot decode (JPEG/MP3/video
+  * would need native libs) and for the opaque md5-blob fixture.
+  * Everything around the codecs is the real engine surface: binary
+  * column schema, partition-preserving batched extraction via
+  * mapPartitions (the Scala analogue of mapInPandas: one iterator per
+  * partition, arbitrary per-batch native calls), and a column-expression
+  * fast path for metadata-only features.
   *
   * Scale notes: binary payloads make row sizes large — the asset table
   * should set spark.sql.files.maxPartitionBytes so a partition's decoded
@@ -84,6 +88,137 @@ object Multimodal {
         Array.tabulate(4)(i => (hash60(hx + i.toString) % 1000L).toDouble / 1000.0d)
       }
     }
+  }
+
+  /** REAL pure-JVM codec (no native libs — both decoders ship in the
+    * JDK): BMP (and any ImageIO-readable format) via `javax.imageio`,
+    * WAV PCM via `javax.sound.sampled`. Features:
+    *  - image: f0 = width, f1 = height, f2 = mean gray / 255 (gray =
+    *    (r+g+b)/3 per pixel, integer sum then one rounded divide),
+    *    f3 = max gray;
+    *  - audio: f0 = sample rate, f1 = sample count, f2 = RMS amplitude /
+    *    32768 (exact integer sum of squares, then sqrt), f3 = zero
+    *    crossings.
+    * Integer accumulation keeps every feature deterministic and
+    * SQL-expressible for closed-form content ([[genEncodedAssets]]), so
+    * the decode path gets a full hash-match oracle. Bytes that are not
+    * decodable media (e.g. the md5-blob fixture of [[loadAssets]]) fall
+    * back to the stub — the seam stays a total function. */
+  object JvmCodec extends MediaCodec {
+    def open(): (String, Array[Byte]) => Array[Double] = {
+      val stub = StubCodec.open()
+      (mediaType, content) =>
+        try {
+          mediaType match {
+            case "image" =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(content))
+              if (img == null) stub(mediaType, content)
+              else {
+                val w = img.getWidth
+                val h = img.getHeight
+                var sum = 0L
+                var mx = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)) / 3
+                    sum += g
+                    if (g > mx) mx = g
+                    x += 1
+                  }
+                  y += 1
+                }
+                Array(w.toDouble, h.toDouble,
+                  graft.BatchedServer.round6(sum.toDouble / (w * h * 255.0d)),
+                  mx.toDouble)
+              }
+            case "audio" =>
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(content))
+              val fmt = ais.getFormat
+              require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+                s"JvmCodec expects 16-bit mono PCM, got $fmt")
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              var sumSq = 0L
+              var zc = 0L
+              var prev = 0
+              var i = 0
+              while (i < n) {
+                val lo = bytes(2 * i) & 0xff
+                val hi = bytes(2 * i + 1).toInt
+                val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
+                  else (hi << 8) | lo
+                sumSq += s.toLong * s
+                if (i > 0 && s.toLong * prev < 0) zc += 1
+                prev = s
+                i += 1
+              }
+              Array(fmt.getSampleRate.toDouble, n.toDouble,
+                graft.BatchedServer.round6(
+                  math.sqrt(sumSq.toDouble / n) / 32768.0d),
+                zc.toDouble)
+            case _ => stub(mediaType, content)
+          }
+        } catch { case _: Exception => stub(mediaType, content) }
+    }
+  }
+
+  /** Genuine encoded-media fixture: per doc_id an 8×8 24-bit BMP (even
+    * ids) or a 256-sample 16-bit mono PCM WAV at 8 kHz (odd ids), ENCODED
+    * on executors with the JDK's own writers — real bytes through the
+    * real decode seam. Content is closed-form — pixel gray(x,y) =
+    * (id·31 + x·7 + y·13) mod 256, sample sᵢ = ((id·7919 + i·31) mod
+    * 65536) − 32768 — so the DECODED stats are computable by the DuckDB
+    * oracle from doc_id alone and `multimodal_decode` hash-matches
+    * end-to-end (encode → container bytes → decode → features). */
+  def genEncodedAssets(spark: SparkSession, sfDir: String,
+      nAssets: Int = 40): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < nAssets)
+      .as[Long]
+      .map { id =>
+        if (id % 2 == 0) {
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          Asset(id, bos.toByteArray, "image", bos.size().toLong)
+        } else {
+          val n = 256
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 7919 + i * 31) % 65536) - 32768).toInt
+            pcm(2 * i) = (s & 0xff).toByte       // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Asset(id, bos.toByteArray, "audio", bos.size().toLong)
+        }
+      }
   }
 
   /** Batched decode path: one iterator per partition, native per-batch work
