@@ -594,6 +594,37 @@ object SparkEntry {
         .select(col("doc_id"), col("quality_score"))
         .orderBy("doc_id")
     }),
+    // The COMPLETE LLM-prep pipeline in one assembly plan (VERDICT r7
+    // #5): quality floor -> quality-aware doc dedup (simhash + CC) ->
+    // span-exposure filter -> decontamination vs a held-out eval set ->
+    // per-source cap -> temperature mix -> sequence packing. Every stage
+    // is an individually-verified operator; this query pins their
+    // composition (each stage consumes the previous survivor set), ending
+    // in the packed-batch summary a training job would consume.
+    "curate_corpus_v2" -> ((s, dir) => {
+      val all = s.read.parquet(s"$dir/documents.parquet")
+      val evalSet = all.filter(col("doc_id") < 20)
+      val corpus = all.filter(col("doc_id") >= 20)
+      val q = TextAnalysis.qualityStats(corpus)
+        .select(col("doc_id"), col("quality_score"))
+      val s1 = corpus.join(
+        q.filter(col("quality_score") >= 0.2).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val labels = Dedup.connectedComponents(
+        Dedup.simHashPairs(s1, maxHamming = 3), "doc_a", "doc_b")
+      val s2 = Dedup.applyDedupByQuality(s1, labels, q)
+      val s3 = TextAnalysis.spanDedupApply(
+        s2, w = 8, minDocs = 2, maxDupCoverage = 0.5).drop("dup_coverage")
+      val contaminated = TextAnalysis.decontaminate(
+        s3, evalSet, n = 3, minShared = 3).select("doc_id")
+      val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      val s5 = graft.operators.Sampling.capPerGroup(
+        s4, col("source"), col("doc_id"), n = 15, salt = "cap")
+      val s6 = graft.operators.Sampling.temperatureMix(
+          s5, col("doc_id"), col("source"), totalFrac = 0.25, salt = "tm")
+        .filter(col("_keep")).drop("_bucket", "_keep")
+      TextAnalysis.packSequences(s6, budgetTokens = 500, nShards = 8)
+    }),
     // PSI drift (integrated shift; companion of the KS point divergence).
     "psi_drift" -> ((s, dir) =>
       Stats.psiDrift(Events.load(s, dir), "event_type", "click", "purchase",
@@ -2321,6 +2352,78 @@ object SparkEntry {
          |FROM q JOIN lang USING (doc_id) JOIN canon USING (doc_id)
          |WHERE q.quality_score >= 0.2 AND lang.predicted_lang = 'en' AND canon.canonical
          |ORDER BY doc_id""".stripMargin,
+    "curate_corpus_v2" ->
+      s"""WITH RECURSIVE $W, $SH, $SIM,
+         |q AS (SELECT doc_id, round((least(1.0::DOUBLE, (len(w)::BIGINT)::DOUBLE / 100.0::DOUBLE)
+         |    * (1.0::DOUBLE - ${swRatio("en")})
+         |    * round(len(list_distinct(w))::DOUBLE / len(w), 6))::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS qs
+         |  FROM t),
+         |s1 AS (SELECT t.doc_id FROM t JOIN q USING (doc_id)
+         |       WHERE t.doc_id >= 20 AND q.qs >= 0.2),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh2 a, sh2 b WHERE a.doc_id < b.doc_id
+         |    AND a.doc_id IN (SELECT doc_id FROM s1)
+         |    AND b.doc_id IN (SELECT doc_id FROM s1)
+         |    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |      UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.lab FROM e, reach WHERE e.src = reach.node),
+         |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |winners AS (SELECT node, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY q.qs DESC, node ASC) AS rn
+         |  FROM comp JOIN q ON q.doc_id = comp.node),
+         |s2 AS (SELECT doc_id FROM s1
+         |       WHERE doc_id NOT IN (SELECT node FROM winners WHERE rn <> 1)),
+         |sp AS (SELECT t.doc_id,
+         |  ('0x' || substring(md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS span_h
+         |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM t) t
+         |  WHERE t.doc_id IN (SELECT doc_id FROM s2)),
+         |sptot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+         |spown AS (SELECT span_h, min(doc_id) AS owner FROM sp
+         |          GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2),
+         |spfr AS (SELECT sp.doc_id, count(*) AS n_foreign
+         |         FROM sp JOIN spown USING (span_h) WHERE sp.doc_id <> spown.owner
+         |         GROUP BY sp.doc_id),
+         |s3 AS (SELECT s2.doc_id FROM s2
+         |       LEFT JOIN sptot USING (doc_id) LEFT JOIN spfr USING (doc_id)
+         |       WHERE round(coalesce(spfr.n_foreign, 0)::DOUBLE
+         |         / greatest(coalesce(sptot.n_spans, 0), 1), 6) <= 0.5),
+         |cont AS (SELECT cp.doc_id FROM
+         |    (SELECT doc_id, unnest(s) AS tok FROM sh
+         |     WHERE doc_id IN (SELECT doc_id FROM s3)) cp
+         |  JOIN (SELECT unnest(s) AS tok FROM sh WHERE doc_id < 20) ev USING (tok)
+         |  GROUP BY cp.doc_id HAVING count(DISTINCT tok) >= 3),
+         |s4 AS (SELECT doc_id FROM s3
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |capped AS (SELECT doc_id FROM (
+         |    SELECT t.doc_id, row_number() OVER (PARTITION BY t.source ORDER BY
+         |      ('0x' || substring(md5('cap_' || t.source || '_' || t.doc_id), 1, 15))::BIGINT ASC,
+         |      t.doc_id ASC) AS rn
+         |    FROM t WHERE t.doc_id IN (SELECT doc_id FROM s4))
+         |  WHERE rn <= 15),
+         |cnt AS (SELECT t.source, count(*)::BIGINT AS n FROM t
+         |        WHERE t.doc_id IN (SELECT doc_id FROM capped) GROUP BY t.source),
+         |tot AS (SELECT sum(n)::BIGINT AS nn,
+         |  list_reduce([0.0::DOUBLE] || list(sqrt(n::DOUBLE) ORDER BY source), (a,b) -> a+b) AS ss
+         |  FROM cnt),
+         |rt AS (SELECT cnt.source, least(1000000::BIGINT,
+         |  floor((((0.25::DOUBLE * tot.nn::DOUBLE) * sqrt(cnt.n::DOUBLE))
+         |         / (tot.ss * cnt.n::DOUBLE)) * 1000000.0::DOUBLE)::BIGINT) AS cut
+         |  FROM cnt, tot),
+         |s6 AS (SELECT t.doc_id FROM t JOIN rt ON t.source = rt.source
+         |  WHERE t.doc_id IN (SELECT doc_id FROM capped)
+         |    AND ('0x' || substring(md5('tm_' || t.doc_id), 1, 15))::BIGINT % 1000000 < rt.cut),
+         |pn AS (SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+         |  (('0x' || substring(md5(t.doc_id::VARCHAR), 1, 15))::BIGINT % 8) AS shard
+         |  FROM t WHERE t.doc_id IN (SELECT doc_id FROM s6)),
+         |pc AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM pn)
+         |SELECT shard, (cum_before // 500)::BIGINT AS pack_no,
+         |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+         |FROM pc GROUP BY shard, pack_no ORDER BY shard, pack_no""".stripMargin,
     "streaming_enrich_join" ->
       """SELECT c.c_nationkey::INT AS nationkey, count(*)::BIGINT AS n_events,
         |  sum(e.value::DECIMAL(18,2))::DOUBLE AS sum_value
