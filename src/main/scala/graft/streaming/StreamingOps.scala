@@ -216,12 +216,17 @@ object StreamingOps {
       windowMin: Int = 60): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // ONE source, two filtered branches (stream self-join): a second
+    // readStream would scan the file source twice per micro-batch.
+    // Measured at sf0.1/local[32]: two-source 2.1-2.8 s → self-join
+    // 1.9-2.0 s, identical output (PLANS_r8 floor experiment).
+    val base = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream
-        .schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      base
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
           col("ts").as(tsAs))
@@ -236,10 +241,14 @@ object StreamingOps {
     val name = s"graft_join_${System.nanoTime()}"
     // State partitions measured at sf0.1/local[32]: 16 → 4.8 s, 8 → 3.6 s,
     // 4 → 2.5–3.1 s, 2 → 2.8–2.9 s. 4 is the harness sweet spot; below it
-    // the time stops moving — the residual ~2.5 s is the micro-batch FLOOR
-    // at fixture scale (two file-source scans + state-store lifecycle per
-    // batch), not state volume. On a real cluster size this to state
-    // volume instead (the count is captured into the checkpoint at start).
+    // the time stops moving — the residual ~2 s is the micro-batch FLOOR
+    // at fixture scale (file-source scan + state-store lifecycle per
+    // batch), not state volume. RocksDBStateStoreProvider measured SLOWER
+    // here (2.6–3.9 s vs 2.1–2.8 s: native store init per partition
+    // dominates at toy state sizes — it pays off on real clusters with
+    // large state). Floor analysis closed in PLANS_r8; on a real cluster
+    // size partitions to state volume instead (the count is captured into
+    // the checkpoint at start).
     val q = withStatePartitions(spark, 4) {
       joined.writeStream
         .outputMode("append").format("memory").queryName(name)
