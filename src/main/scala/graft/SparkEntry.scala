@@ -612,6 +612,12 @@ object SparkEntry {
         Seq("doc_id"), "left_semi")
       val labels = Dedup.connectedComponents(
         Dedup.simHashPairs(s1, maxHamming = 3), "doc_a", "doc_b")
+      // NOT staged: localCheckpoint barriers on s2/s3 were measured
+      // SLOWER here (5.8 s -> 6.2 s at sf0.1) — the re-derived survivor
+      // subtrees are cheaper than eager materialization at fixture scale,
+      // and connectedComponents already checkpoints the expensive CC
+      // internals. At 100 TB, stage survivor frames between stages
+      // (every stage operator takes a DataFrame — PLANS_r8).
       val s2 = Dedup.applyDedupByQuality(s1, labels, q)
       val s3 = TextAnalysis.spanDedupApply(
         s2, w = 8, minDocs = 2, maxDupCoverage = 0.5).drop("dup_coverage")
