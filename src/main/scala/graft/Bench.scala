@@ -180,6 +180,13 @@ object Bench {
       .minBy(_._1)
     def sPct(p: Double): Double =
       math.rint(sLatSorted(((sLatSorted.length - 1) * p).toInt) * 10) / 10
+    // the same lone client on the DEFAULT (replica-tier) server: what a
+    // single interactive caller actually experiences — no job dispatch
+    val (rsecs, rLatSorted) = (1 to 2)
+      .map(_ => driveServer(1, 60, closedLoop = true))
+      .minBy(_._1)
+    def rPct(p: Double): Double =
+      math.rint(rLatSorted(((rLatSorted.length - 1) * p).toInt) * 10) / 10
     // insertion throughput (reference BenchmarkSuite insertion phase):
     // normalize + LWW-merge a batch into the bucketed store, rows/sec
     val ingestDest = "/tmp/graft_bench_ingest"
@@ -217,6 +224,9 @@ object Bench {
       "solo_template_qps" -> math.rint(60 / ssecs * 10) / 10,
       "solo_template_p50_ms" -> sPct(0.50),
       "solo_template_p99_ms" -> sPct(0.99),
+      "solo_replica_qps" -> math.rint(60 / rsecs * 10) / 10,
+      "solo_replica_p50_ms" -> rPct(0.50),
+      "solo_replica_p99_ms" -> rPct(0.99),
       "ingest_rows_per_sec" -> math.rint(ingested / isecs))
   }
 

@@ -195,13 +195,20 @@ object CollectionStore {
       fs.delete(new Path(s"$path/cid=$cid"), true)
     }
     // 5. sidecar: same incremental shape on the id-bucket dirs
+    // tombstones apply to the add side too: a same-batch add+delete id
+    // must not re-enter through the union (the store-side anti-join
+    // already drops it — the sidecar must agree or the next merge would
+    // resolve cells for a row that no longer exists)
+    val sidecarAdds0 = assignedAdds
+      .select(col("id"), col("cid").cast("long").as("cid"))
+      .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
+    val sidecarAdds = deleteIds.fold(sidecarAdds0)(d =>
+      sidecarAdds0.join(broadcast(d), Seq("id"), "left_anti"))
     val sidecarMerged = sidecar
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(batchIds), Seq("id"), "left_anti")
       .select("id", "cid", "bucket")
-      .unionByName(assignedAdds
-        .select(col("id"), col("cid").cast("long").as("cid"))
-        .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int")))
+      .unionByName(sidecarAdds)
       .localCheckpoint()
     sidecarMerged
       .repartition(col("bucket"))

@@ -169,6 +169,42 @@ object StreamingOps {
     spark.read.parquet(destPath).count()
   }
 
+  /** CDC-style streaming maintenance of the indexed store: each
+    * micro-batch carries UPSERTS and TOMBSTONES (rows with `_deleted`
+    * true) and applies both in ONE
+    * [[graft.sources.CollectionStore.mergeIndexed]] pass — adds are
+    * assigned/encoded map-side, doomed ids resolve their cells through
+    * the bucket-pruned id→cid sidecar, and only affected cell/bucket
+    * dirs rewrite (a tombstone beats a same-batch add, matching the
+    * batch contract). Checkpointed offsets + the idempotent LWW/anti
+    * merge give exactly-once: re-running with the same checkpoint
+    * reprocesses nothing (spec-verified). This is the streaming twin of
+    * the reference's mutate-in-place point API (qdrant_client.py
+    * upsert/delete) against the partitioned layout — per-batch cost
+    * O(batch ∪ affected dirs), never O(store). */
+  def cdcIndexedStream(spark: SparkSession, changes: DataFrame,
+      destPath: String, cids: Seq[Long], cents: Seq[Seq[Double]],
+      nBuckets: Int = 16, checkpoint: String = ""): Unit = {
+    import graft.sources.CollectionStore
+    val ckpt = if (checkpoint.nonEmpty) checkpoint else destPath + "_cdc_ckpt"
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint() // one source read for both splits
+        val adds = b.filter(!col("_deleted"))
+          .select(col("id"), col("embedding"), col("user_id"), col("ts"))
+        val dels = b.filter(col("_deleted")).select("id")
+        if (b.count() > 0)
+          CollectionStore.mergeIndexed(spark, destPath, adds,
+            cids, cents, nBuckets,
+            deletes = if (dels.isEmpty) None else Some(dels))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-STATIC enrichment join — the dimension-lookup shape (each
     * event enriched with its customer's nation): the static side is a
     * plain batch DataFrame Spark broadcasts per micro-batch, so the join

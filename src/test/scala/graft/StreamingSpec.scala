@@ -123,6 +123,59 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == n1)
   }
 
+  test("CDC stream: upserts + tombstones maintain the indexed store exactly-once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Ann, Collection}
+    import graft.sources.CollectionStore
+    val dir = java.nio.file.Files.createTempDirectory("cdc_idx")
+    val dest = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val points = Collection.load(spark, sf001)
+    val cents = Ann.kmeansCentroids(points, 8, 3)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    // seed the store with the collection (sidecar included)
+    CollectionStore.saveIndexed(points, dest, cents, idSidecarBuckets = Some(8))
+    def emb(i: Long): Seq[Double] = points.filter($"id" === i)
+      .select($"embedding").as[Seq[Double]].head()
+    // one CDC batch: upsert id 5 (new user), insert 90001, delete 7 and 8,
+    // and a same-batch add+tombstone for 9 (tombstone must win)
+    implicit val sc = spark.sqlContext
+    val changes = MemoryStream[(Long, Seq[Double], Int, Double, Boolean)]
+    changes.addData(
+      (5L, emb(5), 777, 2e9, false),
+      (90001L, emb(6), 778, 2e9, false),
+      (7L, Seq.empty[Double], 0, 0.0, true),
+      (8L, Seq.empty[Double], 0, 0.0, true),
+      (9L, emb(9), 779, 2e9, false),
+      (9L, Seq.empty[Double], 0, 0.0, true))
+    val df = changes.toDF()
+      .toDF("id", "embedding", "user_id", "ts", "_deleted")
+    StreamingOps.cdcIndexedStream(spark, df, dest, cids, ces,
+      nBuckets = 8, checkpoint = ckpt)
+    val store = spark.read.parquet(dest)
+    val byId = store.select($"id", $"user_id".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(byId(5L) == 777, "upsert must land")
+    assert(byId(90001L) == 778, "insert must land")
+    assert(!byId.contains(7L) && !byId.contains(8L), "tombstones must apply")
+    assert(!byId.contains(9L), "same-batch tombstone must beat the add")
+    assert(byId.size == points.count() - 3 + 1)
+    // sidecar agrees (no resurrecting deleted ids on the next merge)
+    val sidecarIds = spark.read.parquet(dest + "_ids")
+      .select($"id").as[Long].collect().toSet
+    assert(!sidecarIds(7L) && !sidecarIds(8L) && !sidecarIds(9L))
+    assert(sidecarIds(90001L))
+    // exactly-once: same checkpoint reprocesses nothing, store unchanged
+    StreamingOps.cdcIndexedStream(spark, df, dest, cids, ces,
+      nBuckets = 8, checkpoint = ckpt)
+    val again = spark.read.parquet(dest).select($"id", $"user_id".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(again == byId)
+  }
+
   test("bucketed merge rewrites ONLY the buckets containing batch ids") {
     import org.apache.spark.sql.functions._
     import graft.sources.CollectionStore
