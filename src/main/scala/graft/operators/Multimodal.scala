@@ -196,8 +196,13 @@ object Multimodal {
             }
             y += 1
           }
+          // alternate a raw container (BMP) with a genuinely COMPRESSED
+          // one (PNG/DEFLATE) — both lossless, so the decoded pixel stats
+          // (and the closed-form oracle) are format-independent; the
+          // codec dispatches by content sniffing, not by format name
+          val fmt = if (id % 4 == 0) "bmp" else "png"
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "bmp", bos)
+          javax.imageio.ImageIO.write(img, fmt, bos)
           Asset(id, bos.toByteArray, "image", bos.size().toLong)
         } else {
           val n = 256

@@ -55,9 +55,15 @@ class MultimodalSpec extends SparkSpec {
     val assets = Multimodal.genEncodedAssets(spark, sf001, nAssets = 8)
       .collect().sortBy(_.asset_id)
     assert(assets.length == 8)
-    // the bytes are genuine containers: the JDK readers accept them
-    val img0 = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(assets.find(_.asset_id == 0L).get.content))
+    // the bytes are genuine containers: the JDK readers accept them, and
+    // the magic bytes prove real encodings — id%4==0 BMP ("BM"), id%4==2
+    // PNG (compressed: 0x89 "PNG")
+    val bmp = assets.find(_.asset_id == 0L).get.content
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte, "BMP magic")
+    val png = assets.find(_.asset_id == 2L).get.content
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte, "PNG magic")
+    val img0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
     assert(img0 != null && img0.getWidth == 8 && img0.getHeight == 8)
     val ais1 = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(assets.find(_.asset_id == 1L).get.content))
