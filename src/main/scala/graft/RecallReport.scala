@@ -37,6 +37,10 @@ object RecallReport {
       val meta = SparkEntry.indexMeta(spark, sfDir)
       val pqCb = SparkEntry.pqMeta(spark, sfDir)
       val hps = meta.hyperplanes
+      // the multi-table LSH index parameters (12 tables × 4 bits)
+      val mtPlanes = points.filter(col("id") >= 100 && col("id") < 148)
+        .orderBy("id").select("embedding")
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
       val np = meta.nprobeFor(operators.IndexMeta.DefaultRecallTarget)
       // the reference's own accuracy bar (99.2% recall@10 —
       // PERFORMANCE_OPTIMIZATION_GUIDE.md:89): the same curve inversion
@@ -54,6 +58,7 @@ object RecallReport {
           "ivf" -> recall(ids(Ann.ivfSearch(assigned, meta.cids, meta.cents, q, np, k))),
           "ivf_ref_target" -> recall(ids(Ann.ivfSearch(assigned, meta.cids, meta.cents, q, npHi, k))),
           "lsh_multiprobe" -> recall(ids(Ann.lshSearchMultiProbe(points, q, hps, k))),
+          "lsh_multitable" -> recall(ids(Ann.lshSearchMultiTable(points, q, mtPlanes, 4, k))),
           "binary_quant" -> recall(ids(Quantization.binaryTwoPhaseSearch(points, q, k))),
           "cascade" -> recall(ids(Quantization.cascadeSearch(points, q, k))),
           "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))),

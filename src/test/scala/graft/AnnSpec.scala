@@ -125,8 +125,8 @@ class AnnSpec extends SparkSpec {
   test("bench recall report covers all approximate paths with sane floors") {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
     assert(r.keySet == Set("ivf", "ivf_nprobe", "ivf_target", "ivf_ref_target",
-      "ivf_ref_nprobe", "lsh_multiprobe", "binary_quant", "cascade",
-      "int8_quant", "pq_adc"))
+      "ivf_ref_nprobe", "lsh_multiprobe", "lsh_multitable", "binary_quant",
+      "cascade", "int8_quant", "pq_adc"))
     assert((r - "ivf_nprobe" - "ivf_ref_nprobe")
       .values.forall(v => v >= 0.0 && v <= 1.0))
     // the reference-bar config can't recall less than the 0.95-target one
@@ -137,6 +137,10 @@ class AnnSpec extends SparkSpec {
     assert(r("ivf") >= 0.7, s"ivf recall ${r("ivf")}")
     assert(r("binary_quant") >= 0.7, s"binary recall ${r("binary_quant")}")
     assert(r("pq_adc") >= 0.7, s"pq recall ${r("pq_adc")}")
+    // multi-table LSH is the recall-bearing LSH form: 12×4-bit tables
+    // must beat single-table multiprobe by a wide margin
+    assert(r("lsh_multitable") >= 0.5, s"multitable ${r("lsh_multitable")}")
+    assert(r("lsh_multitable") > r("lsh_multiprobe"))
     assert(r("ivf_nprobe") >= 1 && r("ivf_nprobe") <= 16)
   }
 
@@ -263,6 +267,23 @@ class AnnSpec extends SparkSpec {
     assert(single.subsetOf(multi) || multi.size == 50,
       s"multi-probe lost singles: ${single -- multi}")
     assert(multi.size >= single.size)
+  }
+
+  test("multi-table LSH: any-table bucket match, exact rescore, query always found") {
+    val planes = points.filter($"id" >= 100 && $"id" < 148)
+      .orderBy("id").select("embedding").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val q = points.filter($"id" === 123).select($"embedding".as("qemb"))
+    val got = Ann.lshSearchMultiTable(points, q, planes, kb = 4, k = 10)
+      .select("id", "score").as[(Long, Double)].collect()
+    // the query point shares every table's bucket with itself → rank 1
+    assert(got.head._1 == 123L && got.head._2 == 1.0)
+    // candidates are a superset of any single 4-bit table's bucket
+    val t0 = Ann.lshSearch(points, q, planes.take(4), k = 50)
+      .select("id").as[Long].collect().toSet
+    val wide = Ann.lshSearchMultiTable(points, q, planes, kb = 4, k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(t0.subsetOf(wide) || wide.size == 50)
   }
 
   test("adaptive search picks exact below the full-scan threshold") {
