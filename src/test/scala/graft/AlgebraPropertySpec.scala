@@ -35,6 +35,81 @@ class AlgebraPropertySpec extends SparkSpec {
     }
   }
 
+  test("span-dedup apply invariants on random corpora: min-id survives, keep sets are threshold-monotone") {
+    import graft.operators.TextAnalysis
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    (0 until 8).foreach { g =>
+      val nDocs = 4 + rnd.nextInt(8)
+      // small vocab + short window forces heavy span sharing
+      val docs = (0 until nDocs).map { i =>
+        val len = 3 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      def keep(t: Double): Set[Long] =
+        TextAnalysis.spanDedupApply(docs, w = 3, minDocs = 2,
+          maxDupCoverage = t).select("doc_id").as[Long].collect().toSet
+      val k0 = keep(0.0); val kHalf = keep(0.5); val kAll = keep(1.0)
+      // the minimum doc_id owns every duplicated span it carries (no
+      // lower id exists), so its coverage is 0 — it survives ANY threshold
+      assert(k0.contains(0L), s"corpus $g: min-id doc dropped at t=0")
+      // keep sets grow monotonically with the threshold
+      assert(k0.subsetOf(kHalf) && kHalf.subsetOf(kAll),
+        s"corpus $g: keep sets not monotone: $k0 / $kHalf / $kAll")
+      // coverage is a fraction of own spans: t=1.0 keeps everything
+      assert(kAll.size == nDocs, s"corpus $g: t=1 dropped docs")
+      // every survivor's reported coverage respects the threshold
+      val cov = TextAnalysis.spanDedupApply(docs, w = 3, minDocs = 2,
+          maxDupCoverage = 0.5)
+        .select("doc_id", "dup_coverage").as[(Long, Double)].collect()
+      assert(cov.forall(_._2 <= 0.5), s"corpus $g: survivor above threshold")
+    }
+  }
+
+  test("incremental index maintenance ≡ scratch rebuild over random add/delete sequences") {
+    import graft.operators.Ann
+    val points = Collection.load(spark, sf001).limit(60).localCheckpoint()
+    val cents = Ann.kmeansCentroids(points, 4, 3)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    val pool = points.select($"id", $"embedding")
+      .as[(Long, Seq[Double])].collect()
+    (0 until 3).foreach { seq =>
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_idx_$seq").toString
+      val path = s"$dir/store"
+      CollectionStore.saveIndexed(points, path, cents, idSidecarBuckets = Some(4))
+      // logical twin of the store, evolved batch by batch
+      var logical = points
+      (0 until 3).foreach { b =>
+        val addIds = Seq.fill(3)(rnd.nextInt(80).toLong).distinct
+        val delIds = Seq.fill(3)(rnd.nextInt(80).toLong).distinct
+          .filterNot(addIds.contains)
+        val adds = addIds.map { i =>
+          val emb = pool(rnd.nextInt(pool.length))._2
+          (i, emb, 500 + b, 1e9 + b)
+        }.toDF("id", "embedding", "user_id", "ts")
+        CollectionStore.mergeIndexed(spark, path, adds, cids, ces,
+          nBuckets = 4, deletes = Some(delIds.toDF("id")))
+        logical = Collection.upsert(logical, adds)
+          .join(delIds.toDF("id"), Seq("id"), "left_anti")
+          .localCheckpoint()
+      }
+      // store contents == re-assigned logical state, id for id
+      val got = spark.read.parquet(path)
+        .select($"id", $"cid".cast("long"), $"user_id".cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+      val expect = Ann.ivfAssign(logical, cids, ces)
+        .select($"id", $"cid", $"user_id".cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expect, s"sequence $seq: store diverged from logical twin")
+      // sidecar id->cid mapping agrees with the store exactly
+      val side = spark.read.parquet(path + "_ids")
+        .select($"id", $"cid").as[(Long, Long)].collect().toSet
+      assert(side == got.map(t => (t._1, t._2)),
+        s"sequence $seq: sidecar diverged")
+    }
+  }
+
   test("upsert is idempotent and last-write-wins on random batches") {
     val base = (0L until 50L)
       .map(i => (i, Seq.fill(4)(rnd.nextDouble()), i.toInt % 5, i.toDouble))
