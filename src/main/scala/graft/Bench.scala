@@ -193,7 +193,11 @@ object Bench {
           }
           i += 1
         }
-        done.await(10, java.util.concurrent.TimeUnit.MINUTES)
+        // fail loud on timeout: percentiles over a partial latency array
+        // would silently understate tail latency
+        if (!done.await(10, java.util.concurrent.TimeUnit.MINUTES))
+          sys.error(s"drivePaced: ${done.getCount} of $total responses " +
+            "still outstanding after 10 min — server wedged, aborting phase")
         import scala.jdk.CollectionConverters._
         lats.asScala.toArray.sorted
       } finally srv.close()

@@ -113,10 +113,20 @@ final class BatchedServer(
     .rdd
     .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** Test seam: (startNanos, endNanos) of every completed flush — the
-    * pipelining spec asserts two flush intervals overlap in time. */
+  /** Test seam: (startNanos, endNanos) of recent completed flushes — the
+    * pipelining spec asserts two flush intervals overlap in time. Bounded
+    * (drop-oldest) so a long-lived server doesn't leak heap into it. */
   private[graft] val flushLog =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+  private val flushLogCap = 4096
+  private val flushLogSize = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def logFlush(t0: Long, t1: Long): Unit = {
+    flushLog.add((t0, t1))
+    if (flushLogSize.incrementAndGet() > flushLogCap) {
+      flushLog.poll()
+      flushLogSize.decrementAndGet()
+    }
+  }
 
   private final case class Pending(emb: Seq[Double], p: Promise[Array[Row]])
   private val queue = new LinkedBlockingQueue[Pending]()
@@ -236,7 +246,7 @@ final class BatchedServer(
       }
     } catch {
       case e: Throwable => batch.foreach(_.p.tryFailure(e))
-    } finally flushLog.add((t0, System.nanoTime()))
+    } finally logFlush(t0, System.nanoTime())
   }
 
   private val flusher = new Thread(() => {
@@ -316,22 +326,16 @@ object BatchedServer {
     * in-process index. Larger shards serve via the batched job path. */
   val DefaultReplicaMaxRows: Long = 1L << 18
 
-  /** Spark `round(x, 6)` semantics (Round on DoubleType): shortest-repr
-    * BigDecimal, HALF_UP — identical to the oracle-parity kernel used in
-    * Search.mmrRerank. */
-  private[graft] def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-
   /** The serving score kernel: same left-to-right accumulation as the
     * codegen [[graft.plans.DotProductD]], same 6dp HALF_UP round as
-    * Spark's `round` — replica tier and job tier share it bit-for-bit. */
+    * Spark's `round` ([[graft.plans.Num.round6]]) — replica tier and job
+    * tier share it bit-for-bit. */
   private[graft] def dotRound6(emb: Array[Double], q: Array[Double]): Double = {
     val n = math.min(emb.length, q.length)
     var s = 0.0d
     var d = 0
     while (d < n) { s += emb(d) * q(d); d += 1 }
-    round6(s)
+    graft.plans.Num.round6(s)
   }
 
   /** Per-slice top-k over `rep(lo until hi)` for every query — the

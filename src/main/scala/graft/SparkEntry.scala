@@ -52,12 +52,16 @@ object SparkEntry {
     * path, which stays correct even in multi-dir JVMs (test suites). */
   private val kmeansAlias = "/tmp/graft_kmeans_current"
   private val kmeansBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  /** The scale dir whose side tables this JVM served most recently; the
-    * oracle globs resolve through it so rendered SQL pins the PER-DIR
-    * side-table paths (see [[sideGlob]]). */
-  @volatile private var oracleDir: String = null
+  /** The scale dir whose side table each builder served most recently —
+    * tracked PER SIDE-TABLE TYPE, not as one shared var, so a JVM that
+    * serves kmeans on one dir and the quality model on another (test
+    * suites) renders each oracle glob against the dir whose table that
+    * builder actually wrote (see [[sideGlob]]). */
+  @volatile private var kmOracleDir: String = null
+  @volatile private var pqOracleDir: String = null
+  @volatile private var nbqOracleDir: String = null
   private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
-    oracleDir = dir
+    kmOracleDir = dir
     val path = kmeansPath(dir)
     kmeansBuilt.computeIfAbsent(path, _ => {
       val cents = Ann.kmeansCentroids(Collection.load(s, dir), k = 16, maxIter = 5)
@@ -93,7 +97,7 @@ object SparkEntry {
   private val pqAlias = "/tmp/graft_pq_current"
   private val pqBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqCodebookDf(s: SparkSession, dir: String): DataFrame = {
-    oracleDir = dir
+    pqOracleDir = dir
     val path = pqPath(dir)
     pqBuilt.computeIfAbsent(path, _ => {
       val cb = Quantization.pqTrain(Collection.load(s, dir),
@@ -196,7 +200,7 @@ object SparkEntry {
   private val nbqAlias = "/tmp/graft_nbq_current"
   private val nbqBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def qualityModel(s: SparkSession, dir: String): DataFrame = {
-    oracleDir = dir
+    nbqOracleDir = dir
     val path = nbqPath(dir)
     nbqBuilt.computeIfAbsent(path, _ => {
       val m = TextAnalysis.trainQualityModel(
@@ -1234,23 +1238,25 @@ object SparkEntry {
        |    CASE WHEN $ne[j+1] > 0 THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)::BIGINT ELSE 1::BIGINT << j END)
        |         ELSE 0::BIGINT END), (a,b) -> a | b)""".stripMargin
   /** Oracle-side glob of the persisted trained-centroid side table.
-    * Resolution: the PER-DIR path once this JVM has built any side table
-    * (`oracleDir` — `oracleSql` is rendered after the queries ran, so in
-    * a Verify run this is exactly the served dir), else the current-build
-    * alias (cold dump with an `only` filter that built nothing). The
-    * per-dir path closes the ADVICE r7 race: a second scale dir (or a
-    * concurrent bench JVM) overwriting `_current` can no longer point the
-    * oracle at another dir's weights. The indexed store's `_centroids`
-    * side table is written from the same trained DataFrame, so one glob
-    * serves both the kmeans and indexed oracles. */
-  private def kmOracleGlob = sideGlob(kmeansPath, kmeansAlias)
+    * Resolution: the PER-DIR path once THIS builder has served any dir
+    * in this JVM (`kmOracleDir`/`pqOracleDir`/`nbqOracleDir` — per
+    * side-table type, so a kmeans query on one dir followed by a quality
+    * query on another can't repoint the kmeans oracle; `oracleSql` is
+    * rendered after the queries ran, so in a Verify run each var is
+    * exactly the served dir), else the current-build alias (cold dump
+    * with an `only` filter that built nothing). The per-dir path closes
+    * the ADVICE r7 race: a second scale dir (or a concurrent bench JVM)
+    * overwriting `_current` can no longer point the oracle at another
+    * dir's weights. The indexed store's `_centroids` side table is
+    * written from the same trained DataFrame, so one glob serves both
+    * the kmeans and indexed oracles. */
+  private def kmOracleGlob = sideGlob(kmOracleDir, kmeansPath, kmeansAlias)
   private def idxOracleGlob = kmOracleGlob
-  private def pqOracleGlob = sideGlob(pqPath, pqAlias)
-  private def nbqOracleGlob = sideGlob(nbqPath, nbqAlias)
-  private def sideGlob(perDir: String => String, alias: String): String = {
-    val d = oracleDir
-    s"'${if (d != null) perDir(d) else alias}/*.parquet'"
-  }
+  private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
+  private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
+  private def sideGlob(lastDir: String, perDir: String => String,
+      alias: String): String =
+    s"'${if (lastDir != null) perDir(lastDir) else alias}/*.parquet'"
 
   /** Shared oracle of the PQ ADC searches (on-the-fly and persisted-codes
     * variants encode identically, so one SQL serves both). */

@@ -263,23 +263,24 @@ object Ann {
     * (table:bucket) keyed frame below — and a query touches L buckets:
     * candidates ≈ L·N/2^kb. At 100 TB, `kb` grows with log₂(N) to hold
     * bucket sizes flat while L stays the recall knob; here the keyed
-    * frame is built inline (one map over the collection), at scale it
-    * is written once like the IVF store. Candidates dedup on id before
-    * ONE exact rescore pass. */
+    * frame is built inline (ONE map over the collection — all L table
+    * signatures computed per row, exploded to postings; an L-way union
+    * of scans would read the corpus L times), at scale it is written
+    * once like the IVF store. Candidates dedup on id before ONE exact
+    * rescore pass. */
   def lshSearchMultiTable(
       points: DataFrame, queryDf: DataFrame,
       hyperplanes: Seq[Seq[Double]], kb: Int, k: Int): DataFrame = {
     require(kb >= 1 && hyperplanes.size >= kb,
       s"need at least kb=$kb hyperplanes, got ${hyperplanes.size}")
     val tables = hyperplanes.grouped(kb).toSeq.filter(_.size == kb).zipWithIndex
-    val keyed = tables.map { case (planes, ti) =>
-      points.select(col("id"),
-        concat(lit(s"$ti:"), lshSignature(col("embedding"), planes)).as("bucket"))
-    }.reduce(_ unionByName _)
-    val qKeys = tables.map { case (planes, ti) =>
-      queryDf.select(
-        concat(lit(s"$ti:"), lshSignature(col("qemb"), planes)).as("bucket"))
-    }.reduce(_ unionByName _)
+    def tableKeys(emb: Column): Column = array(tables.map { case (planes, ti) =>
+      concat(lit(s"$ti:"), lshSignature(emb, planes))
+    }: _*)
+    val keyed = points.select(col("id"),
+      explode(tableKeys(col("embedding"))).as("bucket"))
+    val qKeys = queryDf.select(
+      explode(tableKeys(col("qemb"))).as("bucket"))
     val candIds = keyed
       .join(broadcast(qKeys), Seq("bucket"))
       .select("id").distinct()

@@ -133,7 +133,7 @@ object Multimodal {
                   y += 1
                 }
                 Array(w.toDouble, h.toDouble,
-                  graft.BatchedServer.round6(sum.toDouble / (w * h * 255.0d)),
+                  graft.plans.Num.round6(sum.toDouble / (w * h * 255.0d)),
                   mx.toDouble)
               }
             case "audio" =>
@@ -149,17 +149,17 @@ object Multimodal {
               var prev = 0
               var i = 0
               while (i < n) {
-                val lo = bytes(2 * i) & 0xff
-                val hi = bytes(2 * i + 1).toInt
-                val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
-                  else (hi << 8) | lo
+                val b0 = bytes(2 * i)      // first byte: MSB if BE, LSB if LE
+                val b1 = bytes(2 * i + 1)
+                val s = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                  else (b1.toInt << 8) | (b0 & 0xff)
                 sumSq += s.toLong * s
                 if (i > 0 && s.toLong * prev < 0) zc += 1
                 prev = s
                 i += 1
               }
               Array(fmt.getSampleRate.toDouble, n.toDouble,
-                graft.BatchedServer.round6(
+                graft.plans.Num.round6(
                   math.sqrt(sumSq.toDouble / n) / 32768.0d),
                 zc.toDouble)
             case _ => stub(mediaType, content)

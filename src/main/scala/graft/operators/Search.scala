@@ -497,8 +497,7 @@ object Search {
       lambdaRel: Double = 0.7): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(x: Double): Double = graft.plans.Num.round6(x)
     val cand = points
       .crossJoin(broadcast(queryDf.select(col("qemb"))))
       .withColumn("rel", score(col("embedding"), col("qemb")))

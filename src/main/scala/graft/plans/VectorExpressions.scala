@@ -272,8 +272,7 @@ case class NearestCentroid(
     while (c < cidArr.length) {
       var s = 0.0d; var i = 0
       while (i < n) { s += x.getDouble(i) * flat(c * dim + i); i += 1 }
-      val r = java.math.BigDecimal.valueOf(s)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val r = Num.round6(s)
       if (r > best || (r == best && cidArr(c) < bestCid)) {
         best = r; bestCid = cidArr(c)
       }
@@ -299,8 +298,7 @@ case class NearestCentroid(
          |  for (int $i = 0; $i < $n; $i++) {
          |    $s += $a.getDouble($i) * $flatRef[$c * $dim + $i];
          |  }
-         |  double $r = java.math.BigDecimal.valueOf($s)
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  double $r = graft.plans.Num.round6($s);
          |  if ($r > $best || ($r == $best && $cidRef[$c] < $bestCid)) {
          |    $best = $r; $bestCid = $cidRef[$c];
          |  }
@@ -355,8 +353,7 @@ case class TopCentroids(
     while (c < cidArr.length) {
       var s = 0.0d; var i = 0
       while (i < n) { s += x.getDouble(i) * flat(c * dim + i); i += 1 }
-      scores(c) = java.math.BigDecimal.valueOf(s)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      scores(c) = Num.round6(s)
       c += 1
     }
     scores
@@ -401,8 +398,7 @@ case class TopCentroids(
          |  for (int $i = 0; $i < $n; $i++) {
          |    $s += $a.getDouble($i) * $flatRef[$c * $dim + $i];
          |  }
-         |  $scores[$c] = java.math.BigDecimal.valueOf($s)
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  $scores[$c] = graft.plans.Num.round6($s);
          |}
          |boolean[] $used = new boolean[$cidRef.length];
          |long[] $out = new long[$p];

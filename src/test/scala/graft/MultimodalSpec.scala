@@ -77,13 +77,13 @@ class MultimodalSpec extends SparkSpec {
         val grays = for (y <- 0 until 8; x <- 0 until 8)
           yield (a.asset_id * 31 + x * 7 + y * 13) % 256
         assert(f(0) == 8.0 && f(1) == 8.0)
-        assert(f(2) == BatchedServer.round6(grays.sum.toDouble / (64 * 255.0)))
+        assert(f(2) == graft.plans.Num.round6(grays.sum.toDouble / (64 * 255.0)))
         assert(f(3) == grays.max.toDouble)
       } else {
         val s = (0 until 256).map(i =>
           ((a.asset_id * 7919 + i * 31) % 65536) - 32768)
         assert(f(0) == 8000.0 && f(1) == 256.0)
-        assert(f(2) == BatchedServer.round6(
+        assert(f(2) == graft.plans.Num.round6(
           math.sqrt(s.map(v => v * v).sum.toDouble / 256) / 32768.0))
         assert(f(3) == s.sliding(2).count(p => p(0) * p(1) < 0).toDouble)
       }
