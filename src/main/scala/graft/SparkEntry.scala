@@ -560,6 +560,21 @@ object SparkEntry {
         .collect().map(_.toSeq).toSeq
       Ann.lshSearchMultiTable(points, q, planes, kb = 4, k = 10)
     }),
+    // Calibrated multi-table LSH: the table count L is DERIVED from a
+    // measured recall target over sample queries (exact truth -> first
+    // matching table per true-neighbor pair -> smallest L clearing the
+    // target) — the LSH analogue of the IVF LCB-calibrated nprobe. The
+    // user states accuracy; the engine derives candidate volume.
+    "ann_lsh_calibrated" -> ((s, dir) => {
+      import s.implicits._
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      val planes = points.filter(col("id") >= 100 && col("id") < 148)
+        .orderBy("id").select("embedding").as[Seq[Double]]
+        .collect().map(_.toSeq).toSeq
+      Ann.lshSearchCalibrated(points, q, planes, kb = 4, k = 10,
+        targetRecall = 0.8, sampleQueryIds = Seq(0L, 1L, 2L, 3L, 4L))
+    }),
     "ann_adaptive" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
@@ -1716,6 +1731,44 @@ object SparkEntry {
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
          |  FROM c JOIN cand ON c.id = cand.id, q)
          |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // Replays the calibration bit-for-bit: exact top-10 truth for sample
+    // queries (ids 0..4), first colliding table per pair (0-based ti here
+    // vs Spark's 1-based array_position — hence first_ti < l vs fm <= l),
+    // smallest L with integer-ratio recall >= 0.8, then the multi-table
+    // search restricted to the first L tables.
+    "ann_lsh_calibrated" ->
+      s"""WITH $C,
+         |hp AS (SELECT id AS hid, ((id - 100) // 4)::INT AS ti, ne AS he
+         |       FROM c WHERE id >= 100 AND id < 148),
+         |sig AS (SELECT c.id, hp.ti, string_agg(
+         |    CASE WHEN round(list_dot_product(c.ne, hp.he), 6) >= 0 THEN '1' ELSE '0' END,
+         |    '' ORDER BY hp.hid) AS bucket
+         |  FROM c, hp GROUP BY c.id, hp.ti),
+         |qs AS (SELECT id AS qid, ne AS qe FROM c WHERE id < 5),
+         |truth AS (SELECT qid, nid FROM (
+         |    SELECT qs.qid, c.id AS nid, row_number() OVER (PARTITION BY qs.qid
+         |      ORDER BY round(list_dot_product(c.ne, qs.qe), 6) DESC, c.id ASC) AS rk
+         |    FROM c, qs WHERE c.id <> qs.qid) WHERE rk <= 10),
+         |fm AS (SELECT t.qid, t.nid,
+         |    min(CASE WHEN sq.bucket = sn.bucket THEN sq.ti END) AS first_ti
+         |  FROM truth t
+         |  JOIN sig sq ON sq.id = t.qid
+         |  JOIN sig sn ON sn.id = t.nid AND sn.ti = sq.ti
+         |  GROUP BY t.qid, t.nid),
+         |curve AS (SELECT r.l,
+         |    (count(*) FILTER (WHERE fm.first_ti IS NOT NULL AND fm.first_ti < r.l))::DOUBLE
+         |      / (SELECT count(*) FROM fm) AS recall
+         |  FROM range(1, 13) r(l), fm GROUP BY r.l),
+         |chosen AS (SELECT coalesce(min(l), 12)::INT AS lstar FROM curve WHERE recall >= 0.8),
+         |qb AS (SELECT ti, bucket FROM sig
+         |       WHERE id = 0 AND ti < (SELECT lstar FROM chosen)),
+         |cand AS (SELECT DISTINCT sig.id
+         |         FROM sig JOIN qb ON sig.ti = qb.ti AND sig.bucket = qb.bucket),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM c JOIN cand ON c.id = cand.id, q)
+         |SELECT id, score, user_id, (SELECT lstar FROM chosen) AS l_used
+         |FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     // 500 points at sf0.01 < full_scan_threshold -> adaptive picks exact knn
     "ann_adaptive" ->
       s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),

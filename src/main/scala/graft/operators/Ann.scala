@@ -293,6 +293,87 @@ object Ann {
       .select(col("id"), col("score"), col("user_id"))
   }
 
+  /** Empirical table-count calibration for [[lshSearchMultiTable]] — the
+    * LSH analogue of [[IndexMeta]]'s measured IVF recall curve: L (the
+    * number of hash tables, i.e. the candidate-volume knob) is DERIVED
+    * from a measured recall target, not guessed, mirroring how the
+    * reference ties its search params to a stated recall
+    * (src/core/advanced_indexing.py:214-278;
+    * PERFORMANCE_OPTIMIZATION_GUIDE.md:89).
+    *
+    * Method: for a deterministic sample of stored queries, take the EXACT
+    * top-k (one batched broadcast-sample pass over the corpus), then for
+    * each (query, true-neighbor) pair find the FIRST table index where the
+    * pair shares a full `kb`-bit bucket. Because the multi-table search
+    * rescores candidates exactly, a true neighbor is recalled iff ANY of
+    * the first L tables buckets it with the query — so recall@L is
+    * exactly the sample fraction of pairs whose first-match index is ≤ L,
+    * and the smallest L clearing `targetRecall` is returned (all tables
+    * if unreachable — recall can't be raised further at this `kb`).
+    *
+    * All comparisons are on 6dp-rounded dots (bucket bits and truth rank
+    * alike) and the recall fraction is an integer-count ratio — the whole
+    * calibration replays bit-for-bit in the SQL oracle. Cost shape at
+    * 100 TB: one sample×corpus broadcast pass (an index-BUILD cost, as in
+    * [[IndexMeta.build]]) + driver math on ≤ |sample|·k first-match
+    * integers. */
+  def lshCalibrateL(
+      points: DataFrame, hyperplanes: Seq[Seq[Double]], kb: Int, k: Int,
+      targetRecall: Double, sampleQueryIds: Seq[Long]): Int = {
+    import org.apache.spark.sql.expressions.Window
+    require(kb >= 1 && hyperplanes.size >= kb,
+      s"need at least kb=$kb hyperplanes, got ${hyperplanes.size}")
+    require(sampleQueryIds.nonEmpty, "calibration needs sample queries")
+    val tables = hyperplanes.grouped(kb).toSeq.filter(_.size == kb)
+    val nT = tables.size
+    val sigCol = array(tables.map(p =>
+      lshSignature(col("embedding"), p)): _*)
+    val qs = points.filter(col("id").isin(sampleQueryIds: _*))
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    // exact truth: top-k per sample query, self excluded, project rule
+    // tiebreak (6dp-rounded score desc, id asc)
+    val truth = points.select(col("id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", rdot(col("embedding"), col("qemb")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), asc("id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id").as("nid"))
+    // per-table signatures only for the ids the pairs touch
+    val sigs = points.select(col("id"), sigCol.as("sigs"))
+    // 1-based index of the first table where the pair collides; 0 = never
+    val firstMatch = truth
+      .join(sigs.select(col("id").as("qid"), col("sigs").as("qsigs")),
+        Seq("qid"))
+      .join(sigs.select(col("id").as("nid"), col("sigs").as("nsigs")),
+        Seq("nid"))
+      .select(array_position(
+        zip_with(col("qsigs"), col("nsigs"), (a, b) => a === b),
+        true).as("fm"))
+      .collect().map(_.getLong(0))
+    val total = firstMatch.length
+    require(total > 0, "calibration truth set is empty")
+    (1 to nT).find { l =>
+      firstMatch.count(fm => fm >= 1 && fm <= l).toDouble / total >=
+        targetRecall
+    }.getOrElse(nT)
+  }
+
+  /** [[lshSearchMultiTable]] with L chosen by [[lshCalibrateL]] for a
+    * recall target — the user states accuracy, the engine derives the
+    * candidate volume. `l_used` is surfaced so callers (and the oracle)
+    * can see the calibrated choice. */
+  def lshSearchCalibrated(
+      points: DataFrame, queryDf: DataFrame,
+      hyperplanes: Seq[Seq[Double]], kb: Int, k: Int,
+      targetRecall: Double, sampleQueryIds: Seq[Long]): DataFrame = {
+    val l = lshCalibrateL(points, hyperplanes, kb, k, targetRecall,
+      sampleQueryIds)
+    lshSearchMultiTable(points, queryDf, hyperplanes.take(l * kb), kb, k)
+      .withColumn("l_used", lit(l))
+  }
+
   /** Adaptive physical-path choice (reference Q9): exact brute force below
     * `fullScanThreshold` points, IVF above.
     *

@@ -286,6 +286,30 @@ class AnnSpec extends SparkSpec {
     assert(t0.subsetOf(wide) || wide.size == 50)
   }
 
+  test("calibrated LSH: L monotone in target, equals multitable at chosen L") {
+    val planes = points.filter($"id" >= 100 && $"id" < 148)
+      .orderBy("id").select("embedding").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val sample = Seq(0L, 1L, 2L, 3L, 4L)
+    // the measured first-match curve is nondecreasing in L, so the chosen
+    // L must be nondecreasing in the recall target
+    val ls = Seq(0.1, 0.5, 0.8, 1.0).map(t =>
+      Ann.lshCalibrateL(points, planes, kb = 4, k = 10, t, sample))
+    assert(ls == ls.sorted, s"L not monotone in target: $ls")
+    assert(ls.forall(l => l >= 1 && l <= 12))
+    // an unreachable target degrades to every table, never beyond
+    assert(Ann.lshCalibrateL(points, planes, kb = 4, k = 10, 2.0, sample) == 12)
+    // the calibrated search IS the multi-table search at the chosen L
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val cal = Ann.lshSearchCalibrated(points, q, planes, kb = 4, k = 10,
+      targetRecall = 0.8, sampleQueryIds = sample)
+    val lUsed = cal.select("l_used").as[Int].head()
+    val direct = Ann.lshSearchMultiTable(points, q, planes.take(lUsed * 4),
+      kb = 4, k = 10).select("id", "score").as[(Long, Double)].collect().toSeq
+    val got = cal.select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == direct)
+  }
+
   test("adaptive search picks exact below the full-scan threshold") {
     val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
     val adaptive = Ann.adaptiveSearch(points, q, k = 10, threshold = 0.1)
