@@ -20,7 +20,11 @@ import graft.operators.{Ann, Collection, IndexMeta, Quantization, Search}
   * nprobe is emitted alongside (`ivf_nprobe`) so the recall number can't
   * quietly be bought by probing everything without it showing.
   * `lsh_multiprobe` is reported for honesty but is a bucketing primitive,
-  * not a serving path — the policy never routes to it (AnnSpec). */
+  * not a serving path — the policy never routes to it (AnnSpec).
+  * `lsh_calibrated` grades [[Ann.lshSearchCalibrated]]'s chosen table
+  * count the same way: measured on the report qids MINUS the calibration
+  * sample, with the chosen L (`lsh_calibrated_l`) and the shared target
+  * (`lsh_calibrated_target` = [[Ann.DefaultLshRecallTarget]]) alongside. */
 object RecallReport {
 
   /** Mean recall@k per method over `nQueries` evenly-spread stored vectors. */
@@ -42,6 +46,14 @@ object RecallReport {
         .orderBy("id").select("embedding")
         .collect().map(_.getSeq[Double](0).toSeq).toSeq
       val np = meta.nprobeFor(operators.IndexMeta.DefaultRecallTarget)
+      // the calibrated LSH serving config: L chosen by the measured
+      // first-match curve for the shared target — graded below on the
+      // evenly-spread qids MINUS the calibration sample (held-out, same
+      // rule as ivf), with the chosen L and target emitted alongside so
+      // the recall can't be bought by silently raising L
+      val lCal = Ann.lshCalibrateL(points, mtPlanes, 4, k,
+        Ann.DefaultLshRecallTarget, Ann.DefaultLshCalibrationSample)
+      val calPlanes = mtPlanes.take(lCal * 4)
       // the reference's own accuracy bar (99.2% recall@10 —
       // PERFORMANCE_OPTIMIZATION_GUIDE.md:89): the same curve inversion
       // at that target, showing parity is one parameter away
@@ -54,7 +66,7 @@ object RecallReport {
         val exact = ids(Search.knn(points, q, k, -1.0))
         def recall(approx: Set[Long]): Double =
           if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
-        Map(
+        val base = Map(
           "ivf" -> recall(ids(Ann.ivfSearch(assigned, meta.cids, meta.cents, q, np, k))),
           "ivf_ref_target" -> recall(ids(Ann.ivfSearch(assigned, meta.cids, meta.cents, q, npHi, k))),
           "lsh_multiprobe" -> recall(ids(Ann.lshSearchMultiProbe(points, q, hps, k))),
@@ -63,15 +75,22 @@ object RecallReport {
           "cascade" -> recall(ids(Quantization.cascadeSearch(points, q, k))),
           "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))),
           "pq_adc" -> recall(ids(Quantization.pqAdcSearch(points, q, pqCb, k))))
+        // held-out only: the calibration set must not grade itself
+        if (Ann.DefaultLshCalibrationSample.contains(qid.toLong)) base
+        else base + ("lsh_calibrated" ->
+          recall(ids(Ann.lshSearchMultiTable(points, q, calPlanes, 4, k))))
       }
-      val out = perQuery.flatten.groupMapReduce(_._1)(_._2)(_ + _)
-        .map { case (m, s) => m -> s / nQueries }
+      // per-key mean (lsh_calibrated averages over its held-out subset)
+      val out = perQuery.flatten.groupBy(_._1).map { case (m, xs) =>
+        m -> xs.map(_._2).sum / xs.size }
       assigned.unpersist()
       // target-vs-measured: `ivf` is the measured held-out recall,
       // `ivf_target` the calibration target its nprobe was chosen for —
       // side by side so a calibration undershoot is visible in every bench
       out + ("ivf_nprobe" -> np.toDouble) + ("ivf_ref_nprobe" -> npHi.toDouble) +
-        ("ivf_target" -> operators.IndexMeta.DefaultRecallTarget)
+        ("ivf_target" -> operators.IndexMeta.DefaultRecallTarget) +
+        ("lsh_calibrated_l" -> lCal.toDouble) +
+        ("lsh_calibrated_target" -> Ann.DefaultLshRecallTarget)
     } finally {
       points.unpersist()
     }

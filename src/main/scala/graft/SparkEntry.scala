@@ -573,7 +573,8 @@ object SparkEntry {
         .orderBy("id").select("embedding").as[Seq[Double]]
         .collect().map(_.toSeq).toSeq
       Ann.lshSearchCalibrated(points, q, planes, kb = 4, k = 10,
-        targetRecall = 0.8, sampleQueryIds = Seq(0L, 1L, 2L, 3L, 4L))
+        targetRecall = Ann.DefaultLshRecallTarget,
+        sampleQueryIds = Ann.DefaultLshCalibrationSample)
     }),
     "ann_adaptive" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -1759,7 +1760,8 @@ object SparkEntry {
          |    (count(*) FILTER (WHERE fm.first_ti IS NOT NULL AND fm.first_ti < r.l))::DOUBLE
          |      / (SELECT count(*) FROM fm) AS recall
          |  FROM range(1, 13) r(l), fm GROUP BY r.l),
-         |chosen AS (SELECT coalesce(min(l), 12)::INT AS lstar FROM curve WHERE recall >= 0.8),
+         |chosen AS (SELECT coalesce(min(l), 12)::INT AS lstar FROM curve
+         |           WHERE recall >= ${graft.operators.Ann.DefaultLshRecallTarget}),
          |qb AS (SELECT ti, bucket FROM sig
          |       WHERE id = 0 AND ti < (SELECT lstar FROM chosen)),
          |cand AS (SELECT DISTINCT sig.id

@@ -317,6 +317,14 @@ object Ann {
     * 100 TB: one sample×corpus broadcast pass (an index-BUILD cost, as in
     * [[IndexMeta.build]]) + driver math on ≤ |sample|·k first-match
     * integers. */
+  /** THE LSH calibration bar and sample: the registered calibrated query,
+    * its SQL oracle, and the bench recall report all read these — one
+    * source so the graded bar and the calibrated bar cannot drift (the
+    * ADVICE r7 single-constant rule, applied to LSH as it already is to
+    * [[IndexMeta.DefaultRecallTarget]]). */
+  val DefaultLshRecallTarget: Double = 0.8
+  val DefaultLshCalibrationSample: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
   def lshCalibrateL(
       points: DataFrame, hyperplanes: Seq[Seq[Double]], kb: Int, k: Int,
       targetRecall: Double, sampleQueryIds: Seq[Long]): Int = {

@@ -126,9 +126,13 @@ class AnnSpec extends SparkSpec {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
     assert(r.keySet == Set("ivf", "ivf_nprobe", "ivf_target", "ivf_ref_target",
       "ivf_ref_nprobe", "lsh_multiprobe", "lsh_multitable", "binary_quant",
-      "cascade", "int8_quant", "pq_adc"))
-    assert((r - "ivf_nprobe" - "ivf_ref_nprobe")
+      "cascade", "int8_quant", "pq_adc",
+      "lsh_calibrated", "lsh_calibrated_l", "lsh_calibrated_target"))
+    assert((r - "ivf_nprobe" - "ivf_ref_nprobe" - "lsh_calibrated_l")
       .values.forall(v => v >= 0.0 && v <= 1.0))
+    // the calibrated-LSH report grades the shared constants, held-out
+    assert(r("lsh_calibrated_target") == Ann.DefaultLshRecallTarget)
+    assert(r("lsh_calibrated_l") >= 1 && r("lsh_calibrated_l") <= 12)
     // the reference-bar config can't recall less than the 0.95-target one
     assert(r("ivf_ref_target") >= r("ivf"))
     // the serving IVF config (trained centroids + calibrated nprobe) and
