@@ -456,6 +456,20 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), budgetTokens = 500, nShards = 8)),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
+    // Incremental dedup against history WITHOUT joining it: a 64K-bit /
+    // 3-probe Bloom filter of the first 60 docs' content keys screens the
+    // rest — the 100 TB shape for "dedup the new crawl against every
+    // prior snapshot". Deterministic integer-math bloom (hash60 +
+    // Kirsch-Mitzenmacher), so FP drops replay exactly in the oracle.
+    "dedup_bloom_novel" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bloom = Dedup.bloomBuild(
+        docs.filter(col("doc_id") < 60), mBits = 65536, kProbes = 3)
+      Dedup.bloomNovel(docs.filter(col("doc_id") >= 60), bloom,
+          mBits = 65536, kProbes = 3)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
         n = 3, threshold = 0.5, blockOn = Some("source"))),
@@ -1407,6 +1421,26 @@ object SparkEntry {
          |k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bow_key FROM t)
          |SELECT bow_key, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
          |FROM k GROUP BY bow_key HAVING count(*) > 1 ORDER BY keep_doc_id""".stripMargin,
+    // Replays the deterministic bloom bit-for-bit: same content key, same
+    // 60-bit base hash, same double-hashed probe positions, same 32-bit
+    // word packing (bit_or build / bit-AND membership). A survivor is a
+    // doc with at least one unset probe bit.
+    "dedup_bloom_novel" ->
+      s"""WITH $W,
+         |k AS (SELECT doc_id, source, md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bk FROM t),
+         |hs AS (SELECT doc_id, source, ('0x' || substring(md5(bk), 1, 15))::BIGINT AS h FROM k),
+         |probes AS (SELECT doc_id, source,
+         |    ((h % 65536) + r.i * ((h >> 30) | 1)) % 65536 AS pos
+         |  FROM hs, range(3) r(i)),
+         |words AS (SELECT pos // 32 AS w, bit_or(1::BIGINT << (pos % 32)::INT) AS word
+         |  FROM probes WHERE doc_id < 60 GROUP BY 1)
+         |SELECT doc_id, source FROM probes p
+         |LEFT JOIN words ON words.w = p.pos // 32
+         |WHERE p.doc_id >= 60 GROUP BY doc_id, source
+         |HAVING min(CASE WHEN words.word IS NOT NULL
+         |    AND (words.word & (1::BIGINT << (p.pos % 32)::INT)) != 0
+         |  THEN 1 ELSE 0 END) = 0
+         |ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       s"""WITH $W,
          |n AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,

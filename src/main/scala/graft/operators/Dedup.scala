@@ -361,6 +361,70 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Masks(b) = 1L << b for b in 0..31 — a literal lookup table because
+    * `functions.shiftleft` only takes a literal shift amount. 32-bit
+    * words (stored in BIGINT) keep every shift < 2^31, so the SQL oracle
+    * needs no 1<<63 overflow special-casing. */
+  private val BloomMasks: Seq[Long] = (0 until 32).map(1L << _)
+
+  private def bloomMask(pos: Column): Column =
+    element_at(typedlit(BloomMasks),
+      pos.bitwiseAND(lit(31L)).cast("int") + 1)
+
+  /** The k probe bit-positions of a document's exact-dedup content key
+    * ([[graft.functions.TextOps.bagOfWordsKey]]) in an `mBits`-bit Bloom
+    * filter. Kirsch–Mitzenmacher double hashing (one 60-bit base hash,
+    * pos_i = (h mod m + i·(h>>30 | 1)) mod m) — pure integer arithmetic,
+    * so the probe sequence replays exactly in the SQL oracle. */
+  private def bloomProbes(mBits: Int, kProbes: Int): Column = {
+    val h = TextOps.hash60(TextOps.bagOfWordsKey(TextOps.words(col("text"))))
+    val h1 = pmod(h, lit(mBits.toLong))
+    val h2 = shiftright(h, 30).bitwiseOR(lit(1L))
+    array((0 until kProbes).map(i =>
+      pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))): _*)
+  }
+
+  /** Build the Bloom filter of a corpus's exact-dedup content keys as the
+    * NONZERO 32-bit words of an `mBits`-bit array: rows (w, word). One
+    * scan + one tiny aggregate (≤ mBits/32 rows) — the filter for 10B
+    * docs at 1% FP is a few GB of (w, word) rows, a broadcastable frame,
+    * never driver state. */
+  def bloomBuild(docs: DataFrame, mBits: Int, kProbes: Int): DataFrame =
+    docs.select(explode(bloomProbes(mBits, kProbes)).as("pos"))
+      .select(shiftright(col("pos"), 5).cast("int").as("w"),
+        bloomMask(col("pos")).as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("word"))
+
+  /** Dedup against HISTORY without joining it: keep only docs whose
+    * content key is definitely NOT in the `bloom` filter of a previously
+    * seen corpus ([[bloomBuild]]) — the standard shape for incremental
+    * corpus ingestion at 100 TB, where re-joining every prior snapshot
+    * per increment is unpayable. Bloom membership has no false
+    * negatives, so every previously-seen key is caught — every SURVIVOR
+    * is genuinely novel; the price is false positives dropping
+    * ~(1−e^{−kn/m})^k of the novel docs — the classic Bloom trade,
+    * deterministic here so the oracle replays it bit-for-bit.
+    *
+    * Plan shape: `kProbes` successive LEFT broadcast-hash joins on the
+    * word index (no explode, no shuffle, no aggregation — a map-only
+    * pass over the incoming corpus), then one filter on the conjunction
+    * of per-probe bit tests. */
+  def bloomNovel(
+      docs: DataFrame, bloom: DataFrame, mBits: Int, kProbes: Int): DataFrame = {
+    val withProbes = docs.withColumn("_probes", bloomProbes(mBits, kProbes))
+    val joined = (0 until kProbes).foldLeft(withProbes) { (df, i) =>
+      val pos = element_at(col("_probes"), i + 1)
+      df.join(
+          broadcast(bloom.select(col("w").as(s"_w$i"), col("word").as(s"_word$i"))),
+          shiftright(pos, 5).cast("int") === col(s"_w$i"), "left")
+        .withColumn(s"_hit$i",
+          coalesce(col(s"_word$i").bitwiseAND(bloomMask(pos)) =!= 0L, lit(false)))
+    }
+    val allHit = (0 until kProbes).map(i => col(s"_hit$i")).reduce(_ && _)
+    joined.filter(!allHit)
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+
   /** Apply dedup decisions: keep exactly one document per near-dup cluster
     * (the minimum id — the cluster label) and every unclustered document.
     * `labels` is [[connectedComponents]] output (node, cluster_id); the

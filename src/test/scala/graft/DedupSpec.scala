@@ -24,6 +24,36 @@ class DedupSpec extends SparkSpec {
     assert(g.toSeq == Seq((2L, 1L)))
   }
 
+  test("bloom novel: every seen key caught, survivors are genuinely novel") {
+    // seen corpus = 40 real docs; incoming = 30 copies of seen texts
+    // (fresh ids) + 40 unseen docs
+    val seen = docs.filter($"doc_id" < 40)
+    val copies = seen.filter($"doc_id" < 30)
+      .withColumn("doc_id", $"doc_id" + 10000)
+    val unseen = docs.filter($"doc_id" >= 40 && $"doc_id" < 80)
+    val incoming = copies.unionByName(unseen)
+    val bloom = Dedup.bloomBuild(seen, mBits = 65536, kProbes = 3)
+    val novel = Dedup.bloomNovel(incoming, bloom, mBits = 65536, kProbes = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives: every copy of a seen content key is dropped
+    assert(novel.forall(_ < 10000), s"seen copies survived: ${novel.filter(_ >= 10000)}")
+    // ground truth by direct key comparison: an unseen doc is truly
+    // novel iff its bow key does not occur in the seen corpus. At 65536
+    // bits / ~120 set bits the FP probability is ~1e-7 and the bloom is
+    // deterministic — so the survivor set must EQUAL the true-novel set
+    import graft.functions.TextOps
+    def keys(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      TextOps.bagOfWordsKey(TextOps.words(col("text"))).as("bk"))
+    val seenKeys = keys(seen).select("bk").as[String].collect().toSet
+    val trueNovel = keys(unseen).as[(Long, String)].collect()
+      .filterNot { case (_, bk) => seenKeys.contains(bk) }.map(_._1).toSet
+    assert(novel == trueNovel,
+      s"extra=${novel -- trueNovel} dropped=${trueNovel -- novel}")
+    // schema passthrough: output columns = input columns
+    assert(Dedup.bloomNovel(incoming, bloom, 65536, 3).columns.toSeq
+      == incoming.columns.toSeq)
+  }
+
   test("ngram jaccard: identical docs =1, near dups high, disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(tiny, n = 3, threshold = 0.1)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
