@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Event-stream operators over `events(event_id, ts, user_id, event_type,
   * value, props)`: tumbling-window aggregation, gap-based sessionization,
@@ -18,15 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Load `events.parquet`, whose `ts` is TIMESTAMP(NANOS) — a parquet type
-    * Spark 4 rejects outright. Read nanos as LONG (legacy conf) and truncate
-    * to microseconds with integer division (`div`, not `/`: epoch-nanos
-    * ≈ 1.7e18 exceeds DOUBLE's 2^53 exact-integer range, so float division
-    * would corrupt timestamps). DuckDB truncates ns→us identically. */
+  /** Normalize the `ts` column to session-local TIMESTAMP (sessions pin
+    * UTC) regardless of the fixture's physical encoding. Generated data has
+    * shipped two encodings across rounds:
+    *   - TIMESTAMP(NANOS), a parquet type Spark 4 rejects outright: read
+    *     nanos as LONG (legacy conf) and truncate to microseconds with
+    *     integer division (`div`, not `/`: epoch-nanos ≈ 1.7e18 exceeds
+    *     DOUBLE's 2^53 exact-integer range, so float division would corrupt
+    *     timestamps). DuckDB truncates ns→us identically.
+    *   - TIMESTAMP(MICROS) without timezone, which Spark reads as
+    *     TIMESTAMP_NTZ: reinterpret the wall-clock as UTC (cast under the
+    *     UTC session tz), byte-identical instants to what DuckDB reads.
+    * A map-side projection either way — nothing here blocks pushdown of
+    * other predicates or costs a shuffle. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+    case _                => df
+  }
+
   def load(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** Tumbling 1-hour window x event_type counts/sums — the batch twin of a

@@ -30,7 +30,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Events.normalizeTs)
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -80,7 +80,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Events.normalizeTs)
     val deduped = stream
       .withWatermark("ts", "24 hours")
       .dropDuplicates("event_type", "user_id")
@@ -260,7 +260,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Events.normalizeTs)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
       base
         .filter(col("event_type") === tpe)
@@ -316,7 +316,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Events.normalizeTs)
       .select("event_id", "ts", "user_id", "value").as[Ev]
 
     def fold(userId: Long, events: Iterator[Ev],
