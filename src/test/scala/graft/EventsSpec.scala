@@ -76,4 +76,23 @@ class EventsSpec extends SparkSpec {
     assert(e.schema("ts").dataType.typeName == "timestamp")
     assert(e.count() > 0)
   }
+
+  test("normalizeTs lands both fixture encodings on the same UTC instant") {
+    import spark.implicits._
+    // 2024-01-01T10:00:00Z
+    val epochMs = 1704103200000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_enc").toString
+    // encoding 1: TIMESTAMP(NANOS) surfaces as LONG nanos under the legacy conf
+    Seq((1L, epochMs * 1000000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/nanos")
+    // encoding 2: timestamp[us] without timezone surfaces as TIMESTAMP_NTZ
+    spark.sql("SELECT 1L AS event_id, TIMESTAMP_NTZ '2024-01-01 10:00:00' AS ts")
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    for (enc <- Seq("nanos", "ntz")) {
+      val df = Events.normalizeTs(spark.read.parquet(s"$dir/$enc"))
+      assert(df.schema("ts").dataType.typeName == "timestamp", s"$enc type")
+      val got = df.select("ts").as[java.sql.Timestamp].head()
+      assert(got.getTime == epochMs, s"$enc instant: $got")
+    }
+  }
 }
