@@ -1213,6 +1213,21 @@ object SparkEntry {
       graft.operators.Privacy.redactRows(
         piiProfile(Events.load(s, dir)).filter(col("event_id") < 500),
         "event_id", "profile")),
+    // Unicode hygiene rewrite: NFC-compose + strip control chars over the
+    // dirtied docs (only the rows that hit an injection branch — the rest
+    // are byte-identical passthroughs).
+    "normalize_text" -> ((s, dir) =>
+      graft.operators.TextNormalize.cleanRows(
+        dirtyDocs(s.read.parquet(s"$dir/documents.parquet"))
+          .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0 ||
+            col("doc_id") % 13 === 0),
+        "doc_id", "text")),
+    // Encoding-health audit per language: NFC drift + replacement/mojibake/
+    // control totals — the report that flags a source for re-decoding.
+    "encoding_quality" -> ((s, dir) =>
+      graft.operators.TextNormalize.encodingReport(
+        dirtyDocs(s.read.parquet(s"$dir/documents.parquet")),
+        "text", Seq("lang"))),
     // Per-type z-score outliers of the event value metric.
     "value_outliers" -> ((s, dir) =>
       Stats.zOutliers(Events.load(s, dir), Seq("event_type"), "event_id",
@@ -1229,6 +1244,22 @@ object SparkEntry {
   /** Deterministic PII-bearing profile string derived from fixture fields
     * (side-channel-free stand-in for the reference's free-form payload
     * JSON, which is where real PII lands — src/api/schemas.py:19,38). */
+  /** Deterministically dirtied documents for the Unicode-hygiene queries:
+    * the fixture text is pure ASCII (no natural NFC/mojibake cases), so —
+    * same pattern as [[piiProfile]] — inject the defect classes from
+    * fixture fields and test the normalization kernels against them.
+    * CASE order matters (doc_id 77 hits the %7 branch): the oracle CTE
+    * [[DD]] mirrors it branch for branch. */
+  private def dirtyDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" cafe\u0301")))      // decomposed e + combining acute U+0301
+        .when(col("doc_id") % 11 === 0,
+          concat(lit("\u00c3\u00a9\u00c2 "), col("text")))           // mojibake lead-byte chars
+        .when(col("doc_id") % 13 === 0,
+          concat(lit("\ufffd\u0007"), col("text")))   // U+FFFD + BEL control
+        .otherwise(col("text")))
+
   private def piiProfile(events: DataFrame): DataFrame =
     events.withColumn("profile", concat(
       lit("user"), col("user_id").cast("string"),
@@ -2803,6 +2834,24 @@ object SparkEntry {
          |  '${Privacy.ipv4Re}', '<IP>', 'g'),
          |  '${Privacy.digitRunRe}', '<NUM>', 'g') AS redacted
          |FROM p WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+    "normalize_text" ->
+      s"""WITH $DD
+         |SELECT doc_id,
+         |  regexp_replace(nfc_normalize(text),
+         |    '${graft.operators.TextNormalize.controlRe}', '', 'g') AS cleaned
+         |FROM d WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
+         |ORDER BY doc_id""".stripMargin,
+    "encoding_quality" ->
+      s"""WITH $DD
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN nfc_normalize(text) != text THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_nfc_changed,
+         |  sum(len(regexp_extract_all(text, chr(65533))))::BIGINT AS n_replacement,
+         |  sum(len(regexp_extract_all(text, chr(195) || '|' || chr(194))))::BIGINT
+         |    AS n_mojibake,
+         |  sum(len(regexp_extract_all(text,
+         |    '${graft.operators.TextNormalize.controlRe}')))::BIGINT AS n_control
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "value_outliers" ->
       """WITH s AS (SELECT event_type, count(*)::BIGINT AS n,
         |  sum(value::DECIMAL(28,2))::DOUBLE AS sx,
@@ -2847,6 +2896,16 @@ object SparkEntry {
 
   /** DuckDB CTE synthesizing the PII profile string (mirrors
     * [[piiProfile]] exactly — same concatenation, same modular fields). */
+  /** The dirtied-documents CTE — branch-for-branch mirror of [[dirtyDocs]]
+    * (chr(769)=U+0301 combining acute, chr(195)/chr(169)/chr(194)="Ã©Â",
+    * chr(65533)=U+FFFD, chr(7)=BEL). */
+  private val DD =
+    """d AS (SELECT doc_id, lang, CASE
+      |  WHEN doc_id % 7 = 0 THEN text || ' cafe' || chr(769)
+      |  WHEN doc_id % 11 = 0 THEN chr(195) || chr(169) || chr(194) || ' ' || text
+      |  WHEN doc_id % 13 = 0 THEN chr(65533) || chr(7) || text
+      |  ELSE text END AS text FROM documents)""".stripMargin
+
   private val PP =
     """p AS (SELECT event_id, event_type,
       |  'user' || CAST(user_id AS VARCHAR) || '@example.com ip 10.0.' ||

@@ -31,6 +31,7 @@ object GraftExtensions {
     registerFunction(spark, "sorted_intersect_count",
       args => SortedLongIntersectCount(args(0), args(1)))
     registerFunction(spark, "hash60", args => Hash60(args.head))
+    registerFunction(spark, "nfc", args => NfcNormalize(args.head))
     registerFunction(spark, "sign_pack64", args => SignPack64(args.head))
     registerFunction(spark, "misra_gries",
       args => MisraGriesSketch(args(0), intLit(args(1), "misra_gries capacity")))
@@ -61,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hash60"),
       info("hash60", "hash60(s) - first 60 bits of md5(s) as bigint"),
       (args: Seq[Expression]) => Hash60(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc"),
+      info("nfc", "nfc(s) - Unicode NFC canonical composition of a string"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
     ext.injectFunction((
       FunctionIdentifier("sign_pack64"),
       info("sign_pack64", "sign_pack64(v) - 64-bit sign signature of array<double>"),

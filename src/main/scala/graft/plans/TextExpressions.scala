@@ -302,9 +302,38 @@ case class RepetitionCounts(child: Expression)
     copy(child = c)
 }
 
+/** Unicode NFC normalization (canonical composition) as one native call —
+  * byte-level dedup, hashing, and equality see a single representation per
+  * grapheme ("e"+U+0301 and "é" hash identically after this). Fast path:
+  * `Normalizer.isNormalized` is a scan with no allocation, and real corpora
+  * are overwhelmingly already NFC, so the common case returns the input
+  * string untouched. Matches DuckDB's `nfc_normalize` (both implement
+  * Unicode canonical composition). CodegenFallback for the same reason as
+  * Hash60: the work is one JVM library call. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nfc expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftBridge
   def hash60(s: Column): Column = GraftBridge.column(Hash60(GraftBridge.expression(s)))
+  def nfc(s: Column): Column = GraftBridge.column(NfcNormalize(GraftBridge.expression(s)))
   def shingleHashSet60(words: Column, n: Int): Column =
     GraftBridge.column(ShingleHashSet60(GraftBridge.expression(words), n))
   def spanHashes60(words: Column, w: Int): Column =
