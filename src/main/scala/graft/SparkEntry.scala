@@ -60,6 +60,7 @@ object SparkEntry {
   @volatile private var kmOracleDir: String = null
   @volatile private var pqOracleDir: String = null
   @volatile private var nbqOracleDir: String = null
+  @volatile private var lmOracleDir: String = null
   private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
     kmOracleDir = dir
     val path = kmeansPath(dir)
@@ -208,6 +209,25 @@ object SparkEntry {
       m.coalesce(1).write.mode("overwrite").parquet(path)
       s.read.parquet(path).coalesce(1)
         .write.mode("overwrite").parquet(nbqAlias)
+      path
+    })
+    s.read.parquet(path)
+  }
+
+  /** Hashed-bigram LM side table (same lifecycle as [[qualityModel]]):
+    * trained once per JVM per scale dir, persisted, and the oracle scores
+    * from the SAME parquet — cross-engine ln() never meets the compare. */
+  private def lmPath(dir: String) = "/tmp/graft_lm_" + san(dir)
+  private val lmAlias = "/tmp/graft_lm_current"
+  private val lmBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lmModel(s: SparkSession, dir: String): DataFrame = {
+    lmOracleDir = dir
+    val path = lmPath(dir)
+    lmBuilt.computeIfAbsent(path, _ => {
+      val m = TextAnalysis.lmTrain(s.read.parquet(s"$dir/documents.parquet"))
+      m.coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(lmAlias)
       path
     })
     s.read.parquet(path)
@@ -811,6 +831,12 @@ object SparkEntry {
     "quality_model_score" -> ((s, dir) =>
       TextAnalysis.scoreQualityModel(
         s.read.parquet(s"$dir/documents.parquet"), qualityModel(s, dir))),
+    // CCNet-style LM fluency score: per-doc average bigram negative
+    // log-likelihood under the per-dir persisted hashed-bigram model
+    // (the oracle scores from the SAME table — training drops out).
+    "lm_perplexity" -> ((s, dir) =>
+      TextAnalysis.lmScore(
+        s.read.parquet(s"$dir/documents.parquet"), lmModel(s, dir))),
     // Span-level dedup (substring analogue of doc dedup): every 8-token
     // window hashed in one native pass (stride 1, positions kept), one
     // hash agg -> top cross-doc duplicated spans.
@@ -1315,6 +1341,7 @@ object SparkEntry {
   private def idxOracleGlob = kmOracleGlob
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
+  private def lmOracleGlob = sideGlob(lmOracleDir, lmPath, lmAlias)
   private def sideGlob(lastDir: String, perDir: String => String,
       alias: String): String =
     s"'${if (lastDir != null) perDir(lastDir) else alias}/*.parquet'"
@@ -2035,6 +2062,23 @@ object SparkEntry {
          |j AS (SELECT f.doc_id, m.w FROM f JOIN m USING (fid))
          |SELECT doc_id, round(sum(w::DECIMAL(18,6))::DOUBLE, 6) AS nb_score,
          |  count(*)::BIGINT AS n_tokens
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "lm_perplexity" ->
+      s"""WITH $W,
+         |pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |        FROM t WHERE len(w) >= 2),
+         |bi AS (SELECT doc_id, ${h60("w[i]")} AS w1h, ${h60("w[i+1]")} AS w2h
+         |       FROM pos),
+         |m AS (SELECT * FROM read_parquet($lmOracleGlob)),
+         |mb AS (SELECT w1h, w2h, logp FROM m WHERE w2h IS NOT NULL),
+         |mc AS (SELECT w1h, logp AS logp_ctx FROM m
+         |       WHERE w2h IS NULL AND w1h IS NOT NULL),
+         |mg AS (SELECT logp AS logp_global FROM m WHERE w1h IS NULL),
+         |j AS (SELECT doc_id, coalesce(mb.logp, mc.logp_ctx, mg.logp_global) AS lp
+         |      FROM bi LEFT JOIN mb USING (w1h, w2h)
+         |      LEFT JOIN mc USING (w1h) CROSS JOIN mg)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  round(-(sum(lp::DECIMAL(18,6))::DOUBLE) / count(*), 6) AS avg_nll
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "duplicate_spans" ->
       s"""WITH $W,

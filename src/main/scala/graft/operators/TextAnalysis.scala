@@ -371,6 +371,80 @@ object TextAnalysis {
         count("*").cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Train a hashed-vocabulary bigram language model with add-alpha
+    * smoothing — the CCNet-style fluency signal: documents whose token
+    * transitions are improbable under a corpus-wide LM are boilerplate,
+    * gibberish, or wrong-language, and LM perplexity is the standard
+    * filter score for that (Wenzek et al. '20 use a KenLM 5-gram; the
+    * bigram form keeps the model a bounded two-column table).
+    *
+    * Model rows (one table, three tiers — scoring coalesces down them):
+    *   (w1h, w2h, logp)   ln P(w2|w1) for every observed bigram
+    *   (w1h, null, logp)  the unseen-successor penalty ln(α/(c1+αV))
+    *   (null, null, logp) the unseen-context penalty ln(1/V)
+    * logp is rounded to 6dp AT TRAIN TIME and persisted, so scoring sums
+    * exact decimals (the [[scoreQualityModel]] determinism rule) and the
+    * oracle replays from the same table — cross-engine ln() never meets
+    * the comparison. Scale: two hash aggregates on token-hash keys plus
+    * one equi-join of bigram counts to context counts; V is the one
+    * driver-side scalar (a count), as with the kmeans/PQ metadata. */
+  def lmTrain(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val toks = docs.select(TextOps.words(col("text")).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("tok"))
+      .select(TextOps.hash60(col("tok")).as("w1h"))
+      .groupBy("w1h").agg(count(lit(1)).as("c1"))
+    val v = uni.count()
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS a, ws[i+1] AS b))"))
+        .as("p"))
+      .select(TextOps.hash60(col("p.a")).as("w1h"),
+        TextOps.hash60(col("p.b")).as("w2h"))
+      .groupBy("w1h", "w2h").agg(count(lit(1)).as("c12"))
+    val bigrams = bi.join(uni, Seq("w1h"))
+      .select(col("w1h"), col("w2h"),
+        round(log((col("c12") + alpha) / (col("c1") + alpha * v)), 6).as("logp"))
+    val unseenSucc = uni.select(col("w1h"), lit(null).cast("long").as("w2h"),
+      round(log(lit(alpha) / (col("c1") + alpha * v)), 6).as("logp"))
+    val unseenCtx = docs.sparkSession.range(1)
+      .select(lit(null).cast("long").as("w1h"), lit(null).cast("long").as("w2h"),
+        round(log(lit(1.0) / v), 6).as("logp"))
+    bigrams.unionByName(unseenSucc).unionByName(unseenCtx)
+  }
+
+  /** Score documents against a trained [[lmTrain]] table: explode each
+    * doc's consecutive token-hash pairs map-side, left-join the bigram
+    * tier, fall back to the context tier, then the global tier, and
+    * average the negative log-likelihood per doc. The decimal sum of
+    * exact-6dp model values is association-order-free; the final divide
+    * is one double op on identical operands in both engines. Scale: the
+    * model join is a bounded-key equi-join (broadcast when the model is
+    * small — AQE's call); everything before it fuses into the scan. */
+  def lmScore(docs: DataFrame, model: DataFrame): DataFrame = {
+    val mBig = model.filter(col("w2h").isNotNull)
+    val mCtx = model.filter(col("w2h").isNull && col("w1h").isNotNull)
+      .select(col("w1h"), col("logp").as("logp_ctx"))
+    val mGlobal = model.filter(col("w1h").isNull)
+      .select(col("logp").as("logp_global"))
+    docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS a, ws[i+1] AS b))"))
+        .as("p"))
+      .select(col("doc_id"), TextOps.hash60(col("p.a")).as("w1h"),
+        TextOps.hash60(col("p.b")).as("w2h"))
+      .join(mBig, Seq("w1h", "w2h"), "left")
+      .join(mCtx, Seq("w1h"), "left")
+      .crossJoin(broadcast(mGlobal))
+      .withColumn("lp", coalesce(col("logp"), col("logp_ctx"), col("logp_global")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(-(sum(col("lp").cast("decimal(18,6)")).cast("double"))
+          / count(lit(1)), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Substring-level duplicate-span detection — the span analogue of doc
     * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better": repeated spans poison training even when no two DOCS

@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions.avg
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bigram LM: fluent in-domain text scores lower NLL than shuffled gibberish") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val model = TextAnalysis.lmTrain(docs).cache()
+    // three tiers present: bigrams, per-context unseen penalty, global
+    assert(model.filter($"w2h".isNotNull).count() > 0)
+    assert(model.filter($"w2h".isNull && $"w1h".isNotNull).count() > 0)
+    assert(model.filter($"w1h".isNull).count() == 1L)
+    // persist/read-back scores identically (the driver lifecycle)
+    val dest = java.nio.file.Files.createTempDirectory("lm").toString + "/m"
+    model.write.parquet(dest)
+    val persisted = spark.read.parquet(dest)
+    // a real fixture doc vs the same words in a hash-scrambled order:
+    // the LM must prefer the order it was trained on
+    val sample = docs.orderBy("doc_id").limit(1)
+      .select($"text").as[String].head()
+    val words = sample.split(" ")
+    val scrambled = words.sortBy(w => w.hashCode).mkString(" ")
+    val probe = Seq((1L, sample), (2L, scrambled)).toDF("doc_id", "text")
+    val nll = TextAnalysis.lmScore(probe, persisted)
+      .select($"doc_id", $"avg_nll").as[(Long, Double)].collect().toMap
+    assert(nll(1L) < nll(2L),
+      s"fluent ${nll(1L)} must beat scrambled ${nll(2L)}")
+    // determinism across two runs (decimal sums, no double accumulation)
+    val a = TextAnalysis.lmScore(docs, persisted).collect()
+    val b = TextAnalysis.lmScore(docs, persisted).collect()
+    assert(a.sameElements(b))
+  }
+
   test("quality model: learned log-odds separate the weak-label classes") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val model = TextAnalysis.trainQualityModel(docs).cache()
