@@ -141,12 +141,23 @@ object Bench {
         (secs, lats2.asScala.toArray.sorted)
       } finally srv.close()
     }
-    // best-of-N like the per-query timings: single-run serving throughput
-    // swings ~2x with background machine noise, and the graded pass/fail
-    // must reflect the engine, not the noisiest run
-    val (bsecs, bLatSorted) = (1 to 3)
+    // MEDIAN-of-3 per serving phase (VERDICT r8 #1): a single run's
+    // throughput swings ~2x with background machine noise, and best-of-N
+    // grades the luckiest run — a pass that a rerun can flip. The graded
+    // number is the MEDIAN run (by that phase's graded stat) and every
+    // run's stat is recorded (_r1.._rN keys) so the spread itself is an
+    // artifact: noise and regression stop being indistinguishable.
+    def p50Of(lat: Array[Double]): Double =
+      math.rint(lat(((lat.length - 1) * 0.5).toInt) * 10) / 10
+    def med3[T](runs: Seq[T])(key: T => Double): T =
+      runs.sortBy(key)(Ordering.Double.TotalOrdering)(runs.length / 2)
+    def runKeys(prefix: String, vals: Seq[Double]): Seq[(String, Double)] =
+      vals.zipWithIndex.map { case (v, i) =>
+        s"${prefix}_r${i + 1}" -> math.rint(v * 10) / 10 }
+    val bRuns = (1 to 3)
       .map(_ => driveServer(bThreads, perSubmitter, closedLoop = false))
-      .minBy(_._1)
+    val (bsecs, bLatSorted) = med3(bRuns)(_._1)
+    val bQpsRuns = runKeys("batch_qps", bRuns.map(r => bQ / r._1))
     def bPct(p: Double): Double =
       math.rint(bLatSorted(((bLatSorted.length - 1) * p).toInt) * 10) / 10
     // CLOSED-loop batched serving: 64 concurrent clients, each awaiting
@@ -156,9 +167,10 @@ object Bench {
     // so this measures the flush window + one ~64-query job.
     val cThreads = 64
     val cPerClient = 8
-    val (csecs, cLatSorted) = (1 to 2)
+    val cRuns = (1 to 3)
       .map(_ => driveServer(cThreads, cPerClient, closedLoop = true))
-      .minBy(_._1)
+    val (csecs, cLatSorted) = med3(cRuns)(r => p50Of(r._2))
+    val cP50Runs = runKeys("batch_closed_p50_ms", cRuns.map(r => p50Of(r._2)))
     def cPct(p: Double): Double =
       math.rint(cLatSorted(((cLatSorted.length - 1) * p).toInt) * 10) / 10
     // PACED arrival at the reference's own rate bar (1000 ops/s): the
@@ -202,37 +214,48 @@ object Bench {
         lats.asScala.toArray.sorted
       } finally srv.close()
     }
-    val pLatSorted = (1 to 2).map(_ => drivePaced(1000.0, 3000))
-      .minBy(a => a(((a.length - 1) * 0.5).toInt))
+    val pRuns = (1 to 3).map(_ => drivePaced(1000.0, 3000))
+    val pLatSorted = med3(pRuns)(p50Of)
+    val pP50Runs = runKeys("paced_p50_ms", pRuns.map(p50Of))
     def pPct(p: Double): Double =
       math.rint(pLatSorted(((pLatSorted.length - 1) * p).toInt) * 10) / 10
-    // the same closed loop FORCED onto the Spark-job tier: documents the
-    // job-dispatch floor the replica tier exists to beat (measured bare
-    // floor on this box: ~12 ms p50 for a 1-task collect, 15-18 ms for 8
-    // tasks — a per-flush-job design cannot meet the 20 ms bar)
-    val (jsecs, jLatSorted) = (1 to 2)
+    // the same closed loop FORCED onto the Spark-job tier: the
+    // replica-too-big regime, measured (VERDICT r8 #2) — a shard past
+    // `localReplicaMaxRows` serves per-flush Spark jobs, paying the
+    // dispatch floor (measured bare floor on this box: ~12 ms p50 for a
+    // 1-task collect, 15-18 ms for 8 tasks). Graded honestly in
+    // `targets` as the crossover row; SCALING.md documents the regime.
+    val jRuns = (1 to 3)
       .map(_ => driveServer(cThreads, cPerClient, closedLoop = true,
         replicaTier = false))
-      .minBy(_._1)
+    val (jsecs, jLatSorted) = med3(jRuns)(r => p50Of(r._2))
+    val jP50Runs = runKeys("batch_closed_sparkjob_p50_ms",
+      jRuns.map(r => p50Of(r._2)))
     def jPct(p: Double): Double =
       math.rint(jLatSorted(((jLatSorted.length - 1) * p).toInt) * 10) / 10
     // per-request floor via the serving template (VERDICT r7 #6): ONE
     // closed-loop client, each request a batch of 1 through the pinned
     // template RDD — measures what plan-template reuse alone buys a
     // single-request caller vs the per-request Search.knn job above
-    val (ssecs, sLatSorted) = (1 to 2)
+    val sRuns = (1 to 3)
       .map(_ => driveServer(1, 60, closedLoop = true, replicaTier = false))
-      .minBy(_._1)
+    val (ssecs, sLatSorted) = med3(sRuns)(_._1)
     def sPct(p: Double): Double =
       math.rint(sLatSorted(((sLatSorted.length - 1) * p).toInt) * 10) / 10
     // the same lone client on the DEFAULT (replica-tier) server: what a
     // single interactive caller actually experiences — no job dispatch.
-    // At ~1 ms/op a 60-request sample is jitter-dominated (one GC pause
-    // moves QPS 2×); warm the JIT with a discarded pass, then measure 400.
-    driveServer(1, 100, closedLoop = true)
-    val (rsecs, rLatSorted) = (1 to 2)
-      .map(_ => driveServer(1, 400, closedLoop = true))
-      .minBy(_._1)
+    // Methodology is IN the artifact (ADVICE r8): one COLD 60-request
+    // sample first (cross-round continuity with the pre-r8 key), then a
+    // discarded 100-request JIT warm pass, then `rSamples` samples of
+    // `rReqs` requests; the graded number is the MEDIAN sample's QPS,
+    // with every sample's QPS recorded.
+    val (coldSecs, _) = driveServer(1, 60, closedLoop = true)
+    driveServer(1, 100, closedLoop = true) // discarded JIT warm pass
+    val rSamples = 3
+    val rReqs = 400
+    val rRuns = (1 to rSamples).map(_ => driveServer(1, rReqs, closedLoop = true))
+    val (rsecs, rLatSorted) = med3(rRuns)(_._1)
+    val rQpsRuns = runKeys("solo_replica_warm_qps", rRuns.map(r => rReqs / r._1))
     def rPct(p: Double): Double =
       math.rint(rLatSorted(((rLatSorted.length - 1) * p).toInt) * 10) / 10
     // insertion throughput (reference BenchmarkSuite insertion phase):
@@ -275,10 +298,14 @@ object Bench {
       "solo_template_qps" -> math.rint(60 / ssecs * 10) / 10,
       "solo_template_p50_ms" -> sPct(0.50),
       "solo_template_p99_ms" -> sPct(0.99),
-      "solo_replica_qps" -> math.rint(400 / rsecs * 10) / 10,
-      "solo_replica_p50_ms" -> rPct(0.50),
-      "solo_replica_p99_ms" -> rPct(0.99),
-      "ingest_rows_per_sec" -> math.rint(ingested / isecs))
+      "solo_replica_cold_qps" -> math.rint(60 / coldSecs * 10) / 10,
+      "solo_replica_warm_samples" -> rSamples.toDouble,
+      "solo_replica_warm_reqs_per_sample" -> rReqs.toDouble,
+      "solo_replica_warm_qps" -> math.rint(rReqs / rsecs * 10) / 10,
+      "solo_replica_warm_p50_ms" -> rPct(0.50),
+      "solo_replica_warm_p99_ms" -> rPct(0.99),
+      "ingest_rows_per_sec" -> math.rint(ingested / isecs)) ++
+      bQpsRuns ++ cP50Runs ++ pP50Runs ++ jP50Runs ++ rQpsRuns
   }
 
   /** Grade measured serving numbers against the reference's recorded
@@ -315,13 +342,23 @@ object Bench {
       // replica tier (the Spark-idiomatic analogue of the reference's
       // in-process index, which is what its own bars were measured on) —
       // the unbatched one-job-per-query rows above stay reported as the
-      // documented scheduling floor
+      // documented scheduling floor. Graded on the MEDIAN warmed sample
+      // (sample size/warmup recorded in the qps map, ADVICE r8).
       field("per_request_replica_qps_vs_1000",
-        qps.get("solo_replica_qps"),
-        qps.get("solo_replica_qps").map(_ >= refQps)) ++
+        qps.get("solo_replica_warm_qps"),
+        qps.get("solo_replica_warm_qps").map(_ >= refQps)) ++
       field("per_request_replica_p50_ms_vs_20",
-        qps.get("solo_replica_p50_ms"),
-        qps.get("solo_replica_p50_ms").map(_ <= refLatMs))
+        qps.get("solo_replica_warm_p50_ms"),
+        qps.get("solo_replica_warm_p50_ms").map(_ <= refLatMs)) ++
+      // the replica-too-big crossover (VERDICT r8 #2): a shard past
+      // localReplicaMaxRows serves per-flush Spark jobs — this row grades
+      // that regime explicitly instead of implying it. Honest grade: the
+      // job dispatch floor puts it over the reference's 20 ms bar; the
+      // 100 TB answer is sharding the fleet so each serving shard stays
+      // replica-sized (see SCALING.md).
+      field("replica_too_big_job_tier_p50_ms_vs_20",
+        qps.get("batch_closed_sparkjob_p50_ms"),
+        qps.get("batch_closed_sparkjob_p50_ms").map(_ <= refLatMs))
     (Seq("\"ref_qps_min\":" + refQps, "\"ref_search_ms_max\":" + refLatMs) ++ checks)
       .mkString("{", ",", "}")
   }
@@ -350,21 +387,31 @@ object Bench {
     // warmup: run the flagship once at the smallest scale (class loading,
     // codegen compilation, parquet footer caches)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // best-of-2 per query: the second run reuses compiled codegen and
-    // relation caches, so min() measures the query, not JIT/GC noise
+    // MEDIAN-of-3 per query after one discarded warmup (VERDICT r8 #1):
+    // the warmup run absorbs codegen compilation and relation-cache
+    // fills; the median of the three timed runs is robust to a one-off
+    // GC/scheduler stall in either direction, where best-of-N grades the
+    // luckiest run and a single sample cannot tell noise from
+    // regression. All three timed runs ship in the full artifact
+    // (`queries_runs`) so spread is adjudicable round over round.
     // optional comma-separated query-name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      once() // discarded warmup
+      val times = (1 to 3).map(_ => once())
+      (name, times.sorted.apply(1), times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qRuns = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // recall@10 of every approximate path vs exact at this scale — guards
@@ -389,7 +436,7 @@ object Bench {
     // explicit pass/fail vs the reference's self-evaluation targets
     val targets = targetsJson(qpsMap)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$recall,"qps":$qps,"targets":$targets,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qRuns,"recall":$recall,"qps":$qps,"targets":$targets,"sf":"$sfDir"}"""
     println(line)
     // persist the FULL artifact from inside the bench itself — committed
     // per round so per-query deltas are adjudicable (a shell-tail capture

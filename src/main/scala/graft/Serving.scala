@@ -143,8 +143,14 @@ final class BatchedServer(
 
   /** Replica tier state: decided by the FIRST flush (count, then collect
     * if within `localReplicaMaxRows`). Kept out of the constructor so a
-    * failing frame fails that flush's futures, not `new`. */
-  @volatile private var replica: Array[(Long, Array[Double], Int)] = null
+    * failing frame fails that flush's futures, not `new`. The replica is
+    * held FLAT (one contiguous primitive double slab + parallel id/user
+    * arrays, [[BatchedServer.FlatReplica]]): scoring walks sequential
+    * memory instead of chasing a tuple pointer per row, and the slab
+    * adds zero GC-scannable references — both throughput and the
+    * run-to-run latency variance improve (fewer cache misses, no
+    * old-gen pointer scanning during a request). */
+  @volatile private var replica: BatchedServer.FlatReplica = null
   @volatile private var replicaDecided = false
   private val replicaInitLock = new Object
   private val scoreParallelism =
@@ -161,7 +167,7 @@ final class BatchedServer(
     if (!replicaDecided) replicaInitLock.synchronized {
       if (!replicaDecided) {
         if (localReplicaMaxRows > 0 && template.count() <= localReplicaMaxRows) {
-          replica = template.collect()
+          replica = BatchedServer.FlatReplica(template.collect())
           // the replica owns serving from here — free the pinned blocks
           template.unpersist(blocking = false)
         }
@@ -171,10 +177,35 @@ final class BatchedServer(
 
   /** Enqueue one search request; the future completes with this request's
     * top-k rows `(id, score, user_id)` in rank order — the same rows, in
-    * the same order, as a solo `Search.knn(points, q, k, threshold)`. */
+    * the same order, as a solo `Search.knn(points, q, k, threshold)`.
+    *
+    * Direct tier (tier 0): when the replica is resident, small enough to
+    * scan in ~a millisecond ([[BatchedServer.DirectMaxCells]]), and
+    * nothing is queued (no batching pressure to coalesce with), the
+    * request scores ON THE CALLER THREAD with the same kernel and
+    * returns a completed future — zero cross-thread handoffs. The
+    * queued path pays four wakeups (caller→flusher→flush pool→score
+    * pool→caller), each a scheduler roll of the dice; run-to-completion
+    * on the request thread is how in-process stores serve point lookups
+    * and removes that variance entirely. Under queueing pressure the
+    * batching machinery engages as before (coalesced flushes), and
+    * larger replicas always take the sliced score-pool path. */
   def submit(qemb: Seq[Double]): Future[Array[Row]] = {
     require(qemb != null && qemb.nonEmpty,
       "empty embedding (min_items=1)") // same bar as Api.addVectors
+    require(open, "BatchedServer is closed")
+    val rep = replica
+    if (rep != null && rep.cells <= BatchedServer.DirectMaxCells &&
+        queue.isEmpty) {
+      val q = qemb.toArray
+      val cands = BatchedServer.scoreRange(rep, 0, rep.n,
+        Array(q), k, threshold)
+      val hits = cands
+        .sortBy { case (_, id, s, _) => (-s, id) }
+        .take(k)
+        .map { case (_, id, s, u) => Row(id, s, u) }
+      return Future.successful(hits)
+    }
     val p = Promise[Array[Row]]()
     lock.synchronized {
       require(open, "BatchedServer is closed")
@@ -199,22 +230,29 @@ final class BatchedServer(
       ensureReplicaDecision()
       val cands: Array[(Int, Long, Double, Int)] =
         if (replica != null) {
-          // slice the replica across the score pool; kernel identical to
-          // the job path, and slice boundaries can't change the merged
-          // result (per-slice top-k ⊇ per-query global top-k)
+          // kernel identical to the job path, and slice boundaries can't
+          // change the merged result (per-slice top-k ⊇ per-query global
+          // top-k). Small flushes score INLINE on this flush thread: at
+          // ≤ ~2M slab cells of work the scan costs ~a millisecond and
+          // an 8-way invokeAll is pure handoff overhead + wakeup jitter.
           val rep = replica
-          val nSlices = math.min(scoreParallelism, math.max(rep.length, 1))
-          val tasks = new java.util.ArrayList[
-            java.util.concurrent.Callable[Array[(Int, Long, Double, Int)]]](nSlices)
-          var si = 0
-          while (si < nSlices) {
-            val lo = (rep.length.toLong * si / nSlices).toInt
-            val hi = (rep.length.toLong * (si + 1) / nSlices).toInt
-            tasks.add(() => BatchedServer.scoreRange(rep, lo, hi, queries, kk, th))
-            si += 1
+          if (rep.cells * math.max(queries.length, 1) <=
+              BatchedServer.DirectMaxCells) {
+            BatchedServer.scoreRange(rep, 0, rep.n, queries, kk, th)
+          } else {
+            val nSlices = math.min(scoreParallelism, math.max(rep.n, 1))
+            val tasks = new java.util.ArrayList[
+              java.util.concurrent.Callable[Array[(Int, Long, Double, Int)]]](nSlices)
+            var si = 0
+            while (si < nSlices) {
+              val lo = (rep.n.toLong * si / nSlices).toInt
+              val hi = (rep.n.toLong * (si + 1) / nSlices).toInt
+              tasks.add(() => BatchedServer.scoreRange(rep, lo, hi, queries, kk, th))
+              si += 1
+            }
+            import scala.jdk.CollectionConverters._
+            scorePool.invokeAll(tasks).asScala.toArray.flatMap(_.get())
           }
-          import scala.jdk.CollectionConverters._
-          scorePool.invokeAll(tasks).asScala.toArray.flatMap(_.get())
         } else {
           // the query block rides in the task closure: Spark broadcasts
           // the task binary per stage anyway, so an explicit Broadcast
@@ -326,6 +364,48 @@ object BatchedServer {
     * in-process index. Larger shards serve via the batched job path. */
   val DefaultReplicaMaxRows: Long = 1L << 18
 
+  /** Work cap (slab cells = rows × dim) under which scoring runs inline
+    * on the requesting/flushing thread instead of fanning out to the
+    * score pool: 2^21 doubles ≈ 16 MB ≈ a ~1 ms single-thread scan —
+    * below the cost of the cross-thread handoffs parallelism needs. */
+  val DirectMaxCells: Long = 1L << 21
+
+  /** The replica's in-memory layout: parallel primitive arrays with one
+    * contiguous double slab for the vectors (CSR-style offsets tolerate
+    * ragged rows without a branch in the hot loop). Zero per-row objects:
+    * no pointer chase per row, nothing for the GC to trace. */
+  final class FlatReplica(
+      val n: Int, val ids: Array[Long], val users: Array[Int],
+      val offs: Array[Int], val embs: Array[Double]) {
+    def cells: Long = embs.length.toLong
+  }
+
+  object FlatReplica {
+    def apply(rows: Array[(Long, Array[Double], Int)]): FlatReplica = {
+      val n = rows.length
+      val ids = new Array[Long](n)
+      val users = new Array[Int](n)
+      val offs = new Array[Int](n + 1)
+      var total = 0
+      var i = 0
+      while (i < n) {
+        total += rows(i)._2.length
+        offs(i + 1) = total
+        i += 1
+      }
+      val embs = new Array[Double](total)
+      i = 0
+      while (i < n) {
+        val r = rows(i)
+        ids(i) = r._1
+        users(i) = r._3
+        System.arraycopy(r._2, 0, embs, offs(i), r._2.length)
+        i += 1
+      }
+      new FlatReplica(n, ids, users, offs, embs)
+    }
+  }
+
   /** The serving score kernel: same left-to-right accumulation as the
     * codegen [[graft.plans.DotProductD]], same 6dp HALF_UP round as
     * Spark's `round` ([[graft.plans.Num.round6]]) — replica tier and job
@@ -338,21 +418,35 @@ object BatchedServer {
     graft.plans.Num.round6(s)
   }
 
-  /** Per-slice top-k over `rep(lo until hi)` for every query — the
-    * replica tier's unit of parallelism on the score pool. */
+  /** Per-slice top-k over replica rows `[lo, hi)` for every query — the
+    * replica tier's unit of parallelism on the score pool (and, inline,
+    * the whole-replica kernel of the direct tier). The dot product is
+    * the same left-to-right accumulation over `min(rowLen, queryLen)`
+    * dims and the same 6dp HALF_UP round as [[dotRound6]] — bit-for-bit
+    * the job-tier kernel, just reading the flat slab. */
   private[graft] def scoreRange(
-      rep: Array[(Long, Array[Double], Int)], lo: Int, hi: Int,
+      rep: FlatReplica, lo: Int, hi: Int,
       queries: Array[Array[Double]], k: Int, th: Double)
       : Array[(Int, Long, Double, Int)] = {
     val nq = queries.length
     val tops = Array.fill(nq)(new TopK(k))
+    val embs = rep.embs
+    val offs = rep.offs
     var i = lo
     while (i < hi) {
-      val (id, emb, user) = rep(i)
+      val base = offs(i)
+      val rowLen = offs(i + 1) - base
+      val id = rep.ids(i)
+      val user = rep.users(i)
       var qi = 0
       while (qi < nq) {
-        val s = dotRound6(emb, queries(qi))
-        if (s >= th) tops(qi).offer(s, id, user)
+        val q = queries(qi)
+        val nd = math.min(rowLen, q.length)
+        var s = 0.0d
+        var d = 0
+        while (d < nd) { s += embs(base + d) * q(d); d += 1 }
+        val r = graft.plans.Num.round6(s)
+        if (r >= th) tops(qi).offer(r, id, user)
         qi += 1
       }
       i += 1

@@ -2891,7 +2891,8 @@ object SparkEntry {
          |  sum(CASE WHEN nfc_normalize(text) != text THEN 1 ELSE 0 END)::BIGINT
          |    AS n_nfc_changed,
          |  sum(len(regexp_extract_all(text, chr(65533))))::BIGINT AS n_replacement,
-         |  sum(len(regexp_extract_all(text, chr(195) || '|' || chr(194))))::BIGINT
+         |  sum(len(regexp_extract_all(text,
+         |    '${graft.operators.TextNormalize.mojibakeRe}')))::BIGINT
          |    AS n_mojibake,
          |  sum(len(regexp_extract_all(text,
          |    '${graft.operators.TextNormalize.controlRe}')))::BIGINT AS n_control

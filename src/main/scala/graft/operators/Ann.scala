@@ -222,10 +222,15 @@ object Ann {
     * — same effect [[Dedup.embeddingCosinePairs]] documents for the
     * near-dup threshold regime). It is a BUCKETING primitive: recall is
     * high exactly when the neighbor is near-duplicate-close (the regime
-    * dedup uses it in). The serving policy ([[adaptiveParams]] /
-    * [[policySearch]]) routes exclusively exact-vs-IVF and can never
-    * select an LSH path — asserted in AnnSpec. */
-  def lshSearchMultiProbe(
+    * dedup uses it in). For that reason it is `private[graft]` — NOT part
+    * of the public search surface: the serving-quality LSH entries are
+    * [[lshSearchMultiTable]] (recall 0.838 at L=12) and
+    * [[lshSearchCalibrated]] (L derived from a measured recall target).
+    * The serving policy ([[adaptiveParams]] / [[policySearch]]) routes
+    * exclusively exact-vs-IVF and can never select an LSH path —
+    * asserted in AnnSpec. The registered `ann_lsh_multiprobe` query
+    * exercises it as the bucket-probe correctness check it is. */
+  private[graft] def lshSearchMultiProbe(
       points: DataFrame, queryDf: DataFrame,
       hyperplanes: Seq[Seq[Double]], k: Int): DataFrame = {
     val b = hyperplanes.size

@@ -33,7 +33,20 @@ object Events {
     * A map-side projection either way — nothing here blocks pushdown of
     * other predicates or costs a shuffle. */
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case LongType =>
+      // A LONG ts can ONLY mean epoch NANOS here: the sole producer of a
+      // LongType ts is the nanosAsLong legacy conf reading a
+      // TIMESTAMP(NANOS) parquet column ([[load]] sets it). Guard the
+      // assumption: epoch-nanos for any plausible fixture date sit near
+      // 1e18 (2001-09-09..2033-05-18 spans [1e18, 2e18)); a plain INT64
+      // micros/millis column (~1.7e15 / ~1.7e12) would be silently divided
+      // into wrong instants, so fail loud instead of guessing its unit.
+      val guard = df.select(min(col("ts")), max(col("ts"))).first()
+      val (lo, hi) = (guard.getLong(0), guard.getLong(1))
+      require(lo >= 1000000000000000000L && hi < 2000000000000000000L,
+        s"LongType ts range [$lo, $hi] is not epoch-nanos magnitude " +
+          "(~1e18); refusing to assume a unit — fixture encoding changed?")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
     case _                => df
   }

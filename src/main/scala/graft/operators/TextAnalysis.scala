@@ -380,8 +380,15 @@ object TextAnalysis {
     *
     * Model rows (one table, three tiers — scoring coalesces down them):
     *   (w1h, w2h, logp)   ln P(w2|w1) for every observed bigram
-    *   (w1h, null, logp)  the unseen-successor penalty ln(α/(c1+αV))
+    *   (w1h, null, logp)  the unseen-successor penalty ln(α/(n1+αV))
     *   (null, null, logp) the unseen-context penalty ln(1/V)
+    * The conditional's denominator n1 is the CONTEXT count — Σ_w2 c12
+    * from the bigram table, NOT the raw unigram count: a token's
+    * doc-final occurrences never serve as a bigram context, and using
+    * the unigram count there would leave P(·|w1) summing below 1. With
+    * n1, Σ_w2 [(c12+α)/(n1+αV)] over the V-word successor support is
+    * exactly 1, and a token seen ONLY doc-finally (n1=0) degrades to
+    * ln(α/(αV)) = ln(1/V) — seamlessly the uniform unseen-context tier.
     * logp is rounded to 6dp AT TRAIN TIME and persisted, so scoring sums
     * exact decimals (the [[scoreQualityModel]] determinism rule) and the
     * oracle replays from the same table — cross-engine ln() never meets
@@ -401,11 +408,16 @@ object TextAnalysis {
       .select(TextOps.hash60(col("p.a")).as("w1h"),
         TextOps.hash60(col("p.b")).as("w2h"))
       .groupBy("w1h", "w2h").agg(count(lit(1)).as("c12"))
-    val bigrams = bi.join(uni, Seq("w1h"))
+    // context counts DERIVED from the bigram table (Σ_w2 c12), so the
+    // conditional normalizes over its actual context occurrences
+    val ctx = bi.groupBy("w1h").agg(sum("c12").as("n1"))
+    val bigrams = bi.join(ctx, Seq("w1h"))
       .select(col("w1h"), col("w2h"),
-        round(log((col("c12") + alpha) / (col("c1") + alpha * v)), 6).as("logp"))
-    val unseenSucc = uni.select(col("w1h"), lit(null).cast("long").as("w2h"),
-      round(log(lit(alpha) / (col("c1") + alpha * v)), 6).as("logp"))
+        round(log((col("c12") + alpha) / (col("n1") + alpha * v)), 6).as("logp"))
+    val unseenSucc = uni.join(ctx, Seq("w1h"), "left")
+      .select(col("w1h"), lit(null).cast("long").as("w2h"),
+        round(log(lit(alpha) / (coalesce(col("n1"), lit(0L)) + alpha * v)), 6)
+          .as("logp"))
     val unseenCtx = docs.sparkSession.range(1)
       .select(lit(null).cast("long").as("w1h"), lit(null).cast("long").as("w2h"),
         round(log(lit(1.0) / v), 6).as("logp"))

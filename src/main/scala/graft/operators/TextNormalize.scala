@@ -27,9 +27,15 @@ object TextNormalize {
   val controlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
 
   /** UTF-8-bytes-decoded-as-Latin-1 artifacts: Ã (0xC3) and Â (0xC2) are
-    * the lead bytes of 2-byte UTF-8 sequences, so their presence as
-    * *characters* is the classic double-decode signature ("Ã©" for "é"). */
-  val mojibakeRe = "Ã|Â"
+    * the lead bytes of 2-byte UTF-8 sequences — but both are also
+    * legitimate letters in real corpora ("SÃO", "Â"), so a bare
+    * lead-char count over-reports. The signature requires the lead char
+    * to be FOLLOWED by a Latin-1 char in the UTF-8 continuation-byte
+    * range U+0080–U+00BF ("Ã©" = 0xC3 0xA9, the double-decode of "é");
+    * a lead char before an ASCII letter ("SÃO") does not match. Two-digit
+    * \xhh escapes mean the same code point in Java regex and RE2, so the
+    * pattern is oracle-portable verbatim. */
+  val mojibakeRe = "[\\xC3\\xC2][\\x80-\\xBF]"
 
   /** U+FFFD — what a decoder emits where bytes were unmappable. */
   val replacementChar = "�"

@@ -35,6 +35,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("bigram LM conditionals normalize: sum of P(.|w1) over the vocab is 1") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val model = TextAnalysis.lmTrain(docs).cache()
+    val v = model.filter($"w2h".isNull && $"w1h".isNotNull).count()
+    // for each context: observed-successor mass + (V - observed) copies of
+    // the unseen-successor penalty must total 1 (6dp train-time rounding
+    // of logp leaves only tiny drift)
+    val byCtx = model.filter($"w1h".isNotNull)
+      .groupBy("w1h")
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"w2h".isNotNull,
+            org.apache.spark.sql.functions.exp($"logp")).otherwise(0d)).as("obs"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"w2h".isNull,
+            org.apache.spark.sql.functions.exp($"logp")).otherwise(0d)).as("unseen1"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"w2h".isNotNull, 1L).otherwise(0L)).as("nObs"))
+      .select($"obs" + ($"unseen1" *
+        (org.apache.spark.sql.functions.lit(v.toDouble) - $"nObs")))
+    val sums = byCtx.as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0d) < 1e-3),
+      s"P(.|w1) must sum to 1; worst drift ${sums.map(s => math.abs(s - 1)).max}")
+  }
+
   test("quality model: learned log-odds separate the weak-label classes") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val model = TextAnalysis.trainQualityModel(docs).cache()

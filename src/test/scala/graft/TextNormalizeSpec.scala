@@ -40,15 +40,17 @@ class TextNormalizeSpec extends SparkSpec {
   test("encodingReport counts each defect class per group") {
     val df = Seq(
       ("en", decomposed),                      // nfc drift only
-      ("en", "\u00c3\u00a9\u00c2 text"),       // two mojibake lead chars
+      ("en", "\u00c3\u00a9\u00c2 text"),       // \u00c3\u00a9 is mojibake; bare \u00c2+space is not
       ("en", "x\ufffd\u0007\ufffdy"),          // 2 replacements + 1 control
-      ("de", "clean text")
+      ("de", "clean text"),
+      ("pt", "S\u00c3O PAULO \u00c2ngela")      // legit Latin-1 letters - NOT mojibake
     ).toDF("lang", "text")
     val rows = TextNormalize.encodingReport(df, "text", Seq("lang"))
       .as[(String, Long, Long, Long, Long, Long)].collect()
     // (lang, n_docs, n_nfc_changed, n_replacement, n_mojibake, n_control)
     assert(rows.toSeq == Seq(
       ("de", 1L, 0L, 0L, 0L, 0L),
-      ("en", 3L, 1L, 2L, 2L, 1L)))
+      ("en", 3L, 1L, 2L, 1L, 1L),
+      ("pt", 1L, 0L, 0L, 0L, 0L)))
   }
 }
