@@ -1227,6 +1227,18 @@ object SparkEntry {
         .select(col("asset_id"), col("media_type"), col("f0"), col("f1"),
           col("f2"), col("f3"))
         .orderBy("asset_id")),
+    // JPEG through the same real codec (VERDICT r8 #4): genuine DCT+
+    // Huffman containers (JDK jpg writer, quality 1.0) whose constant-
+    // gray content round-trips bit-exactly, so the decoded stats get the
+    // same closed-form full-hash oracle as the BMP/PNG/WAV fixture.
+    "multimodal_decode_jpeg" -> ((s, dir) =>
+      Multimodal.extractFeaturesPartitioned(
+          Multimodal.genJpegAssets(s, dir, nAssets = 30).toDF(),
+          Multimodal.JvmCodec)
+        .toDF()
+        .select(col("asset_id"), col("media_type"), col("f0"), col("f1"),
+          col("f2"), col("f3"))
+        .orderBy("asset_id")),
     // PII audit: per-event-type totals of each PII category over the
     // synthesized contact-profile string (the fixture has no natural PII,
     // so the profile derives deterministic emails/IPs/phones from fixture
@@ -2030,6 +2042,13 @@ object SparkEntry {
         |SELECT asset_id, media_type, f0, f1, f2, f3
         |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)
         |ORDER BY asset_id""".stripMargin,
+    "multimodal_decode_jpeg" ->
+      """SELECT doc_id AS asset_id, 'image' AS media_type,
+        |  (8 + (doc_id % 5) * 4)::DOUBLE AS f0,
+        |  (8 + (doc_id % 7) * 4)::DOUBLE AS f1,
+        |  round(((doc_id * 31) % 256)::DOUBLE / 255.0, 6) AS f2,
+        |  ((doc_id * 31) % 256)::DOUBLE AS f3
+        |FROM documents WHERE doc_id < 30 ORDER BY asset_id""".stripMargin,
     "top_orders_per_customer" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank

@@ -10,12 +10,15 @@ import graft.functions.TextOps
 /** Multimodal-column plumbing: image/audio/video content as opaque BINARY
   * columns with typed metadata, plus batch feature extraction.
   *
-  * Two codecs ride the seam: [[JvmCodec]] is a REAL decoder (BMP via
-  * javax.imageio, WAV PCM via javax.sound.sampled — pure JDK, no native
-  * libs), exercised end-to-end by `multimodal_decode` over genuinely
-  * encoded bytes ([[genEncodedAssets]]); [[StubCodec]] remains the
-  * default for formats this container cannot decode (JPEG/MP3/video
-  * would need native libs) and for the opaque md5-blob fixture.
+  * Two codecs ride the seam: [[JvmCodec]] is a REAL decoder (BMP, PNG
+  * and JPEG via javax.imageio — the stock JDK ships readers for all
+  * three, JPEG included — and WAV PCM via javax.sound.sampled; no
+  * native libs), exercised end-to-end by `multimodal_decode` (BMP/PNG/
+  * WAV) and `multimodal_decode_jpeg` (compressed-photographic
+  * containers, [[genJpegAssets]]) over genuinely encoded bytes;
+  * [[StubCodec]] remains the default for formats this container cannot
+  * decode (MP3/video need native libs) and for the opaque md5-blob
+  * fixture.
   * Everything around the codecs is the real engine surface: binary
   * column schema, partition-preserving batched extraction via
   * mapPartitions (the Scala analogue of mapInPandas: one iterator per
@@ -117,15 +120,25 @@ object Multimodal {
               else {
                 val w = img.getWidth
                 val h = img.getHeight
+                val raster = img.getRaster
+                val gray1Band = raster.getNumBands == 1
                 var sum = 0L
                 var mx = 0L
                 var y = 0
                 while (y < h) {
                   var x = 0
                   while (x < w) {
-                    val rgb = img.getRGB(x, y)
-                    val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                      (rgb & 0xff)) / 3
+                    // single-band (grayscale JPEG/PNG): read the raster
+                    // sample directly — getRGB would route it through a
+                    // gray→sRGB ColorSpace conversion (gamma) and report
+                    // values that aren't the decoded samples
+                    val g =
+                      if (gray1Band) raster.getSample(x, y, 0)
+                      else {
+                        val rgb = img.getRGB(x, y)
+                        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                          (rgb & 0xff)) / 3
+                      }
                     sum += g
                     if (g > mx) mx = g
                     x += 1
@@ -223,6 +236,52 @@ object Multimodal {
             javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           Asset(id, bos.toByteArray, "audio", bos.size().toLong)
         }
+      }
+  }
+
+  /** Genuine JPEG fixture — the compressed-PHOTOGRAPHIC container (DCT +
+    * Huffman, the most common real-corpus image format), encoded on
+    * executors with the JDK's own `jpg` ImageWriter at explicit quality
+    * 1.0. JPEG is lossy in general, so closed-form decodability needs
+    * content the DCT quantizes losslessly: CONSTANT-GRAY images. A
+    * constant block's DCT is a lone DC coefficient; at quality 1.0 the
+    * quantization tables are 1s, so the round trip is bit-exact for
+    * every gray level and dimension (verified over all 256 grays ×
+    * mixed dims — block-padding at non-multiple-of-8 edges replicates
+    * the constant and stays exact). gray g = (id·31) mod 256, w = 8 +
+    * (id mod 5)·4, h = 8 + (id mod 7)·4, so decoded (w, h, mean=g/255,
+    * max=g) are computable by the oracle from doc_id alone while the
+    * bytes still traverse the full JFIF/DCT/Huffman decode pipeline. */
+  def genJpegAssets(spark: SparkSession, sfDir: String,
+      nAssets: Int = 30): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < nAssets)
+      .as[Long]
+      .map { id =>
+        val g = ((id * 31) % 256).toInt
+        val w = 8 + (id % 5).toInt * 4
+        val h = 8 + (id % 7).toInt * 4
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.getRaster.setSample(x, y, 0, g); x += 1 }
+          y += 1
+        }
+        val wr = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        val p = wr.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(1.0f)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        wr.dispose()
+        ios.flush()
+        Asset(id, bos.toByteArray, "image", bos.size().toLong)
       }
   }
 

@@ -94,6 +94,29 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.StubCodec.open()("image", junk).toSeq)
   }
 
+  test("JvmCodec decodes genuine JPEG: JFIF magic, exact constant-gray stats") {
+    val assets = Multimodal.genJpegAssets(spark, sf001, nAssets = 10)
+      .collect().sortBy(_.asset_id)
+    assert(assets.length == 10)
+    val decode = Multimodal.JvmCodec.open()
+    assets.foreach { a =>
+      // real JPEG containers: SOI marker FF D8, JFIF APP0 marker FF E0
+      val b = a.content
+      assert((b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8, "JPEG SOI")
+      val g = ((a.asset_id * 31) % 256).toDouble
+      val w = 8 + (a.asset_id % 5) * 4
+      val h = 8 + (a.asset_id % 7) * 4
+      val f = decode(a.media_type, b)
+      assert(f(0) == w.toDouble && f(1) == h.toDouble,
+        s"dims for ${a.asset_id}: got (${f(0)},${f(1)}) want ($w,$h)")
+      // constant gray at quality 1.0 round-trips bit-exactly through the
+      // DCT: mean = g/255 and max = g with no tolerance
+      assert(f(2) == graft.plans.Num.round6(g / 255.0d),
+        s"mean gray for ${a.asset_id}")
+      assert(f(3) == g, s"max gray for ${a.asset_id}")
+    }
+  }
+
   test("binary content is opaque bytes with correct metadata") {
     val a = Multimodal.loadAssets(spark, sf001)
     val r = a.select("n_bytes").distinct().as[Long].collect()
