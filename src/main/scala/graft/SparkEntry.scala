@@ -618,9 +618,15 @@ object SparkEntry {
     }),
     // Bulk k-NN self-join: every point -> top-3 neighbors via IVF cells
     // (data side top-1 cell, query side probes top-2) in ONE job.
+    // Cell count is env-overridable for scaling runs ONLY (default 32 =
+    // the oracle-pinned config): per-cell pair cost is ~N²/C, so C must
+    // grow WITH N to hold the join linear — the SCALING.md measured
+    // exponent table demonstrates both the fixed-C blowup and the
+    // C∝N fix on the same fixture.
     "ann_knn_join" -> ((s, dir) => {
       val points = Collection.load(s, dir)
-      Ann.knnJoin(points, Ann.seedCentroids(points, 32), k = 3, nprobe = 2)
+      val cells = sys.env.getOrElse("SPARK_GRAFT_KNN_CELLS", "32").toInt
+      Ann.knnJoin(points, Ann.seedCentroids(points, cells), k = 3, nprobe = 2)
     }),
     "tpch_q6_forecast" -> ((s, dir) =>
       Relational.revenueForecast(Relational.table(s, dir, "lineitem"),

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Deterministic scale fixtures for the SCALING.md curve (round 9).
+
+The driver's /root/testdata tops out at sf0.1 (2k embeddings / 5k docs),
+where per-query fixed cost dominates and every scaling claim rests on
+plan-shape argument alone. This generator produces the SAME schema at
+10x and 100x that size (sf1, sf10) so the headline query family can be
+measured at two sizes that differ only by row count — the scaling
+exponent then comes from one generator, not from comparing two
+different data distributions.
+
+Schemas mirror /root/testdata (embeddings: vec_id int64, embedding
+list<float> unit-norm dim 64, label int32 0..9; documents: doc_id,
+text, lang, source, n_chars) including the properties the measured
+queries exercise: ~3% near-duplicate embedding pairs (cosine dedup
+signal), ~3% copied-with-mutation texts (minhash/span dedup signal).
+
+Usage: python3 tools/gen_scale_fixture.py /tmp/graft_scale
+Writes  /tmp/graft_scale/sf1/{embeddings,documents}.parquet   (20k/50k)
+        /tmp/graft_scale/sf10/{embeddings,documents}.parquet  (200k/500k)
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group shuffle join filter push prune broadcast skew salt merge "
+    "stream window state event click error user query vector index cell "
+    "probe score token span shingle corpus quality sample pack shard tier "
+    "replica flush template kernel slab bucket range page offset stride "
+    "cache spill codec decode encode frame sample rate gray pixel audio "
+    "doc text lang source chars count table row file byte record stage "
+    "task job plan tree scan2 agg sum min max mean std drift bloom sketch"
+).split()
+
+LANGS = ["en", "en", "en", "en", "fr", "de", "zh", "es", "en", "pt"]
+
+
+def gen(outdir: str, n_emb: int, n_doc: int, seed: int = 42) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    # --- embeddings: unit-norm gaussian dim 64 + ~3% near-dup pairs ---
+    emb = rng.standard_normal((n_emb, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    for i in range(1, n_emb, 33):  # deterministic near-dup injection
+        emb[i] = emb[i - 1] + rng.standard_normal(64).astype(np.float32) * 0.01
+        emb[i] /= np.linalg.norm(emb[i])
+    vec_id = np.arange(n_emb, dtype=np.int64)
+    pq.write_table(
+        pa.table({
+            "vec_id": vec_id,
+            "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+            "label": (vec_id % 10).astype(np.int32),
+        }),
+        f"{outdir}/embeddings.parquet")
+
+    # --- documents: vocab-sampled texts + ~3% copy-with-mutation dups ---
+    v = np.array(VOCAB)
+    lens = 40 + (np.arange(n_doc) * 7) % 30
+    texts = []
+    for i in range(n_doc):
+        if i % 29 == 1 and i > 0:
+            words = texts[i - 1].split()
+            words[int(lens[i]) % len(words)] = v[i % len(v)]
+            texts.append(" ".join(words))
+        else:
+            idx = rng.integers(0, len(v), int(lens[i]))
+            texts.append(" ".join(v[idx]))
+    doc_id = np.arange(n_doc, dtype=np.int64)
+    pq.write_table(
+        pa.table({
+            "doc_id": doc_id,
+            "text": texts,
+            "lang": [LANGS[int(i) % len(LANGS)] for i in doc_id],
+            "source": [f"src{int(i) % 10}" for i in doc_id],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }),
+        f"{outdir}/documents.parquet")
+    print(f"{outdir}: embeddings={n_emb} documents={n_doc}")
+
+
+if __name__ == "__main__":
+    base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scale"
+    gen(f"{base}/sf1", 20_000, 50_000)
+    gen(f"{base}/sf10", 200_000, 500_000)
