@@ -264,8 +264,15 @@ final class BatchedServer(
               val (id, emb, user) = rows.next()
               var qi = 0
               while (qi < nq) {
-                val s = BatchedServer.dotRound6(emb, queries(qi))
-                if (s >= th) tops(qi).offer(s, id, user)
+                // same rounding gate as the replica kernel (see
+                // scoreRange): provably output-identical, skips the
+                // BigDecimal round for rows that cannot place
+                val s = BatchedServer.dotRaw(emb, queries(qi))
+                val top = tops(qi)
+                if (s >= top.floor(th) - 1e-6) {
+                  val r = graft.plans.Num.round6(s)
+                  if (r >= th) top.offer(r, id, user)
+                }
                 qi += 1
               }
             }
@@ -406,17 +413,23 @@ object BatchedServer {
     }
   }
 
-  /** The serving score kernel: same left-to-right accumulation as the
-    * codegen [[graft.plans.DotProductD]], same 6dp HALF_UP round as
-    * Spark's `round` ([[graft.plans.Num.round6]]) — replica tier and job
-    * tier share it bit-for-bit. */
-  private[graft] def dotRound6(emb: Array[Double], q: Array[Double]): Double = {
+  /** Raw serving dot product: same left-to-right accumulation as the
+    * codegen [[graft.plans.DotProductD]]. The 6dp HALF_UP round
+    * ([[graft.plans.Num.round6]]) is applied by the callers BEHIND the
+    * rounding gate (see [[scoreRange]]) — replica tier and job tier
+    * share accumulation order, rounding, and gate bit-for-bit. */
+  private[graft] def dotRaw(emb: Array[Double], q: Array[Double]): Double = {
     val n = math.min(emb.length, q.length)
     var s = 0.0d
     var d = 0
     while (d < n) { s += emb(d) * q(d); d += 1 }
-    graft.plans.Num.round6(s)
+    s
   }
+
+  /** The full rounded kernel (dot + 6dp round), kept for callers/tests
+    * that want the ungated form; identical output to the gated path. */
+  private[graft] def dotRound6(emb: Array[Double], q: Array[Double]): Double =
+    graft.plans.Num.round6(dotRaw(emb, q))
 
   /** Per-slice top-k over replica rows `[lo, hi)` for every query — the
     * replica tier's unit of parallelism on the score pool (and, inline,
@@ -445,8 +458,19 @@ object BatchedServer {
         var s = 0.0d
         var d = 0
         while (d < nd) { s += embs(base + d) * q(d); d += 1 }
-        val r = graft.plans.Num.round6(s)
-        if (r >= th) tops(qi).offer(r, id, user)
+        // rounding gate: BigDecimal 6dp HALF_UP costs ~0.4 µs/row — at
+        // 2k rows that is ~0.8 ms/request, the entire latency budget.
+        // |round6(x) − x| ≤ 5e-7, so a raw dot below (floor − 5e-7) can
+        // neither clear the threshold nor tie the heap's weakest kept
+        // hit after rounding — skipping it is provably output-identical
+        // (ties at exactly floor are kept: the gate is ≥, not >; the
+        // slack is 1e-6, double the rounding bound, absorbing the ulp
+        // of the gate subtraction itself).
+        val top = tops(qi)
+        if (s >= top.floor(th) - 1e-6) {
+          val r = graft.plans.Num.round6(s)
+          if (r >= th) top.offer(r, id, user)
+        }
         qi += 1
       }
       i += 1
@@ -484,6 +508,13 @@ object BatchedServer {
           pq.add((score, id, user))
         }
       }
+    /** The lowest ROUNDED score that could still change this heap: the
+      * threshold while filling, else max(threshold, weakest kept score).
+      * A candidate strictly below it is rejected by [[offer]]; one equal
+      * to it can still win an id tie — callers gating on a RAW score
+      * must allow the ±5e-7 rounding slack below this floor. */
+    def floor(th: Double): Double =
+      if (pq.size() < k) th else math.max(th, pq.peek()._1)
     def drain(): Iterator[(Double, Long, Int)] = {
       import scala.jdk.CollectionConverters._
       pq.iterator().asScala.toArray.iterator
