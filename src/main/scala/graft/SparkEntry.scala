@@ -1105,6 +1105,19 @@ object SparkEntry {
           min("node").as("min_doc"), max("node").as("max_doc"))
         .orderBy("cluster_id")
     }),
+    // The duplicate-heavy-corpus clustering form: signature-dedup first
+    // (star edges inside identical-simhash groups, banded pair
+    // generation only across DISTINCT signatures) — provably identical
+    // components to dedup_clusters at linear instead of quadratic edge
+    // volume on duplicate-dense data (SCALING.md sf10 note). Same
+    // rollup, same oracle SQL as dedup_clusters.
+    "dedup_clusters_sigdedup" -> ((s, dir) =>
+      Dedup.simHashClusters(
+          s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
+        .groupBy("cluster_id")
+        .agg(count("*").cast("long").as("n_docs"),
+          min("node").as("min_doc"), max("node").as("max_doc"))
+        .orderBy("cluster_id")),
     // End-to-end dedup: simhash pairs -> clusters -> keep one doc per
     // cluster; output = the surviving corpus ids.
     "dedup_apply" -> ((s, dir) => {
@@ -1431,6 +1444,25 @@ object SparkEntry {
     s"round(len(list_filter(w, x -> list_contains(${dict(l)}, x)))::DOUBLE / len(w), 6)"
 
 
+  /** Oracle for BOTH dedup_clusters and dedup_clusters_sigdedup: the
+    * signature-dedup form is component-identical to the all-pairs form
+    * by construction, so one recursive-CTE oracle grades both. */
+  private lazy val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $W, $SIM,
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh2 a, sh2 b WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |      UNION SELECT doc_b, doc_a FROM pr),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, reach.lab FROM e, reach WHERE e.src = reach.node),
+       |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+       |SELECT cluster_id, count(*)::BIGINT AS n_docs, min(node) AS min_doc,
+       |  max(node) AS max_doc
+       |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   /** Oracle for BOTH curate_corpus_v2 and curate_corpus_staged: the two
     * registered queries are execution modes of one stage graph
     * ([[curateCorpusPipeline]]) and must hash-match the same result. */
@@ -1670,21 +1702,11 @@ object SparkEntry {
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // transitive closure of the simhash pair graph via a recursive CTE —
     // an algorithmically independent check of the iterative label propagation
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $W, $SIM,
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh2 a, sh2 b WHERE a.doc_id < b.doc_id
-         |    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-         |      UNION SELECT doc_b, doc_a FROM pr),
-         |reach(node, lab) AS (
-         |  SELECT src, src FROM e
-         |  UNION
-         |  SELECT e.dst, reach.lab FROM e, reach WHERE e.src = reach.node),
-         |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
-         |SELECT cluster_id, count(*)::BIGINT AS n_docs, min(node) AS min_doc,
-         |  max(node) AS max_doc
-         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersOracle,
+    // the signature-dedup clustering form is component-identical BY
+    // CONSTRUCTION (proof in Dedup.simHashClusters' scaladoc), so it is
+    // graded against the SAME all-pairs recursive-CTE oracle
+    "dedup_clusters_sigdedup" -> dedupClustersOracle,
     "dedup_embedding_cosine" ->
       s"""WITH $C,
          |p AS (SELECT a.id AS id_a, b.id AS id_b, round(list_dot_product(a.ne, b.ne), 6) AS cos

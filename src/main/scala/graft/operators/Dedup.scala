@@ -161,17 +161,7 @@ object Dedup {
     * Hamming verification. Returns (doc_a, doc_b, hamming). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunk banding guarantees recall only to radius 3")
-    // explode words → hash once per word → 60 flat codegen'd bit-vote sums
-    // → pack; one hash shuffle on doc_id (map-side partial aggregation).
-    val wordRows = docs
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-      .withColumn("wh", TextOps.hash60(col("w")))
-    val bitSums = (0 until 60).map(j =>
-      sum(when(col("wh").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)).as(s"b$j"))
-    val h = wordRows.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(j => when(col(s"b$j") > 0L, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    val h = simHashes(docs)
     val chunks = h.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i => TextOps.simChunk(col("simhash"), i)): _*))
         .as(Seq("chunk_idx", "chunk")))
@@ -186,6 +176,67 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** (doc_id, simhash): explode words → hash once per word → 60 flat
+    * codegen'd bit-vote sums → pack; one hash shuffle on doc_id
+    * (map-side partial aggregation). */
+  private def simHashes(docs: DataFrame): DataFrame = {
+    val wordRows = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .withColumn("wh", TextOps.hash60(col("w")))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(col("wh").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)).as(s"b$j"))
+    wordRows.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j => when(col(s"b$j") > 0L, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Signature-dedup clustering — the duplicate-heavy-corpus form of
+    * simhash dedup. [[simHashPairs]]' contract (EVERY pair at radius ≤
+    * maxHamming) is inherently Ω(true pair count): a duplicate class of
+    * m docs IS m(m−1)/2 output rows, quadratic no matter how good the
+    * banding — the measured sf10 blowup in SCALING.md. Clustering does
+    * not need the pair list. Dedup by DISTINCT signature first: one
+    * representative (min doc_id) per simhash value, a STAR edge
+    * rep←member inside each signature group (radius 0 — trivially a
+    * valid pair), then chunk-banded candidate generation over the
+    * DISTINCT signatures only, Hamming-verified, emitting rep–rep edges.
+    * CC runs over stars ∪ rep-pairs.
+    *
+    * Components are PROVABLY identical to
+    * `connectedComponents(simHashPairs(docs, maxHamming), …)`: every
+    * added edge is a true radius-≤maxHamming pair, and every true pair
+    * (a, b) is connected as a—rep(sig_a)—rep(sig_b)—b because distance
+    * depends only on the signatures (DedupSpec asserts row equality).
+    *
+    * Scale: edge count = (n − |distinct sigs|) stars + verified pairs
+    * among DISTINCT signatures — linear in n for duplicate-heavy
+    * corpora where the pair list is quadratic; the signature-level join
+    * keeps the same pigeonhole exactness (recall 1.0 at radius ≤ 3).
+    * Returns (node, cluster_id) for every doc in a cluster of size ≥ 2,
+    * the same surface as [[connectedComponents]]. */
+  def simHashClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunk banding guarantees recall only to radius 3")
+    val h = simHashes(docs).localCheckpoint()
+    val groups = h.groupBy("simhash").agg(min("doc_id").as("rep"))
+    val stars = h.join(groups, Seq("simhash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val sigChunks = groups.select(col("rep"), col("simhash"),
+      posexplode(array((0 until 4).map(i => TextOps.simChunk(col("simhash"), i)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val l = sigChunks.select(col("rep").as("doc_a"), col("simhash").as("h_a"),
+      col("chunk_idx"), col("chunk"))
+    val r = sigChunks.select(col("rep").as("doc_b"), col("simhash").as("h_b"),
+      col("chunk_idx"), col("chunk"))
+    val repPairs = l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "h_a", "h_b").distinct()
+      .filter(TextOps.hamming(col("h_a"), col("h_b")) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(stars.unionByName(repPairs), "doc_a", "doc_b")
   }
 
   /** Connected components over a near-dup pair list: every document gets a

@@ -98,6 +98,25 @@ class DedupSpec extends SparkSpec {
     assert(p((1L, 2L)) == 0)
   }
 
+  test("simHashClusters ≡ CC over simHashPairs, row for row") {
+    // fixture docs (organic near-dups) plus planted exact duplicates —
+    // the duplicate-class case whose pair list is quadratic is exactly
+    // where the signature-dedup form must still produce identical
+    // components
+    val planted = spark.range(5)
+      .selectExpr("9000 + id AS doc_id", "'copy me twin text' AS text")
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val viaPairs = Dedup.connectedComponents(
+        Dedup.simHashPairs(corpus, maxHamming = 3), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val viaSigs = Dedup.simHashClusters(corpus, maxHamming = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(viaSigs == viaPairs,
+      s"missing=${viaPairs.toSet -- viaSigs.toSet} spurious=${viaSigs.toSet -- viaPairs.toSet}")
+    // the planted duplicate class collapsed to one cluster
+    assert((9000L to 9004L).map(viaSigs).toSet.size == 1)
+  }
+
   test("connected components: chain, separate pair, and isolated node") {
     // chain 1-2-3-4 (transitive cluster), pair 10-11, node 20 not in pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
