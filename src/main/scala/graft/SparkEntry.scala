@@ -626,7 +626,12 @@ object SparkEntry {
     "ann_knn_join" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val cells = sys.env.getOrElse("SPARK_GRAFT_KNN_CELLS", "32").toInt
-      Ann.knnJoin(points, Ann.seedCentroids(points, cells), k = 3, nprobe = 2)
+      val hier = sys.env.get("SPARK_GRAFT_KNN_ASSIGN").contains("hier")
+      // hier probes 2 coarse groups x nprobe cells — scale runs set
+      // nprobe=1 to hold probed-cell count (candidate volume) at parity
+      val np = sys.env.getOrElse("SPARK_GRAFT_KNN_NPROBE", "2").toInt
+      Ann.knnJoin(points, Ann.seedCentroids(points, cells), k = 3, nprobe = np,
+        hierarchical = hier)
     }),
     "tpch_q6_forecast" -> ((s, dir) =>
       Relational.revenueForecast(Relational.table(s, dir, "lineitem"),

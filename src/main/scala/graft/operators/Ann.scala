@@ -59,6 +59,106 @@ object Ann {
     points.withColumn("cid",
       graft.plans.VectorExpressions.nearestCentroid(col("embedding"), cids, cents))
 
+  /** Two-level (coarse→fine) assignment — the IMI/two-level-IVF build
+    * shape. Exact [[ivfAssign]] costs N·C dot products; with C grown
+    * alongside N (the SCALING.md knn-join lesson: C must track N to hold
+    * per-cell pair cost linear) that term is itself quadratic. Here each
+    * row picks the nearest of ~√C coarse representatives (the first √C
+    * fine centroids), then argmaxes only among the fine centroids
+    * grouped under that representative: ~2√C dots per row. Approximate
+    * near coarse boundaries (a fine centroid grouped under a different
+    * rep can never be picked), which is acceptable for BUCKETING —
+    * candidate generation needs a deterministic, locality-respecting
+    * cell per point, not the true argmax; AnnSpec pins agreement with
+    * exact assignment on the fixture. Oracle-facing queries keep exact
+    * [[ivfAssign]]; this is the measured scale path (SCALING.md). */
+  def ivfAssignHierarchical(points: DataFrame, cids: Seq[Long],
+      cents: Seq[Seq[Double]]): DataFrame = {
+    val c = cents.size
+    require(c >= 1, "need at least one centroid")
+    val g = math.max(1, math.round(math.sqrt(c.toDouble)).toInt)
+    val coarse = cents.take(g)
+    val groupOf = hierGroups(cids, cents)
+    // the coarse argmax MUST be a materialized column, not a
+    // subexpression repeated inside every when() branch: codegen does
+    // not CSE across branch conditions, so the inline form re-evaluates
+    // √C dots per branch probed — measured 2.3× SLOWER than exact
+    // assignment at C=320 before this was hoisted
+    val branches = (0 until g).flatMap { gi =>
+      val members = (0 until c).filter(groupOf(_) == gi)
+      if (members.isEmpty) None
+      else Some(when(col("_gcell") === gi.toLong,
+        graft.plans.VectorExpressions.nearestCentroid(
+          col("embedding"), members.map(cids), members.map(cents))))
+    }
+    points
+      .withColumn("_gcell", graft.plans.VectorExpressions.nearestCentroid(
+        col("embedding"), (0 until g).map(_.toLong), coarse))
+      .withColumn("cid", coalesce(branches: _*))
+      .drop("_gcell")
+  }
+
+  /** Probe-side twin of [[ivfAssignHierarchical]]: adds array column
+    * `probeCol` with the top-`nprobe` fine cells from EACH of the
+    * row's top-2 coarse groups (disjoint groups ⇒ no duplicate cells).
+    * Single-group probing loses the neighbors that straddle a coarse
+    * boundary — measured on the fixture: knn-join neighbor overlap vs
+    * exact assignment 0.35 with 1 group, 1.0 with 2 on clustered data —
+    * so the probe pays one extra group for boundary recall, the same
+    * trade multi-probe LSH makes. DataFrame-shaped (not a bare Column)
+    * for the same hoisting reason as [[ivfAssignHierarchical]]: the
+    * coarse top-2 must evaluate once as a column, not once per branch. */
+  def withHierProbeCids(df: DataFrame, embCol: String, probeCol: String,
+      cids: Seq[Long], cents: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    val c = cents.size
+    require(c >= 1, "need at least one centroid")
+    val g = math.max(1, math.round(math.sqrt(c.toDouble)).toInt)
+    val coarse = cents.take(g)
+    val groupOf = hierGroups(cids, cents)
+    def groupPick(pos: Int): Column = coalesce(
+      ((0 until g).flatMap { gi =>
+        val members = (0 until c).filter(groupOf(_) == gi)
+        if (members.isEmpty) None
+        else Some(when(element_at(col("_gtop"), pos) === gi.toLong,
+          graft.plans.VectorExpressions.topCentroids(col(embCol),
+            members.map(cids), members.map(cents),
+            math.min(nprobe, members.size))))
+      } :+ typedlit(Seq.empty[Long])): _*)
+    df.withColumn("_gtop", graft.plans.VectorExpressions.topCentroids(
+        col(embCol), (0 until g).map(_.toLong), coarse, math.min(2, g)))
+      .withColumn(probeCol,
+        if (g == 1) groupPick(1) else concat(groupPick(1), groupPick(2)))
+      .drop("_gtop")
+  }
+
+  /** Driver-side (metadata-scale) grouping of fine centroids under the
+    * first ~√C coarse reps: rounded-dot argmax, smallest group wins
+    * ties — a coarse rep always lands in its own group (self-dot 1). */
+  private def hierGroups(cids: Seq[Long],
+      cents: Seq[Seq[Double]]): IndexedSeq[Int] = {
+    val c = cents.size
+    val g = math.max(1, math.round(math.sqrt(c.toDouble)).toInt)
+    val coarse = cents.take(g)
+    def rdot6(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0d
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      graft.plans.Num.round6(s)
+    }
+    cents.toIndexedSeq.map { ce =>
+      var best = 0
+      var bs = Double.NegativeInfinity
+      var gi = 0
+      while (gi < g) {
+        val s = rdot6(ce, coarse(gi))
+        if (s > bs) { bs = s; best = gi } // first (smallest) gi wins ties
+        gi += 1
+      }
+      best
+    }
+  }
+
   /** Deterministic seed centroids: the (normalized) vectors of ids < c.
     * A BUCKETING quantizer, not a serving one: cells are well-defined and
     * cross-engine reproducible (what the dedup/knn-join candidate
@@ -536,9 +636,11 @@ object Ann {
     * index metadata [[cellStats]] reports. */
   def knnJoin(
       points: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int = 2, skewFactor: Double = 4.0): DataFrame = {
+      k: Int, nprobe: Int = 2, skewFactor: Double = 4.0,
+      hierarchical: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (data, queries, _) = knnJoinSides(points, centroids, nprobe, skewFactor)
+    val (data, queries, _) =
+      knnJoinSides(points, centroids, nprobe, skewFactor, hierarchical)
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
     queries.join(data, Seq("cid", "salt"))
       .filter(col("qid") =!= col("id"))
@@ -567,14 +669,19 @@ object Ann {
     * shuffle join would insert anyway. */
   private[graft] def knnJoinSides(
       points: DataFrame, centroids: DataFrame,
-      nprobe: Int, skewFactor: Double): (DataFrame, DataFrame, Int) = {
+      nprobe: Int, skewFactor: Double,
+      hierarchical: Boolean = false): (DataFrame, DataFrame, Int) = {
     val spark = points.sparkSession
     import spark.implicits._
     val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
     val cids = rows.map(_.getLong(0)).toSeq
     val cents = rows.map(_.getSeq[Double](1)).toSeq
-    val assigned = ivfAssign(points, centroids)
-      .select(col("cid"), col("id"), col("embedding"))
+    // hierarchical = the measured C∝N scale path: both the data-side
+    // assignment and the query-side probe drop from N·C to ~N·2√C dots
+    val assigned =
+      (if (hierarchical) ivfAssignHierarchical(points, cids, cents)
+       else ivfAssign(points, cids, cents))
+        .select(col("cid"), col("id"), col("embedding"))
     // per-cell counts: C rows of index metadata (one map-side-combined agg)
     val counts = assigned.groupBy("cid")
       .agg(count("*").cast("long").as("n")).collect()
@@ -592,10 +699,14 @@ object Ann {
       .withColumn("salt", pmod(hash(col("id")), col("nsalt")).cast("int"))
       .select(col("cid"), col("salt"), col("id"), col("embedding"))
       .repartition(nSubCells, col("cid"), col("salt"))
-    val queries = points
-      .select(col("id").as("qid"), col("embedding").as("qemb"))
-      .withColumn("cid", explode(
+    val qBase = points.select(col("id").as("qid"), col("embedding").as("qemb"))
+    val qProbed =
+      if (hierarchical)
+        withHierProbeCids(qBase, "qemb", "_probe", cids, cents, nprobe)
+          .withColumn("cid", explode(col("_probe"))).drop("_probe")
+      else qBase.withColumn("cid", explode(
         graft.plans.VectorExpressions.topCentroids(col("qemb"), cids, cents, nprobe)))
+    val queries = qProbed
       .join(broadcast(saltDf), Seq("cid"))
       .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
       .repartition(nSubCells, col("cid"), col("salt"))

@@ -30,6 +30,56 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 $mean too low: $recalls")
   }
 
+  test("hierarchical assignment: valid everywhere, faithful on clustered data") {
+    // structureless fixture (random unit vectors): the coarse dispatch
+    // has nothing to exploit — assert only the CONTRACT (every point
+    // gets exactly one real cell, deterministically), and report the
+    // agreement for the record
+    val cents = Ann.seedCentroids(points, 16)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1)).toSeq
+    val exact = Ann.ivfAssign(points, cids, ces)
+      .select($"id", $"cid").as[(Long, Long)].collect().toMap
+    val hier = Ann.ivfAssignHierarchical(points, cids, ces)
+      .select($"id", $"cid").as[(Long, Long)].collect().toMap
+    assert(hier.keySet == exact.keySet, "every point gets a cell")
+    assert(hier.values.forall(cids.contains), "cells are real cids")
+    val agree = hier.count { case (id, c) => exact(id) == c }.toDouble / hier.size
+    info(f"random-data agreement=$agree%.3f (no structure to exploit)")
+    // CLUSTERED corpus — the regime two-level assignment targets: 10
+    // well-separated clusters of 50 perturbed copies each. The coarse
+    // dispatch must be near-exact and the two-level knn-join must find
+    // the same neighbors as the exact-assignment join.
+    val bases = points.orderBy("id").limit(10)
+      .select($"embedding").as[Seq[Double]].collect()
+    val structured = (0 until 500).map { i =>
+      val b = bases(i % 10)
+      val noise = new scala.util.Random(i.toLong)
+      val v = b.zipWithIndex.map { case (x, d) =>
+        x + (noise.nextDouble() - 0.5) * 0.02 + d * 0.0 }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / norm), i % 7)
+    }.toDF("id", "embedding", "user_id")
+    val sCents = Ann.seedCentroids(structured, 20)
+    val sRows = sCents.select($"cid", $"ce").orderBy("cid").collect()
+    val sCids = sRows.map(_.getLong(0)).toSeq
+    val sCes = sRows.map(_.getSeq[Double](1)).toSeq
+    val sExact = Ann.ivfAssign(structured, sCids, sCes)
+      .select($"id", $"cid").as[(Long, Long)].collect().toMap
+    val sHier = Ann.ivfAssignHierarchical(structured, sCids, sCes)
+      .select($"id", $"cid").as[(Long, Long)].collect().toMap
+    val sAgree = sHier.count { case (id, c) => sExact(id) == c }.toDouble / sHier.size
+    assert(sAgree >= 0.9, s"clustered-data agreement $sAgree — dispatch broken")
+    val ex = Ann.knnJoin(structured, sCents, k = 3, nprobe = 2)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val hj = Ann.knnJoin(structured, sCents, k = 3, nprobe = 2, hierarchical = true)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val overlap = (ex intersect hj).size.toDouble / ex.size
+    assert(overlap >= 0.9, s"clustered knn-join overlap $overlap vs exact-assign")
+    info(f"clustered agreement=$sAgree%.3f knn-join overlap=$overlap%.3f")
+  }
+
   test("IVF probing all cells equals exact search") {
     val cents = Ann.seedCentroids(points, 16)
     val assigned = Ann.ivfAssign(points, cents)
