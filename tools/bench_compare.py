@@ -5,8 +5,10 @@ Usage: python3 tools/bench_compare.py <old.json> <new.json> [ratio_threshold]
 
 Prints per-query deltas whose new/old ratio exceeds the threshold (default
 1.5x either direction), plus totals, recall, qps, and targets side by side.
-Single-query timings fluctuate 2-3x run-to-run on local[32] (Bench takes
-min-of-2); treat per-query flags as leads, totals as the signal.
+Since round 9 Bench grades the MEDIAN of 3 timed runs after a discarded
+warmup (earlier artifacts were min-of-2 — biased low; cross-era ratios
+carry that offset). Per-run spread ships in queries_runs; treat per-query
+flags as leads, totals as the signal.
 """
 import json
 import sys
