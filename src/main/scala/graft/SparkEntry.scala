@@ -690,6 +690,40 @@ object SparkEntry {
     // and wall time of the two forms.
     "curate_corpus_staged" -> ((s, dir) => curateCorpusPipeline(s, dir,
       staged = true)),
+    // INCREMENTAL curation — the steady-state form at 100 TB, where each
+    // new crawl snapshot is curated WITHOUT rescanning curated history:
+    // history participates only as a Bloom filter of its content keys
+    // (built here in one scan; a deployment maintains it incrementally —
+    // bloomBuild's (w, word) frame merges by bit_or). The increment then
+    // flows quality floor → bloom-dedup vs history (map-only) →
+    // within-batch exact dedup (first occurrence per content key, a
+    // batch-local shuffle) → decontamination vs the eval set. Every pass
+    // after the filter build touches only the new batch.
+    "curate_corpus_incremental" -> ((s, dir) => {
+      import graft.functions.TextOps
+      val all = s.read.parquet(s"$dir/documents.parquet")
+      val evalSet = all.filter(col("doc_id") < 20)
+      val history = all.filter(col("doc_id") >= 20 && col("doc_id") < 120)
+      val fresh = all.filter(col("doc_id") >= 120)
+      val q = TextAnalysis.qualityStats(fresh)
+        .select(col("doc_id"), col("quality_score"))
+      val s1 = fresh.join(
+        q.filter(col("quality_score") >= 0.2).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val bloom = Dedup.bloomBuild(history, mBits = 65536, kProbes = 3)
+      val s2 = Dedup.bloomNovel(s1, bloom, mBits = 65536, kProbes = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_bk").orderBy("doc_id")
+      val s3 = s2
+        .withColumn("_bk", TextOps.bagOfWordsKey(TextOps.words(col("text"))))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_bk", "_rn")
+      val contaminated = TextAnalysis.decontaminate(
+        s3, evalSet, n = 3, minShared = 3).select("doc_id")
+      s3.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
     // PSI drift (integrated shift; companion of the KS point divergence).
     "psi_drift" -> ((s, dir) =>
       Stats.psiDrift(Events.load(s, dir), "event_type", "click", "purchase",
@@ -1030,6 +1064,28 @@ object SparkEntry {
       val (store, cents) = indexedStore(s, dir)
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Ann.ivfSearch(store.filter(col("user_id") < 5), cents, q, nprobe = 4, k = 10)
+    }),
+    // Filter-cardinality query planner (Qdrant "Query Planning";
+    // settings.full_scan_threshold applied to FILTER cardinality — the
+    // second half of the reference's exact-vs-index switch): a selective
+    // predicate falls below the cutoff, so the planner abandons the index
+    // for an exact scan over just the matching rows — cheaper AND immune
+    // to the filtered-ANN recall hole. The chosen plan ships in the
+    // output (`strategy`), so the oracle pins the DECISION too.
+    "filtered_planner_exact" -> ((s, dir) => {
+      val (store, cents) = indexedStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.filteredSearchPlanned(store, cents, q, col("user_id") === 3,
+        k = 10, threshold = -1.0, nprobe = 4)
+    }),
+    // The same planner on a broad predicate: cardinality over the cutoff,
+    // so the predicate composes with IVF cell pruning instead (post-filter
+    // riding the partition-pruned probe scan).
+    "filtered_planner_ivf" -> ((s, dir) => {
+      val (store, cents) = indexedStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.filteredSearchPlanned(store, cents, q, col("user_id") >= 2,
+        k = 10, threshold = -1.0, nprobe = 4, fullScanThreshold = 100)
     }),
     // Search-after-delete over the persisted index: tombstones applied
     // through the incremental deleteIndexed path (affected cid dirs only,
@@ -2721,6 +2777,41 @@ object SparkEntry {
          |WHERE q.quality_score >= 0.2 AND lang.predicted_lang = 'en' AND canon.canonical
          |ORDER BY doc_id""".stripMargin,
     "curate_corpus_v2" -> curateCorpusOracle,
+    "curate_corpus_incremental" ->
+      s"""WITH $W, $SH,
+         |q AS (SELECT doc_id, round((least(1.0::DOUBLE, (len(w)::BIGINT)::DOUBLE / 100.0::DOUBLE)
+         |    * (1.0::DOUBLE - ${swRatio("en")})
+         |    * round(len(list_distinct(w))::DOUBLE / len(w), 6))::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS qs
+         |  FROM t),
+         |s1 AS (SELECT t.doc_id FROM t JOIN q USING (doc_id)
+         |       WHERE t.doc_id >= 120 AND q.qs >= 0.2),
+         |k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), '|')) AS bk FROM t),
+         |hs AS (SELECT doc_id, bk, ('0x' || substring(md5(bk), 1, 15))::BIGINT AS h FROM k),
+         |probes AS (SELECT doc_id,
+         |    ((h % 65536) + r.i * ((h >> 30) | 1)) % 65536 AS pos
+         |  FROM hs, range(3) r(i)),
+         |words AS (SELECT pos // 32 AS w, bit_or(1::BIGINT << (pos % 32)::INT) AS word
+         |  FROM probes WHERE doc_id >= 20 AND doc_id < 120 GROUP BY 1),
+         |s2 AS (SELECT p.doc_id FROM probes p
+         |  LEFT JOIN words ON words.w = p.pos // 32
+         |  WHERE p.doc_id IN (SELECT doc_id FROM s1) GROUP BY p.doc_id
+         |  HAVING min(CASE WHEN words.word IS NOT NULL
+         |      AND (words.word & (1::BIGINT << (p.pos % 32)::INT)) != 0
+         |    THEN 1 ELSE 0 END) = 0),
+         |s3 AS (SELECT doc_id FROM (
+         |    SELECT hs.doc_id, row_number() OVER (PARTITION BY hs.bk
+         |      ORDER BY hs.doc_id ASC) AS rn
+         |    FROM hs WHERE hs.doc_id IN (SELECT doc_id FROM s2))
+         |  WHERE rn = 1),
+         |cont AS (SELECT cp.doc_id FROM
+         |    (SELECT doc_id, unnest(s) AS tok FROM sh
+         |     WHERE doc_id IN (SELECT doc_id FROM s3)) cp
+         |  JOIN (SELECT unnest(s) AS tok FROM sh WHERE doc_id < 20) ev USING (tok)
+         |  GROUP BY cp.doc_id HAVING count(DISTINCT tok) >= 3)
+         |SELECT t.doc_id, t.source FROM t
+         |WHERE t.doc_id IN (SELECT doc_id FROM s3)
+         |  AND t.doc_id NOT IN (SELECT doc_id FROM cont)
+         |ORDER BY t.doc_id""".stripMargin,
     // staged mode is an execution-strategy choice, not a semantics one:
     // the oracle is the SAME SQL — hash-identical output is the contract
     "curate_corpus_staged" -> curateCorpusOracle,
@@ -2911,6 +3002,55 @@ object SparkEntry {
          |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
          |  FROM pts p, q WHERE p.user_id < 5 AND p.cid IN (SELECT cid FROM probes))
          |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // Planner oracles replay count + branch: both branches are computed,
+    // the cardinality comparison gates which one emits rows — the
+    // strategy column asserts the engine made the same decision.
+    "filtered_planner_exact" ->
+      s"""WITH $C,
+         |m AS (SELECT count(*) AS mc FROM c WHERE user_id = 3),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |ex AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score,
+         |         p.user_id, 'exact_filtered' AS strategy
+         |       FROM c p, q WHERE p.user_id = 3
+         |       ORDER BY score DESC, p.id ASC LIMIT 10),
+         |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |iv AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score,
+         |         p.user_id, 'ivf_postfilter' AS strategy
+         |       FROM pts p, q WHERE p.user_id = 3 AND p.cid IN (SELECT cid FROM probes)
+         |       ORDER BY score DESC, p.id ASC LIMIT 10)
+         |SELECT * FROM ex WHERE (SELECT mc FROM m) <= 20000
+         |UNION ALL
+         |SELECT * FROM iv WHERE (SELECT mc FROM m) > 20000""".stripMargin,
+    "filtered_planner_ivf" ->
+      s"""WITH $C,
+         |m AS (SELECT count(*) AS mc FROM c WHERE user_id >= 2),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |ex AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score,
+         |         p.user_id, 'exact_filtered' AS strategy
+         |       FROM c p, q WHERE p.user_id >= 2
+         |       ORDER BY score DESC, p.id ASC LIMIT 10),
+         |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |iv AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score,
+         |         p.user_id, 'ivf_postfilter' AS strategy
+         |       FROM pts p, q WHERE p.user_id >= 2 AND p.cid IN (SELECT cid FROM probes)
+         |       ORDER BY score DESC, p.id ASC LIMIT 10)
+         |SELECT * FROM ex WHERE (SELECT mc FROM m) <= 100
+         |UNION ALL
+         |SELECT * FROM iv WHERE (SELECT mc FROM m) > 100""".stripMargin,
     "indexed_delete" ->
       s"""WITH $C,
          |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),

@@ -732,4 +732,50 @@ object Ann {
       .select(col("cid"), col("n_points"), col("pct"))
       .orderBy("cid")
   }
+
+  /** Filter-cardinality query planner — the reference engine's documented
+    * query-planning behavior for FILTERED search (Qdrant "Query Planning":
+    * the planner estimates the payload filter's cardinality and, when few
+    * points match, abandons the vector index for an exact scan over just
+    * the matching points; the reference exposes the knob as
+    * `settings.full_scan_threshold` = 20000, src/config/settings.py:55,
+    * and [[adaptiveSearch]] already applies it to COLLECTION size — this
+    * is the same switch applied to FILTER cardinality, the second half of
+    * the planner).
+    *
+    * Why the switch exists (the filtered-ANN recall hole): probing
+    * `nprobe` cells of a heavily-filtered corpus can leave far fewer than
+    * `k` candidates after the predicate — the index prunes by GEOMETRY,
+    * the filter prunes by PAYLOAD, and their intersection can be nearly
+    * empty even when the corpus holds k good matches. Below the cutoff an
+    * exact scan over the matching rows is simultaneously cheaper (the
+    * filtered set is tiny) and recall-1.0 by construction. Above it the
+    * predicate composes with cell pruning: the filter rides the
+    * partition-pruned probe scan (`indexed_ivf_filtered` shape).
+    *
+    * The decision input is ONE filter-cardinality count. On a parquet
+    * store the predicate is pushed, so the count is a single-column
+    * pruned scan (row-group stats often answer it without reading data);
+    * at 100 TB a payload-index cardinality ESTIMATE replaces the exact
+    * count — `knownMatched` is that injection seam (the decision needs
+    * only which side of the threshold the cardinality falls on, so any
+    * estimator accurate to the threshold's order of magnitude serves).
+    *
+    * The chosen plan ships IN the output (`strategy` column): correctness
+    * verification pins the decision, not just the rows. Both branches are
+    * deterministic, so the oracle replays count + branch bit-for-bit. */
+  def filteredSearchPlanned(
+      assigned: DataFrame, centroids: DataFrame, queryDf: DataFrame,
+      filter: Column, k: Int, threshold: Double, nprobe: Int,
+      fullScanThreshold: Long = 20000,
+      knownMatched: Option[Long] = None): DataFrame = {
+    val matched = knownMatched.getOrElse(assigned.filter(filter).count())
+    if (matched <= fullScanThreshold)
+      Search.knn(assigned, queryDf, k, threshold, preFilter = Some(filter))
+        .withColumn("strategy", lit("exact_filtered"))
+    else
+      ivfSearch(assigned.filter(filter), centroids, queryDf, nprobe, k)
+        .filter(col("score") >= threshold)
+        .withColumn("strategy", lit("ivf_postfilter"))
+  }
 }

@@ -411,6 +411,58 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("filteredSearchPlanned: cardinality decides the branch at the boundary") {
+    val cents = Ann.seedCentroids(points, 16)
+    val assigned = Ann.ivfAssign(points, cents).cache()
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val filter = $"user_id" === 3
+    val matched = points.filter(filter).count()
+    // exactly AT the threshold: exact branch (<=, the reference's
+    // full_scan_threshold semantics); one past it: index branch
+    val atCut = Ann.filteredSearchPlanned(assigned, cents, q, filter,
+      k = 5, threshold = -1.0, nprobe = 4, fullScanThreshold = matched)
+    assert(atCut.select("strategy").distinct().as[String].collect().toSeq
+      == Seq("exact_filtered"))
+    val overCut = Ann.filteredSearchPlanned(assigned, cents, q, filter,
+      k = 5, threshold = -1.0, nprobe = 4, fullScanThreshold = matched - 1)
+    assert(overCut.select("strategy").distinct().as[String].collect().toSeq
+      == Seq("ivf_postfilter"))
+    // knownMatched short-circuits the count and steers the same switch
+    val injected = Ann.filteredSearchPlanned(assigned, cents, q, filter,
+      k = 5, threshold = -1.0, nprobe = 4, fullScanThreshold = 10,
+      knownMatched = Some(5L))
+    assert(injected.select("strategy").distinct().as[String].collect().toSeq
+      == Seq("exact_filtered"))
+  }
+
+  test("filteredSearchPlanned: exact branch is the true filtered top-k; " +
+      "ivf branch equals composed filter+probe") {
+    val cents = Ann.seedCentroids(points, 16)
+    val assigned = Ann.ivfAssign(points, cents).cache()
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val filter = $"user_id" === 3
+    val exact = Ann.filteredSearchPlanned(assigned, cents, q, filter,
+      k = 10, threshold = -1.0, nprobe = 4)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    val truth = Search.knn(points.filter(filter), q, 10, -1.0)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(exact == truth, "exact branch must be the brute-force filtered top-k")
+    val ivf = Ann.filteredSearchPlanned(assigned, cents, q, filter,
+      k = 10, threshold = -1.0, nprobe = 4, fullScanThreshold = 0)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    val composed = Ann.ivfSearch(assigned.filter(filter), cents, q,
+      nprobe = 4, k = 10)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(ivf == composed, "ivf branch must equal filter composed with probes")
+    // the recall hole the planner exists for: the index branch on a
+    // selective predicate may return fewer/worse rows than exact — it
+    // must still be a subset of the predicate's rows
+    val users = Ann.filteredSearchPlanned(assigned, cents, q, filter,
+      k = 10, threshold = -1.0, nprobe = 4, fullScanThreshold = 0)
+      .select("user_id").distinct().as[Int].collect().toSeq
+    assert(users.forall(_ == 3))
+  }
+
   test("cellStats: counts partition the corpus, shares sum to 1") {
     val cents = Ann.seedCentroids(points, 8)
     val stats = Ann.cellStats(Ann.ivfAssign(points, cents))
