@@ -356,4 +356,80 @@ object StreamingOps {
     q.awaitTermination()
     spark.table(name).orderBy("user_id", "session_id")
   }
+
+  /** Streaming INCREMENTAL curation — the per-micro-batch form of the
+    * `curate_corpus_incremental` pipeline: each arriving batch of
+    * documents flows quality floor → Bloom-dedup against EVERYTHING
+    * previously accepted → within-batch first-occurrence exact dedup →
+    * decontamination vs a static eval set; survivors land in the curated
+    * store and their content keys MERGE into the persisted Bloom filter
+    * (bit_or of [[graft.operators.Dedup.bloomBuild]] `(w, word)` frames),
+    * so the NEXT batch dedups against all history without ever rejoining
+    * it — history's footprint in the steady state is the filter, not the
+    * corpus.
+    *
+    * Exactly-once: offsets checkpoint per micro-batch; survivors write to
+    * a per-batch partition dir (`batch=<id>`, overwrite — a replayed
+    * batch rewrites its own dir bit-identically), and the Bloom merge is
+    * idempotent (bit_or of already-present keys is a no-op), so a
+    * restart mid-commit converges to the same store + filter.
+    *
+    * At 100 TB: the filter for 10B docs at 1% FP is a few GB of (w, word)
+    * rows — a broadcastable side table maintained by this same bit_or
+    * merge; the quality/dedup/decontamination passes touch only the
+    * increment. The Bloom trade (no false negatives; FP rate drops a
+    * deterministic ~(1−e^{−kn/m})^k of genuinely-novel docs) is the same
+    * contract as the batch `dedup_bloom_novel` query. */
+  def curationStream(spark: SparkSession, docs: DataFrame,
+      evalSet: DataFrame, destPath: String, bloomPath: String,
+      mBits: Int = 65536, kProbes: Int = 3, minQuality: Double = 0.2,
+      checkpoint: String = ""): Unit = {
+    import graft.operators.Dedup
+    import graft.operators.TextAnalysis
+    import graft.functions.TextOps
+    val ckpt = if (checkpoint.nonEmpty) checkpoint else destPath + "_cur_ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint() // one source read for all stages
+        if (b.count() > 0) {
+          val quality = TextAnalysis.qualityStats(b)
+            .filter(col("quality_score") >= minQuality).select("doc_id")
+          val s1 = b.join(quality, Seq("doc_id"), "left_semi")
+          // history = the persisted filter (absent on the first batch)
+          val hasBloom = fs.exists(new org.apache.hadoop.fs.Path(bloomPath))
+          val oldBloom =
+            if (hasBloom) spark.read.parquet(bloomPath).localCheckpoint(true)
+            else spark.emptyDataFrame
+              .select(lit(0).as("w"), lit(0L).as("word")).limit(0)
+          val s2 = Dedup.bloomNovel(s1, oldBloom, mBits, kProbes)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("_bk").orderBy("doc_id")
+          val s3 = s2
+            .withColumn("_bk", TextOps.bagOfWordsKey(TextOps.words(col("text"))))
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_bk", "_rn")
+          val contaminated = TextAnalysis.decontaminate(
+            s3, evalSet, n = 3, minShared = 3).select("doc_id")
+          val survivors = s3
+            .join(contaminated, Seq("doc_id"), "left_anti")
+            .localCheckpoint() // consumed twice: sink write + bloom merge
+          survivors.write.mode("overwrite")
+            .parquet(s"$destPath/batch=$batchId")
+          // filter maintenance: old ∪ new keys, one tiny bit_or aggregate
+          // (≤ mBits/32 rows); oldBloom is materialized above, so
+          // overwriting its own path is read-safe
+          Dedup.bloomBuild(survivors, mBits, kProbes)
+            .unionByName(oldBloom)
+            .groupBy("w").agg(expr("bit_or(word)").as("word"))
+            .write.mode("overwrite").parquet(bloomPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

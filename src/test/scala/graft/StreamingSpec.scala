@@ -222,6 +222,66 @@ class StreamingSpec extends SparkSpec {
     assert(u == Seq(777L), s"bucket-3 rows not upserted: $u")
   }
 
+  test("curationStream: bloom carries history across micro-batches; " +
+      "quality/dup/contaminated docs drop; restart is incremental") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val tB = "ash birch cedar cypress elm fir hazel juniper larch maple " +
+      "oak pine rowan spruce walnut willow acacia alder aspen beech " +
+      "chestnut dogwood ebony ginkgo"
+    val lowQ = "the and of to in a is it for on"
+    val tE = "zeus hera poseidon demeter athena apollo artemis ares " +
+      "aphrodite hephaestus hermes hestia dionysus hades persephone nike " +
+      "iris helios selene eos pan nemesis tyche eros"
+    val tF = "iron copper zinc tin lead gold silver platinum nickel " +
+      "cobalt chromium titanium tungsten mercury aluminium magnesium " +
+      "calcium sodium potassium lithium barium radium cesium rubidium"
+    val evalText = "quark lepton boson photon gluon neutrino muon tauon " +
+      "positron electron"
+    // shares the 3 leading eval shingles, padded to quality-passing length
+    val tG = "quark lepton boson photon gluon basalt granite marble " +
+      "slate quartz feldspar mica gypsum talc pumice obsidian shale " +
+      "limestone sandstone dolomite chalk flint"
+    val evalSet = Seq((100L, evalText, "eval")).toDF("doc_id", "text", "source")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_curation_stream").toString
+    val dest = s"$root/curated"
+    val bloomPath = s"$root/bloom"
+    val docs = MemoryStream[(Long, String, String)]
+    val sdf = docs.toDF().toDF("doc_id", "text", "source")
+    docs.addData((1L, tA, "s1"), (2L, tB, "s1"), (3L, lowQ, "s1"))
+    StreamingOps.curationStream(spark, sdf, evalSet, dest, bloomPath)
+    val after1 = spark.read.parquet(dest)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(after1 == Set(1L, 2L),
+      s"batch 1: quality floor must drop doc 3, got $after1")
+    // batch 2: a content-dup of doc 1 (different id), a novel doc, a
+    // within-batch dup pair, and an eval-contaminated doc
+    docs.addData((10L, tA, "s2"), (11L, tE, "s2"), (12L, tF, "s2"),
+      (13L, tF, "s2"), (14L, tG, "s2"))
+    StreamingOps.curationStream(spark, sdf, evalSet, dest, bloomPath)
+    val after2 = spark.read.parquet(dest)
+      .select($"doc_id", $"batch".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(after2.keySet == Set(1L, 2L, 11L, 12L),
+      s"batch 2 must keep only the novel + first-occurrence docs: $after2")
+    assert(after2(11L) == 1L && after2(12L) == 1L && after2(1L) == 0L,
+      s"survivors must sit in their arrival batch dir: $after2")
+    // the filter now holds ALL accepted content keys: replaying every
+    // accepted text against it (fresh ids) yields zero novel docs
+    val replay = Seq((20L, tA, "x"), (21L, tB, "x"), (22L, tE, "x"),
+      (23L, tF, "x")).toDF("doc_id", "text", "source")
+    val bloom = spark.read.parquet(bloomPath)
+    assert(graft.operators.Dedup.bloomNovel(replay, bloom, 65536, 3).isEmpty,
+      "every accepted key must be caught by the merged filter")
+    // restart with nothing new: checkpointed offsets make it a no-op
+    StreamingOps.curationStream(spark, sdf, evalSet, dest, bloomPath)
+    assert(spark.read.parquet(dest).count() == 4)
+  }
+
   test("streamed dedup distinct-users equals batch count(DISTINCT)") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.distinctUsersStream(spark, sf001).collect()
