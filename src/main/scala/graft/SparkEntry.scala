@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Collection, Dedup, Events, IndexMeta, Multimodal, Privacy, Quantization, Relational, Search, Stats, TextAnalysis}
+import graft.operators.{Ann, Bpe, Collection, Dedup, Events, IndexMeta, Multimodal, Privacy, Quantization, Relational, Search, Stats, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -232,6 +232,16 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+
+  /** BPE training state per scale dir: trained once per JVM (6 merges);
+    * the merge table AND the final vocab frame (localCheckpointed) are
+    * shared by bpe_learn and bpe_tokenize. No side table: training is
+    * integer-exact with a total tie-break, so the oracle REPLAYS it. */
+  private val bpeBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Bpe.Merge], DataFrame)]()
+  private def bpeState(s: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) =
+    bpeBuilt.computeIfAbsent(dir,
+      _ => Bpe.learn(s.read.parquet(s"$dir/documents.parquet"), nMerges = 6))
 
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession, dir: String)
@@ -863,6 +873,29 @@ object SparkEntry {
     "lm_perplexity" -> ((s, dir) =>
       TextAnalysis.lmScore(
         s.read.parquet(s"$dir/documents.parquet"), lmModel(s, dir))),
+    // BPE tokenizer training (Sennrich '16) on the word-frequency table:
+    // 6 greedy merges, integer-exact counts, deterministic tie-break;
+    // the oracle REPLAYS training (6 unrolled rewrite stages) rather
+    // than reading a side table — both engines must learn identically.
+    "bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      bpeState(s, dir)._1.toDF().orderBy("rank")
+    }),
+    // Apply the learned merges to the corpus: per-doc BPE token counts +
+    // tokenizer fertility (chars/token) — the vocab-health signal.
+    "bpe_tokenize" -> ((s, dir) =>
+      Bpe.tokenize(s.read.parquet(s"$dir/documents.parquet"),
+        bpeState(s, dir)._2)),
+    // DSIR importance resampling (Xie et al. '23): top-30 raw docs whose
+    // hashed unigram∪bigram distribution matches the doc_id<20 "target
+    // domain", Gumbel-top-k on 6dp log importance ratios (deterministic
+    // uniforms from hash60(doc_id)).
+    "dsir_select" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.dsirResample(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        n = 30, buckets = 1024)
+    }),
     // Span-level dedup (substring analogue of doc dedup): every 8-token
     // window hashed in one native pass (stride 1, positions kept), one
     // hash agg -> top cross-doc duplicated spans.
@@ -1498,6 +1531,34 @@ object SparkEntry {
        |f AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
        |  FROM c JOIN p1 USING (id), q)
        |SELECT id, score, user_id FROM f ORDER BY score DESC, id ASC LIMIT 10""".stripMargin
+
+  /** Unrolled BPE-training CTE chain (mirrors Bpe.learn, k merge rounds):
+    * v0 = word-frequency table, s0 = char symbols, then per round r:
+    * p_r adjacent-pair counts (self-pairs excluded, weighted by word
+    * count), m_r the argmax merge (total tie-break), s_r the rewritten
+    * symbols. DuckDB lists are 1-based; i ranges 0-based, so sym[i+1] is
+    * position i. Bounds gates precede every access (CASE/AND
+    * short-circuit), exactly like the Spark rewrite. */
+  private def bpeCtes(k: Int): String = {
+    val b = Seq.newBuilder[String]
+    b += ("v0 AS (SELECT word, count(*)::BIGINT AS n FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE word <> '' GROUP BY word)")
+    b += ("s0 AS (SELECT word, n, list_transform(range(length(word)), " +
+      "i -> substring(word, i+1, 1)) AS sym FROM v0)")
+    for (r <- 1 to k) {
+      val p = r - 1
+      b += (s"p$r AS (SELECT sym[i+1] AS lhs, sym[i+2] AS rhs, sum(n)::BIGINT AS c " +
+        s"FROM (SELECT n, sym, unnest(range(greatest(len(sym)-1, 0))) AS i FROM s$p) " +
+        "WHERE sym[i+1] <> sym[i+2] GROUP BY 1, 2)")
+      b += s"m$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)"
+      b += (s"s$r AS (SELECT word, n, list_transform(" +
+        s"list_filter(range(len(sym)), i -> NOT (i >= 1 AND sym[i] = m$r.lhs AND sym[i+1] = m$r.rhs)), " +
+        s"i -> CASE WHEN sym[i+1] = m$r.lhs AND i+2 <= len(sym) AND sym[i+2] = m$r.rhs " +
+        s"THEN sym[i+1] || sym[i+2] ELSE sym[i+1] END) AS sym FROM s$p, m$r)")
+    }
+    b.result().mkString(",\n")
+  }
 
   private def dict(l: String): String =
     graft.functions.TextOps.StopwordDicts(l).map(w => s"'$w'").mkString("[", ",", "]")
@@ -2300,6 +2361,40 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
          |  round(-(sum(lp::DECIMAL(18,6))::DOUBLE) / count(*), 6) AS avg_nll
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "bpe_learn" ->
+      s"""WITH ${bpeCtes(6)}
+         |SELECT * FROM (${(1 to 6).map(r =>
+             s"SELECT $r::BIGINT AS rank, lhs, rhs, c AS pair_count FROM m$r")
+             .mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin,
+    "bpe_tokenize" ->
+      s"""WITH ${bpeCtes(6)},
+         |wtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |j AS (SELECT doc_id, wtok.word AS word,
+         |    coalesce(len(s6.sym), length(wtok.word))::BIGINT AS n_sym
+         |  FROM wtok LEFT JOIN s6 ON wtok.word = s6.word WHERE wtok.word <> '')
+         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sym)::BIGINT AS n_bpe_tokens,
+         |  sum(length(word))::BIGINT AS n_word_chars,
+         |  round(sum(length(word))::DOUBLE / sum(n_sym), 6) AS chars_per_token
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dsir_select" ->
+      s"""WITH $W,
+         |f AS (SELECT doc_id, unnest(
+         |    list_transform(w, x -> ${h60("x")} % 1024) ||
+         |    list_transform(range(greatest(len(w)-1, 0)), i -> ${h60("(w[i+1] || ' ' || w[i+2])")} % 1024)
+         |  ) AS fid FROM t),
+         |ct AS (SELECT fid, count(*)::BIGINT AS c_t FROM f WHERE doc_id < 20 GROUP BY 1),
+         |cr AS (SELECT fid, count(*)::BIGINT AS c_r FROM f WHERE doc_id >= 20 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c_t) FROM ct) AS tt, (SELECT sum(c_r) FROM cr) AS tr),
+         |lam AS (SELECT coalesce(ct.fid, cr.fid) AS fid,
+         |    round(ln((coalesce(c_t, 0) + 1.0) / (tt + 1024.0))
+         |      - ln((coalesce(c_r, 0) + 1.0) / (tr + 1024.0)), 6) AS lam
+         |  FROM ct FULL OUTER JOIN cr ON ct.fid = cr.fid, tot),
+         |sc AS (SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+         |    round(sum(CAST(lam AS DECIMAL(28,6)))::DOUBLE, 6) AS log_weight
+         |  FROM f JOIN lam USING (fid) WHERE f.doc_id >= 20 GROUP BY 1)
+         |SELECT doc_id, n_feats, log_weight,
+         |  round(log_weight + round(-ln(-ln((${h60("doc_id::VARCHAR")} + 0.5) / 1152921504606846976.0)), 6), 6) AS gumbel_key
+         |FROM sc ORDER BY gumbel_key DESC, doc_id ASC LIMIT 30""".stripMargin,
     "duplicate_spans" ->
       s"""WITH $W,
          |sp AS (SELECT doc_id,

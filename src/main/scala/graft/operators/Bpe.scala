@@ -1,158 +1,136 @@
 package graft.operators
 
-import scala.collection.mutable.ArrayBuffer
-
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
 
-/** One learned BPE merge rule: fuse adjacent symbols (`left`, `right`)
-  * into `merged` = left+right. `pairCount` is the corpus-weighted
-  * adjacency count that made this pair the step's argmax. */
-final case class BpeMerge(step: Int, pair: String, merged: String, pairCount: Long)
-
-/** Byte-pair-encoding tokenizer training and encoding over a
-  * `documents(doc_id, text, ...)` table — the "train the tokenizer on the
-  * corpus" step of an LLM data pipeline (Sennrich et al., ACL 2016;
-  * reference repo has only a fixed regex token count,
-  * `src/utils/performance.py` has no tokenizer at all — this is a
-  * pipeline-completing addition, like dedup/sampling).
+/** Byte-pair-encoding tokenizer TRAINING and application — the "train
+  * the tokenizer on the corpus" step of an LLM data pipeline (Sennrich
+  * et al. '16, "Neural Machine Translation of Rare Words with Subword
+  * Units": greedily merge the most frequent adjacent symbol pair,
+  * weighted by word frequency, starting from characters).
   *
-  * Scale shape (the part that matters at 100 TB):
-  *   - Training never touches the corpus more than ONCE: the only
-  *     corpus-sized operation is the word-frequency aggregate
-  *     ([[wordFreq]], one map-side-combined shuffle). The merge loop then
-  *     iterates on that word-TYPE table (vocabulary-sized — millions of
-  *     rows, not billions), weighting every pair count by the type's
-  *     corpus frequency. Each step is one tiny groupBy + a 1-row argmax
-  *     collect; the chosen rule is folded back into the cached type table.
-  *   - Encoding is map-only: the learned rules are plan literals, each
-  *     applied as a greedy left-to-right merge pass (a codegen'd
-  *     `aggregate` fold — no UDF), per word, inside one projection. No
-  *     shuffle, no join, no driver participation.
-  *   - [[tokenFreq]] composes the two: fold the rules over the word-TYPE
-  *     table and weight by type frequency — token statistics for the whole
-  *     corpus at vocabulary cost.
+  * Spark shape: BPE training runs on the WORD-FREQUENCY table, not the
+  * corpus — the classic trick that makes tokenizer training cheap. One
+  * corpus scan builds `vocab(word, n, sym)` (distinct words with counts
+  * and character-symbol arrays); each merge round is then
+  *   (1) one hash aggregate over adjacent symbol pairs of the vocab
+  *       table, weighted by `n` (map-side partial combine, pair-key
+  *       shuffle bounded by the SYMBOL-pair vocabulary, not the corpus),
+  *   (2) a driver `collect()` of exactly ONE row (the argmax pair —
+  *       index metadata, same as the kmeans centroid pulls), and
+  *   (3) a map-side array rewrite of the vocab table (localCheckpointed
+  *       so the per-round lineage stays flat).
+  * At 100 TB the vocab table is the corpus' distinct-word table (~10⁸
+  * rows for web text — a small fraction of corpus size), so k merges
+  * cost k bounded aggregates over it; the corpus itself is scanned once.
   *
-  * Determinism: argmax tiebreak is (count desc, pair string asc); the
-  * merge pass is the exact Sennrich greedy left-to-right scan (correct on
-  * symbol runs: `a a a a a` → `aa aa a`, NOT a naive string replace which
-  * mis-associates runs). Both replay bit-for-bit in the DuckDB oracle via
-  * `list_reduce` (see SparkEntry `bpe_train` / `bpe_token_freq`).
+  * Determinism contract: pair counts are exact integer sums; the argmax
+  * tie-breaks (count DESC, lhs ASC, rhs ASC). SELF-PAIRS ARE EXCLUDED
+  * (lhs != rhs): merging a pair that overlaps itself ("aa" in "aaa")
+  * makes the left-to-right rewrite order-sensitive in a way no
+  * declarative engine reproduces portably, and a self-merge is a
+  * repetition artifact rather than a subword — excluding it keeps the
+  * position-based rewrite below exactly reproducible in any engine
+  * (documented deviation from the reference algorithm).
   *
-  * Honest limit: the encode fold chains one pass per rule, so it is the
-  * right plan for tens of rules (plan size is linear in rules). A
-  * production 30k-merge vocabulary would move the loop into a single
-  * custom Expression holding the rank table; the training side is
-  * unchanged.
+  * Rewrite semantics (overlap-free because lhs != rhs): position i of a
+  * symbol array matches iff sym[i]=lhs and sym[i+1]=rhs; every matched
+  * pair merges simultaneously; a position is dropped iff its predecessor
+  * matched. Adjacent matches cannot overlap — (i, i+1) and (i+1, i+2)
+  * both matching would force lhs = rhs.
   */
 object Bpe {
 
-  /** "h e l l o </w>" — a word as space-joined single-char symbols with
-    * the end-of-word marker as the final symbol. The corpus alphabet is
-    * space-free words (TextOps.words), so ' ' is a safe symbol separator
-    * and "</w>" a safe reserved symbol. */
-  def symbolString(word: Column): Column =
-    concat(regexp_replace(word, "(.)", "$1 "), lit("</w>"))
+  final case class Merge(rank: Long, lhs: String, rhs: String, pair_count: Long)
 
-  /** Corpus word-frequency table (word, cnt) — the ONE corpus-sized pass
-    * of training. */
-  def wordFreq(docs: DataFrame): DataFrame =
+  /** Distinct-word frequency table with character-symbol arrays:
+    * (word, n, sym). One scan + one hash aggregate. */
+  def vocab(docs: DataFrame): DataFrame =
     docs.select(explode(TextOps.words(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // empty tokens (doubled separators) would hit the descending
+      // sequence(0,-1) trap below — drop them in BOTH engines
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("sym",
+        expr("transform(sequence(0, length(word)-1), i -> substring(word, i+1, 1))"))
 
-  /** One greedy left-to-right merge pass of rule (left, right) over a
-    * space-joined symbol string: fold each symbol into the accumulator;
-    * when the accumulator's LAST symbol is `left` and the incoming symbol
-    * is `right`, replace that last symbol with left+right. This is
-    * Sennrich's scan exactly — after `aa` is emitted for `a a`, the fused
-    * token cannot re-merge with the next `a` in the same pass. */
-  def mergePass(sym: Column, left: String, right: String): Column = {
-    val merged = left + right
-    aggregate(
-      split(sym, " "),
-      lit(""),
-      (acc, t) => {
-        val lastIsLeft = acc === lit(left) || endswith(acc, lit(" " + left))
-        when(acc === lit(""), t)
-          .when(lastIsLeft && t === lit(right),
-            concat(acc.substr(lit(1), length(acc) - lit(left.length)), lit(merged)))
-          .otherwise(concat(acc, lit(" "), t))
-      })
+  /** Adjacent-pair frequency aggregate over a vocab frame (self-pairs
+    * excluded; count weighted by word frequency). */
+  private def pairCounts(v: DataFrame): DataFrame =
+    v.select(col("n"),
+        explode(expr("CASE WHEN size(sym) >= 2 THEN " +
+          "transform(sequence(0, size(sym)-2), i -> struct(sym[i] AS lhs, sym[i+1] AS rhs)) " +
+          "ELSE CAST(array() AS array<struct<lhs:string,rhs:string>>) END")).as("p"))
+      .select(col("p.lhs"), col("p.rhs"), col("n"))
+      .filter(col("lhs") =!= col("rhs"))
+      .groupBy("lhs", "rhs").agg(sum("n").as("c"))
+
+  /** One merge-rewrite of the symbol arrays: merge every (lhs, rhs)
+    * occurrence. Bounds-checked gates precede every element access
+    * (ANSI mode throws on out-of-range element_at; `&&` short-circuits). */
+  private def rewrite(sym: Column, lhs: String, rhs: String): Column = {
+    val a = lit(lhs); val b = lit(rhs)
+    def at(i: Column): Column = element_at(sym, i)
+    transform(
+      filter(sequence(lit(0), size(sym) - 1),
+        i => !(i >= 1 && at(i) === a && at(i + 1) === b)),
+      i => when(at(i + 1) === a && i + 1 < size(sym) && at(i + 2) === b,
+          concat(at(i + 1), at(i + 2)))
+        .otherwise(at(i + 1)))
   }
 
-  private def mergeChain(sym: Column, merges: Seq[BpeMerge]): Column =
-    merges.foldLeft(sym) { (c, m) =>
-      val Array(l, r) = m.pair.split(" ", 2)
-      mergePass(c, l, r)
-    }
-
-  /** Train up to `nMerges` BPE rules on the corpus. Returns the learned
-    * rules in order; stops early if no adjacent pair is left (fully fused
-    * vocabulary). Driver work per step is ONE collected row. */
-  def train(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
-    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var vocab = wordFreq(docs)
-      .select(symbolString(col("word")).as("sym"), col("cnt")).cache()
-    val merges = ArrayBuffer.empty[BpeMerge]
-    var step = 1
-    var exhausted = false
-    while (step <= nMerges && !exhausted) {
-      val syms = split(col("sym"), " ")
-      val best = vocab
-        .select(col("cnt"), syms.as("s"))
-        .where(size(col("s")) >= 2)
-        .select(col("cnt"), explode(
-          transform(sequence(lit(1), size(col("s")) - 1),
-            j => concat(element_at(col("s"), j), lit(" "),
-              element_at(col("s"), j + 1)))).as("pair"))
-        .groupBy("pair").agg(sum("cnt").as("total"))
-        .orderBy(desc("total"), asc("pair"))
+  /** Learn `nMerges` BPE merges. Returns the merge table (rank order)
+    * and the final vocab frame (word, n, sym) for [[tokenize]]. Stops
+    * early if no mergeable pair remains. */
+  def learn(docs: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    var v = vocab(docs).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var r = 1L
+    var done = false
+    while (r <= nMerges && !done) {
+      val top = pairCounts(v)
+        .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+      if (top.isEmpty) done = true
       else {
-        val pair = best(0).getString(0)
-        val total = best(0).getLong(1)
-        val m = BpeMerge(step, pair, pair.replace(" ", ""), total)
-        merges += m
-        val next = vocab
-          .withColumn("sym", mergeChain(col("sym"), Seq(m))).cache()
-        vocab.unpersist()
-        vocab = next
-        step += 1
+        val (lhs, rhs, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(r, lhs, rhs, c)
+        v = v.withColumn("sym", rewrite(col("sym"), lhs, rhs)).localCheckpoint()
+        r += 1
       }
     }
-    vocab.unpersist()
-    merges.toSeq
+    (merges.result(), v)
   }
 
-  /** [[train]] as a DataFrame (step, pair, merged, pair_count) — the
-    * driver-verifiable merge table. */
-  def trainDF(spark: SparkSession, docs: DataFrame, nMerges: Int): DataFrame = {
+  /** The learned merge table as a DataFrame (rank, lhs, rhs, pair_count). */
+  def mergeTable(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    train(docs, nMerges).toDF("step", "pair", "merged", "pair_count")
+    learn(docs, nMerges)._1.toDF().orderBy("rank")
   }
 
-  /** Encode the corpus with a learned rule list: adds `bpe_tokens`
-    * (array of subword tokens, "</w>"-terminated per source word).
-    * Map-only — rules are plan literals, the fold is codegen'd, no
-    * shuffle at any scale. */
-  def encode(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
-    val encodedWords = transform(TextOps.words(col("text")),
-      w => mergeChain(symbolString(w), merges))
-    docs.withColumn("bpe_tokens",
-      split(concat_ws(" ", encodedWords), " "))
-  }
-
-  /** Corpus token-frequency table (token, n) under a learned rule list,
-    * computed at vocabulary cost: fold the rules over word TYPES and
-    * weight by type frequency — never re-scans the corpus. Equals
-    * exploding [[encode]]'s tokens over the full corpus (spec-asserted). */
-  def tokenFreq(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame =
-    wordFreq(docs)
-      .select(col("cnt"), mergeChain(symbolString(col("word")), merges).as("sym"))
-      .select(col("cnt"), explode(split(col("sym"), " ")).as("token"))
-      .groupBy("token").agg(sum("cnt").as("n"))
-      .orderBy(desc("n"), asc("token"))
+  /** Apply a trained vocabulary to a corpus: per-doc BPE token count and
+    * compression stats. The vocab join is a bounded-key equi-join
+    * (broadcast when small — AQE's call); everything else fuses into the
+    * scan. `chars_per_token` is the tokenizer-fertility signal data
+    * pipelines track per language/source. */
+  def tokenize(docs: DataFrame, vocabFinal: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(vocabFinal.select(col("word"), size(col("sym")).cast("long").as("n_sym")),
+        Seq("word"), "left")
+      // OOV fallback: character tokens (cannot trigger when the vocab was
+      // trained on the same corpus; kept for cross-corpus application)
+      .withColumn("n_sym", coalesce(col("n_sym"), length(col("word")).cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_word_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_word_chars").cast("double") / col("n_bpe_tokens"), 6))
+      .orderBy("doc_id")
 }

@@ -589,6 +589,71 @@ object TextAnalysis {
       .orderBy("shard", "pack_no")
   }
 
+  /** DSIR-style importance resampling (Xie et al. '23, "Data Selection
+    * for Language Models via Importance Resampling"): pick raw-corpus
+    * documents whose hashed-n-gram feature distribution matches a TARGET
+    * domain, by scoring each raw doc with the log importance ratio of two
+    * bag-of-hashed-features models and Gumbel-top-k sampling on those
+    * log weights (sampling ∝ exp(weight) without replacement — the
+    * paper's resampling step, made deterministic here by deriving each
+    * doc's uniform from a portable hash of its id instead of an RNG).
+    *
+    * Differs from [[trainQualityModel]] (quality classes from weak
+    * labels) in both signal and estimand: DSIR matches a target DOMAIN's
+    * feature distribution — the "give me more data that looks like my
+    * eval/fine-tune set" selection step — and its weight is a likelihood
+    * ratio, not a classifier margin.
+    *
+    * Features are unigrams ∪ bigrams hashed into `buckets` ids (the
+    * paper's hashed n-gram featurization); both models are add-α
+    * smoothed multinomials over those ids. Per-feature log ratios
+    *   λ_f = ln((c_t[f]+α)/(T_t+αB)) − ln((c_r[f]+α)/(T_r+αB))
+    * are 6dp-rounded at model build, so per-doc weights are exact
+    * DECIMAL sums of exact values (the [[scoreQualityModel]] order-free
+    * determinism rule); the Gumbel key adds a 6dp-rounded
+    * −ln(−ln(u)) with u = (hash60(doc_id)+0.5)/2^60.
+    *
+    * Scale: two hash aggregates build the models (B-row tables,
+    * broadcastable at any corpus size); scoring is a map-side feature
+    * explode + broadcast join + one decimal agg per doc; selection is
+    * TakeOrderedAndProject on the Gumbel key. No corpus-sized state
+    * anywhere — the 100 TB shape is three scans and a top-k. */
+  def dsirResample(raw: DataFrame, target: DataFrame, n: Int,
+      buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    def feats(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(concat(
+        col("ws"),
+        // sequence(0,-1) would DESCEND ([0,-1]) on 1-word docs — guard it
+        expr("CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws)-2)," +
+          " i -> concat(ws[i], ' ', ws[i+1])) ELSE CAST(array() AS array<string>) END")))
+        .as("tok"))
+      .select(col("doc_id"),
+        pmod(TextOps.hash60(col("tok")), lit(buckets.toLong)).as("fid"))
+    val rawF = feats(raw)
+    val ct = feats(target).groupBy("fid").agg(count(lit(1)).as("c_t"))
+    val cr = rawF.groupBy("fid").agg(count(lit(1)).as("c_r"))
+    val tot = ct.agg(sum("c_t").as("tt"))
+      .crossJoin(cr.agg(sum("c_r").as("tr")))
+    val lam = ct.join(cr, Seq("fid"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("fid"),
+        round(log((coalesce(col("c_t"), lit(0L)) + alpha) / (col("tt") + alpha * buckets))
+          - log((coalesce(col("c_r"), lit(0L)) + alpha) / (col("tr") + alpha * buckets)), 6)
+          .as("lam"))
+    rawF
+      .join(broadcast(lam), Seq("fid"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        round(sum(col("lam").cast("decimal(28,6)")).cast("double"), 6).as("log_weight"))
+      .withColumn("gumbel_key",
+        round(col("log_weight")
+          + round(-log(-log((TextOps.hash60(col("doc_id").cast("string")) + 0.5d)
+              / 1152921504606846976.0d)), 6), 6))
+      .orderBy(col("gumbel_key").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
   /** Document fingerprints: order-sensitive rolling polynomial hash over
     * word hashes + order-insensitive bag-of-words md5 key. */
   def fingerprints(docs: DataFrame): DataFrame = {

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, TextAnalysis}
+
+/** BPE tokenizer training + application, and DSIR importance resampling. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toSeq.toDF("doc_id", "text")
+
+  test("bpe learns the most frequent pair first, frequency-weighted") {
+    // "ab" appears in 3 words x high counts; tie-breaks are not exercised
+    val d = docs(
+      (0L, "abc abc abd xyz"),
+      (1L, "abc abd abd xyz"),
+      (2L, "abc abc abc xyz"))
+    val (merges, _) = Bpe.learn(d, 2)
+    // pair (a,b): every abc (6) + abd (3) occurrence = 9; beats (b,c)=6
+    assert(merges.head.lhs == "a" && merges.head.rhs == "b")
+    assert(merges.head.pair_count == 9L)
+    // after merging "ab", (ab,c) has count 6 — the next-best pair
+    assert(merges(1).lhs == "ab" && merges(1).rhs == "c")
+    assert(merges(1).pair_count == 6L)
+  }
+
+  test("rewrite merges all non-overlapping occurrences simultaneously") {
+    // alternating pattern: every even position matches; with lhs != rhs
+    // matches cannot overlap, so "ababab" -> [ab, ab, ab]
+    val d = docs((0L, "ababab"))
+    val (merges, v) = Bpe.learn(d, 1)
+    assert(merges.head.lhs == "a" && merges.head.rhs == "b")
+    val sym = v.filter($"word" === "ababab").select("sym")
+      .as[Seq[String]].head()
+    assert(sym == Seq("ab", "ab", "ab"))
+  }
+
+  test("self-pairs are excluded so 'aaa' never merges (a,a)") {
+    val d = docs((0L, "aaa aaa bc"))
+    val (merges, _) = Bpe.learn(d, 1)
+    assert(merges.head != null)
+    assert(!(merges.head.lhs == "a" && merges.head.rhs == "a"))
+  }
+
+  test("learn stops early when no mergeable pair remains") {
+    val d = docs((0L, "a b c aa"))
+    val (merges, _) = Bpe.learn(d, 5)
+    // only candidate pairs are inside "aa" (self-pair, excluded)
+    assert(merges.isEmpty)
+  }
+
+  test("tokenize: token counts shrink monotonically with merges, chars conserved") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val v0 = Bpe.vocab(d)
+    val (_, v6) = Bpe.learn(d, 6)
+    val t0 = Bpe.tokenize(d, v0).agg(sum("n_bpe_tokens"), sum("n_word_chars"))
+      .as[(Long, Long)].head()
+    val t6 = Bpe.tokenize(d, v6).agg(sum("n_bpe_tokens"), sum("n_word_chars"))
+      .as[(Long, Long)].head()
+    // char-level tokenization: one token per char
+    assert(t0._1 == t0._2)
+    assert(t6._1 < t0._1)           // merges strictly reduce token count here
+    assert(t6._2 == t0._2)          // char mass unchanged
+  }
+
+  test("dsir ranks target-like docs above off-distribution docs") {
+    val target = docs((0L, "spark scan shuffle join"), (1L, "spark join scan agg"))
+    val raw = docs(
+      (100L, "spark scan shuffle join agg"),  // on-distribution
+      (101L, "zebra quokka lemur wombat okapi")) // disjoint vocab
+    val out = TextAnalysis.dsirResample(raw, target, n = 2, buckets = 256)
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    assert(out(100L) > out(101L))
+    // weight signs: matching features beat the smoothed-prior baseline
+    assert(out.size == 2)
+  }
+
+  test("dsir is deterministic and bounded by n") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val raw = d.filter($"doc_id" >= 20)
+    val tgt = d.filter($"doc_id" < 20)
+    val a = TextAnalysis.dsirResample(raw, tgt, n = 10).collect()
+    val b = TextAnalysis.dsirResample(raw, tgt, n = 10).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 10)
+    // selected ids come from raw only
+    assert(a.forall(_.getLong(0) >= 20))
+  }
+}
