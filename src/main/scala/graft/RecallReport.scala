@@ -61,6 +61,18 @@ object RecallReport {
       val assigned = Ann.ivfAssign(points, meta.cids, meta.cents).cache()
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("id").collect().map(_.getLong(0)).toSet
+      // graph ANN: ONE batched beam over all report qids (the serving
+      // shape — Q parallel beams in the same bounded hop joins), then
+      // per-qid blocks graded like every other path
+      val graphIds: Map[Long, Set[Long]] = {
+        val batchQ = points.filter(col("id").isin(qids.map(Long.box): _*))
+          .select(col("id").as("qid"), col("embedding").as("qemb"))
+        Ann.graphBeamSearch(points, SparkEntry.graphTable(spark, sfDir),
+            batchQ, k = k)
+          .select("qid", "id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+      }
       val perQuery = qids.map { qid =>
         val q = points.filter(col("id") === qid).select(col("embedding").as("qemb"))
         val exact = ids(Search.knn(points, q, k, -1.0))
@@ -74,7 +86,8 @@ object RecallReport {
           "binary_quant" -> recall(ids(Quantization.binaryTwoPhaseSearch(points, q, k))),
           "cascade" -> recall(ids(Quantization.cascadeSearch(points, q, k))),
           "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))),
-          "pq_adc" -> recall(ids(Quantization.pqAdcSearch(points, q, pqCb, k))))
+          "pq_adc" -> recall(ids(Quantization.pqAdcSearch(points, q, pqCb, k))),
+          "graph_beam" -> recall(graphIds.getOrElse(qid.toLong, Set.empty)))
         // held-out only: the calibration set must not grade itself
         if (Ann.DefaultLshCalibrationSample.contains(qid.toLong)) base
         else base + ("lsh_calibrated" ->

@@ -233,6 +233,20 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Navigable neighbor graph per scale dir (NSW index build lifecycle):
+    * built once per JVM from the bulk k-NN join (k=8, nprobe=2, C=32
+    * seed centroids — the ann_knn_join configuration, which the oracle
+    * replays), made undirected, degree-capped at 12. localCheckpointed:
+    * ~N·12 edge rows. */
+  private val graphBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def graphTable(s: SparkSession, dir: String): DataFrame =
+    graphBuilt.computeIfAbsent(dir, _ => {
+      val points = Collection.load(s, dir)
+      Ann.graphBuild(points, Ann.seedCentroids(points, 32),
+        graphK = 8, maxDegree = 12, nprobe = 2).localCheckpoint()
+    })
+
   /** BPE training state per scale dir: trained once per JVM (6 merges);
     * the merge table AND the final vocab frame (localCheckpointed) are
     * shared by bpe_learn and bpe_tokenize. No side table: training is
@@ -633,6 +647,17 @@ object SparkEntry {
     // grow WITH N to hold the join linear — the SCALING.md measured
     // exponent table demonstrates both the fixed-C blowup and the
     // C∝N fix on the same fixture.
+    // Graph ANN (NSW/HNSW family — Qdrant's index shape): fixed-hop beam
+    // search over the persisted undirected k-NN graph; the oracle replays
+    // BOTH the graph build (knnJoin CTEs) and all four hops.
+    "ann_graph_beam" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qemb"))
+      Ann.graphBeamSearch(points, graphTable(s, dir), q,
+          k = 10, beam = 8, hops = 4)
+        .select(col("id"), col("score"), col("user_id"))
+    }),
     "ann_knn_join" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val cells = sys.env.getOrElse("SPARK_GRAFT_KNN_CELLS", "32").toInt
@@ -1532,6 +1557,63 @@ object SparkEntry {
        |  FROM c JOIN p1 USING (id), q)
        |SELECT id, score, user_id FROM f ORDER BY score DESC, id ASC LIMIT 10""".stripMargin
 
+  /** Unrolled graph-ANN oracle (mirrors graphTable + Ann.graphBeamSearch):
+    * knnJoin replay (C=32 seed cells, rn<=2 probes, k=8 neighbors) →
+    * undirected degree-12 cap → `hops` beam stages (neighbor hop minus
+    * visited, score, union, frontier = top-`beam` of visited minus
+    * expanded) → final top-k of visited. */
+  private def graphBeamOracle(hops: Int, beam: Int, k: Int): String = {
+    val b = Seq.newBuilder[String]
+    b += s"""cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),
+       |gscored AS (SELECT p.id, ct.cid,
+       |  row_number() OVER (PARTITION BY p.id
+       |    ORDER BY round(list_dot_product(p.ne, ct.ce), 6) DESC, ct.cid ASC) AS rn
+       |  FROM c p, cent ct),
+       |gdside AS (SELECT id, cid FROM gscored WHERE rn = 1),
+       |gqside AS (SELECT id AS qid, cid FROM gscored WHERE rn <= 2),
+       |gcand AS (SELECT q.qid, d.id,
+       |    round(list_dot_product(qc.ne, dc.ne), 6) AS score
+       |  FROM gqside q
+       |  JOIN gdside d ON q.cid = d.cid AND q.qid <> d.id
+       |  JOIN c qc ON qc.id = q.qid
+       |  JOIN c dc ON dc.id = d.id),
+       |gr AS (SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+       |  FROM gcand),
+       |kn AS MATERIALIZED (SELECT qid, id, score FROM gr WHERE rank <= 8),
+       |und AS (SELECT src, dst, max(score) AS score FROM (
+       |    SELECT qid AS src, id AS dst, score FROM kn
+       |    UNION ALL SELECT id AS src, qid AS dst, score FROM kn)
+       |  GROUP BY src, dst),
+       |g AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+       |  FROM und) WHERE rn <= 12),
+       |q AS MATERIALIZED (SELECT ne AS qe FROM c WHERE id = 0),
+       |ent AS (SELECT min(id) AS id FROM c),
+       |v0 AS MATERIALIZED (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+       |  FROM c JOIN ent ON c.id = ent.id, q),
+       |f0 AS MATERIALIZED (SELECT id FROM v0),
+       |e0 AS MATERIALIZED (SELECT id FROM v0 WHERE FALSE)""".stripMargin
+    // every per-hop state CTE is MATERIALIZED: DuckDB inlines CTEs by
+    // default, and the hop recurrence references each prior frame 2-3
+    // times — inlining re-expands the whole chain (and the graph build
+    // under it) exponentially in `hops`; materialization makes the oracle
+    // replay the same bounded per-hop work the Spark plan does
+    for (r <- 1 to hops) {
+      val p = r - 1
+      b += s"""n$r AS MATERIALIZED (SELECT DISTINCT g.dst AS id FROM g JOIN f$p ON g.src = f$p.id
+         |  WHERE g.dst NOT IN (SELECT id FROM v$p)),
+         |s$r AS MATERIALIZED (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM c JOIN n$r USING (id), q),
+         |v$r AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT * FROM s$r),
+         |e$r AS MATERIALIZED (SELECT id FROM e$p UNION SELECT id FROM f$p),
+         |f$r AS MATERIALIZED (SELECT id FROM v$r WHERE id NOT IN (SELECT id FROM e$r)
+         |  ORDER BY score DESC, id ASC LIMIT $beam)""".stripMargin
+    }
+    s"WITH $C,\n" + b.result().mkString(",\n") +
+      s"\nSELECT id, score, user_id FROM v$hops ORDER BY score DESC, id ASC LIMIT $k"
+  }
+
   /** Unrolled BPE-training CTE chain (mirrors Bpe.learn, k merge rounds):
     * v0 = word-frequency table, s0 = char symbols, then per round r:
     * p_r adjacent-pair counts (self-pairs excluded, weighted by word
@@ -1999,6 +2081,7 @@ object SparkEntry {
          |  max(node) AS max_id
          |FROM comp GROUP BY cluster_id HAVING count(*) > 1
          |ORDER BY cluster_id""".stripMargin,
+    "ann_graph_beam" -> graphBeamOracle(hops = 4, beam = 8, k = 10),
     "ann_knn_join" ->
       s"""WITH $C,
          |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),

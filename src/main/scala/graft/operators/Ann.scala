@@ -778,4 +778,103 @@ object Ann {
         .filter(col("score") >= threshold)
         .withColumn("strategy", lit("ivf_postfilter"))
   }
+
+  // ---- graph-based ANN (NSW / HNSW family) -----------------------------
+
+  /** Build a navigable neighbor GRAPH from the bulk k-NN join — the
+    * HNSW-family index shape (Malkov & Yashunin '16) expressed
+    * relationally: the graph is a TABLE (src, dst, score), built
+    * distributed, and search is a bounded sequence of pruned joins over
+    * it. Qdrant's serving index is exactly this family; the engine's
+    * other index paths (IVF/LSH/PQ) trade recall against scan share,
+    * while the graph trades it against HOPS — O(beam·degree) score
+    * evaluations per query independent of the corpus partition count.
+    *
+    * Construction: [[knnJoin]] (cell-bounded candidate generation, skew
+    * salted — never all-pairs) gives each point its `graphK` nearest;
+    * edges are made UNDIRECTED (reverse links are what make greedy
+    * routing navigable — a pure out-k-NN digraph strands high-degree
+    * hubs) and per-node out-degree is then capped at `maxDegree` keeping
+    * the highest-scoring links (deterministic tiebreak on dst).
+    *
+    * At 100 TB: build cost = the audited knnJoin (the one-job bulk form)
+    * + one edge aggregate; the graph is ~maxDegree·N rows of 24-byte
+    * edges — 1-2% of a float-embedding corpus — bucketed by src for the
+    * hop join. Single navigable layer, not the HNSW hierarchy: the entry
+    * tier a hierarchy provides is one extra bounded table (coarse IVF
+    * cells serve the same role here — probe a cell, enter the graph at
+    * its members), and fixed-hop behavior keeps search replayable. */
+  def graphBuild(points: DataFrame, centroids: DataFrame,
+      graphK: Int = 8, maxDegree: Int = 12, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val knn = knnJoin(points, centroids, k = graphK, nprobe = nprobe)
+    val fwd = knn.select(col("qid").as("src"), col("id").as("dst"), col("score"))
+    val rev = knn.select(col("id").as("src"), col("qid").as("dst"), col("score"))
+    val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
+    fwd.unionByName(rev)
+      // (a,b) and (b,a) both in the k-NN lists → same rounded symmetric
+      // score; max() only collapses the duplicate
+      .groupBy("src", "dst").agg(max("score").as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxDegree)
+      .select(col("src"), col("dst"), col("score"))
+  }
+
+  /** Batched beam search over a [[graphBuild]] graph — fixed-hop NSW
+    * descent, every query advancing in the SAME bounded jobs:
+    *
+    *   V_0 = F_0 = {entry} (min collection id — deterministic; a coarse
+    *   quantizer cell is the production entry tier);
+    *   hop r: N_r = dst(graph ⋈ F_{r-1}) \ V_{r-1} (one hop join + one
+    *   anti-join), score N_r against each query (store join, map-side
+    *   dot), V_r = V_{r-1} ∪ N_r; F_r = top-`beam` of V_r excluding
+    *   already-expanded nodes (window per qid).
+    *
+    * FIXED `hops` rather than converge-checked: the hop count is the
+    * plan depth, so termination must be static for the search to be a
+    * bounded DAG of joins (and for the oracle to replay it stage by
+    * stage). Per query the state is ≤ 1 + hops·beam·maxDegree scored
+    * rows — independent of corpus size; per hop the work is two
+    * bounded-key joins, so a batch of Q queries is Q parallel beams in
+    * one plan, the same amortization as [[ivfSearchBatch]].
+    *
+    * Frames are localCheckpointed per hop: each hop references the
+    * visited frame three times, and without truncation the reused
+    * subtree re-plans combinatorially. */
+  def graphBeamSearch(points: DataFrame, graph: DataFrame,
+      queries: DataFrame, k: Int, beam: Int = 8, hops: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = points.select(col("id"), col("embedding"), col("user_id"))
+    val entry = points.agg(min(col("id"))).head().getLong(0)
+    val q = broadcast(queries.select(col("qid"), col("qemb")))
+    def scoreIds(ids: DataFrame): DataFrame = ids
+      .join(store, Seq("id"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("id"),
+        rdot(col("embedding"), col("qemb")).as("score"), col("user_id"))
+    var visited = scoreIds(
+      q.select(col("qid")).withColumn("id", lit(entry))).localCheckpoint()
+    var frontier = visited.select(col("qid"), col("id"))
+    var expanded = frontier.limit(0)
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    for (_ <- 1 to hops) {
+      val nbrs = frontier
+        .join(graph.select(col("src").as("id"), col("dst")), Seq("id"))
+        .select(col("qid"), col("dst").as("id")).distinct()
+      val fresh = nbrs
+        .join(visited.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+      visited = visited.unionByName(scoreIds(fresh)).localCheckpoint()
+      expanded = expanded.unionByName(frontier).distinct().localCheckpoint()
+      frontier = visited
+        .join(expanded, Seq("qid", "id"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("qid"), col("id"))
+    }
+    visited
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("user_id"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

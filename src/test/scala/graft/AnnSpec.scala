@@ -176,8 +176,9 @@ class AnnSpec extends SparkSpec {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
     assert(r.keySet == Set("ivf", "ivf_nprobe", "ivf_target", "ivf_ref_target",
       "ivf_ref_nprobe", "lsh_multiprobe", "lsh_multitable", "binary_quant",
-      "cascade", "int8_quant", "pq_adc",
+      "cascade", "int8_quant", "pq_adc", "graph_beam",
       "lsh_calibrated", "lsh_calibrated_l", "lsh_calibrated_target"))
+    assert(r("graph_beam") >= 0.6, s"graph beam recall ${r("graph_beam")}")
     assert((r - "ivf_nprobe" - "ivf_ref_nprobe" - "lsh_calibrated_l")
       .values.forall(v => v >= 0.0 && v <= 1.0))
     // the calibrated-LSH report grades the shared constants, held-out
@@ -471,5 +472,50 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(stats.map(_._3).sum - 1.0) < 1e-4)
     assert(stats.forall { case (_, n, p) => n > 0 && p > 0.0 })
     assert(stats.map(_._1).toSeq == stats.map(_._1).sorted.toSeq)
+  }
+
+  private lazy val graph = Ann.graphBuild(
+    points, Ann.seedCentroids(points, 16), graphK = 8, maxDegree = 12)
+    .localCheckpoint()
+
+  test("graphBuild: degree cap holds and reverse links exist pre-cap") {
+    val degs = graph.groupBy("src").agg(count(lit(1)).as("d"))
+      .select("d").as[Long].collect()
+    assert(degs.forall(_ <= 12))
+    // undirected construction: each node's TOP edge (strongest score)
+    // survives the cap on both endpoints — top-1 of src is by definition
+    // within dst's cap too only if symmetric score ranks high there; assert
+    // the weaker invariant that a healthy share of edges is bidirectional
+    val e = graph.select($"src", $"dst").as[(Long, Long)].collect().toSet
+    val bidi = e.count { case (a, b) => e.contains((b, a)) }.toDouble / e.size
+    assert(bidi >= 0.5, s"bidirectional share $bidi — graph not navigable")
+  }
+
+  test("graph beam search: batch per-qid blocks equal solo runs, recall floor") {
+    val qids = Seq(0L, 17L, 99L, 250L)
+    val batchQ = points.filter($"id".isin(qids: _*))
+      .select($"id".as("qid"), $"embedding".as("qemb"))
+    val batch = Ann.graphBeamSearch(points, graph, batchQ, k = 10)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = qids.map { qid =>
+      val solo = Ann.graphBeamSearch(points, graph,
+          points.filter($"id" === qid)
+            .select($"id".as("qid"), $"embedding".as("qemb")),
+          k = 10)
+        .select("id").as[Long].collect().toSet
+      assert(batch(qid) == solo, s"batch block for $qid diverges from solo")
+      (solo intersect exactTop(qid, 10)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"graph beam mean recall@10 $mean too low: $recalls")
+  }
+
+  test("graph beam search is deterministic") {
+    val q = points.filter($"id" === 42L)
+      .select($"id".as("qid"), $"embedding".as("qemb"))
+    val a = Ann.graphBeamSearch(points, graph, q, k = 10).collect().toSeq
+    val b = Ann.graphBeamSearch(points, graph, q, k = 10).collect().toSeq
+    assert(a == b)
   }
 }
