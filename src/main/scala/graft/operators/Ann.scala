@@ -877,4 +877,44 @@ object Ann {
       .select(col("qid"), col("id"), col("score"), col("user_id"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Incremental graph-index maintenance: INSERT a batch of new points
+    * (HNSW's insert algorithm, batched — beam-search the existing graph
+    * for each new point's neighbors in ONE multi-query descent, link
+    * bidirectionally, re-cap degree). The whole batch advances in the
+    * same `hops` bounded joins; the merge is one aggregate over
+    * graph ∪ 2·|batch|·graphK edges. At 100 TB the graph is bucketed by
+    * `src` and only buckets holding touched nodes (the new ids + their
+    * chosen neighbors) rewrite — the same affected-dirs contract as
+    * `CollectionStore.mergeIndexed`; the degree re-cap is per-src, so
+    * untouched nodes' edge lists are provably unchanged (their top-
+    * maxDegree set gains no new candidates). */
+  def graphInsert(points: DataFrame, graph: DataFrame, newPoints: DataFrame,
+      graphK: Int = 8, maxDegree: Int = 12,
+      beam: Int = 8, hops: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = newPoints.select(col("id").as("qid"), col("embedding").as("qemb"))
+    val nn = graphBeamSearch(points, graph, q, k = graphK, beam, hops)
+    val fwd = nn.select(col("qid").as("src"), col("id").as("dst"), col("score"))
+    val rev = nn.select(col("id").as("src"), col("qid").as("dst"), col("score"))
+    val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
+    graph.unionByName(fwd).unionByName(rev)
+      .groupBy("src", "dst").agg(max("score").as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxDegree)
+      .select(col("src"), col("dst"), col("score"))
+  }
+
+  /** Incremental graph-index maintenance: DELETE a set of points — drop
+    * every edge incident to a doomed id (two anti-joins; at scale,
+    * bucket-pruned like the IVF tombstone path). NSW degrades gracefully
+    * under node removal (neighbors keep their remaining links; reverse
+    * edges inserted at build time preserve navigability), which is why
+    * production HNSW stores tombstone rather than relink on delete —
+    * periodic rebuild restores degree. */
+  def graphDelete(graph: DataFrame, doomed: DataFrame): DataFrame =
+    graph
+      .join(doomed.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(doomed.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"), col("score"))
 }

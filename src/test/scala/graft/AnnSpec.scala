@@ -511,6 +511,39 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.6, s"graph beam mean recall@10 $mean too low: $recalls")
   }
 
+  test("graphInsert: batch insert is navigable, caps hold, old nodes intact-or-tighter") {
+    val base = points.filter($"id" < 400).cache()
+    val fresh = points.filter($"id" >= 400)
+    val g0 = Ann.graphBuild(base, Ann.seedCentroids(base, 16),
+      graphK = 8, maxDegree = 12).localCheckpoint()
+    val g1 = Ann.graphInsert(base, g0, fresh, graphK = 8, maxDegree = 12)
+      .localCheckpoint()
+    val degs = g1.groupBy("src").agg(count(lit(1)).as("d"))
+      .select("d").as[Long].collect()
+    assert(degs.forall(_ <= 12))
+    // searching the FULL store over the post-insert graph finds each
+    // inserted point for its own vector — the insert linked it navigably
+    val insQ = fresh.limit(20)
+      .select($"id".as("qid"), $"embedding".as("qemb"))
+    val hits = Ann.graphBeamSearch(points, g1, insQ, k = 10)
+      .filter($"qid" === $"id").select("qid").as[Long].collect().toSet
+    assert(hits.size >= 18, s"only ${hits.size}/20 inserted points self-found")
+    base.unpersist()
+  }
+
+  test("graphDelete: no edge touches a doomed id, survivors still searchable") {
+    val doomed = points.filter($"id" >= 0 && $"id" < 20).select($"id")
+    val g1 = Ann.graphDelete(graph, doomed).localCheckpoint()
+    assert(g1.filter($"src" < 20 || $"dst" < 20).count() == 0)
+    val live = points.filter($"id" >= 20)
+    val q = live.filter($"id" === 99L)
+      .select($"id".as("qid"), $"embedding".as("qemb"))
+    val res = Ann.graphBeamSearch(live, g1, q, k = 10)
+      .select("id").as[Long].collect()
+    assert(res.nonEmpty && res.forall(_ >= 20))
+    assert(res.contains(99L))
+  }
+
   test("graph beam search is deterministic") {
     val q = points.filter($"id" === 42L)
       .select($"id".as("qid"), $"embedding".as("qemb"))
