@@ -785,9 +785,11 @@ object Ann {
     * HNSW-family index shape (Malkov & Yashunin '16) expressed
     * relationally: the graph is a TABLE (src, dst, score), built
     * distributed, and search is a bounded sequence of pruned joins over
-    * it. Qdrant's serving index is exactly this family; the engine's
-    * other index paths (IVF/LSH/PQ) trade recall against scan share,
-    * while the graph trades it against HOPS — O(beam·degree) score
+    * it. Qdrant's serving index is exactly this family (the reference
+    * tunes it at src/config/settings.py:40-45 — hnsw_m is this
+    * `maxDegree` knob, hnsw_ef the beam width); the engine's other
+    * index paths (IVF/LSH/PQ) trade recall against scan share, while
+    * the graph trades it against HOPS — O(beam·degree) score
     * evaluations per query independent of the corpus partition count.
     *
     * Construction: [[knnJoin]] (cell-bounded candidate generation, skew
@@ -842,7 +844,8 @@ object Ann {
     * visited frame three times, and without truncation the reused
     * subtree re-plans combinatorially. */
   def graphBeamSearch(points: DataFrame, graph: DataFrame,
-      queries: DataFrame, k: Int, beam: Int = 8, hops: Int = 4): DataFrame = {
+      queries: DataFrame, k: Int, beam: Int = 8, hops: Int = 4,
+      preFilter: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val store = points.select(col("id"), col("embedding"), col("user_id"))
     val entry = points.agg(min(col("id"))).head().getLong(0)
@@ -871,7 +874,13 @@ object Ann {
         .filter(col("rn") <= beam)
         .select(col("qid"), col("id"))
     }
-    visited
+    // filtered-graph-search semantics (Qdrant's filtered HNSW): the
+    // DESCENT runs over the full graph — non-matching nodes still route
+    // the beam toward the query's region — and only matching nodes are
+    // eligible RESULTS. Filtering the traversal itself would disconnect
+    // the graph under selective predicates (the recall hole the
+    // filter-cardinality planner routes around at low cardinality).
+    preFilter.map(p => visited.filter(p)).getOrElse(visited)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("score"), col("user_id"), col("rank"))

@@ -544,6 +544,21 @@ class AnnSpec extends SparkSpec {
     assert(res.contains(99L))
   }
 
+  test("graph beam search with preFilter: results match predicate, traversal unfiltered") {
+    val q = points.filter($"id" === 0L)
+      .select($"id".as("qid"), $"embedding".as("qemb"))
+    val filtered = Ann.graphBeamSearch(points, graph, q, k = 10,
+      preFilter = Some(col("user_id") === 3))
+      .select($"id", $"user_id").as[(Long, Int)].collect()
+    assert(filtered.nonEmpty && filtered.forall(_._2 == 3))
+    // equivalence: filtering the UNFILTERED search's visited set the same
+    // way yields the same ids (the filter only gates eligibility)
+    val unf = Ann.graphBeamSearch(points, graph, q, k = 1000)
+      .filter($"user_id" === 3).orderBy(desc("score"), asc("id")).limit(10)
+      .select("id").as[Long].collect().toSet
+    assert(filtered.map(_._1).toSet == unf)
+  }
+
   test("graph beam search is deterministic") {
     val q = points.filter($"id" === 42L)
       .select($"id".as("qid"), $"embedding".as("qemb"))

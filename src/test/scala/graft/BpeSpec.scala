@@ -65,6 +65,31 @@ class BpeSpec extends SparkSpec {
     assert(t6._2 == t0._2)          // char mass unchanged
   }
 
+  test("rewrite invariants on random corpora: char mass conserved, no merged pair survives") {
+    // Bpe.learn on 25 random corpora over a 3-letter alphabet: after
+    // each learned merge, (a) concatenating every word's symbols
+    // reproduces the word, and (b) no adjacent (lhs, rhs) pair remains —
+    // a kept lhs's successor cannot be rhs (it would have merged), and a
+    // position after a merge holds lhs only if it started a match.
+    val rnd = new scala.util.Random(42)
+    (0 until 25).foreach { i =>
+      val words = Seq.fill(6 + rnd.nextInt(10))(
+        Seq.fill(1 + rnd.nextInt(8))("abc" (rnd.nextInt(3))).mkString)
+      val d = docs((0L, words.mkString(" ")))
+      val (merges, v) = Bpe.learn(d, 3)
+      val rows = v.select($"word", $"sym").as[(String, Seq[String])].collect()
+      rows.foreach { case (w, sym) =>
+        assert(sym.mkString == w, s"corpus $i: symbols of '$w' lost chars: $sym")
+      }
+      merges.lastOption.foreach { m =>
+        rows.foreach { case (w, sym) =>
+          val bad = sym.zip(sym.drop(1)).contains((m.lhs, m.rhs))
+          assert(!bad, s"corpus $i: unmerged (${m.lhs},${m.rhs}) left in '$w': $sym")
+        }
+      }
+    }
+  }
+
   test("dsir ranks target-like docs above off-distribution docs") {
     val target = docs((0L, "spark scan shuffle join"), (1L, "spark join scan agg"))
     val raw = docs(
