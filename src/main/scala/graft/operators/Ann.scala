@@ -845,18 +845,33 @@ object Ann {
     * subtree re-plans combinatorially. */
   def graphBeamSearch(points: DataFrame, graph: DataFrame,
       queries: DataFrame, k: Int, beam: Int = 8, hops: Int = 4,
-      preFilter: Option[Column] = None): DataFrame = {
+      preFilter: Option[Column] = None,
+      entryCids: Seq[Long] = Nil,
+      entryCents: Seq[Seq[Double]] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val store = points.select(col("id"), col("embedding"), col("user_id"))
-    val entry = points.agg(min(col("id"))).head().getLong(0)
     val q = broadcast(queries.select(col("qid"), col("qemb")))
     def scoreIds(ids: DataFrame): DataFrame = ids
       .join(store, Seq("id"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("id"),
         rdot(col("embedding"), col("qemb")).as("score"), col("user_id"))
-    var visited = scoreIds(
-      q.select(col("qid")).withColumn("id", lit(entry))).localCheckpoint()
+    // entry tier: with a coarse quantizer supplied, each query enters the
+    // graph at its nearest seed point (one map-side argmax — the same
+    // role HNSW's upper layers play: start the descent in the right
+    // region instead of routing from a fixed corner across the whole
+    // space). Without it, the fixed min-id entry — adequate only when
+    // hops·beam can cover the diameter.
+    val f0 =
+      if (entryCids.nonEmpty)
+        q.select(col("qid"), element_at(
+          graft.plans.VectorExpressions.topCentroids(
+            col("qemb"), entryCids, entryCents, 1), 1).as("id"))
+      else {
+        val e = points.agg(min(col("id"))).head().getLong(0)
+        q.select(col("qid")).withColumn("id", lit(e))
+      }
+    var visited = scoreIds(f0).localCheckpoint()
     var frontier = visited.select(col("qid"), col("id"))
     var expanded = frontier.limit(0)
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
@@ -867,7 +882,11 @@ object Ann {
       val fresh = nbrs
         .join(visited.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
       visited = visited.unionByName(scoreIds(fresh)).localCheckpoint()
-      expanded = expanded.unionByName(frontier).distinct().localCheckpoint()
+      // visited (referenced 3×/hop over a growing subtree) is the frame
+      // that NEEDS truncation; expanded/frontier stay lazy — their
+      // duplicated subplans are windows over the checkpointed visited,
+      // bounded by 2^hops tiny subtrees
+      expanded = expanded.unionByName(frontier).distinct()
       frontier = visited
         .join(expanded, Seq("qid", "id"), "left_anti")
         .withColumn("rn", row_number().over(w))
@@ -900,10 +919,13 @@ object Ann {
     * maxDegree set gains no new candidates). */
   def graphInsert(points: DataFrame, graph: DataFrame, newPoints: DataFrame,
       graphK: Int = 8, maxDegree: Int = 12,
-      beam: Int = 8, hops: Int = 4): DataFrame = {
+      beam: Int = 8, hops: Int = 4,
+      entryCids: Seq[Long] = Nil,
+      entryCents: Seq[Seq[Double]] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = newPoints.select(col("id").as("qid"), col("embedding").as("qemb"))
-    val nn = graphBeamSearch(points, graph, q, k = graphK, beam, hops)
+    val nn = graphBeamSearch(points, graph, q, k = graphK, beam, hops,
+      entryCids = entryCids, entryCents = entryCents)
     val fwd = nn.select(col("qid").as("src"), col("id").as("dst"), col("score"))
     val rev = nn.select(col("id").as("src"), col("qid").as("dst"), col("score"))
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))

@@ -491,24 +491,50 @@ class AnnSpec extends SparkSpec {
     assert(bidi >= 0.5, s"bidirectional share $bidi — graph not navigable")
   }
 
+  private lazy val entrySeeds: (Seq[Long], Seq[Seq[Double]]) = {
+    val rows = Ann.seedCentroids(points, 16).orderBy("cid").collect()
+    (rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Double](1).toSeq).toSeq)
+  }
+
   test("graph beam search: batch per-qid blocks equal solo runs, recall floor") {
     val qids = Seq(0L, 17L, 99L, 250L)
+    val (ecids, ecents) = entrySeeds
     val batchQ = points.filter($"id".isin(qids: _*))
       .select($"id".as("qid"), $"embedding".as("qemb"))
-    val batch = Ann.graphBeamSearch(points, graph, batchQ, k = 10)
+    val batch = Ann.graphBeamSearch(points, graph, batchQ, k = 10,
+        entryCids = ecids, entryCents = ecents)
       .select($"qid", $"id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = qids.map { qid =>
       val solo = Ann.graphBeamSearch(points, graph,
           points.filter($"id" === qid)
             .select($"id".as("qid"), $"embedding".as("qemb")),
-          k = 10)
+          k = 10, entryCids = ecids, entryCents = ecents)
         .select("id").as[Long].collect().toSet
       assert(batch(qid) == solo, s"batch block for $qid diverges from solo")
       (solo intersect exactTop(qid, 10)).size / 10.0
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, s"graph beam mean recall@10 $mean too low: $recalls")
+  }
+
+  test("centroid entry tier beats the fixed min-id entry on distant queries") {
+    val (ecids, ecents) = entrySeeds
+    val qids = Seq(123L, 250L, 400L, 480L)
+    def meanRecall(cids: Seq[Long], cents: Seq[Seq[Double]]): Double =
+      qids.map { qid =>
+        val q = points.filter($"id" === qid)
+          .select($"id".as("qid"), $"embedding".as("qemb"))
+        val got = Ann.graphBeamSearch(points, graph, q, k = 10,
+            entryCids = cids, entryCents = cents)
+          .select("id").as[Long].collect().toSet
+        (got intersect exactTop(qid, 10)).size / 10.0
+      }.sum / qids.size
+    val withEntry = meanRecall(ecids, ecents)
+    val fixed = meanRecall(Nil, Nil)
+    assert(withEntry >= fixed,
+      s"entry tier $withEntry should not lose to fixed entry $fixed")
+    assert(withEntry >= 0.6, s"entry-tier recall $withEntry")
   }
 
   test("graphInsert: batch insert is navigable, caps hold, old nodes intact-or-tighter") {
