@@ -254,13 +254,16 @@ object SparkEntry {
     * around, collected once (32 rows of index metadata) — each query
     * enters the descent at its nearest seed (the role HNSW's upper
     * layers play). */
+  private val graphSeedsBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Long], Seq[Seq[Double]])]()
   private[graft] def graphEntrySeeds(
-      s: SparkSession, dir: String): (Seq[Long], Seq[Seq[Double]]) = {
-    val rows = Ann.seedCentroids(Collection.load(s, dir), 32)
-      .orderBy("cid").collect()
-    (rows.map(_.getLong(0)).toSeq,
-      rows.map(_.getSeq[Double](1).toSeq).toSeq)
-  }
+      s: SparkSession, dir: String): (Seq[Long], Seq[Seq[Double]]) =
+    graphSeedsBuilt.computeIfAbsent(dir, _ => {
+      val rows = Ann.seedCentroids(Collection.load(s, dir), 32)
+        .orderBy("cid").collect()
+      (rows.map(_.getLong(0)).toSeq,
+        rows.map(_.getSeq[Double](1).toSeq).toSeq)
+    })
 
   /** BPE training state per scale dir: trained once per JVM (6 merges);
     * the merge table AND the final vocab frame (localCheckpointed) are

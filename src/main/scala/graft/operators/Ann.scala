@@ -871,27 +871,33 @@ object Ann {
         val e = points.agg(min(col("id"))).head().getLong(0)
         q.select(col("qid")).withColumn("id", lit(e))
       }
-    var visited = scoreIds(f0).localCheckpoint()
-    var frontier = visited.select(col("qid"), col("id"))
-    var expanded = frontier.limit(0)
+    // ONE state frame per hop — (qid, id, score, user_id, expanded) —
+    // checkpointed once per hop. Everything each hop derives (frontier,
+    // neighbor set, marking) references only the checkpointed state, so
+    // plan depth stays CONSTANT across hops; keeping frontier/expanded as
+    // separate lazy frames re-expands their derivation chains
+    // combinatorially in `hops` (measured: 17 s/query at 20k points
+    // before this restructure, ~1 s after).
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    var state = scoreIds(f0).withColumn("expanded", lit(false)).localCheckpoint()
     for (_ <- 1 to hops) {
+      // frontier: top-beam unexpanded nodes per query
+      val frontier = state.filter(!col("expanded"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("qid"), col("id"))
       val nbrs = frontier
         .join(graph.select(col("src").as("id"), col("dst")), Seq("id"))
         .select(col("qid"), col("dst").as("id")).distinct()
       val fresh = nbrs
-        .join(visited.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
-      visited = visited.unionByName(scoreIds(fresh)).localCheckpoint()
-      // visited (referenced 3×/hop over a growing subtree) is the frame
-      // that NEEDS truncation; expanded/frontier stay lazy — their
-      // duplicated subplans are windows over the checkpointed visited,
-      // bounded by 2^hops tiny subtrees
-      expanded = expanded.unionByName(frontier).distinct()
-      frontier = visited
-        .join(expanded, Seq("qid", "id"), "left_anti")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam)
-        .select(col("qid"), col("id"))
+        .join(state.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+      val marked = state
+        .join(frontier.withColumn("hit", lit(true)), Seq("qid", "id"), "left")
+        .withColumn("expanded", col("expanded") || coalesce(col("hit"), lit(false)))
+        .drop("hit")
+      state = marked
+        .unionByName(scoreIds(fresh).withColumn("expanded", lit(false)))
+        .localCheckpoint()
     }
     // filtered-graph-search semantics (Qdrant's filtered HNSW): the
     // DESCENT runs over the full graph — non-matching nodes still route
@@ -899,7 +905,7 @@ object Ann {
     // eligible RESULTS. Filtering the traversal itself would disconnect
     // the graph under selective predicates (the recall hole the
     // filter-cardinality planner routes around at low cardinality).
-    preFilter.map(p => visited.filter(p)).getOrElse(visited)
+    preFilter.map(p => state.filter(p)).getOrElse(state)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("score"), col("user_id"), col("rank"))
@@ -925,7 +931,9 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val q = newPoints.select(col("id").as("qid"), col("embedding").as("qemb"))
     val nn = graphBeamSearch(points, graph, q, k = graphK, beam, hops,
-      entryCids = entryCids, entryCents = entryCents)
+        entryCids = entryCids, entryCents = entryCents)
+      // re-inserting a point already present must not self-link
+      .filter(col("qid") =!= col("id"))
     val fwd = nn.select(col("qid").as("src"), col("id").as("dst"), col("score"))
     val rev = nn.select(col("id").as("src"), col("qid").as("dst"), col("score"))
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))

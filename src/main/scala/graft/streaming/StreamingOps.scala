@@ -380,6 +380,57 @@ object StreamingOps {
     * increment. The Bloom trade (no false negatives; FP rate drops a
     * deterministic ~(1−e^{−kn/m})^k of genuinely-novel docs) is the same
     * contract as the batch `dedup_bloom_novel` query. */
+  /** Streaming graph-index maintenance — the [[cdcIndexedStream]] peer
+    * for the NSW graph family: each micro-batch carries upserts +
+    * `_deleted` tombstones; a tombstone drops every incident edge
+    * (graphDelete), inserts link via ONE batched beam descent against
+    * the surviving store (graphInsert, entry tier supplied), and the
+    * store and graph advance together. Same-batch add+tombstone resolves
+    * to the tombstone. Exactly-once = checkpointed offsets + idempotent
+    * whole-table overwrite per batch (both frames are materialized with
+    * localCheckpoint(true) before overwriting their own paths — the
+    * read-then-overwrite rule). At 100 TB both rewrites become
+    * bucket-pruned dynamic-partition overwrites of affected src/id
+    * buckets (the mergeIndexed contract); entry seeds are index
+    * metadata — deleting a seed point requires reseeding, exactly as
+    * deleting an IVF centroid's anchor requires retraining. */
+  def graphCdcStream(spark: SparkSession, changes: DataFrame,
+      storePath: String, graphPath: String,
+      entryCids: Seq[Long], entryCents: Seq[Seq[Double]],
+      checkpoint: String = ""): Unit = {
+    import graft.operators.Ann
+    val ckpt = if (checkpoint.nonEmpty) checkpoint else graphPath + "_cdc_ckpt"
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.count() > 0) {
+          val dels = b.filter(col("_deleted")).select("id")
+          val adds = b.filter(!col("_deleted"))
+            .select(col("id"), col("embedding"), col("user_id"))
+            .join(dels, Seq("id"), "left_anti") // tombstone wins in-batch
+          val store = spark.read.parquet(storePath).localCheckpoint(true)
+          val graph0 = spark.read.parquet(graphPath).localCheckpoint(true)
+          val g1 = Ann.graphDelete(graph0, dels)
+          val storeSurv = store
+            .join(dels, Seq("id"), "left_anti")
+            .join(adds.select(col("id")), Seq("id"), "left_anti") // LWW upsert
+          val g2 =
+            if (adds.isEmpty) g1
+            else Ann.graphInsert(storeSurv, g1, adds,
+              entryCids = entryCids, entryCents = entryCents)
+          val newStore = storeSurv.unionByName(adds).localCheckpoint(true)
+          val newGraph = g2.localCheckpoint(true)
+          newStore.write.mode("overwrite").parquet(storePath)
+          newGraph.write.mode("overwrite").parquet(graphPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def curationStream(spark: SparkSession, docs: DataFrame,
       evalSet: DataFrame, destPath: String, bloomPath: String,
       mBits: Int = 65536, kProbes: Int = 3, minQuality: Double = 0.2,

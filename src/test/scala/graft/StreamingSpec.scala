@@ -282,6 +282,61 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == 4)
   }
 
+  test("graph CDC stream: inserts navigable, tombstones isolated, restart no-op") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Ann, Collection}
+    val dir = java.nio.file.Files.createTempDirectory("cdc_graph")
+    val storePath = dir.resolve("store").toString
+    val graphPath = dir.resolve("graph").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val points = Collection.load(spark, sf001)
+      .select($"id", $"embedding", $"user_id")
+    val base = points.filter($"id" < 400)
+    val cents = Ann.seedCentroids(base, 16)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    base.write.parquet(storePath)
+    Ann.graphBuild(base, cents, graphK = 12, maxDegree = 16)
+      .write.parquet(graphPath)
+    // one CDC batch: insert ids 400-419 (fixture vectors), delete 100-102
+    val fresh = points.filter($"id" >= 400 && $"id" < 420)
+      .as[(Long, Seq[Double], Int)].collect().toSeq
+    implicit val sc = spark.sqlContext
+    val changes = MemoryStream[(Long, Seq[Double], Int, Boolean)]
+    changes.addData(fresh.map { case (i, e, u) => (i, e, u, false) }: _*)
+    changes.addData((100L, Seq.empty[Double], 0, true),
+      (101L, Seq.empty[Double], 0, true), (102L, Seq.empty[Double], 0, true))
+    val df = changes.toDF().toDF("id", "embedding", "user_id", "_deleted")
+    StreamingOps.graphCdcStream(spark, df, storePath, graphPath,
+      cids, ces, checkpoint = ckpt)
+    val store = spark.read.parquet(storePath)
+    val graph = spark.read.parquet(graphPath)
+    // tombstones: gone from the store, no incident edge remains
+    assert(store.filter($"id".isin(100L, 101L, 102L)).count() == 0)
+    assert(graph.filter($"src".isin(100L, 101L, 102L) ||
+      $"dst".isin(100L, 101L, 102L)).count() == 0)
+    // degree caps hold after the insert merge
+    assert(graph.groupBy("src").agg(count(lit(1)).as("d"))
+      .filter($"d" > 16).count() == 0)
+    // inserted points are navigable: each self-found via the graded config
+    val insQ = store.filter($"id" >= 400)
+      .select($"id".as("qid"), $"embedding".as("qemb"))
+    val hits = Ann.graphBeamSearch(store, graph, insQ, k = 10,
+        beam = 24, hops = 8, entryCids = cids, entryCents = ces)
+      .filter($"qid" === $"id").count()
+    assert(hits >= 18, s"only $hits/20 inserted points self-found")
+    // exactly-once: rerun with the same checkpoint is a no-op
+    val edgesBefore = graph.orderBy("src", "dst").collect().toSeq
+    StreamingOps.graphCdcStream(spark, df, storePath, graphPath,
+      cids, ces, checkpoint = ckpt)
+    val edgesAfter = spark.read.parquet(graphPath)
+      .orderBy("src", "dst").collect().toSeq
+    assert(edgesBefore == edgesAfter)
+    assert(spark.read.parquet(storePath).count() == store.count())
+  }
+
   test("streamed dedup distinct-users equals batch count(DISTINCT)") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.distinctUsersStream(spark, sf001).collect()
