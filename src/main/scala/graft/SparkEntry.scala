@@ -681,6 +681,20 @@ object SparkEntry {
           entryCids = ecids, entryCents = ecents)
         .select(col("id"), col("score"), col("user_id"))
     }),
+    // The BATCHED graph descent — the serving design point (every hop
+    // join shared by the whole batch; SCALING.md measured exp 0.40):
+    // 8 evenly-spread stored queries advance as parallel beams.
+    "ann_graph_beam_batch" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val n = points.count()
+      val qids = (0 until 8).map(i => i * (n / 8))
+      val q = points.filter(col("id").isin(qids.map(Long.box): _*))
+        .select(col("id").as("qid"), col("embedding").as("qemb"))
+      val (ecids, ecents) = graphEntrySeeds(s, dir)
+      Ann.graphBeamSearch(points, graphTable(s, dir), q,
+        k = 10, beam = 24, hops = 8,
+        entryCids = ecids, entryCents = ecents)
+    }),
     "ann_knn_join" -> ((s, dir) => {
       val points = Collection.load(s, dir)
       val cells = sys.env.getOrElse("SPARK_GRAFT_KNN_CELLS", "32").toInt
@@ -1639,6 +1653,73 @@ object SparkEntry {
       s"\nSELECT id, score, user_id FROM v$hops ORDER BY score DESC, id ASC LIMIT $k"
   }
 
+  /** Batched form of [[graphBeamOracle]]: `nQ` evenly-spread stored
+    * vectors descend in parallel — every hop CTE carries a qid column
+    * and every window partitions by it, exactly like the Spark batch
+    * plan. Anti-joins replace NOT IN (per-qid membership). */
+  private def graphBeamBatchOracle(nQ: Int, hops: Int, beam: Int, k: Int,
+      graphK: Int = 12, maxDegree: Int = 16): String = {
+    val b = Seq.newBuilder[String]
+    b += s"""cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),
+       |gscored AS (SELECT p.id, ct.cid,
+       |  row_number() OVER (PARTITION BY p.id
+       |    ORDER BY round(list_dot_product(p.ne, ct.ce), 6) DESC, ct.cid ASC) AS rn
+       |  FROM c p, cent ct),
+       |gdside AS (SELECT id, cid FROM gscored WHERE rn = 1),
+       |gqside AS (SELECT id AS qid, cid FROM gscored WHERE rn <= 2),
+       |gcand AS (SELECT q.qid, d.id,
+       |    round(list_dot_product(qc.ne, dc.ne), 6) AS score
+       |  FROM gqside q
+       |  JOIN gdside d ON q.cid = d.cid AND q.qid <> d.id
+       |  JOIN c qc ON qc.id = q.qid
+       |  JOIN c dc ON dc.id = d.id),
+       |gr AS (SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+       |  FROM gcand),
+       |kn AS MATERIALIZED (SELECT qid, id, score FROM gr WHERE rank <= $graphK),
+       |und AS (SELECT src, dst, max(score) AS score FROM (
+       |    SELECT qid AS src, id AS dst, score FROM kn
+       |    UNION ALL SELECT id AS src, qid AS dst, score FROM kn)
+       |  GROUP BY src, dst),
+       |g AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+       |  FROM und) WHERE rn <= $maxDegree),
+       |qs AS MATERIALIZED (SELECT c.id AS qid, c.ne AS qe FROM c
+       |  WHERE c.id IN (SELECT (r.range * ((SELECT count(*) FROM c) // $nQ))::BIGINT
+       |                 FROM range($nQ) r)),
+       |ent AS (SELECT qid, cid AS id FROM (SELECT q.qid, cent.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC) AS rn
+       |  FROM cent, qs q) WHERE rn = 1),
+       |v0 AS MATERIALIZED (SELECT e.qid, c.id,
+       |    round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+       |  FROM ent e JOIN c ON c.id = e.id JOIN qs q ON q.qid = e.qid),
+       |f0 AS MATERIALIZED (SELECT qid, id FROM v0),
+       |e0 AS MATERIALIZED (SELECT qid, id FROM v0 WHERE FALSE)""".stripMargin
+    for (r <- 1 to hops) {
+      val p = r - 1
+      b += s"""n$r AS MATERIALIZED (SELECT DISTINCT f.qid, g.dst AS id
+         |  FROM g JOIN f$p f ON g.src = f.id
+         |  LEFT JOIN v$p v ON v.qid = f.qid AND v.id = g.dst
+         |  WHERE v.qid IS NULL),
+         |s$r AS MATERIALIZED (SELECT n.qid, c.id,
+         |    round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM n$r n JOIN c USING (id) JOIN qs q ON q.qid = n.qid),
+         |v$r AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT * FROM s$r),
+         |e$r AS MATERIALIZED (SELECT qid, id FROM e$p UNION SELECT qid, id FROM f$p),
+         |f$r AS MATERIALIZED (SELECT qid, id FROM (SELECT v.qid, v.id,
+         |    row_number() OVER (PARTITION BY v.qid
+         |      ORDER BY v.score DESC, v.id ASC) AS rn
+         |  FROM v$r v LEFT JOIN e$r e ON e.qid = v.qid AND e.id = v.id
+         |  WHERE e.qid IS NULL) WHERE rn <= $beam)""".stripMargin
+    }
+    s"WITH $C,\n" + b.result().mkString(",\n") +
+      s"""\nSELECT qid, id, score, user_id, rank::BIGINT AS rank
+         |FROM (SELECT qid, id, score, user_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+         |  FROM v$hops) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** Unrolled BPE-training CTE chain (mirrors Bpe.learn, k merge rounds):
     * v0 = word-frequency table, s0 = char symbols, then per round r:
     * p_r adjacent-pair counts (self-pairs excluded, weighted by word
@@ -2107,6 +2188,8 @@ object SparkEntry {
          |FROM comp GROUP BY cluster_id HAVING count(*) > 1
          |ORDER BY cluster_id""".stripMargin,
     "ann_graph_beam" -> graphBeamOracle(hops = 8, beam = 24, k = 10),
+    "ann_graph_beam_batch" ->
+      graphBeamBatchOracle(nQ = 8, hops = 8, beam = 24, k = 10),
     "ann_knn_join" ->
       s"""WITH $C,
          |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),
