@@ -51,9 +51,20 @@ object ScaleProbe {
     val batchQ = points.filter(col("id").isin(qids.map(Long.box): _*))
       .select(col("id").as("qid"), col("embedding").as("qemb"))
     val (rows, batchSecs) = timed(search(batchQ))
+    // serving form: bucket-pruned pointer chasing over the persisted graph
+    val gPath = sfDir.replaceAll("/+$", "") + "_graphstore"
+    Ann.saveGraphBucketed(graph, gPath, nBuckets = 64)
+    val qemb = points.filter(col("id") === 0)
+      .select("embedding").head().getSeq[Double](0).toSeq
+    def serve(): Long =
+      Ann.graphBeamServe(points, gPath, nBuckets = 64, qemb, k = 10,
+        beam = 24, hops = 8, entryCids = ecids, entryCents = ecents).count()
+    serve() // warmup
+    val (_, serveSecs) = timed(serve())
     println(s"""{"probe":"graph_beam","sf":"$sfDir","n":$n,"cells":$cells,""" +
       s""""build_secs":${math.rint(buildSecs * 100) / 100},""" +
       s""""solo_secs":${math.rint(soloSecs * 100) / 100},""" +
+      s""""serve_secs":${math.rint(serveSecs * 100) / 100},""" +
       s""""batch_queries":$nQueries,"batch_rows":$rows,""" +
       s""""batch_secs":${math.rint(batchSecs * 100) / 100},""" +
       s""""batch_ms_per_query":${math.rint(batchSecs / nQueries * 1e5) / 100}}""")

@@ -265,6 +265,18 @@ object SparkEntry {
         rows.map(_.getSeq[Double](1).toSeq).toSeq)
     })
 
+  /** Bucketed graph store per scale dir (the serving layout —
+    * [[Ann.saveGraphBucketed]]): written once per JVM from the memoized
+    * graph, read per-hop with partition pruning by graphBeamServe. */
+  private val graphStoreBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def graphStorePath(s: SparkSession, dir: String): String =
+    graphStoreBuilt.computeIfAbsent(dir, _ => {
+      val path = "/tmp/graft_graphstore_" + san(dir)
+      Ann.saveGraphBucketed(graphTable(s, dir), path, nBuckets = 16)
+      path
+    })
+
   /** BPE training state per scale dir: trained once per JVM (6 merges);
     * the merge table AND the final vocab frame (localCheckpointed) are
     * shared by bpe_learn and bpe_tokenize. No side table: training is
@@ -680,6 +692,20 @@ object SparkEntry {
           k = 10, beam = 24, hops = 8,
           entryCids = ecids, entryCents = ecents)
         .select(col("id"), col("score"), col("user_id"))
+    }),
+    // SERVING execution form of the same graph operator: HNSW
+    // pointer-chasing over the bucketed graph store — per-hop
+    // partition-pruned neighbor lookups + id-pushed store scoring;
+    // graded by the SAME oracle as ann_graph_beam (semantics identical,
+    // only the physical strategy differs).
+    "ann_graph_serve" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val qemb = points.filter(col("id") === 0)
+        .select("embedding").head().getSeq[Double](0).toSeq
+      val (ecids, ecents) = graphEntrySeeds(s, dir)
+      Ann.graphBeamServe(points, graphStorePath(s, dir), nBuckets = 16,
+        qemb, k = 10, beam = 24, hops = 8,
+        entryCids = ecids, entryCents = ecents)
     }),
     // The BATCHED graph descent — the serving design point (every hop
     // join shared by the whole batch; SCALING.md measured exp 0.40):
@@ -2190,6 +2216,9 @@ object SparkEntry {
     "ann_graph_beam" -> graphBeamOracle(hops = 8, beam = 24, k = 10),
     "ann_graph_beam_batch" ->
       graphBeamBatchOracle(nQ = 8, hops = 8, beam = 24, k = 10),
+    // same semantics as ann_graph_beam — one oracle grades both
+    // execution forms (analytic hop joins vs bucket-pruned serving)
+    "ann_graph_serve" -> graphBeamOracle(hops = 8, beam = 24, k = 10),
     "ann_knn_join" ->
       s"""WITH $C,
          |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),

@@ -842,7 +842,11 @@ object Ann {
     *
     * Frames are localCheckpointed per hop: each hop references the
     * visited frame three times, and without truncation the reused
-    * subtree re-plans combinatorially. */
+    * subtree re-plans combinatorially.
+    *
+    * The query frame is broadcast (the serving regime: ≤10⁵ queries ×
+    * 512 d ≈ 200 MB). For corpus-scale query sets use [[knnJoin]] — the
+    * bulk all-points form — instead of a beam per row. */
   def graphBeamSearch(points: DataFrame, graph: DataFrame,
       queries: DataFrame, k: Int, beam: Int = 8, hops: Int = 4,
       preFilter: Option[Column] = None,
@@ -910,6 +914,82 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("score"), col("user_id"), col("rank"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Persist a [[graphBuild]] graph bucketed by `src` (partition dirs
+    * `bucket=src % nBuckets`): the layout that turns a per-hop neighbor
+    * probe from a full edge scan into a partition-pruned lookup of the
+    * frontier's buckets — the same directory-pruning contract as the
+    * id-bucketed collection store. */
+  def saveGraphBucketed(graph: DataFrame, path: String,
+      nBuckets: Int = 16): Unit =
+    graph
+      .withColumn("bucket", pmod(col("src"), lit(nBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** SERVING-form single-query beam search — HNSW pointer-chasing over
+    * the bucketed graph store. Per hop, only the partition dirs holding
+    * the frontier's buckets are read (partition pruning; the `src` IN
+    * list additionally pushes to the scan) and only the frontier's
+    * ≤ beam·maxDegree neighbors are scored via an id-pushed store
+    * lookup: per-hop work is O(touched buckets + beam·degree) at ANY
+    * corpus size — the measured fix for the solo-query caveat in
+    * SCALING.md (the analytic [[graphBeamSearch]] streams the edge table
+    * per hop, which only amortizes across a BATCH of queries). Driver
+    * state is the visited/expanded score map, bounded by
+    * 1 + hops·beam·degree entries — index-metadata scale, the sanctioned
+    * collect class.
+    *
+    * Semantics (frontier rule, expansion marking, 6dp rounding,
+    * tie-breaks) are IDENTICAL to [[graphBeamSearch]], so the same
+    * oracle grades both execution forms of the one operator. */
+  def graphBeamServe(points: DataFrame, graphPath: String, nBuckets: Int,
+      qemb: Seq[Double], k: Int, beam: Int = 24, hops: Int = 8,
+      entryCids: Seq[Long] = Nil,
+      entryCents: Seq[Seq[Double]] = Nil): DataFrame = {
+    val spark = points.sparkSession
+    val qLit = array(qemb.map(lit): _*)
+    def rdot6(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0d; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      graft.plans.Num.round6(s)
+    }
+    def scoreOf(ids: Seq[Long]): Map[Long, Double] =
+      if (ids.isEmpty) Map.empty
+      else points.filter(col("id").isin(ids.map(Long.box): _*))
+        .select(col("id"), rdot(col("embedding"), qLit).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val entry: Long =
+      if (entryCids.nonEmpty)
+        // same argmax + tie-break (score DESC, cid ASC) as TopCentroids
+        entryCids.zip(entryCents)
+          .map { case (cid, ce) => (cid, rdot6(ce, qemb)) }
+          .minBy { case (cid, s) => (-s, cid) }._1
+      else points.agg(min(col("id"))).head().getLong(0)
+    val graphStore = spark.read.parquet(graphPath)
+    var visited = scoreOf(Seq(entry))
+    var expanded = Set.empty[Long]
+    for (_ <- 1 to hops) {
+      val frontier = visited.toSeq.filterNot(t => expanded(t._1))
+        .sortBy { case (id, s) => (-s, id) }.take(beam).map(_._1)
+      if (frontier.nonEmpty) {
+        val buckets = frontier.map(i => (i % nBuckets).toInt).distinct
+        val nbrs = graphStore
+          .filter(col("bucket").isin(buckets.map(Int.box): _*) &&
+            col("src").isin(frontier.map(Long.box): _*))
+          .select(col("dst")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        visited ++= scoreOf(nbrs.filterNot(visited.contains))
+        expanded ++= frontier
+      }
+    }
+    val topIds = visited.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(k).map(_._1)
+    points.filter(col("id").isin(topIds.map(Long.box): _*))
+      .select(col("id"), rdot(col("embedding"), qLit).as("score"),
+        col("user_id"))
+      .orderBy(desc("score"), asc("id"))
   }
 
   /** Incremental graph-index maintenance: INSERT a batch of new points

@@ -585,6 +585,28 @@ class AnnSpec extends SparkSpec {
     assert(filtered.map(_._1).toSet == unf)
   }
 
+  test("graphBeamServe equals graphBeamSearch on the bucketed store") {
+    val (ecids, ecents) = entrySeeds
+    val dir = java.nio.file.Files.createTempDirectory("graph_store")
+    val path = dir.resolve("g").toString
+    Ann.saveGraphBucketed(graph, path, nBuckets = 8)
+    Seq(0L, 99L, 250L, 433L).foreach { qid =>
+      val qemb = points.filter($"id" === qid)
+        .select("embedding").head().getSeq[Double](0).toSeq
+      val served = Ann.graphBeamServe(points, path, nBuckets = 8,
+          qemb, k = 10, beam = 24, hops = 8,
+          entryCids = ecids, entryCents = ecents)
+        .select($"id", $"score").as[(Long, Double)].collect().toSeq
+      val analytic = Ann.graphBeamSearch(points, graph,
+          points.filter($"id" === qid)
+            .select($"id".as("qid"), $"embedding".as("qemb")),
+          k = 10, beam = 24, hops = 8,
+          entryCids = ecids, entryCents = ecents)
+        .select($"id", $"score").as[(Long, Double)].collect().toSeq
+      assert(served == analytic, s"serve != analytic for query $qid")
+    }
+  }
+
   test("graph beam search is deterministic") {
     val q = points.filter($"id" === 42L)
       .select($"id".as("qid"), $"embedding".as("qemb"))
