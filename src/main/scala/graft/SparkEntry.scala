@@ -974,6 +974,16 @@ object SparkEntry {
     "bpe_tokenize" -> ((s, dir) =>
       Bpe.tokenize(s.read.parquet(s"$dir/documents.parquet"),
         bpeState(s, dir)._2)),
+    // Packing by the TRAINED tokenizer's budget (what a training
+    // pipeline actually packs by — BPE subword counts, not whitespace
+    // words): same greedy shard-window packer, different budget unit.
+    "pack_sequences_bpe" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.packSequencesCounts(
+        Bpe.tokenize(docs, bpeState(s, dir)._2)
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+        budgetTokens = 400, nShards = 8)
+    }),
     // DSIR importance resampling (Xie et al. '23): top-30 raw docs whose
     // hashed unigram∪bigram distribution matches the doc_id<20 "target
     // domain", Gumbel-top-k on 6dp log importance ratios (deterministic
@@ -2596,6 +2606,19 @@ object SparkEntry {
          |  sum(length(word))::BIGINT AS n_word_chars,
          |  round(sum(length(word))::DOUBLE / sum(n_sym), 6) AS chars_per_token
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pack_sequences_bpe" ->
+      s"""WITH ${bpeCtes(6)},
+         |wtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |j AS (SELECT doc_id, coalesce(len(s6.sym), length(wtok.word))::BIGINT AS n_sym
+         |  FROM wtok LEFT JOIN s6 ON wtok.word = s6.word WHERE wtok.word <> ''),
+         |bt AS (SELECT doc_id, sum(n_sym)::BIGINT AS n_tokens FROM j GROUP BY doc_id),
+         |pn AS (SELECT doc_id, n_tokens,
+         |  (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8) AS shard FROM bt),
+         |pc AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM pn)
+         |SELECT shard, (cum_before // 400)::BIGINT AS pack_no,
+         |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+         |FROM pc GROUP BY shard, pack_no ORDER BY shard, pack_no""".stripMargin,
     "dsir_select" ->
       s"""WITH $W,
          |f AS (SELECT doc_id, unnest(

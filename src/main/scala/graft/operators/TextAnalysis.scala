@@ -573,11 +573,23 @@ object TextAnalysis {
     * globally). Returns one row per pack: (shard, pack_no, n_docs,
     * total_tokens). */
   def packSequences(
-      docs: DataFrame, budgetTokens: Long, nShards: Int = 32): DataFrame = {
+      docs: DataFrame, budgetTokens: Long, nShards: Int = 32): DataFrame =
+    packSequencesCounts(
+      docs.withColumn("n_tokens",
+          size(TextOps.words(col("text"))).cast("long"))
+        .select(col("doc_id"), col("n_tokens")),
+      budgetTokens, nShards)
+
+  /** Packing over an arbitrary per-doc token-count frame
+    * (doc_id, n_tokens) — the budget unit is the caller's tokenizer:
+    * whitespace words ([[packSequences]]), BPE subwords
+    * ([[Bpe.tokenize]]'s n_bpe_tokens — what a training pipeline
+    * actually budgets by), or anything else countable. */
+  def packSequencesCounts(
+      perDoc: DataFrame, budgetTokens: Long, nShards: Int = 32): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("n_tokens", size(TextOps.words(col("text"))).cast("long"))
+    perDoc
       // portable shard hash so the packing is engine-reproducible
       .withColumn("shard",
         pmod(TextOps.hash60(col("doc_id").cast("string")), lit(nShards.toLong)))
