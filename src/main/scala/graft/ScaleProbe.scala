@@ -52,7 +52,9 @@ object ScaleProbe {
       .select(col("id").as("qid"), col("embedding").as("qemb"))
     val (rows, batchSecs) = timed(search(batchQ))
     // serving form: bucket-pruned pointer chasing over the persisted graph
-    val gPath = sfDir.replaceAll("/+$", "") + "_graphstore"
+    // (always under /tmp — the fixture dir may be read-only)
+    val gPath = "/tmp/graft_probe_graphstore_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
     Ann.saveGraphBucketed(graph, gPath, nBuckets = 64)
     val qemb = points.filter(col("id") === 0)
       .select("embedding").head().getSeq[Double](0).toSeq
