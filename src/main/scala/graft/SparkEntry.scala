@@ -1352,6 +1352,15 @@ object SparkEntry {
           sum(when(col("_keep"), col("doc_id")).otherwise(0L)).cast("long")
             .as("sampled_id_sum"))
         .orderBy("lang")),
+    // UniMax waterfilling (Chung '23): allocate a 26k-token budget
+    // across sources as uniformly as the 1-epoch caps allow — integer
+    // closed form (sorted prefix waterline), no driver loop.
+    "unimax_mix" -> ((s, dir) =>
+      graft.operators.Sampling.unimaxAllocate(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("source"),
+        size(graft.functions.TextOps.words(col("text"))).cast("long"),
+        budgetTokens = 26000L, maxEpochs = 1)),
     // Temperature-based source mixing (alpha=0.5): per-source sample with
     // share ~ sqrt(n_source), 25% overall target.
     "temperature_mix" -> ((s, dir) =>
@@ -3276,6 +3285,26 @@ object SparkEntry {
         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
         |  sum(CASE WHEN keep THEN doc_id ELSE 0 END)::BIGINT AS sampled_id_sum
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "unimax_mix" ->
+      s"""WITH $W,
+         |tc AS (SELECT source, sum(len(w))::BIGINT AS n_tokens FROM t GROUP BY source),
+         |caps AS (SELECT source, n_tokens, (n_tokens * 1)::BIGINT AS cap FROM tc),
+         |ord AS (SELECT *, row_number() OVER (ORDER BY cap, source) AS j,
+         |    count(*) OVER () AS m,
+         |    coalesce(sum(cap) OVER (ORDER BY cap, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pfx
+         |  FROM caps),
+         |lev AS (SELECT *, ((26000 - pfx) // (m - j + 1))::BIGINT AS level FROM ord),
+         |js AS (SELECT min(j) AS jstar FROM lev WHERE cap >= level),
+         |tl AS (SELECT max(CASE WHEN lev.j = js.jstar THEN lev.level END) AS tail_level
+         |  FROM lev, js),
+         |alloc AS (SELECT lev.source, lev.n_tokens, lev.cap AS capacity,
+         |  (CASE WHEN js.jstar IS NULL OR lev.j < js.jstar THEN lev.cap
+         |        ELSE greatest(tl.tail_level, 0) END)::BIGINT AS allocated
+         |  FROM lev, js, tl)
+         |SELECT source, n_tokens, capacity, allocated,
+         |  round(allocated::DOUBLE / n_tokens, 6) AS epochs
+         |FROM alloc ORDER BY source""".stripMargin,
     "temperature_mix" ->
       """WITH cnt AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
         |tot AS (SELECT sum(n)::BIGINT AS nn,

@@ -111,4 +111,68 @@ object Sampling {
       .filter(col("_rn") <= n)
       .drop("_h", "_rn")
   }
+
+  /** UniMax budget allocation (Chung et al. '23, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): given a total token budget and a per-source epoch
+    * cap, allocate the budget as UNIFORMLY as possible across sources
+    * without repeating any source more than `maxEpochs` times — the
+    * waterfilling allocation that modern mixtures use where temperature
+    * sampling ([[temperatureMix]]) would still over-sample giants and
+    * over-epoch tiny sources.
+    *
+    * Closed form, fully declarative (no driver loop): sort sources by
+    * capacity cap_i = n_tokens_i·maxEpochs ascending; the waterline at
+    * prefix j is (B − Σ_{i<j} cap_i) ÷ (m − j + 1) in INTEGER floor
+    * division; the first j whose capacity reaches its own waterline
+    * starts the uncapped tail — sources before it take their full cap,
+    * the rest take the tail's (constant) waterline. All integer math —
+    * bit-identical in any engine. Two tiny aggregates + windows over an
+    * m-row frame (m = source count — index-metadata scale, but the
+    * plan never collects it).
+    *
+    * Returns one row per source: (source, n_tokens, capacity,
+    * allocated, epochs = 6dp allocated/n_tokens). Σ allocated ≤ B with
+    * equality when the budget is attainable (floor remainders of the
+    * uncapped tail are deliberately not redistributed — allocation is
+    * auditable from the formula alone). */
+  def unimaxAllocate(
+      docs: DataFrame, sourceCol: Column, tokensCol: Column,
+      budgetTokens: Long, maxEpochs: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("cap", "source")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy("cap", "source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val caps = docs
+      .groupBy(sourceCol.as("source"))
+      .agg(sum(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val lev = caps
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("pfx", coalesce(sum(col("cap")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)))
+      // integer waterline at this prefix (div, never a double divide:
+      // exact at any magnitude; negative waterlines — budget already
+      // exhausted by smaller caps — only ever feed `cap >= level` and a
+      // greatest(_, 0), where truncate-vs-floor cannot matter)
+      .withColumn("level",
+        expr(s"(CAST($budgetTokens AS BIGINT) - pfx) div (m - j + 1)"))
+    val jstar = lev
+      .filter(col("cap") >= col("level"))
+      .agg(min(col("j")).as("jstar"))
+    lev.crossJoin(broadcast(jstar))
+      .withColumn("tail_level", max(when(col("j") === col("jstar"),
+        col("level"))).over(wAll))
+      .withColumn("allocated",
+        when(col("jstar").isNull || col("j") < col("jstar"), col("cap"))
+          .otherwise(greatest(col("tail_level"), lit(0L))))
+      .withColumn("epochs",
+        round(col("allocated").cast("double") / col("n_tokens"), 6))
+      .select(col("source"), col("n_tokens"), col("cap").as("capacity"),
+        col("allocated"), col("epochs"))
+      .orderBy("source")
+  }
 }

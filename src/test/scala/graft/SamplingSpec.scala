@@ -99,4 +99,29 @@ class SamplingSpec extends SparkSpec {
     assert(byName.keySet.subsetOf(Set("train", "test")))
     assert(byName("train") > (total * 0.6) && byName("train") < total)
   }
+
+  test("unimax: caps respected, budget met exactly, waterline hand-checked") {
+    // sources: a cap 200, b cap 1000, c cap 10000 (maxEpochs=2);
+    // budget 3000 -> a,b capped; c takes the j=3 waterline 1800
+    val docs = Seq(
+      ("a", 60L), ("a", 40L),
+      ("b", 250L), ("b", 250L),
+      ("c", 2500L), ("c", 2500L)).toDF("source", "n_tok")
+    val out = Sampling.unimaxAllocate(docs, col("source"), col("n_tok"),
+        budgetTokens = 3000L, maxEpochs = 2)
+      .select("source", "capacity", "allocated", "epochs")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") == ((200L, 200L, 2.0)))
+    assert(out("b") == ((1000L, 1000L, 2.0)))
+    assert(out("c") == ((10000L, 1800L, 0.36)))
+    // budget attainable -> met exactly; epochs never exceed the cap
+    assert(out.values.map(_._2).sum == 3000L)
+    assert(out.values.forall(_._3 <= 2.0))
+    // budget above total capacity -> everything capped
+    val all = Sampling.unimaxAllocate(docs, col("source"), col("n_tok"),
+        budgetTokens = 100000L, maxEpochs = 2)
+      .select("capacity", "allocated").as[(Long, Long)].collect()
+    assert(all.forall { case (cap, alloc) => alloc == cap })
+  }
 }
