@@ -550,6 +550,16 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
         n = 3, k = 128, bands = 32, threshold = 0.7)),
+    // Cross-corpus near-dup at similarity level (the incremental peer of
+    // dedup_bloom_novel, which screens exact keys only): new snapshot
+    // (doc_id >= 250) banded against history (< 250) — intra-snapshot
+    // pairs are never generated.
+    "dedup_cross_minhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minHashLshCrossPairs(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        n = 3, k = 128, bands = 32, threshold = 0.7)
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))),
@@ -2047,6 +2057,13 @@ object SparkEntry {
          |  round(len(list_intersect(a.s, b.s))::DOUBLE
          |    / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 6) AS jaccard
          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cross_minhash" ->
+      s"""WITH $W, $SH,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 6) AS jaccard
+         |  FROM sh a, sh b WHERE a.doc_id >= 250 AND b.doc_id < 250)
          |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
     // simhash chunk-banding has EXACT recall at hamming<=3, so the oracle is all-pairs
     "dedup_simhash" ->

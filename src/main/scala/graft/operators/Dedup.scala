@@ -105,20 +105,16 @@ object Dedup {
     * Then one explode×bands + hash partition on band key; no quadratic
     * stage (bucket sizes bound by near-dup cluster size, not corpus size).
     */
-  def minHashLshPairs(
-      docs: DataFrame,
-      n: Int = 3,
-      k: Int = 128,
-      bands: Int = 32,
-      threshold: Double = 0.7): DataFrame = {
+  /** Shingle sets + banded MinHash signatures of one frame, both
+    * materialized ONCE (localCheckpoint): each feeds at least two joins,
+    * and without a barrier every consumer re-runs the
+    * words→shingles→128-perm MinHash pipeline — the single most
+    * expensive map stage. Real LSH deployments persist signatures for
+    * the same reason; the banded stream is only (docs × bands) rows. */
+  private def minHashSides(docs: DataFrame, n: Int, k: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     val rows = k / bands
     val p = TextOps.MinHashP
-    // materialize the shingle sets and the banded signatures ONCE: both
-    // feed a self-join (and `sh` also the verify join-back), and without
-    // a barrier each side re-runs the words→shingles→128-perm MinHash
-    // pipeline — the single most expensive map stage in the query,
-    // evaluated ~4×. Real LSH deployments persist signatures for the same
-    // reason; the banded stream is only (docs × bands) small rows.
     val sh = docs
       .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
       .filter(size(col("sh")) > 0)
@@ -133,18 +129,18 @@ object Dedup {
     val banded = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
       .localCheckpoint()
-    val cands = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
-        Seq("band_idx", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // exact verification: join candidate pairs back to the shingle hash sets
+    (sh, banded)
+  }
+
+  /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * per-side shingle sets, with the size-ratio prune (relaxed by the 6dp
+    * rounding granularity): candidates whose set sizes preclude
+    * round(J,6) >= threshold skip the merge-walk entirely. */
+  private def verifyJaccard(cands: DataFrame, shA: DataFrame, shB: DataFrame,
+      threshold: Double): DataFrame =
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      // same size-ratio prune as ngramJaccardPairs (relaxed by the 6dp
-      // rounding granularity): candidates whose set sizes preclude
-      // round(J,6) >= threshold skip the merge-walk entirely
+      .join(shA.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shB.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
         greatest(size(col("sh_a")), size(col("sh_b"))) * (threshold - 5e-7))
       .withColumn("ic", VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
@@ -153,6 +149,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  def minHashLshPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      k: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.7): DataFrame = {
+    val (sh, banded) = minHashSides(docs, n, k, bands)
+    val cands = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cands, sh, sh, threshold)
+  }
+
+  /** CROSS-corpus MinHash near-dup: pairs BETWEEN a new snapshot (left)
+    * and history (right) at similarity level — the incremental peer of
+    * [[bloomNovel]], which screens EXACT content keys only; this is the
+    * "is the new crawl a near-rewrite of something we already have"
+    * question. Candidates come from a banded left×right bucket join
+    * (never left×left or right×right — the intra-snapshot pair volume,
+    * usually the dominant term, is simply never generated), then the
+    * standard exact-Jaccard verification. At 100 TB the history side's
+    * banded signatures are a PERSISTED index (built once per snapshot,
+    * the same lifecycle as the collection indexes); each new snapshot
+    * streams its bands against them. */
+  def minHashLshCrossPairs(
+      left: DataFrame, right: DataFrame,
+      n: Int = 3, k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.7): DataFrame = {
+    val (shA, bandedA) = minHashSides(left, n, k, bands)
+    val (shB, bandedB) = minHashSides(right, n, k, bands)
+    val cands = bandedA
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(bandedB.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cands, shA, shB, threshold)
   }
 
   /** SimHash near-dup pairs at Hamming radius <= `maxHamming` (<=3):

@@ -275,4 +275,21 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "plan contains BroadcastNestedLoopJoin")
   }
+
+  test("cross-corpus minhash equals the self-pairs restricted to the boundary") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val cross = Dedup.minHashLshCrossPairs(
+        docs.filter($"doc_id" >= 250), docs.filter($"doc_id" < 250),
+        n = 3, k = 128, bands = 32, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    // never an intra-side pair by construction
+    assert(cross.forall { case (a, b, _) => a >= 250 && b < 250 })
+    // equivalence: the self-join's boundary-crossing pairs, re-oriented
+    val self = Dedup.minHashLshPairs(docs, n = 3, k = 128, bands = 32,
+        threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+      .collect { case (a, b, j) if a < 250 && b >= 250 => (b, a, j) }
+      .toSet
+    assert(cross == self)
+  }
 }
