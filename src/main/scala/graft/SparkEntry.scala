@@ -717,6 +717,21 @@ object SparkEntry {
         qemb, k = 10, beam = 24, hops = 8,
         entryCids = ecids, entryCents = ecents)
     }),
+    // Recall-calibrated graph search: the beam (HNSW's ef dial) derived
+    // from a 0.9 target on a 4-query sample — the graph member of the
+    // calibration trilogy (IVF nprobe, LSH L, graph beam). The chosen
+    // beam ships in the output so the DECISION is hash-verified.
+    "ann_graph_calibrated" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qemb"))
+      val (ecids, ecents) = graphEntrySeeds(s, dir)
+      Ann.graphSearchCalibrated(points, graphTable(s, dir), q, k = 10,
+          targetRecall = 0.9, beams = Seq(4, 8, 16, 24), hops = 8,
+          sampleQids = Seq(0L, 99L, 250L, 433L),
+          entryCids = ecids, entryCents = ecents)
+        .select(col("id"), col("score"), col("user_id"), col("beam"))
+    }),
     // The BATCHED graph descent — the serving design point (every hop
     // join shared by the whole batch; SCALING.md measured exp 0.40):
     // 8 evenly-spread stored queries advance as parallel beams.
@@ -1775,6 +1790,97 @@ object SparkEntry {
          |  FROM v$hops) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** Oracle for the CALIBRATED graph search (mirrors
+    * Ann.graphCalibrateBeam + the final search): exact per-sample-query
+    * truth, one batched hop chain PER CANDIDATE BEAM (suffixed CTEs;
+    * entry/v0 shared — they don't depend on the beam), integer hit
+    * counts vs the truth, the same hits/total >= target double compare,
+    * and the final rows selected from the chosen beam's chain for the
+    * served query (qid 0 ∈ sample, batch ≡ solo per AnnSpec). */
+  private def graphCalibratedOracle(sample: Seq[Long], beams: Seq[Int],
+      hops: Int, k: Int, target: Double,
+      graphK: Int = 12, maxDegree: Int = 16): String = {
+    val ids = sample.mkString(", ")
+    val b = Seq.newBuilder[String]
+    b += s"""cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),
+       |gscored AS (SELECT p.id, ct.cid,
+       |  row_number() OVER (PARTITION BY p.id
+       |    ORDER BY round(list_dot_product(p.ne, ct.ce), 6) DESC, ct.cid ASC) AS rn
+       |  FROM c p, cent ct),
+       |gdside AS (SELECT id, cid FROM gscored WHERE rn = 1),
+       |gqside AS (SELECT id AS qid, cid FROM gscored WHERE rn <= 2),
+       |gcand AS (SELECT q.qid, d.id,
+       |    round(list_dot_product(qc.ne, dc.ne), 6) AS score
+       |  FROM gqside q
+       |  JOIN gdside d ON q.cid = d.cid AND q.qid <> d.id
+       |  JOIN c qc ON qc.id = q.qid
+       |  JOIN c dc ON dc.id = d.id),
+       |gr AS (SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+       |  FROM gcand),
+       |kn AS MATERIALIZED (SELECT qid, id, score FROM gr WHERE rank <= $graphK),
+       |und AS (SELECT src, dst, max(score) AS score FROM (
+       |    SELECT qid AS src, id AS dst, score FROM kn
+       |    UNION ALL SELECT id AS src, qid AS dst, score FROM kn)
+       |  GROUP BY src, dst),
+       |g AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+       |  FROM und) WHERE rn <= $maxDegree),
+       |qs AS MATERIALIZED (SELECT c.id AS qid, c.ne AS qe FROM c WHERE c.id IN ($ids)),
+       |tr AS MATERIALIZED (SELECT qid, id FROM (SELECT q.qid, c.id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(list_dot_product(c.ne, q.qe), 6) DESC, c.id ASC) AS rk
+       |  FROM c, qs q) WHERE rk <= $k),
+       |tt AS (SELECT count(*)::BIGINT AS total FROM tr),
+       |ent AS (SELECT qid, cid AS id FROM (SELECT q.qid, cent.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC) AS rn
+       |  FROM cent, qs q) WHERE rn = 1),
+       |v0 AS MATERIALIZED (SELECT e.qid, c.id,
+       |    round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+       |  FROM ent e JOIN c ON c.id = e.id JOIN qs q ON q.qid = e.qid),
+       |f0 AS MATERIALIZED (SELECT qid, id FROM v0),
+       |e0 AS MATERIALIZED (SELECT qid, id FROM v0 WHERE FALSE)""".stripMargin
+    for (bm <- beams; r <- 1 to hops) {
+      val (vp, fp, ep) =
+        if (r == 1) ("v0", "f0", "e0")
+        else (s"v${r - 1}x$bm", s"f${r - 1}x$bm", s"e${r - 1}x$bm")
+      b += s"""n${r}x$bm AS MATERIALIZED (SELECT DISTINCT f.qid, g.dst AS id
+         |  FROM g JOIN $fp f ON g.src = f.id
+         |  LEFT JOIN $vp v ON v.qid = f.qid AND v.id = g.dst
+         |  WHERE v.qid IS NULL),
+         |s${r}x$bm AS MATERIALIZED (SELECT n.qid, c.id,
+         |    round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM n${r}x$bm n JOIN c USING (id) JOIN qs q ON q.qid = n.qid),
+         |v${r}x$bm AS MATERIALIZED (SELECT * FROM $vp UNION ALL SELECT * FROM s${r}x$bm),
+         |e${r}x$bm AS MATERIALIZED (SELECT qid, id FROM $ep UNION SELECT qid, id FROM $fp),
+         |f${r}x$bm AS MATERIALIZED (SELECT qid, id FROM (SELECT v.qid, v.id,
+         |    row_number() OVER (PARTITION BY v.qid
+         |      ORDER BY v.score DESC, v.id ASC) AS rn
+         |  FROM v${r}x$bm v LEFT JOIN e${r}x$bm e ON e.qid = v.qid AND e.id = v.id
+         |  WHERE e.qid IS NULL) WHERE rn <= $bm)""".stripMargin
+    }
+    for (bm <- beams) {
+      b += s"""res$bm AS MATERIALIZED (SELECT qid, id, score, user_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, id ASC) AS rank FROM v${hops}x$bm)
+         |  WHERE rank <= $k),
+         |rc$bm AS (SELECT count(*)::BIGINT AS hits FROM res$bm JOIN tr USING (qid, id))""".stripMargin
+    }
+    val whens = beams.sorted.dropRight(1).map(bm =>
+      s"WHEN rc$bm.hits::DOUBLE / tt.total >= $target THEN $bm").mkString(" ")
+    val froms = beams.map(bm => s"rc$bm").mkString(", ")
+    b += s"""chosen AS (SELECT CASE $whens ELSE ${beams.max} END AS beam
+       |  FROM $froms, tt)""".stripMargin
+    val union = beams.map(bm =>
+      s"SELECT $bm AS b, id, score, user_id FROM res$bm WHERE qid = ${sample.head}")
+      .mkString(" UNION ALL ")
+    s"WITH $C,\n" + b.result().mkString(",\n") +
+      s"""\nSELECT id, score, user_id, chosen.beam::BIGINT AS beam
+         |FROM ($union) r, chosen WHERE r.b = chosen.beam
+         |ORDER BY score DESC, id ASC""".stripMargin
+  }
+
   /** Unrolled BPE-training CTE chain (mirrors Bpe.learn, k merge rounds):
     * v0 = word-frequency table, s0 = char symbols, then per round r:
     * p_r adjacent-pair counts (self-pairs excluded, weighted by word
@@ -2255,6 +2361,9 @@ object SparkEntry {
     // same semantics as ann_graph_beam — one oracle grades both
     // execution forms (analytic hop joins vs bucket-pruned serving)
     "ann_graph_serve" -> graphBeamOracle(hops = 8, beam = 24, k = 10),
+    "ann_graph_calibrated" -> graphCalibratedOracle(
+      sample = Seq(0L, 99L, 250L, 433L), beams = Seq(4, 8, 16, 24),
+      hops = 8, k = 10, target = 0.9),
     "ann_knn_join" ->
       s"""WITH $C,
          |cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),

@@ -992,6 +992,59 @@ object Ann {
       .orderBy(desc("score"), asc("id"))
   }
 
+  /** Calibrate the graph search's beam width from a RECALL TARGET — the
+    * graph-family member of the engine's calibration trilogy (IVF's
+    * LCB-calibrated nprobe, LSH's measured-curve L, and now the beam:
+    * HNSW's ef dial, accuracy-driven instead of guessed). Exact truth =
+    * per-sample-query top-k (self included — graph results contain the
+    * query point, so the comparison is like-for-like); each candidate
+    * beam runs ONE batched descent over all sample queries; chosen =
+    * the smallest beam whose aggregate recall clears the target (falls
+    * back to the largest). Calibration cost is sample-bounded — the
+    * same build-time contract as [[IndexMeta]] / [[lshCalibrateL]]. */
+  def graphCalibrateBeam(points: DataFrame, graph: DataFrame,
+      sampleQids: Seq[Long], k: Int, targetRecall: Double,
+      beams: Seq[Int], hops: Int,
+      entryCids: Seq[Long], entryCents: Seq[Seq[Double]]): Int = {
+    import org.apache.spark.sql.expressions.Window
+    require(sampleQids.nonEmpty && beams.nonEmpty, "calibration needs input")
+    val qs = points.filter(col("id").isin(sampleQids.map(Long.box): _*))
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    val truth = points.select(col("id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .withColumn("score", rdot(col("embedding"), col("qemb")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), asc("id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val total = truth.size
+    require(total > 0, "calibration truth set is empty")
+    beams.sorted.find { b =>
+      val approx = graphBeamSearch(points, graph, qs, k, beam = b,
+          hops = hops, entryCids = entryCids, entryCents = entryCents)
+        .select(col("qid"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx intersect truth).size.toDouble / total >= targetRecall
+    }.getOrElse(beams.max)
+  }
+
+  /** [[graphBeamSearch]] with the beam chosen by [[graphCalibrateBeam]]
+    * — the user states accuracy, the engine derives the search effort.
+    * The calibrated choice ships in the output (`beam` column) so the
+    * DECISION is verified, not just the rows. */
+  def graphSearchCalibrated(points: DataFrame, graph: DataFrame,
+      queries: DataFrame, k: Int, targetRecall: Double,
+      beams: Seq[Int], hops: Int, sampleQids: Seq[Long],
+      entryCids: Seq[Long] = Nil,
+      entryCents: Seq[Seq[Double]] = Nil): DataFrame = {
+    val b = graphCalibrateBeam(points, graph, sampleQids, k, targetRecall,
+      beams, hops, entryCids, entryCents)
+    graphBeamSearch(points, graph, queries, k, beam = b, hops = hops,
+        entryCids = entryCids, entryCents = entryCents)
+      .withColumn("beam", lit(b.toLong))
+  }
+
   /** Incremental graph-index maintenance: INSERT a batch of new points
     * (HNSW's insert algorithm, batched — beam-search the existing graph
     * for each new point's neighbors in ONE multi-query descent, link

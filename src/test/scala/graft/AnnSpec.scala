@@ -607,6 +607,34 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("calibrated graph beam: monotone in target, chosen beam meets it on the sample") {
+    val (ecids, ecents) = entrySeeds
+    val sample = Seq(0L, 99L, 250L, 433L)
+    val beams = Seq(4, 8, 16, 24)
+    def choose(t: Double): Int = Ann.graphCalibrateBeam(points, graph,
+      sample, k = 10, t, beams, hops = 8, ecids, ecents)
+    val bLo = choose(0.5)
+    val bHi = choose(0.9)
+    assert(bLo <= bHi, s"beam must be monotone in target: $bLo > $bHi")
+    // the chosen beam actually clears the target it was chosen for
+    val truth = sample.map(q => q -> exactTop(q, 10)).toMap
+    val approx = Ann.graphBeamSearch(points, graph,
+        points.filter($"id".isin(sample: _*))
+          .select($"id".as("qid"), $"embedding".as("qemb")),
+        k = 10, beam = bHi, hops = 8,
+        entryCids = ecids, entryCents = ecents)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = sample.map(q => (approx(q) intersect truth(q)).size).sum
+    assert(hits.toDouble / (sample.size * 10) >= 0.9,
+      s"chosen beam $bHi recall ${hits / 40.0} below target")
+    // the decision ships in the output
+    val out = Ann.graphSearchCalibrated(points, graph,
+      points.filter($"id" === 0L).select($"id".as("qid"), $"embedding".as("qemb")),
+      k = 10, targetRecall = 0.9, beams, hops = 8, sample, ecids, ecents)
+    assert(out.select("beam").distinct().as[Long].collect().toSeq == Seq(bHi.toLong))
+  }
+
   test("graph beam search is deterministic") {
     val q = points.filter($"id" === 42L)
       .select($"id".as("qid"), $"embedding".as("qemb"))
