@@ -268,6 +268,11 @@ object SparkEntry {
   /** Bucketed graph store per scale dir (the serving layout —
     * [[Ann.saveGraphBucketed]]): written once per JVM from the memoized
     * graph, read per-hop with partition pruning by graphBeamServe. */
+  /** Calibrated beam per scale dir (graphCalibrateBeam is a build-time
+    * cost — the IndexMeta lifecycle). */
+  private val graphBeamCal =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   private val graphStoreBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def graphStorePath(s: SparkSession, dir: String): String =
@@ -726,10 +731,16 @@ object SparkEntry {
       val q = points.filter(col("id") === 0)
         .select(lit(0L).as("qid"), col("embedding").as("qemb"))
       val (ecids, ecents) = graphEntrySeeds(s, dir)
-      Ann.graphSearchCalibrated(points, graphTable(s, dir), q, k = 10,
+      // calibration is an index-BUILD cost (IndexMeta/kmeans lifecycle):
+      // run once per JVM per dir, serve the chosen beam thereafter
+      val b = graphBeamCal.computeIfAbsent(dir, _ =>
+        Ann.graphCalibrateBeam(points, graphTable(s, dir),
+          sampleQids = Seq(0L, 99L, 250L, 433L), k = 10,
           targetRecall = 0.9, beams = Seq(4, 8, 16, 24), hops = 8,
-          sampleQids = Seq(0L, 99L, 250L, 433L),
-          entryCids = ecids, entryCents = ecents)
+          ecids, ecents))
+      Ann.graphBeamSearch(points, graphTable(s, dir), q, k = 10,
+          beam = b, hops = 8, entryCids = ecids, entryCents = ecents)
+        .withColumn("beam", lit(b.toLong))
         .select(col("id"), col("score"), col("user_id"), col("beam"))
     }),
     // The BATCHED graph descent — the serving design point (every hop
