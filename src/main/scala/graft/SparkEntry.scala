@@ -1020,6 +1020,11 @@ object SparkEntry {
           .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
         budgetTokens = 400, nShards = 8)
     }),
+    // Zipf-fit corpus diagnostic: power-law slope of the top-100 token
+    // frequencies (drift from ~-1 flags templating or over-dedup).
+    "zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(
+        s.read.parquet(s"$dir/documents.parquet"), nTerms = 100)),
     // DSIR importance resampling (Xie et al. '23): top-30 raw docs whose
     // hashed unigram∪bigram distribution matches the doc_id<20 "target
     // domain", Gumbel-top-k on 6dp log importance ratios (deterministic
@@ -2765,6 +2770,27 @@ object SparkEntry {
          |SELECT shard, (cum_before // 400)::BIGINT AS pack_no,
          |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
          |FROM pc GROUP BY shard, pack_no ORDER BY shard, pack_no""".stripMargin,
+    // computed-double roundings use the ::VARCHAR::DECIMAL shortest-repr
+    // trick (the text_quality rule): Spark round()s the double's shortest
+    // decimal repr, DuckDB the true binary value
+    "zipf_fit" ->
+      s"""WITH $W,
+         |tk AS (SELECT unnest(w) AS tok FROM t),
+         |cnts AS (SELECT tok, count(*)::BIGINT AS cnt FROM tk WHERE tok <> '' GROUP BY tok),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank FROM cnts),
+         |pts AS (SELECT round(ln(rank::DOUBLE), 6) AS x, round(ln(cnt::DOUBLE), 6) AS y
+         |  FROM rk WHERE rank <= 100),
+         |agg AS (SELECT count(*)::BIGINT AS n_terms,
+         |  sum(x::DECIMAL(28,6))::DOUBLE AS sx, sum(y::DECIMAL(28,6))::DOUBLE AS sy,
+         |  sum(round((x*y)::VARCHAR::DECIMAL(38,20), 6)::DECIMAL(28,6))::DOUBLE AS sxy,
+         |  sum(round((x*x)::VARCHAR::DECIMAL(38,20), 6)::DECIMAL(28,6))::DOUBLE AS sxx
+         |  FROM pts),
+         |sl AS (SELECT n_terms, sx, sy,
+         |  round(((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx))::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS slope
+         |  FROM agg)
+         |SELECT n_terms, slope,
+         |  round(((sy - slope * sx) / n_terms)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS intercept
+         |FROM sl""".stripMargin,
     "dsir_select" ->
       s"""WITH $W,
          |f AS (SELECT doc_id, unnest(

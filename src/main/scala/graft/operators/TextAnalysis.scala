@@ -666,6 +666,45 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** Zipf-fit corpus diagnostic: least-squares slope of
+    * ln(frequency) vs ln(rank) over the top-`nTerms` tokens — the
+    * power-law exponent every natural corpus tracks near −1 (Zipf '49;
+    * Piantadosi '14 reviews why). A corpus whose slope drifts far from
+    * −1 is usually TEMPLATED (boilerplate flattens the curve) or
+    * truncated/deduplicated too hard (steepens it), so pipelines watch
+    * this next to the repetition and quality gates.
+    *
+    * Determinism: ranks from an exact count with a total tiebreak; the
+    * per-point ln() values are 6dp-rounded and every regression moment
+    * (Σx, Σy, Σxy, Σx²) is an exact DECIMAL sum of those roundings —
+    * order-free; the closed-form slope/intercept then divide identical
+    * doubles in both engines. Shape: one token hash aggregate + a
+    * top-N + a single-row reduction — scan-bound at any corpus size. */
+  def zipfFit(docs: DataFrame, nTerms: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs
+      .select(explode(TextOps.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), asc("tok"))).cast("long"))
+      .filter(col("rank") <= nTerms)
+      .withColumn("x", round(log(col("rank").cast("double")), 6))
+      .withColumn("y", round(log(col("cnt").cast("double")), 6))
+    def dsum(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    ranked.agg(
+        count(lit(1)).cast("long").as("n_terms"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(round(col("x") * col("y"), 6)).as("sxy"),
+        dsum(round(col("x") * col("x"), 6)).as("sxx"))
+      .withColumn("slope", round(
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6))
+      .withColumn("intercept", round(
+        (col("sy") - col("slope") * col("sx")) / col("n_terms"), 6))
+      .select(col("n_terms"), col("slope"), col("intercept"))
+  }
+
   /** Document fingerprints: order-sensitive rolling polynomial hash over
     * word hashes + order-insensitive bag-of-words md5 key. */
   def fingerprints(docs: DataFrame): DataFrame = {

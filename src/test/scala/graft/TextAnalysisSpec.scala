@@ -234,4 +234,27 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 1L, "apple", 2L), (1L, 2L, "banana", 1L),
       (2L, 1L, "cat", 2L), (2L, 2L, "dog", 1L)))
   }
+
+  test("zipf fit: near -1 on zipfian text, flat on uniform text") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 200).map(i => s"w$i")
+    // zipfian corpus: word i drawn with p ~ 1/(i+1)
+    val weights = vocab.indices.map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def drawZipf(): String = {
+      val u = rnd.nextDouble() * total
+      vocab(cum.indexWhere(_ >= u))
+    }
+    val zipfDocs = (0L until 200L).map(i =>
+      (i, Seq.fill(50)(drawZipf()).mkString(" "))).toDF("doc_id", "text")
+    val uniDocs = (0L until 200L).map(i =>
+      (i, Seq.fill(50)(vocab(rnd.nextInt(200))).mkString(" "))).toDF("doc_id", "text")
+    val zs = TextAnalysis.zipfFit(zipfDocs).select("slope").as[Double].head()
+    val us = TextAnalysis.zipfFit(uniDocs).select("slope").as[Double].head()
+    assert(zs < -0.6, s"zipfian corpus slope $zs should be steep")
+    assert(us > -0.3, s"uniform corpus slope $us should be flat")
+    assert(zs < us)
+  }
 }
