@@ -1020,6 +1020,12 @@ object SparkEntry {
           .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
         budgetTokens = 400, nShards = 8)
     }),
+    // Embedding-health report over RAW vectors: norm spread, per-dim
+    // variance, anisotropy — the collapse diagnostic for a vector corpus.
+    "embedding_health" -> ((s, dir) =>
+      Stats.embeddingHealth(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("embedding").cast("array<double>").as("embedding")))),
     // Zipf-fit corpus diagnostic: power-law slope of the top-100 token
     // frequencies (drift from ~-1 flags templating or over-dedup).
     "zipf_fit" -> ((s, dir) =>
@@ -2770,6 +2776,22 @@ object SparkEntry {
          |SELECT shard, (cum_before // 400)::BIGINT AS pack_no,
          |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
          |FROM pc GROUP BY shard, pack_no ORDER BY shard, pack_no""".stripMargin,
+    "embedding_health" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+        |d AS (SELECT generate_subscripts(emb, 1) - 1 AS dim, unnest(emb) AS v FROM e),
+        |dm AS (SELECT dim, round(avg(v), 6) AS m, round(avg(v * v), 6) AS m2 FROM d GROUP BY dim),
+        |dv AS (SELECT dim, round(m2 - m * m, 6) AS variance FROM dm),
+        |top AS (SELECT variance AS max_var, dim::BIGINT AS max_var_dim FROM dv
+        |  ORDER BY variance DESC, dim ASC LIMIT 1),
+        |da AS (SELECT count(*)::BIGINT AS dim_count,
+        |  round(sum(variance::DECIMAL(28,6))::DOUBLE / count(*), 6) AS mean_var FROM dv),
+        |nr AS (SELECT round(sqrt(list_dot_product(emb, emb)), 6) AS nrm FROM e),
+        |na AS (SELECT round(min(nrm), 6) AS min_norm,
+        |  round(sum(nrm::DECIMAL(28,6))::DOUBLE / count(*), 6) AS mean_norm,
+        |  round(max(nrm), 6) AS max_norm FROM nr)
+        |SELECT dim_count, min_norm, mean_norm, max_norm, mean_var, max_var, max_var_dim,
+        |  round((max_var / mean_var)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS anisotropy
+        |FROM da, top, na""".stripMargin,
     // computed-double roundings use the ::VARCHAR::DECIMAL shortest-repr
     // trick (the text_quality rule): Spark round()s the double's shortest
     // decimal repr, DuckDB the true binary value

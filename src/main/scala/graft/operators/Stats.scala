@@ -213,4 +213,48 @@ object Stats {
         max(col(metric)).cast("long").as("hi"))
       .orderBy("bin")
   }
+
+  /** Embedding-health report over RAW (un-normalized) vectors — the
+    * collapse/anisotropy diagnostic run before trusting a vector corpus
+    * (Ethayarajh '19 measured how anisotropic real embedding spaces get;
+    * a near-zero-variance dimension or a norm distribution collapsing to
+    * a point are the classic symptoms of a broken encoder export).
+    * One row: dim count, norm min/mean/max, mean per-dim variance, the
+    * largest per-dim variance and which dimension owns it, and
+    * anisotropy = max_var / mean_var.
+    *
+    * Determinism: per-row norms are 6dp-rounded then DECIMAL-summed
+    * (order-free); per-dim moments follow the label_centroids rule
+    * (round the avg at 6dp, then single double ops on identical
+    * operands); the max-variance dim ties to the smallest dim. Shape:
+    * one posexplode + a dim-keyed aggregate + a row-keyed projection —
+    * two scans, no corpus-sized state. */
+  def embeddingHealth(emb: DataFrame): DataFrame = {
+    val d = emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+    val dims = d.groupBy("dim")
+      .agg(round(avg("v"), 6).as("m"),
+        round(avg(col("v") * col("v")), 6).as("m2"))
+      .withColumn("variance", round(col("m2") - col("m") * col("m"), 6))
+    val topDim = dims
+      .orderBy(desc("variance"), asc("dim"))
+      .limit(1)
+      .select(col("variance").as("max_var"), col("dim").cast("long").as("max_var_dim"))
+    val dimAgg = dims.agg(
+      count(lit(1)).cast("long").as("dim_count"),
+      round(sum(col("variance").cast("decimal(28,6)")).cast("double")
+        / count(lit(1)), 6).as("mean_var"))
+    val norms = emb.select(
+      round(sqrt(graft.functions.VectorOps.dot(col("embedding"), col("embedding"))), 6)
+        .as("nrm"))
+    val normAgg = norms.agg(
+      round(min(col("nrm")), 6).as("min_norm"),
+      round(sum(col("nrm").cast("decimal(28,6)")).cast("double")
+        / count(lit(1)), 6).as("mean_norm"),
+      round(max(col("nrm")), 6).as("max_norm"))
+    dimAgg.crossJoin(topDim).crossJoin(normAgg)
+      .withColumn("anisotropy", round(col("max_var") / col("mean_var"), 6))
+      .select(col("dim_count"), col("min_norm"), col("mean_norm"),
+        col("max_norm"), col("mean_var"), col("max_var"),
+        col("max_var_dim"), col("anisotropy"))
+  }
 }

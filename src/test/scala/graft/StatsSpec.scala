@@ -75,4 +75,23 @@ class BivariateStatsSpec extends SparkSpec {
       "value", nBins = 20).as[(Double, Long, Long)].head()._1
     assert(again == psi1)
   }
+
+  test("embedding health: collapse shows up as anisotropy, dims/norms exact") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // dim 2 carries 10x the spread of the others -> it owns max_var
+    val rows = (0 until 500).map { _ =>
+      Seq.tabulate(8)(d => (if (d == 2) 10.0 else 1.0) * rnd.nextGaussian())
+    }
+    val df = rows.toDF("embedding")
+    val r = graft.operators.Stats.embeddingHealth(df).collect()(0)
+    assert(r.getAs[Long]("dim_count") == 8L)
+    assert(r.getAs[Long]("max_var_dim") == 2L)
+    assert(r.getAs[Double]("anisotropy") > 5.0)
+    assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("mean_norm") &&
+      r.getAs[Double]("mean_norm") <= r.getAs[Double]("max_norm"))
+    // determinism
+    val r2 = graft.operators.Stats.embeddingHealth(df).collect()(0)
+    assert(r.toSeq == r2.toSeq)
+  }
 }
