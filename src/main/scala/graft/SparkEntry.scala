@@ -234,10 +234,10 @@ object SparkEntry {
   }
 
   /** Navigable neighbor graph per scale dir (NSW index build lifecycle):
-    * built once per JVM from the bulk k-NN join (k=8, nprobe=2, C=32
-    * seed centroids — the ann_knn_join configuration, which the oracle
-    * replays), made undirected, degree-capped at 12. localCheckpointed:
-    * ~N·12 edge rows. */
+    * built once per JVM from the bulk k-NN join (graphK=12, nprobe=2,
+    * C=32 seed centroids — the ann_knn_join configuration, which the
+    * oracle replays with the same constants), made undirected,
+    * degree-capped at 16. localCheckpointed: ~N·16 edge rows. */
   private val graphBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[graft] def graphTable(s: SparkSession, dir: String): DataFrame =
@@ -1923,10 +1923,16 @@ object SparkEntry {
         s"FROM (SELECT n, sym, unnest(range(greatest(len(sym)-1, 0))) AS i FROM s$p) " +
         "WHERE sym[i+1] <> sym[i+2] GROUP BY 1, 2)")
       b += s"m$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)"
+      // mm carries the round's merge OR an unmatchable sentinel ('','')
+      // when training exhausted mergeable pairs before round k: a bare
+      // cross join `FROM s$p, m$r` would zero out s$r — and every later
+      // round — while Spark's learn() simply stops merging (ADVICE r9).
+      // m$r has ≤1 row, so max() IS that row's value when present.
       b += (s"s$r AS (SELECT word, n, list_transform(" +
-        s"list_filter(range(len(sym)), i -> NOT (i >= 1 AND sym[i] = m$r.lhs AND sym[i+1] = m$r.rhs)), " +
-        s"i -> CASE WHEN sym[i+1] = m$r.lhs AND i+2 <= len(sym) AND sym[i+2] = m$r.rhs " +
-        s"THEN sym[i+1] || sym[i+2] ELSE sym[i+1] END) AS sym FROM s$p, m$r)")
+        s"list_filter(range(len(sym)), i -> NOT (i >= 1 AND sym[i] = mm.lhs AND sym[i+1] = mm.rhs)), " +
+        s"i -> CASE WHEN sym[i+1] = mm.lhs AND i+2 <= len(sym) AND sym[i+2] = mm.rhs " +
+        s"THEN sym[i+1] || sym[i+2] ELSE sym[i+1] END) AS sym FROM s$p, " +
+        s"(SELECT coalesce(max(lhs), '') AS lhs, coalesce(max(rhs), '') AS rhs FROM m$r) mm)")
     }
     b.result().mkString(",\n")
   }

@@ -974,7 +974,12 @@ object Ann {
       val frontier = visited.toSeq.filterNot(t => expanded(t._1))
         .sortBy { case (id, s) => (-s, id) }.take(beam).map(_._1)
       if (frontier.nonEmpty) {
-        val buckets = frontier.map(i => (i % nBuckets).toInt).distinct
+        // floorMod, not %: saveGraphBucketed writes buckets with pmod, and
+        // Scala % is negative for negative ids — a mismatch would silently
+        // prune away the node's edge bucket (ADVICE r9)
+        val buckets =
+          frontier.map(i => java.lang.Math.floorMod(i, nBuckets.toLong).toInt)
+            .distinct
         val nbrs = graphStore
           .filter(col("bucket").isin(buckets.map(Int.box): _*) &&
             col("src").isin(frontier.map(Long.box): _*))

@@ -410,7 +410,12 @@ object StreamingOps {
             .join(dels, Seq("id"), "left_anti") // tombstone wins in-batch
           val store = spark.read.parquet(storePath).localCheckpoint(true)
           val graph0 = spark.read.parquet(graphPath).localCheckpoint(true)
-          val g1 = Ann.graphDelete(graph0, dels)
+          // edges incident to UPSERTED ids must go too: a re-inserted id's
+          // old edges were scored against its superseded embedding — left
+          // in place they mix with the fresh links under the degree re-cap
+          // and can evict correct ones (ADVICE r9). graphInsert re-links
+          // the id against the surviving store with its new embedding.
+          val g1 = Ann.graphDelete(graph0, dels.unionByName(adds.select("id")))
           val storeSurv = store
             .join(dels, Seq("id"), "left_anti")
             .join(adds.select(col("id")), Seq("id"), "left_anti") // LWW upsert

@@ -337,6 +337,75 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(storePath).count() == store.count())
   }
 
+  test("graph CDC stream: upserting an existing id rebuilds its incident edges") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Ann, Collection}
+    val dir = java.nio.file.Files.createTempDirectory("cdc_graph_upsert")
+    val storePath = dir.resolve("store").toString
+    val graphPath = dir.resolve("graph").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val points = Collection.load(spark, sf001)
+      .select($"id", $"embedding", $"user_id")
+    val base = points.filter($"id" < 400)
+    val cents = Ann.seedCentroids(base, 16)
+    val crows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = crows.map(_.getLong(0)).toSeq
+    val ces = crows.map(_.getSeq[Double](1).toSeq).toSeq
+    base.write.parquet(storePath)
+    val graph0 = Ann.graphBuild(base, cents, graphK = 12, maxDegree = 16)
+      .localCheckpoint(true)
+    graph0.write.parquet(graphPath)
+    // LWW upsert: id 50 arrives AGAIN with a different vector (fixture
+    // id 450's) — its old edges were scored against the superseded
+    // embedding and must be dropped before re-linking (ADVICE r9: the
+    // pre-fix stream only deleted edges for tombstoned ids, so stale
+    // edges survived the degree re-cap and could evict correct links)
+    val newEmb = points.filter($"id" === 450)
+      .select($"embedding").as[Seq[Double]].head()
+    implicit val sc = spark.sqlContext
+    val changes = MemoryStream[(Long, Seq[Double], Int, Boolean)]
+    changes.addData((50L, newEmb, 7, false))
+    val df = changes.toDF().toDF("id", "embedding", "user_id", "_deleted")
+    StreamingOps.graphCdcStream(spark, df, storePath, graphPath,
+      cids, ces, checkpoint = ckpt)
+    val store = spark.read.parquet(storePath)
+    // LWW: exactly one row for the id, carrying the NEW embedding/payload
+    val r = store.filter($"id" === 50)
+      .as[(Long, Seq[Double], Int)].collect()
+    assert(r.length == 1 && r(0)._2 == newEmb && r(0)._3 == 7)
+    // the whole graph equals a replay of the fixed semantics: delete
+    // every edge incident to the upserted id, then insert it against the
+    // surviving store with its new embedding (both ops deterministic)
+    val g1 = Ann.graphDelete(graph0, Seq(50L).toDF("id"))
+    val adds = Seq((50L, newEmb, 7)).toDF("id", "embedding", "user_id")
+    val expected = Ann.graphInsert(base.filter($"id" =!= 50), g1, adds,
+        entryCids = cids, entryCents = ces)
+      .orderBy("src", "dst").collect().toSeq
+    val got = spark.read.parquet(graphPath)
+      .orderBy("src", "dst").collect().toSeq
+    assert(got == expected,
+      s"graph after upsert must equal delete+insert replay " +
+        s"(got ${got.size} edges, expected ${expected.size})")
+    // in particular: no edge may keep the OLD embedding's score — every
+    // edge touching id 50 must be scored against the new vector
+    val emb = newEmb.toArray
+    val nbrEmb = store.filter(!($"id" === 50))
+      .as[(Long, Seq[Double], Int)].collect()
+      .map(t => t._1 -> t._2.toArray).toMap
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.read.parquet(graphPath)
+      .filter($"src" === 50 || $"dst" === 50).collect().foreach { e =>
+        val other = if (e.getLong(0) == 50L) e.getLong(1) else e.getLong(0)
+        val expectScore =
+          round6(emb.zip(nbrEmb(other)).map { case (a, b) => a * b }.sum)
+        assert(math.abs(e.getDouble(2) - expectScore) < 1e-9,
+          s"edge ${e.getLong(0)}->${e.getLong(1)} score ${e.getDouble(2)} " +
+            s"not scored against the new embedding ($expectScore)")
+      }
+  }
+
   test("streamed dedup distinct-users equals batch count(DISTINCT)") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.distinctUsersStream(spark, sf001).collect()
