@@ -88,6 +88,23 @@ object Api {
       localReplicaMaxRows)
   }
 
+  /** Validated sharded serving router — the replica-TOO-BIG tier (see
+    * [[graft.ShardedServer]]): a collection past one replica's budget is
+    * hash-split into replica-sized shards, each served by its own
+    * [[BatchedServer]], with scatter-gather top-k merge. Same submit
+    * contract as [[batchedServer]]; router ≡ solo search spec-asserted. */
+  def shardedServer(points: DataFrame, k: Int = 10,
+      scoreThreshold: Option[Double] = None,
+      shardMaxRows: Long = BatchedServer.DefaultReplicaMaxRows,
+      maxBatch: Int = 1024, maxWaitMs: Long = 0L,
+      pipelineDepth: Int = 2): ShardedServer = {
+    validateK(k)
+    val t = scoreThreshold.getOrElse(DefaultThreshold)
+    validateThreshold(t)
+    ShardedServer(points, k, t, shardMaxRows, maxBatch, maxWaitMs,
+      pipelineDepth)
+  }
+
   /** One-call convenience over a whole request queue: push every request
     * through a [[BatchedServer]] and return the per-request results in
     * request order. Blocks until the queue is served. */

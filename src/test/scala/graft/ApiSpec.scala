@@ -263,8 +263,13 @@ class ApiSpec extends SparkSpec {
   }
 
   test("batchedServer replica tier ≡ Spark-job tier, row for row") {
-    val embs = points.orderBy("id").limit(12)
+    val base = points.orderBy("id").limit(12)
       .select("embedding").as[Seq[Double]].collect().toSeq
+    // ragged queries ride along: one SHORTER than the rows (32 of 64
+    // dims) and one LONGER (128) — both kernels score min(rowLen, qLen)
+    // dims, and the blocked replica kernel must fall back to its exact
+    // ragged path for them, row-identical to the job tier
+    val embs = base :+ base.head.take(32) :+ (base.head ++ base.head)
     // same requests through both tiers: the default server replicates the
     // small fixture locally; localReplicaMaxRows=0 forces the job path
     val viaReplica = Api.serveBatched(points, embs, k = 7,
@@ -279,6 +284,43 @@ class ApiSpec extends SparkSpec {
         assert(a.get(2) == b.get(2), "user_id parity")
       }
     }
+  }
+
+  test("shardedServer: router over replica-sized shards ≡ solo search, row for row") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    intercept[IllegalArgumentException](Api.shardedServer(points, k = 0))
+    val embs = points.orderBy("id").limit(12)
+      .select("embedding").as[Seq[Double]].collect().toSeq
+    // shardMaxRows far below the fixture size forces a REAL multi-shard
+    // split — the replica-too-big regime at test scale; every shard's
+    // slice fits its own BatchedServer replica tier
+    val srv = Api.shardedServer(points, k = 7, scoreThreshold = Some(0.1),
+      shardMaxRows = 150)
+    try {
+      assert(srv.nShards > 1, s"fixture must split, got ${srv.nShards} shard(s)")
+      val results = embs.map(e => Await.result(srv.submit(e), 2.minutes))
+      embs.zip(results).foreach { case (e, hits) =>
+        val solo = Api.search(points, Seq(e).toDF("qemb"), k = 7,
+          scoreThreshold = Some(0.1)).collect()
+        assert(hits.map(_.get(0)).toSeq == solo.map(_.get(0)).toSeq, "id parity")
+        assert(hits.map(_.get(1)).toSeq == solo.map(_.get(1)).toSeq, "score parity")
+        assert(hits.map(_.get(2)).toSeq == solo.map(_.get(2)).toSeq, "user parity")
+      }
+      // concurrent submitters keep their own top-k through the router
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val futures = embs.map { e =>
+        pool.submit(new java.util.concurrent.Callable[Array[org.apache.spark.sql.Row]] {
+          def call() = Await.result(srv.submit(e), 2.minutes)
+        })
+      }
+      val concurrent = futures.map(_.get())
+      pool.shutdown()
+      results.zip(concurrent).foreach { case (a, b) =>
+        assert(a.map(_.get(0)).toSeq == b.map(_.get(0)).toSeq)
+        assert(a.map(_.get(1)).toSeq == b.map(_.get(1)).toSeq)
+      }
+    } finally srv.close()
   }
 
   test("withTimeout: fast queries pass through, runaway queries are cancelled") {
