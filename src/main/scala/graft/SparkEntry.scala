@@ -292,6 +292,18 @@ object SparkEntry {
     bpeBuilt.computeIfAbsent(dir,
       _ => Bpe.learn(s.read.parquet(s"$dir/documents.parquet"), nMerges = 6))
 
+  /** Batched BPE training state per scale dir: 2 rounds × up to 3
+    * disjoint merges — the scalable-vocab configuration (rounds, not
+    * merges, are the driver round-trips). Oracle replays each round's
+    * greedy disjoint selection. */
+  private val bpeBatchedBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Bpe.BatchedMerge], DataFrame)]()
+  private def bpeBatchedState(s: SparkSession, dir: String)
+      : (Seq[Bpe.BatchedMerge], DataFrame) =
+    bpeBatchedBuilt.computeIfAbsent(dir,
+      _ => Bpe.learnBatched(s.read.parquet(s"$dir/documents.parquet"),
+        nRounds = 2, batch = 3))
+
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -1004,6 +1016,14 @@ object SparkEntry {
     "bpe_learn" -> ((s, dir) => {
       import s.implicits._
       bpeState(s, dir)._1.toDF().orderBy("rank")
+    }),
+    // BATCHED BPE training (scalable-vocab form): 2 rounds × up to 3
+    // pairwise-disjoint merges per round — ~B× fewer driver round-trips
+    // than one-merge-per-round for realistic vocab sizes. The oracle
+    // replays each round's ranked greedy disjoint selection.
+    "bpe_learn_batched" -> ((s, dir) => {
+      import s.implicits._
+      bpeBatchedState(s, dir)._1.toDF().orderBy("rank")
     }),
     // Apply the learned merges to the corpus: per-doc BPE token counts +
     // tokenizer fertility (chars/token) — the vocab-health signal.
@@ -1937,6 +1957,62 @@ object SparkEntry {
     b.result().mkString(",\n")
   }
 
+  /** Unrolled BATCHED-BPE-training CTE chain (mirrors Bpe.learnBatched:
+    * R rounds × up to B disjoint merges). Per round r: p_r pair counts,
+    * cand_r the top-`candCap` ranked candidates, then B unrolled greedy
+    * accept CTEs a_r_j — a_r_1 is rank 1; a_r_j is the FIRST candidate
+    * after a_r_{j-1} whose {lhs, rhs, lhs||rhs} is disjoint from every
+    * already-accepted row's triple (exactly the Spark greedy scan; a
+    * skipped candidate stays skipped because its conflict is with an
+    * ACCEPTED row). mm_r_j sentinel-guards each accept ('' matches no
+    * symbol) so the simultaneous multi-pair rewrite s_r degrades
+    * per-slot when a round accepts fewer than B. */
+  private def bpeBatchCtes(rounds: Int, batch: Int): String = {
+    val candCap = graft.operators.Bpe.batchedCandCap(batch)
+    val b = Seq.newBuilder[String]
+    b += ("v0 AS (SELECT word, count(*)::BIGINT AS n FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE word <> '' GROUP BY word)")
+    b += ("s0 AS (SELECT word, n, list_transform(range(length(word)), " +
+      "i -> substring(word, i+1, 1)) AS sym FROM v0)")
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      b += (s"p$r AS (SELECT sym[i+1] AS lhs, sym[i+2] AS rhs, sum(n)::BIGINT AS c " +
+        s"FROM (SELECT n, sym, unnest(range(greatest(len(sym)-1, 0))) AS i FROM s$p) " +
+        "WHERE sym[i+1] <> sym[i+2] GROUP BY 1, 2)")
+      b += (s"cand$r AS MATERIALIZED (SELECT * FROM (SELECT lhs, rhs, c, " +
+        s"row_number() OVER (ORDER BY c DESC, lhs ASC, rhs ASC) AS rn FROM p$r) " +
+        s"WHERE rn <= $candCap)")
+      b += s"a${r}_1 AS (SELECT lhs, rhs, c, rn FROM cand$r WHERE rn = 1)"
+      for (j <- 2 to batch) {
+        val prevUnion = (1 until j)
+          .map(jj => s"SELECT lhs, rhs FROM a${r}_$jj").mkString(" UNION ALL ")
+        b += (s"a${r}_$j AS (SELECT lhs, rhs, c, rn FROM cand$r cc " +
+          s"WHERE rn > coalesce((SELECT max(rn) FROM a${r}_${j - 1}), 4611686018427387904) " +
+          s"AND NOT EXISTS (SELECT 1 FROM ($prevUnion) aa " +
+          "WHERE cc.lhs IN (aa.lhs, aa.rhs, aa.lhs||aa.rhs) " +
+          "OR cc.rhs IN (aa.lhs, aa.rhs, aa.lhs||aa.rhs) " +
+          "OR (cc.lhs||cc.rhs) IN (aa.lhs, aa.rhs, aa.lhs||aa.rhs)) " +
+          "ORDER BY rn LIMIT 1)")
+      }
+      for (j <- 1 to batch)
+        b += (s"mm${r}_$j AS (SELECT coalesce(max(lhs), '') AS lhs, " +
+          s"coalesce(max(rhs), '') AS rhs FROM a${r}_$j)")
+      val mmFrom = (1 to batch).map(j => s"mm${r}_$j").mkString(", ")
+      val dropDisj = (1 to batch)
+        .map(j => s"(sym[i] = mm${r}_$j.lhs AND sym[i+1] = mm${r}_$j.rhs)")
+        .mkString(" OR ")
+      val mergeWhens = (1 to batch)
+        .map(j => s"WHEN sym[i+1] = mm${r}_$j.lhs AND i+2 <= len(sym) " +
+          s"AND sym[i+2] = mm${r}_$j.rhs THEN sym[i+1] || sym[i+2]")
+        .mkString(" ")
+      b += (s"s$r AS (SELECT word, n, list_transform(" +
+        s"list_filter(range(len(sym)), i -> NOT (i >= 1 AND ($dropDisj))), " +
+        s"i -> CASE $mergeWhens ELSE sym[i+1] END) AS sym FROM s$p, $mmFrom)")
+    }
+    b.result().mkString(",\n")
+  }
+
   private def dict(l: String): String =
     graft.functions.TextOps.StopwordDicts(l).map(w => s"'$w'").mkString("[", ",", "]")
   private def swRatio(l: String): String =
@@ -2759,6 +2835,15 @@ object SparkEntry {
          |SELECT * FROM (${(1 to 6).map(r =>
              s"SELECT $r::BIGINT AS rank, lhs, rhs, c AS pair_count FROM m$r")
              .mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin,
+    "bpe_learn_batched" -> {
+      val unions = (for (r <- 1 to 2; j <- 1 to 3) yield
+        s"SELECT $r::BIGINT AS round, rn, lhs, rhs, c::BIGINT AS pair_count FROM a${r}_$j")
+        .mkString(" UNION ALL ")
+      s"""WITH ${bpeBatchCtes(2, 3)}
+         |SELECT round, row_number() OVER (ORDER BY round, rn)::BIGINT AS rank,
+         |  lhs, rhs, pair_count
+         |FROM ($unions) ORDER BY rank""".stripMargin
+    },
     "bpe_tokenize" ->
       s"""WITH ${bpeCtes(6)},
          |wtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

