@@ -75,6 +75,36 @@ object RecallReport {
           .groupBy(_.getLong(0)).map { case (q, rs) =>
             q -> rs.map(_.getLong(1)).toSet }
       }
+      // graph recall AFTER CHURN (VERDICT r9 #6): delete 10% of the
+      // nodes from the freshly-built graph, then RE-INSERT the same
+      // points through the maintenance path (graphDelete + beam-descent
+      // graphInsert — the CDC stream's exact composition), and grade the
+      // degraded-then-repaired graph on the same query sample. The
+      // collection is unchanged (delete+reinsert of identical points),
+      // so the exact sets are identical — only the graph differs: 10% of
+      // nodes now carry insert-machinery edges instead of build edges.
+      // Seeds (ids < 32, the entry tier) are excluded from the churn.
+      val graphCdcIds: Map[Long, Set[Long]] = {
+        val (ecids, ecents) = SparkEntry.graphEntrySeeds(spark, sfDir)
+        val churn = points
+          .filter(pmod(col("id"), lit(10L)) === 7L && col("id") >= 32)
+          .select(col("id"), col("embedding"), col("user_id"))
+          .localCheckpoint(true)
+        val g1 = Ann.graphDelete(
+          SparkEntry.graphTable(spark, sfDir), churn.select("id"))
+        val surv = points.join(churn.select("id"), Seq("id"), "left_anti")
+        val g2 = Ann.graphInsert(surv, g1, churn, graphK = 12,
+            maxDegree = 16, beam = 24, hops = 8,
+            entryCids = ecids, entryCents = ecents)
+          .localCheckpoint(true)
+        val batchQ = points.filter(col("id").isin(qids.map(Long.box): _*))
+          .select(col("id").as("qid"), col("embedding").as("qemb"))
+        Ann.graphBeamSearch(points, g2, batchQ, k = k, beam = 24, hops = 8,
+            entryCids = ecids, entryCents = ecents)
+          .select("qid", "id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+      }
       val perQuery = qids.map { qid =>
         val q = points.filter(col("id") === qid).select(col("embedding").as("qemb"))
         val exact = ids(Search.knn(points, q, k, -1.0))
@@ -89,7 +119,8 @@ object RecallReport {
           "cascade" -> recall(ids(Quantization.cascadeSearch(points, q, k))),
           "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))),
           "pq_adc" -> recall(ids(Quantization.pqAdcSearch(points, q, pqCb, k))),
-          "graph_beam" -> recall(graphIds.getOrElse(qid.toLong, Set.empty)))
+          "graph_beam" -> recall(graphIds.getOrElse(qid.toLong, Set.empty)),
+          "graph_after_cdc" -> recall(graphCdcIds.getOrElse(qid.toLong, Set.empty)))
         // held-out only: the calibration set must not grade itself
         if (Ann.DefaultLshCalibrationSample.contains(qid.toLong)) base
         else base + ("lsh_calibrated" ->

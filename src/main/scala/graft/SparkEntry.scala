@@ -282,6 +282,52 @@ object SparkEntry {
       path
     })
 
+  /** Graph-INDEXED store lifecycle per scale dir (VERDICT r9 #5): the
+    * bucketed points store + graph sidecar written through
+    * CollectionStore, then one maintenance batch composed BEFORE any
+    * search — tombstone ids 40-42 and insert 3 fresh ids (fixture
+    * vectors under new ids) via mergeGraphIndexed (delete edges, beam-
+    * descend inserts, per-src degree re-cap, affected-buckets-only
+    * rewrite). Flat copies of the MAINTAINED store/graph go to oracle
+    * side tables: maintenance itself is spec-verified
+    * (IndexedStoreSpec replay-equality); the search over the maintained
+    * sidecar is oracle-replayed from the same parquet both engines
+    * read. */
+  private val gidxBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var gidxOracleDir: String = null
+  private def gidxPath(dir: String) = "/tmp/graft_gidx_" + san(dir)
+  private val gidxStoreAlias = "/tmp/graft_gidx_store_current"
+  private val gidxGraphAlias = "/tmp/graft_gidx_graph_current"
+  private def gidxState(s: SparkSession, dir: String): String = {
+    gidxOracleDir = dir
+    val path = gidxPath(dir)
+    gidxBuilt.computeIfAbsent(path, _ => {
+      import s.implicits._
+      val points = Collection.load(s, dir)
+        .select(col("id"), col("embedding"), col("user_id"))
+      graft.sources.CollectionStore.saveBucketed(points, path, 16)
+      graft.sources.CollectionStore.saveGraphSidecar(
+        graphTable(s, dir), path, 16)
+      val (ecids, ecents) = graphEntrySeeds(s, dir)
+      val adds = points.filter(col("id").isin(1L, 2L, 3L))
+        .select((col("id") + 1000000L).as("id"), col("embedding"),
+          col("user_id"))
+      val dels = Seq(40L, 41L, 42L).toDF("id")
+      graft.sources.CollectionStore.mergeGraphIndexed(s, path, adds,
+        Some(dels), ecids, ecents, nBuckets = 16,
+        graphK = 12, maxDegree = 16, beam = 24, hops = 8)
+      graft.sources.CollectionStore.loadBucketed(s, path).coalesce(1)
+        .write.mode("overwrite").parquet(path + "_ostore")
+      s.read.parquet(path + "_graph").drop("bucket").coalesce(1)
+        .write.mode("overwrite").parquet(path + "_ograph")
+      s.read.parquet(path + "_ostore").coalesce(1)
+        .write.mode("overwrite").parquet(gidxStoreAlias)
+      s.read.parquet(path + "_ograph").coalesce(1)
+        .write.mode("overwrite").parquet(gidxGraphAlias)
+      path
+    })
+  }
+
   /** BPE training state per scale dir: trained once per JVM (6 merges);
     * the merge table AND the final vocab frame (localCheckpointed) are
     * shared by bpe_learn and bpe_tokenize. No side table: training is
@@ -731,6 +777,22 @@ object SparkEntry {
         .select("embedding").head().getSeq[Double](0).toSeq
       val (ecids, ecents) = graphEntrySeeds(s, dir)
       Ann.graphBeamServe(points, graphStorePath(s, dir), nBuckets = 16,
+        qemb, k = 10, beam = 24, hops = 8,
+        entryCids = ecids, entryCents = ecents)
+    }),
+    // Graph index through the PERSISTED-store lifecycle: bucketed store
+    // + graph sidecar written via CollectionStore, one tombstone+insert
+    // maintenance batch composed BEFORE the search (affected-buckets-
+    // only rewrite), then the serving-form beam descent reading the
+    // MAINTAINED sidecar — partition-pruned frontier probes, id-pushed
+    // scoring, deleted ids gone from store and graph alike.
+    "indexed_graph_search" -> ((s, dir) => {
+      val path = gidxState(s, dir)
+      val store = graft.sources.CollectionStore.loadBucketed(s, path)
+      val qemb = store.filter(col("id") === 0)
+        .select("embedding").head().getSeq[Double](0).toSeq
+      val (ecids, ecents) = graphEntrySeeds(s, dir)
+      Ann.graphBeamServe(store, path + "_graph", nBuckets = 16,
         qemb, k = 10, beam = 24, hops = 8,
         entryCids = ecids, entryCents = ecents)
     }),
@@ -1676,6 +1738,10 @@ object SparkEntry {
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
   private def lmOracleGlob = sideGlob(lmOracleDir, lmPath, lmAlias)
+  private def gidxStoreGlob =
+    sideGlob(gidxOracleDir, d => gidxPath(d) + "_ostore", gidxStoreAlias)
+  private def gidxGraphGlob =
+    sideGlob(gidxOracleDir, d => gidxPath(d) + "_ograph", gidxGraphAlias)
   private def sideGlob(lastDir: String, perDir: String => String,
       alias: String): String =
     s"'${if (lastDir != null) perDir(lastDir) else alias}/*.parquet'"
@@ -2465,6 +2531,40 @@ object SparkEntry {
     // same semantics as ann_graph_beam — one oracle grades both
     // execution forms (analytic hop joins vs bucket-pruned serving)
     "ann_graph_serve" -> graphBeamOracle(hops = 8, beam = 24, k = 10),
+    // Side-table pattern (like lm_perplexity): store+graph MAINTENANCE
+    // (tombstones + beam-descent inserts + degree re-cap) is verified by
+    // IndexedStoreSpec's replay-equality; the SEARCH over the maintained
+    // sidecar is replayed here from the same parquet both engines read —
+    // identical entry-seed argmax, hop recurrence, tie-breaks, 6dp
+    // rounding as the graphBeamOracle family.
+    "indexed_graph_search" -> {
+      val hops = 8; val beam = 24; val k = 10
+      val b = Seq.newBuilder[String]
+      b += s"""cs AS MATERIALIZED (SELECT id, embedding AS ne, user_id
+         |  FROM read_parquet($gidxStoreGlob)),
+         |g AS MATERIALIZED (SELECT src, dst FROM read_parquet($gidxGraphGlob)),
+         |cent AS (SELECT id AS cid, ne AS ce FROM cs WHERE id < 32),
+         |q AS MATERIALIZED (SELECT ne AS qe FROM cs WHERE id = 0),
+         |ent AS (SELECT cid AS id FROM cent, q
+         |  ORDER BY round(list_dot_product(ce, q.qe), 6) DESC, cid ASC LIMIT 1),
+         |v0 AS MATERIALIZED (SELECT cs.id, round(list_dot_product(cs.ne, q.qe), 6) AS score, cs.user_id
+         |  FROM cs JOIN ent ON cs.id = ent.id, q),
+         |f0 AS MATERIALIZED (SELECT id FROM v0),
+         |e0 AS MATERIALIZED (SELECT id FROM v0 WHERE FALSE)""".stripMargin
+      for (r <- 1 to hops) {
+        val p = r - 1
+        b += s"""n$r AS MATERIALIZED (SELECT DISTINCT g.dst AS id FROM g JOIN f$p ON g.src = f$p.id
+           |  WHERE g.dst NOT IN (SELECT id FROM v$p)),
+           |s$r AS MATERIALIZED (SELECT cs.id, round(list_dot_product(cs.ne, q.qe), 6) AS score, cs.user_id
+           |  FROM cs JOIN n$r USING (id), q),
+           |v$r AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT * FROM s$r),
+           |e$r AS MATERIALIZED (SELECT id FROM e$p UNION SELECT id FROM f$p),
+           |f$r AS MATERIALIZED (SELECT id FROM v$r WHERE id NOT IN (SELECT id FROM e$r)
+           |  ORDER BY score DESC, id ASC LIMIT $beam)""".stripMargin
+      }
+      s"WITH " + b.result().mkString(",\n") +
+        s"\nSELECT id, score, user_id FROM v$hops ORDER BY score DESC, id ASC LIMIT $k"
+    },
     "ann_graph_calibrated" -> graphCalibratedOracle(
       sample = Seq(0L, 99L, 250L, 433L), beams = Seq(4, 8, 16, 24),
       hops = 8, k = 10, target = 0.9),

@@ -294,6 +294,131 @@ object CollectionStore {
     }
   }
 
+  /** Write a navigable-graph SIDECAR next to a bucketed points store —
+    * the graph index joins the persisted-store lifecycle exactly like
+    * the IVF/sig/pq artifacts of [[saveIndexed]] (VERDICT r9 #5): the
+    * edge table lives at `<path>_graph`, bucketed by `pmod(src,
+    * nBuckets)` partition dirs so per-hop frontier probes are
+    * directory-pruned ([[graft.operators.Ann.graphBeamServe]]). */
+  def saveGraphSidecar(graph: DataFrame, path: String,
+      nBuckets: Int = 16): Unit =
+    graft.operators.Ann.saveGraphBucketed(graph, path + "_graph", nBuckets)
+
+  /** Incremental maintenance of a bucketed store AND its graph sidecar
+    * in one batch — tombstones + inserts composed with last-write-wins
+    * upsert semantics, O(affected buckets) writes:
+    *
+    *  1. doomed = delete ids ∪ upserted ids (a re-inserted id's old row
+    *     AND old edges — scored against its superseded embedding — must
+    *     go before re-linking; same rule as the graph CDC stream);
+    *  2. graph: [[graft.operators.Ann.graphDelete]] then
+    *     [[graft.operators.Ann.graphInsert]] against the surviving
+    *     store — the insert's per-src degree re-cap provably leaves
+    *     untouched nodes' edge lists unchanged, so only buckets holding
+    *     CHANGED srcs (doomed ids, srcs of edges into doomed ids, new
+    *     ids, their chosen neighbors) rewrite, via dynamic partition
+    *     overwrite — untouched bucket dirs keep their files byte for
+    *     byte (spec-asserted);
+    *  3. store: LWW merge + tombstone anti-join against only the
+    *     buckets holding batch ids.
+    *
+    * The dst-side incident-edge probe is a full edge-table scan here
+    * (the edge table is ~N·maxDegree rows); at 100 TB a reverse
+    * (dst-bucketed) sidecar makes it bucket-pruned exactly like the
+    * id→cid sidecar of [[mergeIndexed]]. Entry seeds must not be
+    * deleted (they are the descent's upper tier — rebuild to retire
+    * seeds). */
+  def mergeGraphIndexed(spark: SparkSession, path: String,
+      adds0: DataFrame, deletes: Option[DataFrame],
+      entryCids: Seq[Long], entryCents: Seq[Seq[Double]],
+      nBuckets: Int = 16, graphK: Int = 12, maxDegree: Int = 16,
+      beam: Int = 24, hops: Int = 8): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Ann
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val graphPath = path + "_graph"
+    require(fs.exists(new Path(graphPath)),
+      s"mergeGraphIndexed: no graph sidecar at $graphPath — write it via " +
+        "saveGraphSidecar before incremental merges")
+    // localCheckpoint(true) cuts every lineage back to the paths being
+    // overwritten below
+    val store = spark.read.parquet(path).drop("bucket").localCheckpoint(true)
+    val graph = spark.read.parquet(graphPath).drop("bucket")
+      .localCheckpoint(true)
+    val adds = adds0.select("id", "embedding", "user_id").localCheckpoint(true)
+    val doomed = deletes.map(_.select("id")).fold(adds.select("id"))(d =>
+      adds.select("id").unionByName(d)).distinct().localCheckpoint(true)
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSeq
+    require(doomedIds.intersect(entryCids).isEmpty,
+      s"mergeGraphIndexed: batch touches entry seed ids " +
+        s"${doomedIds.intersect(entryCids).mkString(",")} — seeds are the " +
+        "descent's entry tier; rebuild the graph to retire them")
+    // srcs whose edge lists shrink on delete: the doomed ids themselves
+    // plus every src holding an edge INTO a doomed id
+    val incidentSrcs =
+      if (doomedIds.isEmpty) Array.empty[Long]
+      else graph.filter(col("src").isin(doomedIds.map(Long.box): _*) ||
+          col("dst").isin(doomedIds.map(Long.box): _*))
+        .select("src").distinct().collect().map(_.getLong(0))
+    val g1 = Ann.graphDelete(graph, doomed)
+    val storeSurv = store.join(doomed, Seq("id"), "left_anti")
+    val hasAdds = !adds.isEmpty
+    val g2 = (if (!hasAdds) g1
+      else Ann.graphInsert(storeSurv, g1, adds, graphK, maxDegree,
+        beam, hops, entryCids, entryCents)).localCheckpoint(true)
+    val addIds = adds.select("id").collect().map(_.getLong(0)).toSeq
+    // srcs whose edge lists grow on insert: the new ids and the
+    // neighbors they linked to (the rev-edge srcs = the fwd-edge dsts)
+    val nbrSrcs =
+      if (addIds.isEmpty) Array.empty[Long]
+      else g2.filter(col("src").isin(addIds.map(Long.box): _*))
+        .select("dst").distinct().collect().map(_.getLong(0))
+    val changedBuckets =
+      (incidentSrcs ++ doomedIds ++ addIds ++ nbrSrcs)
+        .map(i => java.lang.Math.floorMod(i, nBuckets.toLong).toInt)
+        .distinct.toSeq.sorted
+    if (changedBuckets.nonEmpty) {
+      val gOut = g2
+        .withColumn("bucket", pmod(col("src"), lit(nBuckets.toLong)).cast("int"))
+        .filter(col("bucket").isin(changedBuckets.map(Int.box): _*))
+        .localCheckpoint(true)
+      gOut.repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "src", "dst")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(graphPath)
+      val survivingG = gOut.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      (changedBuckets.toSet -- survivingG).foreach { b =>
+        fs.delete(new Path(s"$graphPath/bucket=$b"), true)
+      }
+    }
+    // store side: LWW + tombstones against only the batch's buckets
+    val storeBuckets = (doomedIds ++ addIds)
+      .map(i => java.lang.Math.floorMod(i, nBuckets.toLong).toInt)
+      .distinct.toSeq.sorted
+    if (storeBuckets.nonEmpty) {
+      val bucketed = store
+        .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
+        .filter(col("bucket").isin(storeBuckets.map(Int.box): _*))
+        .join(doomed, Seq("id"), "left_anti")
+        .unionByName(adds.withColumn("bucket",
+          pmod(col("id"), lit(nBuckets.toLong)).cast("int")))
+        .localCheckpoint(true)
+      bucketed.repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "id")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+      val survivingS = bucketed.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      (storeBuckets.toSet -- survivingS).foreach { b =>
+        fs.delete(new Path(s"$path/bucket=$b"), true)
+      }
+    }
+  }
+
   /** Morton (Z-order) value of two non-negative integer columns: the low
     * 16 bits of each, bit-interleaved (a in even positions, b in odd) — a
     * space-filling curve key. Statically unrolled shift/mask terms: one

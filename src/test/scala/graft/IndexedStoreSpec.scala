@@ -243,4 +243,100 @@ class IndexedStoreSpec extends SparkSpec {
     assert(!after.contains(14L), "plain tombstone not applied")
     assert(after(13L) == 956, "the surviving add must land")
   }
+
+  test("mergeGraphIndexed: tombstones+inserts rewrite only changed buckets, replay-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graph_idx").toString
+    val path = s"$dir/store"
+    val nBuckets = 16
+    val pts = points.select($"id", $"embedding", $"user_id")
+    val cents = Ann.seedCentroids(pts, 16)
+    val crows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = crows.map(_.getLong(0)).toSeq
+    val ces = crows.map(_.getSeq[Double](1).toSeq).toSeq
+    CollectionStore.saveBucketed(pts, path, nBuckets)
+    val graph0 = Ann.graphBuild(pts, cents, graphK = 12, maxDegree = 16)
+      .localCheckpoint(true)
+    CollectionStore.saveGraphSidecar(graph0, path, nBuckets)
+    def fileMap(root: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val gFilesBefore = fileMap(path + "_graph")
+    val sFilesBefore = fileMap(path)
+    // batch: tombstone 40/41, UPSERT id 50 with a changed embedding
+    // (id-450's vector), insert a brand-new id
+    val emb450 = pts.filter($"id" === 450)
+      .select("embedding").as[Seq[Double]].head()
+    val embNew = pts.filter($"id" === 7)
+      .select("embedding").as[Seq[Double]].head()
+    val adds = Seq((50L, emb450, 907), (200000L, embNew, 908))
+      .toDF("id", "embedding", "user_id")
+    val dels = Seq(40L, 41L).toDF("id")
+    // seeds may not be deleted — guarded loudly
+    intercept[IllegalArgumentException] {
+      CollectionStore.mergeGraphIndexed(spark, path, adds,
+        Some(Seq(cids.head).toDF("id")), cids, ces, nBuckets)
+    }
+    CollectionStore.mergeGraphIndexed(spark, path, adds, Some(dels),
+      cids, ces, nBuckets, graphK = 12, maxDegree = 16)
+    // store state: LWW + tombstones
+    val store = CollectionStore.loadBucketed(spark, path)
+    val byId = store.select($"id", $"user_id".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(!byId.contains(40L) && !byId.contains(41L))
+    assert(byId(50L) == 907 && byId(200000L) == 908)
+    assert(store.filter($"id" === 50).count() == 1)
+    // graph state == replay of the composed semantics on the pre-state:
+    // delete edges of tombstoned AND upserted ids, insert vs survivors
+    val doomed = Seq(40L, 41L, 50L, 200000L).toDF("id")
+    val g1 = Ann.graphDelete(graph0, doomed)
+    val surv = pts.join(Seq(40L, 41L, 50L).toDF("id"), Seq("id"), "left_anti")
+    val expected = Ann.graphInsert(surv, g1, adds, graphK = 12,
+        maxDegree = 16, beam = 24, hops = 8,
+        entryCids = cids, entryCents = ces)
+      .orderBy("src", "dst").collect().toSeq
+    val got = spark.read.parquet(path + "_graph").drop("bucket")
+      .select("src", "dst", "score")
+      .orderBy("src", "dst").collect().toSeq
+    assert(got == expected, s"maintained graph != replay " +
+      s"(${got.size} vs ${expected.size} edges)")
+    // no edge touches a tombstoned id
+    assert(spark.read.parquet(path + "_graph")
+      .filter($"src".isin(40L, 41L) || $"dst".isin(40L, 41L)).count() == 0)
+    // UNTOUCHED buckets keep their files byte for byte: recompute the
+    // changed-src set the merge derived and assert everything else of
+    // both sidecar trees is identical (paths AND mtimes)
+    val incident = graph0.filter($"src".isin(40L, 41L, 50L, 200000L) ||
+        $"dst".isin(40L, 41L, 50L, 200000L))
+      .select("src").distinct().as[Long].collect()
+    val nbrs = spark.read.parquet(path + "_graph")
+      .filter($"src".isin(50L, 200000L)).select("dst").distinct()
+      .as[Long].collect()
+    val changedG = (incident ++ Seq(40L, 41L, 50L, 200000L) ++ nbrs)
+      .map(i => java.lang.Math.floorMod(i, nBuckets.toLong)).toSet
+    val changedS = Seq(40L, 41L, 50L, 200000L)
+      .map(i => java.lang.Math.floorMod(i, nBuckets.toLong)).toSet
+    def bucketOf(p: String): Long =
+      "bucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    val gAfter = fileMap(path + "_graph")
+    assert(gFilesBefore.filter(kv => !changedG(bucketOf(kv._1))) ==
+      gAfter.filter(kv => !changedG(bucketOf(kv._1))),
+      "untouched graph bucket dirs changed")
+    assert(fileMap(path).filter(kv => !changedS(bucketOf(kv._1))) ==
+      sFilesBefore.filter(kv => !changedS(bucketOf(kv._1))),
+      "untouched store bucket dirs changed")
+    // and the changed graph buckets really were rewritten
+    assert(gFilesBefore.keySet.filter(p => changedG(bucketOf(p))) !=
+      gAfter.keySet.filter(p => changedG(bucketOf(p))))
+    // the maintained graph serves: inserted id self-finds via the
+    // bucket-pruned descent
+    val hits = Ann.graphBeamServe(store, path + "_graph", nBuckets,
+      embNew, k = 10, beam = 24, hops = 8,
+      entryCids = cids, entryCents = ces)
+    assert(hits.select("id").as[Long].collect().contains(200000L),
+      "inserted id not reachable through the maintained sidecar")
+  }
 }
