@@ -3,12 +3,15 @@
 
 Usage: python3 tools/bench_compare.py <old.json> <new.json> [ratio_threshold]
 
-Prints per-query deltas whose new/old ratio exceeds the threshold (default
-1.5x either direction), plus totals, recall, qps, and targets side by side.
-Since round 9 Bench grades the MEDIAN of 3 timed runs after a discarded
-warmup (earlier artifacts were min-of-2 — biased low; cross-era ratios
-carry that offset). Per-run spread ships in queries_runs; treat per-query
-flags as leads, totals as the signal.
+Per-query grading uses the IN-ARTIFACT SPREAD BAND when the old artifact
+carries per-run times (queries_runs, round 9+): a query is flagged only
+when the new median falls OUTSIDE [min(old_runs)/1.2, max(old_runs)*1.2]
+— same-code rerun noise (the volatile tail swings 1.3-1.4x between
+identical runs) stays inside the band, genuine regressions don't. Without
+runs, falls back to the point-median ratio threshold (default 1.5x either
+direction). Since round 9 Bench grades the MEDIAN of 3 timed runs (5 for
+queries whose 3-run spread exceeds 15%) after a discarded warmup; earlier
+artifacts were min-of-2 — biased low; cross-era ratios carry that offset.
 """
 import json
 import sys
@@ -20,21 +23,30 @@ if len(sys.argv) < 3:
 old = json.load(open(sys.argv[1]))
 new = json.load(open(sys.argv[2]))
 thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+BAND = 1.2  # driver-rerun tolerance around the committed run spread
 
 print(f"total: {old.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s "
       f"({len(old.get('queries', {}))} -> {len(new.get('queries', {}))} queries)")
 
 oq, nq = old.get("queries", {}), new.get("queries", {})
+old_runs = old.get("queries_runs", {})
 flagged = []
 for name in sorted(set(oq) & set(nq)):
     a, b = oq[name], nq[name]
-    if a > 0.05 and b > 0.05 and (b / a > thr or a / b > thr):
-        flagged.append((b / a, name, a, b))
-for ratio, name, a, b in sorted(flagged, reverse=True):
+    if a <= 0.05 or b <= 0.05:
+        continue
+    runs = old_runs.get(name)
+    if runs:
+        lo, hi = min(runs), max(runs)
+        if b > hi * BAND or b < lo / BAND:
+            flagged.append((b / a, name, a, b, f"band [{lo:.2f},{hi:.2f}]x{BAND}"))
+    elif b / a > thr or a / b > thr:
+        flagged.append((b / a, name, a, b, f"point x{thr}"))
+for ratio, name, a, b, how in sorted(flagged, reverse=True):
     tag = "SLOWER" if ratio > 1 else "faster"
-    print(f"  {tag} {ratio:5.2f}x  {name}: {a:.3f}s -> {b:.3f}s")
+    print(f"  {tag} {ratio:5.2f}x  {name}: {a:.3f}s -> {b:.3f}s  (out of {how})")
 if not flagged:
-    print("  no per-query delta beyond the threshold")
+    print("  every common query inside its committed spread band")
 
 for added in sorted(set(nq) - set(oq)):
     print(f"  new query: {added} ({nq[added]:.3f}s)")
