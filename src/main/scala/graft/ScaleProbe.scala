@@ -5,18 +5,33 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Ann, Collection}
 
-/** Scaling-probe tool for the graph ANN path: builds the graph once on
-  * the given fixture, then times (a) one single-query beam search and
-  * (b) one BATCHED beam search over `nQueries` evenly-spread stored
-  * vectors — the serving design point, where every hop join is shared
-  * by the whole batch. Prints one JSON line per phase.
+/** Scaling-probe tool. Modes (third arg, default `graph`):
+  *
+  *  - `graph`: builds the graph once on the given fixture, then times
+  *    (a) one single-query beam search and (b) one BATCHED beam search
+  *    over `nQueries` evenly-spread stored vectors — the serving design
+  *    point, where every hop join is shared by the whole batch.
+  *  - `knn`: times the bulk k-NN self-join with EXACT centroid
+  *    assignment vs the HIERARCHICAL (coarse-√C-then-fine) assignment at
+  *    the same C — the experiment behind SCALING.md's two-level
+  *    assignment rows (clustered vs structureless fixtures), plus the
+  *    neighbor-overlap agreement between the two joins.
+  *  - `diag`: times the two one-pass corpus diagnostics (zipf_fit over
+  *    documents, embedding_health over raw vectors) — both single
+  *    aggregates whose exponent should be ~flat-to-linear with NO
+  *    driver-side materialization (VERDICT r9 #8).
+  *
+  * Prints one JSON line per phase.
   *
   *   SPARK_GRAFT_KNN_CELLS=320 sbt "runMain graft.ScaleProbe /tmp/graft_scale/sf10 100"
+  *   SPARK_GRAFT_KNN_CELLS=320 sbt "runMain graft.ScaleProbe /tmp/graft_scale/sf10c 100 knn"
+  *   sbt "runMain graft.ScaleProbe /tmp/graft_scale/sf10 100 diag"
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val nQueries = if (args.length > 1) args(1).toInt else 100
+    val mode = if (args.length > 2) args(2) else "graph"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,6 +46,65 @@ object ScaleProbe {
     val cells = sys.env.getOrElse("SPARK_GRAFT_KNN_CELLS", "32").toInt
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    if (mode == "diag") {
+      // one-pass corpus diagnostics: each is a single hash-agg/agg plan
+      // over the scan — flat driver memory at any N
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val rawEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("embedding").cast("array<double>").as("embedding"))
+      graft.operators.TextAnalysis.zipfFit(docs).count() // warmup
+      val (_, zipfSecs) = timed(
+        graft.operators.TextAnalysis.zipfFit(docs).count())
+      graft.operators.Stats.embeddingHealth(rawEmb).count() // warmup
+      val (_, ehSecs) = timed(
+        graft.operators.Stats.embeddingHealth(rawEmb).count())
+      println(s"""{"probe":"diag","sf":"$sfDir","n":$n,""" +
+        s""""zipf_secs":${math.rint(zipfSecs * 100) / 100},""" +
+        s""""embedding_health_secs":${math.rint(ehSecs * 100) / 100}}""")
+      spark.stop()
+      return
+    }
+    if (mode == "knn") {
+      val cents = Ann.seedCentroids(points, cells)
+      val rows2 = cents.select(col("cid"), col("ce")).orderBy("cid").collect()
+      val cids = rows2.map(_.getLong(0)).toSeq
+      val ces = rows2.map(_.getSeq[Double](1).toSeq).toSeq
+      // ASSIGNMENT-only comparison (N·C vs ~N·2√C dots). The aggregate
+      // over cid forces the argmax column — a bare count() would let
+      // Catalyst prune the assignment away and time the scan
+      def assignSecs(hier: Boolean): Double = {
+        def once(): Double = timed {
+          val df = if (hier) Ann.ivfAssignHierarchical(points, cids, ces)
+            else Ann.ivfAssign(points, cids, ces)
+          df.agg(sum(col("cid"))).head()
+        }._2
+        once() // warmup
+        once()
+      }
+      val aExact = assignSecs(hier = false)
+      val aHier = assignSecs(hier = true)
+      def run(hier: Boolean): (Set[(Long, Long)], Double) = {
+        val df = Ann.knnJoin(points, cents, k = 12, nprobe = 2,
+          hierarchical = hier)
+        val (rows, secs) = timed(
+          df.select(col("qid"), col("id")).collect())
+        (rows.map(r => (r.getLong(0), r.getLong(1))).toSet, secs)
+      }
+      run(hier = false) // warmup (codegen + centroid collect)
+      val (exact, exactSecs) = run(hier = false)
+      val (hier, hierSecs) = run(hier = true)
+      val overlap =
+        if (exact.isEmpty) 1.0
+        else (exact intersect hier).size.toDouble / exact.size
+      println(s"""{"probe":"knn_join","sf":"$sfDir","n":$n,"cells":$cells,""" +
+        s""""assign_exact_secs":${math.rint(aExact * 100) / 100},""" +
+        s""""assign_hier_secs":${math.rint(aHier * 100) / 100},""" +
+        s""""exact_secs":${math.rint(exactSecs * 100) / 100},""" +
+        s""""hier_secs":${math.rint(hierSecs * 100) / 100},""" +
+        s""""neighbor_overlap":${math.rint(overlap * 1000) / 1000}}""")
+      spark.stop()
+      return
     }
     val cents = Ann.seedCentroids(points, cells)
     val (graph, buildSecs) = timed {

@@ -80,6 +80,50 @@ class AnnSpec extends SparkSpec {
     info(f"clustered agreement=$sAgree%.3f knn-join overlap=$overlap%.3f")
   }
 
+  test("hierarchical assignment agrees on the mixture-of-Gaussians scale fixture recipe") {
+    // the sf1c/sf10c distribution of tools/gen_scale_fixture.py (round
+    // 10): 16 unit-norm Gaussian centers, sigma-0.05 spread, round-robin
+    // membership — the regime real embedding corpora live in and the one
+    // SCALING.md's hierarchical-assignment rows are measured on. Same
+    // recipe at spec scale; asserts the dispatch is faithful and the
+    // two-level knn-join finds the same neighbors.
+    val rnd = new scala.util.Random(42L)
+    def gauss(): Double = rnd.nextGaussian()
+    val centers = (0 until 16).map { _ =>
+      val v = Seq.fill(64)(gauss())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val mog = (0 until 2000).map { i =>
+      val c = centers(i % 16)
+      val v = c.map(_ + gauss() * 0.05)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n), i % 7)
+    }.toDF("id", "embedding", "user_id")
+    val cents = Ann.seedCentroids(mog, 50)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1)).toSeq
+    val exact = Ann.ivfAssign(mog, cids, ces)
+      .select($"id", $"cid").as[(Long, Long)].collect().toMap
+    val hier = Ann.ivfAssignHierarchical(mog, cids, ces)
+      .select($"id", $"cid").as[(Long, Long)].collect().toMap
+    // cell agreement is the loose bar here: ~6 near-identical fine
+    // centroids per cluster (seed centroids repeat each cluster), so a
+    // cluster straddling a coarse boundary legally lands in a DIFFERENT
+    // same-cluster cell — locality-respecting bucketing, which is the
+    // contract. The functional bar is the neighbor overlap below.
+    val agree = hier.count { case (id, c) => exact(id) == c }.toDouble / hier.size
+    assert(agree >= 0.7, s"MoG-fixture agreement $agree — dispatch broken")
+    val ex = Ann.knnJoin(mog, cents, k = 5, nprobe = 2)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val hj = Ann.knnJoin(mog, cents, k = 5, nprobe = 2, hierarchical = true)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val overlap = (ex intersect hj).size.toDouble / ex.size
+    assert(overlap >= 0.85, s"MoG-fixture knn-join overlap $overlap")
+    info(f"MoG fixture agreement=$agree%.3f knn-join overlap=$overlap%.3f")
+  }
+
   test("IVF probing all cells equals exact search") {
     val cents = Ann.seedCentroids(points, 16)
     val assigned = Ann.ivfAssign(points, cents)

@@ -18,6 +18,11 @@ signal), ~3% copied-with-mutation texts (minhash/span dedup signal).
 Usage: python3 tools/gen_scale_fixture.py /tmp/graft_scale
 Writes  /tmp/graft_scale/sf1/{embeddings,documents}.parquet   (20k/50k)
         /tmp/graft_scale/sf10/{embeddings,documents}.parquet  (200k/500k)
+        /tmp/graft_scale/sf1c, sf10c — same sizes, CLUSTERED embeddings
+        (mixture of 16 Gaussian centers, sigma 0.05): the regime real
+        embedding corpora live in (kmeans-able structure), added in round
+        10 so hierarchical assignment can be graded on data with
+        something for the coarse level to exploit (VERDICT r9 #2).
 """
 import os
 import sys
@@ -40,12 +45,24 @@ VOCAB = (
 LANGS = ["en", "en", "en", "en", "fr", "de", "zh", "es", "en", "pt"]
 
 
-def gen(outdir: str, n_emb: int, n_doc: int, seed: int = 42) -> None:
+def gen(outdir: str, n_emb: int, n_doc: int, seed: int = 42,
+        clusters: int = 0, spread: float = 0.15) -> None:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
-    # --- embeddings: unit-norm gaussian dim 64 + ~3% near-dup pairs ---
-    emb = rng.standard_normal((n_emb, 64)).astype(np.float32)
+    # --- embeddings: unit-norm dim 64 + ~3% near-dup pairs.
+    # clusters=0 -> structureless isotropic gaussian (the r9 fixture);
+    # clusters=k -> mixture of k unit-norm centers with gaussian spread
+    # sigma=`spread` around each, points assigned round-robin so every
+    # center holds ~n/k points (controllable structure, one knob) ---
+    if clusters > 0:
+        centers = rng.standard_normal((clusters, 64)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        which = np.arange(n_emb) % clusters
+        emb = (centers[which] +
+               rng.standard_normal((n_emb, 64)).astype(np.float32) * spread)
+    else:
+        emb = rng.standard_normal((n_emb, 64)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     for i in range(1, n_emb, 33):  # deterministic near-dup injection
         emb[i] = emb[i - 1] + rng.standard_normal(64).astype(np.float32) * 0.01
@@ -88,3 +105,5 @@ if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scale"
     gen(f"{base}/sf1", 20_000, 50_000)
     gen(f"{base}/sf10", 200_000, 500_000)
+    gen(f"{base}/sf1c", 20_000, 50_000, clusters=16, spread=0.05)
+    gen(f"{base}/sf10c", 200_000, 500_000, clusters=16, spread=0.05)
