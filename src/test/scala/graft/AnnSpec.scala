@@ -220,9 +220,12 @@ class AnnSpec extends SparkSpec {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
     assert(r.keySet == Set("ivf", "ivf_nprobe", "ivf_target", "ivf_ref_target",
       "ivf_ref_nprobe", "lsh_multiprobe", "lsh_multitable", "binary_quant",
-      "cascade", "int8_quant", "pq_adc", "graph_beam",
+      "cascade", "int8_quant", "pq_adc", "graph_beam", "graph_after_cdc",
       "lsh_calibrated", "lsh_calibrated_l", "lsh_calibrated_target"))
     assert(r("graph_beam") >= 0.6, s"graph beam recall ${r("graph_beam")}")
+    // churned-then-repaired graph must stay within reach of fresh build
+    assert(r("graph_after_cdc") >= 0.5,
+      s"post-churn graph recall ${r("graph_after_cdc")}")
     assert((r - "ivf_nprobe" - "ivf_ref_nprobe" - "lsh_calibrated_l")
       .values.forall(v => v >= 0.0 && v <= 1.0))
     // the calibrated-LSH report grades the shared constants, held-out
