@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exhaustive parity of the serving scan kernel ([[BatchedServer.scoreRange]])
+  * against a naive reference: the row-blocked kernel must produce
+  * BIT-IDENTICAL results to "exact left-to-right dot, 6dp HALF_UP round,
+  * (score desc, id asc) top-k, threshold ≥" on any input — the blocking
+  * and the rounding gate are pure execution detail. No Spark session
+  * needed: the kernel is plain JVM code.
+  *
+  * (These specs also graded the round-10 int8-gate experiment — a
+  * quantized scan with certified-bound exact rescore, Qdrant's scalar
+  * quantization shape. It passed all of them but measured SLOWER than
+  * the blocked double kernel on this JVM — 24.7 vs 33.5 Gcells/s at the
+  * design point; scalar byte loads + 3-cycle imuls lose to latency-
+  * hidden double FMAs without SIMD — so it was reverted. PLANS_r10.) */
+class ServingKernelSpec extends AnyFunSuite {
+
+  private def round6(x: Double): Double = graft.plans.Num.round6(x)
+
+  /** Naive reference: per query, exact sequential dots over min-length,
+    * round6, threshold, (score desc, id asc) top-k. */
+  private def reference(rows: Array[(Long, Array[Double], Int)],
+      queries: Array[Array[Double]], k: Int, th: Double)
+      : Map[Int, Seq[(Long, Double, Int)]] =
+    queries.zipWithIndex.map { case (q, qi) =>
+      qi -> rows.toSeq.map { case (id, emb, u) =>
+        val nd = math.min(emb.length, q.length)
+        var s = 0.0d
+        var d = 0
+        while (d < nd) { s += emb(d) * q(d); d += 1 }
+        (id, round6(s), u)
+      }.filter(_._2 >= th)
+        .sortBy { case (id, s, _) => (-s, id) }
+        .take(k)
+    }.toMap
+
+  private def viaKernel(rows: Array[(Long, Array[Double], Int)],
+      queries: Array[Array[Double]], k: Int, th: Double)
+      : Map[Int, Seq[(Long, Double, Int)]] = {
+    val rep = BatchedServer.FlatReplica(rows)
+    // exercise slice boundaries too: union of per-slice top-k must merge
+    // to the same global top-k (the superset argument)
+    val nSlices = 3
+    val cands = (0 until nSlices).flatMap { si =>
+      val lo = rep.n * si / nSlices
+      val hi = rep.n * (si + 1) / nSlices
+      BatchedServer.scoreRange(rep, lo, hi, queries, k, th)
+    }
+    cands.groupBy(_._1).map { case (qi, cs) =>
+      qi -> cs.map { case (_, id, s, u) => (id, s, u) }
+        .sortBy { case (id, s, _) => (-s, id) }.take(k).toSeq
+    }.toMap.withDefaultValue(Seq.empty)
+  }
+
+  private def check(rows: Array[(Long, Array[Double], Int)],
+      queries: Array[Array[Double]], k: Int, th: Double): Unit = {
+    val expect = reference(rows, queries, k, th)
+    val got = viaKernel(rows, queries, k, th)
+    queries.indices.foreach { qi =>
+      assert(got(qi) == expect(qi),
+        s"qi=$qi k=$k th=$th\n got=${got(qi)}\n want=${expect(qi)}")
+    }
+  }
+
+  test("random uniform-dim corpus: kernel ≡ naive reference across k and thresholds") {
+    val rnd = new scala.util.Random(7L)
+    val dim = 24
+    val rows = Array.tabulate(301) { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian() * 0.2), i % 5)
+    }
+    val queries = Array.fill(9)(Array.fill(dim)(rnd.nextGaussian() * 0.2))
+    for (k <- Seq(1, 7, 50); th <- Seq(-1e9, 0.0, 0.05))
+      check(rows, queries, k, th)
+  }
+
+  test("extreme magnitudes: the certified quantization bound holds far from unit norm") {
+    val rnd = new scala.util.Random(11L)
+    val dim = 16
+    // magnitudes spanning 12 orders, mixed signs, plus exact-zero rows
+    val rows = Array.tabulate(120) { i =>
+      val mag = math.pow(10.0, (i % 13) - 6)
+      val emb =
+        if (i % 17 == 3) Array.fill(dim)(0.0)
+        else Array.fill(dim)(rnd.nextGaussian() * mag)
+      (i.toLong, emb, i % 3)
+    }
+    val queries = Array.tabulate(6) { j =>
+      Array.fill(dim)(rnd.nextGaussian() * math.pow(10.0, j - 3))
+    }
+    for (k <- Seq(3, 20); th <- Seq(-1e18, 0.0))
+      check(rows, queries, k, th)
+  }
+
+  test("ragged rows and ragged queries take the exact paths, same results") {
+    val rnd = new scala.util.Random(13L)
+    val rows = Array.tabulate(97) { i =>
+      val dim = Seq(8, 16, 16, 16, 32)(i % 5) // ragged blocks
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()), i % 4)
+    }
+    val queries = Array(
+      Array.fill(16)(rnd.nextGaussian()),
+      Array.fill(4)(rnd.nextGaussian()),   // shorter than most rows
+      Array.fill(64)(rnd.nextGaussian()))  // longer than all rows
+    for (k <- Seq(5, 25); th <- Seq(-1e9, 0.1))
+      check(rows, queries, k, th)
+  }
+
+  test("non-finite row never places and never corrupts its block") {
+    // a NaN dot fails every >= comparison (gate and threshold alike), so
+    // the row simply never places — and the 3 clean rows sharing its
+    // 4-row block must be unaffected
+    val dim = 8
+    val rnd = new scala.util.Random(17L)
+    val rows = Array.tabulate(40) { i =>
+      val emb = Array.fill(dim)(rnd.nextGaussian())
+      if (i == 21) emb(3) = Double.NaN
+      (i.toLong, emb, 1)
+    }
+    val queries = Array(Array.fill(dim)(rnd.nextGaussian()))
+    val got = viaKernel(rows, queries, 10, -1e9)
+    assert(!got(0).exists(_._1 == 21L), "NaN row must not place")
+    assert(got(0).size == 10)
+    // and the clean rows still match the reference exactly
+    val clean = rows.filterNot(_._1 == 21L)
+    assert(viaKernel(clean, queries, 10, -1e9) ==
+      reference(clean, queries, 10, -1e9))
+  }
+
+  test("tie-breaks: equal scores keep ascending ids through gate and merge") {
+    val dim = 4
+    val v = Array(0.5, 0.5, 0.5, 0.5)
+    val rows = Array.tabulate(50)(i => (49L - i, v.clone(), 0)) // ids 0..49, all identical
+    val queries = Array(v.clone())
+    val got = viaKernel(rows, queries, 7, 0.0)
+    assert(got(0).map(_._1) == (0L until 7L), s"tie order broken: ${got(0)}")
+  }
+}
