@@ -266,16 +266,22 @@ final class BatchedServer(
           template.mapPartitions { rows =>
             val nq = queries.length
             val tops = Array.fill(nq)(new BatchedServer.TopK(kk))
+            val scratch = new Array[Double](2)
             while (rows.hasNext) {
               val (id, emb, user) = rows.next()
               var qi = 0
               while (qi < nq) {
                 // same fast-gate + rounding gate as the replica kernel
                 // (see scoreRange): provably output-identical — passers
-                // recompute the exact left-to-right dot before rounding
-                val sf = BatchedServer.dotFast(emb, queries(qi))
+                // recompute the exact left-to-right dot before rounding.
+                // Slack scales with Σ|aᵢbᵢ| (gateSlack) so the proof
+                // holds for unnormalized magnitudes too; the negated
+                // comparison routes NaN/∞ to the exact recompute.
+                BatchedServer.dotFastAbs(emb, queries(qi), scratch)
                 val top = tops(qi)
-                if (sf >= top.floor(th) - 1e-6) {
+                val slack = BatchedServer.gateSlack(
+                  math.min(emb.length, queries(qi).length), scratch(1))
+                if (!(scratch(0) < top.floor(th) - slack)) {
                   val s = BatchedServer.dotRaw(emb, queries(qi))
                   val r = graft.plans.Num.round6(s)
                   if (r >= th) top.offer(r, id, user)
@@ -474,6 +480,55 @@ object BatchedServer {
   /** [[dotFastSlab]] over a standalone row array (job-tier form). */
   private[graft] def dotFast(emb: Array[Double], q: Array[Double]): Double =
     dotFastSlab(emb, 0, math.min(emb.length, q.length), q)
+
+  /** Job-tier gate pass: one scan computing BOTH the reassociated fast
+    * dot and Σ|aᵢbᵢ| (written to `out(0)`/`out(1)`), so the gate slack
+    * can scale with the data's actual magnitude instead of assuming
+    * near-unit norms. The fixed 1e-6 slack alone is only valid when
+    * Σ|aᵢbᵢ| ≲ 1 (the L2-normalized serving case); for unnormalized
+    * embeddings with products around 1e8+ the reassociation error
+    * (n−1)·ε·Σ|aᵢbᵢ| exceeds it and a near-floor row could be wrongly
+    * gated out — diverging from the exact replica kernel (ADVICE r10).
+    * [[gateSlack]] restores the proof for any magnitude. */
+  private[graft] def dotFastAbs(
+      emb: Array[Double], q: Array[Double], out: Array[Double]): Unit = {
+    val n = math.min(emb.length, q.length)
+    var s0 = 0.0d; var s1 = 0.0d; var s2 = 0.0d; var s3 = 0.0d
+    var s4 = 0.0d; var s5 = 0.0d; var s6 = 0.0d; var s7 = 0.0d
+    var a0 = 0.0d; var a1 = 0.0d; var a2 = 0.0d; var a3 = 0.0d
+    val lim8 = n - (n & 7)
+    var d = 0
+    while (d < lim8) {
+      val p0 = emb(d) * q(d);         val p1 = emb(d + 1) * q(d + 1)
+      val p2 = emb(d + 2) * q(d + 2); val p3 = emb(d + 3) * q(d + 3)
+      val p4 = emb(d + 4) * q(d + 4); val p5 = emb(d + 5) * q(d + 5)
+      val p6 = emb(d + 6) * q(d + 6); val p7 = emb(d + 7) * q(d + 7)
+      s0 += p0; s1 += p1; s2 += p2; s3 += p3
+      s4 += p4; s5 += p5; s6 += p6; s7 += p7
+      a0 += Math.abs(p0) + Math.abs(p1)
+      a1 += Math.abs(p2) + Math.abs(p3)
+      a2 += Math.abs(p4) + Math.abs(p5)
+      a3 += Math.abs(p6) + Math.abs(p7)
+      d += 8
+    }
+    while (d < n) {
+      val p = emb(d) * q(d)
+      s0 += p; a0 += Math.abs(p)
+      d += 1
+    }
+    out(0) = ((s0 + s1) + (s2 + s3)) + ((s4 + s5) + (s6 + s7))
+    out(1) = (a0 + a1) + (a2 + a3)
+  }
+
+  /** Gate slack sized to the row: the 1e-6 rounding headroom plus a
+    * reassociation bound 4·n·ε·Σ|aᵢbᵢ| — each summation order errs by
+    * ≤ (n−1)·ε·Σ|aᵢbᵢ| vs the exact sum, the factor 4 covers both
+    * orders twice over (absorbing the error in the Σ|aᵢbᵢ| estimate
+    * itself). Callers must gate with the NEGATED comparison
+    * `!(fast < floor − slack)` so a NaN/∞ slack (overflowed products)
+    * falls through to the exact recompute rather than skipping a row. */
+  private[graft] def gateSlack(n: Int, absSum: Double): Double =
+    1e-6 + 4.0 * n * 1.1e-16 * absSum
 
   /** The full rounded kernel (dot + 6dp round), kept for callers/tests
     * that want the ungated form; identical output to the gated path. */

@@ -1065,13 +1065,38 @@ object Ann {
       graphK: Int = 8, maxDegree: Int = 12,
       beam: Int = 8, hops: Int = 4,
       entryCids: Seq[Long] = Nil,
-      entryCents: Seq[Seq[Double]] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      entryCents: Seq[Seq[Double]] = Nil): DataFrame =
+    graphMergeNn(graph,
+      graphInsertNn(points, graph, newPoints, graphK, beam, hops,
+        entryCids, entryCents),
+      maxDegree)
+
+  /** The insert batch's beam-descent neighbor selection — the PRE-CAP
+    * edge candidates, one row per (new id `qid`, chosen neighbor `id`).
+    * Split out of [[graphInsert]] so
+    * [[graft.sources.CollectionStore.mergeGraphIndexed]] can derive the
+    * affected-src set from the candidates BEFORE the per-src degree
+    * re-cap: a reverse edge (neighbor → new id) can survive its
+    * neighbor's cap even when the forward twin was capped out of the new
+    * id's own list, so the post-cap graph under-reports touched srcs
+    * (ADVICE r10). */
+  private[graft] def graphInsertNn(points: DataFrame, graph: DataFrame,
+      newPoints: DataFrame, graphK: Int, beam: Int, hops: Int,
+      entryCids: Seq[Long], entryCents: Seq[Seq[Double]]): DataFrame = {
     val q = newPoints.select(col("id").as("qid"), col("embedding").as("qemb"))
-    val nn = graphBeamSearch(points, graph, q, k = graphK, beam, hops,
+    graphBeamSearch(points, graph, q, k = graphK, beam, hops,
         entryCids = entryCids, entryCents = entryCents)
       // re-inserting a point already present must not self-link
       .filter(col("qid") =!= col("id"))
+  }
+
+  /** Merge a [[graphInsertNn]] candidate set into the graph: link
+    * bidirectionally, collapse duplicates, re-cap per-src degree keeping
+    * the highest-scoring links (deterministic tiebreak on dst) — the
+    * second half of [[graphInsert]]. */
+  private[graft] def graphMergeNn(graph: DataFrame, nn: DataFrame,
+      maxDegree: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fwd = nn.select(col("qid").as("src"), col("id").as("dst"), col("score"))
     val rev = nn.select(col("id").as("src"), col("qid").as("dst"), col("score"))
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))

@@ -327,7 +327,18 @@ object CollectionStore {
     * (dst-bucketed) sidecar makes it bucket-pruned exactly like the
     * id→cid sidecar of [[mergeIndexed]]. Entry seeds must not be
     * deleted (they are the descent's upper tier — rebuild to retire
-    * seeds). */
+    * seeds).
+    *
+    * `maxDegree` MUST be ≥ the cap the sidecar was built with (normally
+    * equal): the untouched-buckets-stay-byte-identical invariant rests
+    * on the re-cap leaving every src with no new candidate unchanged,
+    * which fails if this call's cap is tighter than the build's — the
+    * re-cap would then trim EVERY over-cap src globally while only the
+    * affected buckets rewrite. Checked at runtime against the sidecar's
+    * observed max out-degree (one aggregate over the edge table — same
+    * cost tier as the incident-edge probe above); `graphK ≤ maxDegree`
+    * is likewise required so a new id's own list never arrives pre-
+    * over-cap. */
   def mergeGraphIndexed(spark: SparkSession, path: String,
       adds0: DataFrame, deletes: Option[DataFrame],
       entryCids: Seq[Long], entryCents: Seq[Seq[Double]],
@@ -335,6 +346,10 @@ object CollectionStore {
       beam: Int = 24, hops: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.operators.Ann
+    require(graphK <= maxDegree,
+      s"mergeGraphIndexed: graphK ($graphK) must be <= maxDegree " +
+        s"($maxDegree) — a new id would link more neighbors than its own " +
+        "degree cap keeps")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val graphPath = path + "_graph"
@@ -361,19 +376,33 @@ object CollectionStore {
       else graph.filter(col("src").isin(doomedIds.map(Long.box): _*) ||
           col("dst").isin(doomedIds.map(Long.box): _*))
         .select("src").distinct().collect().map(_.getLong(0))
+    // the untouched-bucket invariant (scaladoc): a cap tighter than the
+    // sidecar's build cap would trim every over-cap src globally while
+    // only affected buckets rewrite — corrupting unpersisted lists
+    val builtDegree = graph.groupBy("src")
+      .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
+    require(maxDegree >= builtDegree,
+      s"mergeGraphIndexed: maxDegree ($maxDegree) is tighter than the " +
+        s"sidecar's observed max out-degree ($builtDegree) — pass the " +
+        "build-time cap (or rebuild the graph to re-cap globally)")
     val g1 = Ann.graphDelete(graph, doomed)
     val storeSurv = store.join(doomed, Seq("id"), "left_anti")
     val hasAdds = !adds.isEmpty
+    // neighbor selection runs ONCE (checkpointed) and feeds both the
+    // merged graph and the affected-src set: the srcs that can change on
+    // insert are the new ids plus every PRE-CAP chosen neighbor — a
+    // reverse edge can survive its neighbor's cap even when the forward
+    // twin is capped out of the new id's list, so deriving neighbors
+    // from the post-cap graph under-reports touched srcs (ADVICE r10)
+    val nn = if (!hasAdds) null
+      else Ann.graphInsertNn(storeSurv, g1, adds, graphK, beam, hops,
+        entryCids, entryCents).localCheckpoint(true)
     val g2 = (if (!hasAdds) g1
-      else Ann.graphInsert(storeSurv, g1, adds, graphK, maxDegree,
-        beam, hops, entryCids, entryCents)).localCheckpoint(true)
+      else Ann.graphMergeNn(g1, nn, maxDegree)).localCheckpoint(true)
     val addIds = adds.select("id").collect().map(_.getLong(0)).toSeq
-    // srcs whose edge lists grow on insert: the new ids and the
-    // neighbors they linked to (the rev-edge srcs = the fwd-edge dsts)
     val nbrSrcs =
-      if (addIds.isEmpty) Array.empty[Long]
-      else g2.filter(col("src").isin(addIds.map(Long.box): _*))
-        .select("dst").distinct().collect().map(_.getLong(0))
+      if (!hasAdds) Array.empty[Long]
+      else nn.select("id").distinct().collect().map(_.getLong(0))
     val changedBuckets =
       (incidentSrcs ++ doomedIds ++ addIds ++ nbrSrcs)
         .map(i => java.lang.Math.floorMod(i, nBuckets.toLong).toInt)

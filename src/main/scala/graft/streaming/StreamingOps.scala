@@ -393,11 +393,24 @@ object StreamingOps {
     * bucket-pruned dynamic-partition overwrites of affected src/id
     * buckets (the mergeIndexed contract); entry seeds are index
     * metadata — deleting a seed point requires reseeding, exactly as
-    * deleting an IVF centroid's anchor requires retraining. */
+    * deleting an IVF centroid's anchor requires retraining.
+    *
+    * `graphK`/`maxDegree`/`beam`/`hops` are the insert re-link dials and
+    * MUST carry the graph's build-time values (defaults = the build
+    * standard `graphBuild(graphK = 12, maxDegree = 16)` +
+    * the serving beam): `graphInsert`'s per-src degree re-cap rewrites
+    * the whole table, so a cap tighter than the build's silently trims
+    * EVERY src — a maxDegree=16 sidecar fed through a default of 12
+    * would degrade globally on the first batch containing adds
+    * (ADVICE r10). */
   def graphCdcStream(spark: SparkSession, changes: DataFrame,
       storePath: String, graphPath: String,
       entryCids: Seq[Long], entryCents: Seq[Seq[Double]],
-      checkpoint: String = ""): Unit = {
+      checkpoint: String = "",
+      graphK: Int = 12, maxDegree: Int = 16,
+      beam: Int = 24, hops: Int = 8): Unit = {
+    require(graphK <= maxDegree,
+      s"graphCdcStream: graphK ($graphK) must be <= maxDegree ($maxDegree)")
     import graft.operators.Ann
     val ckpt = if (checkpoint.nonEmpty) checkpoint else graphPath + "_cdc_ckpt"
     val q = changes.writeStream
@@ -422,6 +435,8 @@ object StreamingOps {
           val g2 =
             if (adds.isEmpty) g1
             else Ann.graphInsert(storeSurv, g1, adds,
+              graphK = graphK, maxDegree = maxDegree,
+              beam = beam, hops = hops,
               entryCids = entryCids, entryCents = entryCents)
           val newStore = storeSurv.unionByName(adds).localCheckpoint(true)
           val newGraph = g2.localCheckpoint(true)

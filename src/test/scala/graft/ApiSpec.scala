@@ -286,6 +286,40 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("batchedServer job tier ≡ replica tier at extreme magnitudes (gate slack scales)") {
+    // ADVICE r10: the job tier's fast gate carried a fixed 1e-6 slack
+    // valid only near unit norm; with |aᵢbᵢ| products ~1e8+ the
+    // reassociation error exceeds it and a near-floor row could be
+    // wrongly gated out of the job tier while the exact replica kernel
+    // keeps it. The magnitude-scaled gateSlack must make both tiers
+    // row-identical on unnormalized data too.
+    val rnd = new scala.util.Random(31L)
+    val dim = 64
+    val big = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian() * 1e4), i % 4)
+    }.toDF("id", "embedding", "user_id")
+    val embs = (0 until 6).map(_ => Seq.fill(dim)(rnd.nextGaussian() * 1e4))
+    // threshold below every score so ALL rows travel through the gate
+    // (constructed directly: Api validates thresholds into [0,1])
+    def serveAll(replicaRows: Long) = {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      val srv = new BatchedServer(big, k = 9, threshold = -1e18,
+        maxBatch = 3, localReplicaMaxRows = replicaRows)
+      try embs.map(e => Await.result(srv.submit(e), 2.minutes))
+      finally srv.close()
+    }
+    val viaReplica = serveAll(BatchedServer.DefaultReplicaMaxRows)
+    val viaJob = serveAll(0L)
+    viaReplica.zip(viaJob).foreach { case (r, j) =>
+      assert(r.length == j.length, "row-count parity at extreme magnitudes")
+      r.zip(j).foreach { case (a, b) =>
+        assert(a.get(0) == b.get(0), "id parity at extreme magnitudes")
+        assert(a.get(1) == b.get(1), "score parity at extreme magnitudes")
+      }
+    }
+  }
+
   test("shardedServer: router over replica-sized shards ≡ solo search, row for row") {
     import scala.concurrent.Await
     import scala.concurrent.duration._

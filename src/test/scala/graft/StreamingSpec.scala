@@ -317,9 +317,14 @@ class StreamingSpec extends SparkSpec {
     assert(store.filter($"id".isin(100L, 101L, 102L)).count() == 0)
     assert(graph.filter($"src".isin(100L, 101L, 102L) ||
       $"dst".isin(100L, 101L, 102L)).count() == 0)
-    // degree caps hold after the insert merge
-    assert(graph.groupBy("src").agg(count(lit(1)).as("d"))
-      .filter($"d" > 16).count() == 0)
+    // degree caps hold after the insert merge — AND the build cap is
+    // PRESERVED: the stream must re-cap at the sidecar's build value
+    // (16), not graphInsert's default 12, which would silently trim
+    // every src on the first batch containing adds (ADVICE r10)
+    val degrees = graph.groupBy("src").agg(count(lit(1)).as("d"))
+    assert(degrees.filter($"d" > 16).count() == 0)
+    assert(degrees.agg(max($"d")).head().getLong(0) == 16,
+      "CDC re-cap trimmed the degree-16 sidecar below its build cap")
     // inserted points are navigable: each self-found via the graded config
     val insQ = store.filter($"id" >= 400)
       .select($"id".as("qid"), $"embedding".as("qemb"))
@@ -380,6 +385,7 @@ class StreamingSpec extends SparkSpec {
     val g1 = Ann.graphDelete(graph0, Seq(50L).toDF("id"))
     val adds = Seq((50L, newEmb, 7)).toDF("id", "embedding", "user_id")
     val expected = Ann.graphInsert(base.filter($"id" =!= 50), g1, adds,
+        graphK = 12, maxDegree = 16, beam = 24, hops = 8,
         entryCids = cids, entryCents = ces)
       .orderBy("src", "dst").collect().toSeq
     val got = spark.read.parquet(graphPath)
