@@ -28,3 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// SIMD serving kernel (graft.simd.SimdDot) uses the JDK 17 incubator
+// Vector API: the module must be named at compile AND run time. A JVM
+// launched WITHOUT the flag still works — SimdSupport's guarded class
+// load just disables the kernel and serving falls back to the scalar
+// blocked scan. JavaThenScala so scalac reads SimdDot's classfile (its
+// public surface is primitives/arrays only) instead of parsing the
+// incubator imports from source.
+compileOrder := CompileOrder.JavaThenScala
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
+javaOptions += "--add-modules=jdk.incubator.vector"

@@ -398,18 +398,52 @@ object BatchedServer {
     * below the cost of the cross-thread handoffs parallelism needs. */
   val DirectMaxCells: Long = 1L << 21
 
+  /** Runtime availability of the SIMD kernel ([[graft.simd.SimdDot]],
+    * JDK 17 incubator Vector API). The class load is guarded: a JVM
+    * launched without `--add-modules=jdk.incubator.vector` (wired in
+    * build.sbt for every forked run/test) throws at init and serving
+    * silently keeps the scalar blocked kernel. Kill switch for A/B:
+    * `-Dgraft.simd=0` or env `GRAFT_SIMD=0`. */
+  private[graft] object SimdSupport {
+    val lanes: Int =
+      if (sys.props.get("graft.simd").orElse(sys.env.get("GRAFT_SIMD"))
+          .contains("0")) 0
+      else
+        try graft.simd.SimdDot.LANES
+        catch { case _: Throwable => 0 }
+    def enabled: Boolean = lanes > 0
+  }
+
   /** The replica's in-memory layout: parallel primitive arrays with one
     * contiguous double slab for the vectors (CSR-style offsets tolerate
     * ragged rows without a branch in the hot loop). Zero per-row objects:
-    * no pointer chase per row, nothing for the GC to trace. */
+    * no pointer chase per row, nothing for the GC to trace.
+    *
+    * When every row shares one dim (the universal serving case) and the
+    * SIMD kernel is available, a SECOND, TRANSPOSED copy of the slab is
+    * built (`tslab`): rows grouped in blocks of `tlanes`, dim-major
+    * within a block, so [[graft.simd.SimdDot]] reads the d-th component
+    * of `tlanes` rows in one vector load. Memory doubles (the replica is
+    * budget-capped at 2^18 rows ≈ 128 MB at dim 64, so the pair stays
+    * ≤ ~256 MB); the scalar slab is kept because the gate/tail/ragged
+    * paths and the job tier still read row-major. */
   final class FlatReplica(
       val n: Int, val ids: Array[Long], val users: Array[Int],
-      val offs: Array[Int], val embs: Array[Double]) {
+      val offs: Array[Int], val embs: Array[Double],
+      val tslab: Array[Double], val tlanes: Int, val uniformDim: Int) {
     def cells: Long = embs.length.toLong
+    /** Rows covered by full SIMD blocks (0 when the kernel is off). */
+    def simdRows: Int = if (tslab == null) 0 else (n / tlanes) * tlanes
   }
 
   object FlatReplica {
-    def apply(rows: Array[(Long, Array[Double], Int)]): FlatReplica = {
+    def apply(rows: Array[(Long, Array[Double], Int)]): FlatReplica =
+      apply(rows, SimdSupport.enabled)
+
+    /** `useSimd = false` builds the scalar-only layout — the test seam
+      * that lets the kernel parity specs grade both paths in one JVM. */
+    def apply(rows: Array[(Long, Array[Double], Int)],
+        useSimd: Boolean): FlatReplica = {
       val n = rows.length
       val ids = new Array[Long](n)
       val users = new Array[Int](n)
@@ -430,7 +464,35 @@ object BatchedServer {
         System.arraycopy(r._2, 0, embs, offs(i), r._2.length)
         i += 1
       }
-      new FlatReplica(n, ids, users, offs, embs)
+      val L = if (n == 0) -1 else offs(1) - offs(0)
+      var uniform = n > 0 && L > 0
+      i = 1
+      while (uniform && i < n) {
+        if (offs(i + 1) - offs(i) != L) uniform = false
+        i += 1
+      }
+      val lanes = if (useSimd) SimdSupport.lanes else 0
+      val tslab =
+        if (uniform && lanes > 0 && n >= lanes) {
+          val nBlockRows = (n / lanes) * lanes
+          val ts = new Array[Double](nBlockRows * L)
+          var r = 0
+          while (r < nBlockRows) {
+            val blockBase = (r / lanes) * lanes * L
+            val lane = r % lanes
+            val src = offs(r)
+            var d = 0
+            while (d < L) {
+              ts(blockBase + d * lanes + lane) = embs(src + d)
+              d += 1
+            }
+            r += 1
+          }
+          ts
+        } else null
+      new FlatReplica(n, ids, users, offs, embs,
+        tslab, if (tslab == null) 0 else lanes,
+        if (uniform) L else -1)
     }
   }
 
@@ -572,8 +634,8 @@ object BatchedServer {
           floors(qi) = top.floor(th)
         }
       }
-    // Row-blocked kernel (4 rows × 2 queries): every accumulator runs
-    // strictly left-to-right in d — BIT-IDENTICAL to [[dotRaw]], no
+    // Row-blocked scalar kernel (4 rows × 2 queries): every accumulator
+    // runs strictly left-to-right in d — BIT-IDENTICAL to [[dotRaw]], no
     // fast-approximate pass and no recompute — while the 8 independent
     // chains hide the 4-cycle FP-add latency the single-chain loop eats
     // whole, and each query load is shared across the 4 rows. This is
@@ -581,7 +643,10 @@ object BatchedServer {
     // the 4 rows to share one length L with queries ≥ L dims (the
     // universal serving case — rows are a collection of one dim). Ragged
     // blocks and tails take the exact one-row-one-query loop below.
-    var i = lo
+    // The SIMD dispatch below uses this same loop for unaligned
+    // head/tail rows and as the full fallback.
+    def scalarRange(from: Int, hi: Int): Unit = {
+    var i = from
     while (i < hi) {
       val b0 = offs(i)
       val L = offs(i + 1) - b0
@@ -662,6 +727,74 @@ object BatchedServer {
         i += 1
       }
     }
+    }
+    // SIMD dispatch: when the transposed slab exists (uniform-dim rows,
+    // kernel available) and every query covers the row dim, full blocks
+    // of `tlanes` rows score through [[graft.simd.SimdDot]] — each SIMD
+    // lane is one row's strict left-to-right accumulation (mul then add,
+    // no FMA), so every emitted dot is bit-identical to [[dotRaw]] and
+    // the rounding gate/TopK behave exactly as on the scalar path.
+    // Unaligned head/tail rows and any ragged-query batch fall back to
+    // the scalar kernel above (parity spec-asserted both ways).
+    val ts = rep.tslab
+    var simdDone = false
+    if (ts != null && nq > 0) {
+      val dimL = rep.uniformDim
+      var allQ = true
+      var qq = 0
+      while (allQ && qq < nq) {
+        if (queries(qq).length < dimL) allQ = false
+        qq += 1
+      }
+      if (allQ) {
+        val lanes = rep.tlanes
+        val sLo = ((lo + lanes - 1) / lanes) * lanes
+        val coveredHi = math.min(hi, rep.simdRows)
+        val sHi = (coveredHi / lanes) * lanes
+        if (sHi > sLo) {
+          scalarRange(lo, math.min(sLo, hi))
+          val outBuf = new Array[Double](4 * lanes)
+          var blk = sLo / lanes
+          val blkEnd = sHi / lanes
+          while (blk < blkEnd) {
+            val base = blk * lanes * dimL
+            val row0 = blk * lanes
+            var qi = 0
+            while (qi < nq) {
+              val taken =
+                if (nq - qi >= 4) {
+                  graft.simd.SimdDot.block4(ts, base, dimL, queries(qi),
+                    queries(qi + 1), queries(qi + 2), queries(qi + 3), outBuf)
+                  4
+                } else if (nq - qi >= 2) {
+                  graft.simd.SimdDot.block2(ts, base, dimL, queries(qi),
+                    queries(qi + 1), outBuf)
+                  2
+                } else {
+                  graft.simd.SimdDot.block1(ts, base, dimL, queries(qi), outBuf)
+                  1
+                }
+              var j = 0
+              while (j < taken) {
+                var lane = 0
+                while (lane < lanes) {
+                  val r = row0 + lane
+                  consider(qi + j, rep.ids(r), rep.users(r),
+                    outBuf(j * lanes + lane))
+                  lane += 1
+                }
+                j += 1
+              }
+              qi += taken
+            }
+            blk += 1
+          }
+          scalarRange(sHi, hi)
+          simdDone = true
+        }
+      }
+    }
+    if (!simdDone) scalarRange(lo, hi)
     val out = Array.newBuilder[(Int, Long, Double, Int)]
     var qi = 0
     while (qi < nq) {

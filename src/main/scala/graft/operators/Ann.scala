@@ -852,11 +852,39 @@ object Ann {
       preFilter: Option[Column] = None,
       entryCids: Seq[Long] = Nil,
       entryCents: Seq[Seq[Double]] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val store = points.select(col("id"), col("embedding"), col("user_id"))
+    graphBeamSearchVia(
+      storeFor = _ => store,
+      graphFor = _ => graph,
+      minIdEntry = () => points.agg(min(col("id"))).head().getLong(0),
+      queries = queries, k = k, beam = beam, hops = hops,
+      preFilter = preFilter, entryCids = entryCids, entryCents = entryCents)
+  }
+
+  /** The beam descent with pluggable per-hop data suppliers — the ONE
+    * implementation both execution forms share, so their semantics can't
+    * drift: [[graphBeamSearch]] passes whole-frame suppliers (the
+    * analytic batch form), while the bucket-pruned incremental-merge
+    * descent ([[graft.sources.CollectionStore.mergeGraphIndexed]])
+    * passes suppliers that COLLECT the hop's frontier/candidate ids
+    * (bounded by |Q|·beam and |Q|·beam·degree — the CDC-batch regime)
+    * and read only the matching store/sidecar buckets with pushed IN
+    * filters. Any supplier returning a SUPERSET of the rows the hop
+    * joins against yields identical results, because the hop joins are
+    * equi-joins on exactly the requested keys. */
+  private[graft] def graphBeamSearchVia(
+      storeFor: DataFrame => DataFrame,
+      graphFor: DataFrame => DataFrame,
+      minIdEntry: () => Long,
+      queries: DataFrame, k: Int, beam: Int, hops: Int,
+      preFilter: Option[Column] = None,
+      entryCids: Seq[Long] = Nil,
+      entryCents: Seq[Seq[Double]] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col("qid"), col("qemb")))
     def scoreIds(ids: DataFrame): DataFrame = ids
-      .join(store, Seq("id"))
+      .join(storeFor(ids).select(
+        col("id"), col("embedding"), col("user_id")), Seq("id"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("id"),
         rdot(col("embedding"), col("qemb")).as("score"), col("user_id"))
@@ -872,7 +900,7 @@ object Ann {
           graft.plans.VectorExpressions.topCentroids(
             col("qemb"), entryCids, entryCents, 1), 1).as("id"))
       else {
-        val e = points.agg(min(col("id"))).head().getLong(0)
+        val e = minIdEntry()
         q.select(col("qid")).withColumn("id", lit(e))
       }
     // ONE state frame per hop — (qid, id, score, user_id, expanded) —
@@ -891,7 +919,8 @@ object Ann {
         .filter(col("rn") <= beam)
         .select(col("qid"), col("id"))
       val nbrs = frontier
-        .join(graph.select(col("src").as("id"), col("dst")), Seq("id"))
+        .join(graphFor(frontier).select(col("src").as("id"), col("dst")),
+          Seq("id"))
         .select(col("qid"), col("dst").as("id")).distinct()
       val fresh = nbrs
         .join(state.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
@@ -1087,6 +1116,26 @@ object Ann {
     graphBeamSearch(points, graph, q, k = graphK, beam, hops,
         entryCids = entryCids, entryCents = entryCents)
       // re-inserting a point already present must not self-link
+      .filter(col("qid") =!= col("id"))
+  }
+
+  /** [[graphInsertNn]] through pluggable per-hop suppliers
+    * ([[graphBeamSearchVia]]) — the bucket-pruned incremental-merge
+    * descent. Entry seeds are required: the min-id fallback would need a
+    * full store scan, which is exactly what the pruned path exists to
+    * avoid. */
+  private[graft] def graphInsertNnVia(
+      storeFor: DataFrame => DataFrame,
+      graphFor: DataFrame => DataFrame,
+      newPoints: DataFrame, graphK: Int, beam: Int, hops: Int,
+      entryCids: Seq[Long], entryCents: Seq[Seq[Double]]): DataFrame = {
+    require(entryCids.nonEmpty,
+      "graphInsertNnVia: entry seeds required for the pruned descent")
+    val q = newPoints.select(col("id").as("qid"), col("embedding").as("qemb"))
+    graphBeamSearchVia(storeFor, graphFor,
+        minIdEntry = () => sys.error("unreachable: seeds supplied"),
+        queries = q, k = graphK, beam = beam, hops = hops,
+        entryCids = entryCids, entryCents = entryCents)
       .filter(col("qid") =!= col("id"))
   }
 

@@ -37,11 +37,13 @@ class ServingKernelSpec extends AnyFunSuite {
     }.toMap
 
   private def viaKernel(rows: Array[(Long, Array[Double], Int)],
-      queries: Array[Array[Double]], k: Int, th: Double)
-      : Map[Int, Seq[(Long, Double, Int)]] = {
-    val rep = BatchedServer.FlatReplica(rows)
+      queries: Array[Array[Double]], k: Int, th: Double,
+      useSimd: Boolean = true): Map[Int, Seq[(Long, Double, Int)]] = {
+    val rep = BatchedServer.FlatReplica(rows, useSimd)
     // exercise slice boundaries too: union of per-slice top-k must merge
-    // to the same global top-k (the superset argument)
+    // to the same global top-k (the superset argument). Odd slice count
+    // also leaves SIMD-block-unaligned boundaries, covering the scalar
+    // head/tail stitching of the SIMD dispatch.
     val nSlices = 3
     val cands = (0 until nSlices).flatMap { si =>
       val lo = rep.n * si / nSlices
@@ -57,10 +59,42 @@ class ServingKernelSpec extends AnyFunSuite {
   private def check(rows: Array[(Long, Array[Double], Int)],
       queries: Array[Array[Double]], k: Int, th: Double): Unit = {
     val expect = reference(rows, queries, k, th)
-    val got = viaKernel(rows, queries, k, th)
-    queries.indices.foreach { qi =>
-      assert(got(qi) == expect(qi),
-        s"qi=$qi k=$k th=$th\n got=${got(qi)}\n want=${expect(qi)}")
+    // both kernels — scalar blocked AND (when the module is present)
+    // the SIMD transposed-block path — must match the naive reference
+    for (simd <- Seq(false, true)) {
+      val got = viaKernel(rows, queries, k, th, useSimd = simd)
+      queries.indices.foreach { qi =>
+        assert(got(qi) == expect(qi),
+          s"simd=$simd qi=$qi k=$k th=$th\n got=${got(qi)}\n want=${expect(qi)}")
+      }
+    }
+  }
+
+  test("SIMD kernel active in this JVM; transposed blocks bit-identical to scalar") {
+    assume(BatchedServer.SimdSupport.enabled,
+      "incubator vector module absent — SIMD path not gradeable here")
+    val rnd = new scala.util.Random(41L)
+    val dim = 48
+    val rows = Array.tabulate(1021) { i => // prime count: unaligned tail
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()), i % 6)
+    }
+    val rep = BatchedServer.FlatReplica(rows, true)
+    assert(rep.tslab != null && rep.tlanes >= 2,
+      "uniform-dim corpus must build the transposed SIMD slab")
+    assert(rep.simdRows == (rows.length / rep.tlanes) * rep.tlanes)
+    // raw dots: SIMD lane ≡ scalar sequential, bit for bit, every row
+    val q = Array.fill(dim)(rnd.nextGaussian())
+    val out = new Array[Double](rep.tlanes)
+    (0 until rep.simdRows / rep.tlanes).foreach { blk =>
+      graft.simd.SimdDot.block1(rep.tslab, blk * rep.tlanes * dim, dim, q, out)
+      (0 until rep.tlanes).foreach { lane =>
+        val r = blk * rep.tlanes + lane
+        val seq = BatchedServer.dotRaw(
+          java.util.Arrays.copyOfRange(rep.embs, rep.offs(r), rep.offs(r + 1)), q)
+        assert(java.lang.Double.doubleToLongBits(out(lane)) ==
+          java.lang.Double.doubleToLongBits(seq),
+          s"row $r: SIMD lane dot differs from scalar sequential")
+      }
     }
   }
 
