@@ -65,6 +65,31 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "bpe") {
+      // BPE-at-vocab-scale probe (VERDICT r9 #3 follow-through): the
+      // sequential learner pays one driver round per merge, so a 32k
+      // vocab is 32k Spark jobs; learnBatched accepts up to B disjoint
+      // merges per round. This measures BOTH configurations for the SAME
+      // round count (arg 2): merges gained and wall seconds — the
+      // per-round cost is what scales with corpus size, the merges-per-
+      // round ratio is what the batching buys (≈B× fewer driver rounds
+      // for a given vocab).
+      import graft.operators.Bpe
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val rounds = nQueries
+      val (r1, t1) = timed(Bpe.learnBatched(docs, nRounds = rounds, batch = 1))
+      val (rB, tB) = timed(Bpe.learnBatched(docs, nRounds = rounds, batch = 32))
+      val m1 = r1._1.size
+      val mB = rB._1.size
+      println(s"""{"probe":"bpe","sf":"$sfDir","rounds":$rounds,""" +
+        s""""seq_merges":$m1,"seq_secs":${math.rint(t1 * 100) / 100},""" +
+        s""""b32_merges":$mB,"b32_secs":${math.rint(tB * 100) / 100},""" +
+        s""""merges_per_round_b32":${math.rint(mB * 100.0 / rounds) / 100},""" +
+        s""""rounds_for_1k_vocab_seq":1000,""" +
+        s""""rounds_for_1k_vocab_b32":${math.ceil(1000.0 * rounds / math.max(mB, 1)).toInt}}""")
+      spark.stop()
+      return
+    }
     if (mode == "knn") {
       val cents = Ann.seedCentroids(points, cells)
       val rows2 = cents.select(col("cid"), col("ce")).orderBy("cid").collect()

@@ -299,10 +299,25 @@ object CollectionStore {
     * the IVF/sig/pq artifacts of [[saveIndexed]] (VERDICT r9 #5): the
     * edge table lives at `<path>_graph`, bucketed by `pmod(src,
     * nBuckets)` partition dirs so per-hop frontier probes are
-    * directory-pruned ([[graft.operators.Ann.graphBeamServe]]). */
+    * directory-pruned ([[graft.operators.Ann.graphBeamServe]]).
+    *
+    * A REVERSE copy of the edge table is written at `<path>_graph_rev`,
+    * bucketed by `pmod(dst, nBuckets)`: the delete-side incident-edge
+    * probe ("which srcs hold an edge INTO this doomed id?") reads only
+    * the doomed ids' dst-buckets instead of scanning the whole edge
+    * table — the [[mergeIndexed]] id→cid-sidecar trick applied to the
+    * graph, and what makes [[mergeGraphIndexed]] O(affected buckets)
+    * end to end. */
   def saveGraphSidecar(graph: DataFrame, path: String,
-      nBuckets: Int = 16): Unit =
+      nBuckets: Int = 16): Unit = {
     graft.operators.Ann.saveGraphBucketed(graph, path + "_graph", nBuckets)
+    graph
+      .withColumn("bucket", pmod(col("dst"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "dst", "src")
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .parquet(path + "_graph_rev")
+  }
 
   /** Incremental maintenance of a bucketed store AND its graph sidecar
     * in one batch — tombstones + inserts composed with last-write-wins
@@ -322,21 +337,34 @@ object CollectionStore {
     *  3. store: LWW merge + tombstone anti-join against only the
     *     buckets holding batch ids.
     *
-    * The dst-side incident-edge probe is a full edge-table scan here
-    * (the edge table is ~N·maxDegree rows); at 100 TB a reverse
-    * (dst-bucketed) sidecar makes it bucket-pruned exactly like the
-    * id→cid sidecar of [[mergeIndexed]]. Entry seeds must not be
-    * deleted (they are the descent's upper tier — rebuild to retire
-    * seeds).
+    * With the reverse sidecar present (`<path>_graph_rev`, written by
+    * [[saveGraphSidecar]]) and entry seeds supplied, the ENTIRE merge is
+    * bucket-pruned — nothing reads O(|graph|) or O(|store|):
+    *
+    *  - the dst-side incident probe reads only the doomed ids' rev
+    *    buckets;
+    *  - the insert descent runs through per-hop pruned suppliers
+    *    ([[graft.operators.Ann.graphBeamSearchVia]]): each hop collects
+    *    the frontier / candidate ids (bounded by |batch|·beam·degree —
+    *    the CDC-batch regime) and reads only their src-buckets /
+    *    store-buckets with pushed IN filters;
+    *  - delete + degree re-cap recompute only the AFFECTED src-buckets
+    *    (the re-cap is per-src, so restricting it to those buckets is
+    *    exact), and the rev sidecar is patched from the exact changed
+    *    edge set (old-bucket rows minus removed plus added).
+    *
+    * A store without the rev sidecar (or a call without seeds) takes the
+    * legacy whole-table path — same output, spec-asserted. Entry seeds
+    * must not be deleted (they are the descent's upper tier — rebuild to
+    * retire seeds).
     *
     * `maxDegree` MUST be ≥ the cap the sidecar was built with (normally
     * equal): the untouched-buckets-stay-byte-identical invariant rests
     * on the re-cap leaving every src with no new candidate unchanged,
     * which fails if this call's cap is tighter than the build's — the
     * re-cap would then trim EVERY over-cap src globally while only the
-    * affected buckets rewrite. Checked at runtime against the sidecar's
-    * observed max out-degree (one aggregate over the edge table — same
-    * cost tier as the incident-edge probe above); `graphK ≤ maxDegree`
+    * affected buckets rewrite. Checked at runtime against the observed
+    * max out-degree of the region being recapped; `graphK ≤ maxDegree`
     * is likewise required so a new id's own list never arrives pre-
     * over-cap. */
   def mergeGraphIndexed(spark: SparkSession, path: String,
@@ -353,14 +381,10 @@ object CollectionStore {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val graphPath = path + "_graph"
+    val revPath = path + "_graph_rev"
     require(fs.exists(new Path(graphPath)),
       s"mergeGraphIndexed: no graph sidecar at $graphPath — write it via " +
         "saveGraphSidecar before incremental merges")
-    // localCheckpoint(true) cuts every lineage back to the paths being
-    // overwritten below
-    val store = spark.read.parquet(path).drop("bucket").localCheckpoint(true)
-    val graph = spark.read.parquet(graphPath).drop("bucket")
-      .localCheckpoint(true)
     val adds = adds0.select("id", "embedding", "user_id").localCheckpoint(true)
     val doomed = deletes.map(_.select("id")).fold(adds.select("id"))(d =>
       adds.select("id").unionByName(d)).distinct().localCheckpoint(true)
@@ -369,6 +393,138 @@ object CollectionStore {
       s"mergeGraphIndexed: batch touches entry seed ids " +
         s"${doomedIds.intersect(entryCids).mkString(",")} — seeds are the " +
         "descent's entry tier; rebuild the graph to retire them")
+    val addIds = adds.select("id").collect().map(_.getLong(0)).toSeq
+    val hasAdds = addIds.nonEmpty
+    def bucketsOf(ids: Iterable[Long]): Seq[Int] =
+      ids.map(i => java.lang.Math.floorMod(i, nBuckets.toLong).toInt)
+        .toSeq.distinct.sorted
+    def inBuckets(bs: Seq[Int]) = col("bucket").isin(bs.map(Int.box): _*)
+    def inIds(c: org.apache.spark.sql.Column, ids: Seq[Long]) =
+      c.isin(ids.map(Long.box): _*)
+    // Overwrite `bs` bucket dirs of a partitioned table from `rows`
+    // (which must carry only buckets in `bs`), deleting dirs the new
+    // content leaves empty (dynamic overwrite won't touch them).
+    def overwriteBuckets(tablePath: String, rows: DataFrame,
+        bs: Seq[Int], sortCols: Seq[String]): Unit = {
+      rows.repartition(col("bucket"))
+        .sortWithinPartitions("bucket", sortCols: _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(tablePath)
+      val surviving = rows.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      (bs.toSet -- surviving).foreach { b =>
+        fs.delete(new Path(s"$tablePath/bucket=$b"), true)
+      }
+    }
+
+    if (fs.exists(new Path(revPath)) && entryCids.nonEmpty) {
+      // ---- PRUNED PATH: O(affected buckets), never O(|graph|) ----
+      val incidentSrcs =
+        if (doomedIds.isEmpty) Array.empty[Long]
+        else spark.read.parquet(revPath)
+          .filter(inBuckets(bucketsOf(doomedIds)) && inIds(col("dst"), doomedIds))
+          .select("src").distinct().collect().map(_.getLong(0))
+      // per-hop pruned suppliers for the insert descent: collect the
+      // hop's ids (CDC-batch bounded), read only their buckets with the
+      // IN list pushed to the scan; doomed rows/edges are filtered so
+      // the descent sees exactly (store \ doomed, graph \ doomed-edges)
+      def notDoomedEdges(df: DataFrame): DataFrame =
+        if (doomedIds.isEmpty) df
+        else df.filter(!inIds(col("src"), doomedIds) &&
+          !inIds(col("dst"), doomedIds))
+      def storeFor(ids: DataFrame): DataFrame = {
+        val need = ids.select("id").distinct()
+          .collect().map(_.getLong(0)).toSeq.filterNot(doomedIds.toSet)
+        spark.read.parquet(path)
+          .filter(inBuckets(bucketsOf(need)) && inIds(col("id"), need))
+          .drop("bucket")
+      }
+      def graphFor(frontier: DataFrame): DataFrame = {
+        val ids = frontier.select("id").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        notDoomedEdges(spark.read.parquet(graphPath)
+          .filter(inBuckets(bucketsOf(ids)) && inIds(col("src"), ids))
+          .drop("bucket"))
+      }
+      // PRE-CAP neighbor selection (ADVICE r10): the affected srcs on
+      // insert are the new ids plus every chosen candidate, derived
+      // before the per-src degree re-cap
+      val nn = if (!hasAdds) null
+        else Ann.graphInsertNnVia(storeFor, graphFor, adds, graphK, beam,
+          hops, entryCids, entryCents).localCheckpoint(true)
+      val nbrSrcs =
+        if (!hasAdds) Array.empty[Long]
+        else nn.select("id").distinct().collect().map(_.getLong(0))
+      val affectedSrcs = (incidentSrcs ++ doomedIds ++ addIds ++ nbrSrcs).distinct
+      val srcBuckets = bucketsOf(affectedSrcs)
+      if (srcBuckets.nonEmpty) {
+        // the affected src-buckets, materialized before their overwrite
+        // (read-then-overwrite rule); srcs merely SHARING a bucket with
+        // an affected src get recapped too — unchanged by the invariant
+        // checked below, so rewriting them is exact
+        val gAff = spark.read.parquet(graphPath)
+          .filter(inBuckets(srcBuckets)).drop("bucket").localCheckpoint(true)
+        val builtRow = gAff.groupBy("src")
+          .agg(count(lit(1)).as("d")).agg(max(col("d"))).head()
+        val builtDegree = if (builtRow.isNullAt(0)) 0L else builtRow.getLong(0)
+        require(maxDegree >= builtDegree,
+          s"mergeGraphIndexed: maxDegree ($maxDegree) is tighter than the " +
+            s"sidecar's observed max out-degree ($builtDegree) — pass the " +
+            "build-time cap (or rebuild the graph to re-cap globally)")
+        val g1Aff = Ann.graphDelete(gAff, doomed)
+        val g2Aff = (if (!hasAdds) g1Aff
+          else Ann.graphMergeNn(g1Aff, nn, maxDegree)).localCheckpoint(true)
+        overwriteBuckets(graphPath,
+          g2Aff.withColumn("bucket",
+            pmod(col("src"), lit(nBuckets.toLong)).cast("int")),
+          srcBuckets, Seq("src", "dst"))
+        // rev sidecar: patch exactly the changed edges — old rows of the
+        // touched dst-buckets minus removed plus added. removed/added
+        // come from the before/after of the recapped region, which holds
+        // every changed edge (all changes have srcs in affected buckets)
+        val removed = gAff.except(g2Aff).localCheckpoint(true)
+        val added = g2Aff.except(gAff).localCheckpoint(true)
+        val dstBuckets = removed.select("dst").unionByName(added.select("dst"))
+          .select(pmod(col("dst"), lit(nBuckets.toLong)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        if (dstBuckets.nonEmpty) {
+          val revAff = spark.read.parquet(revPath)
+            .filter(inBuckets(dstBuckets)).drop("bucket").localCheckpoint(true)
+          val revNew = revAff
+            .join(removed.select("src", "dst"), Seq("src", "dst"), "left_anti")
+            .unionByName(added)
+            .withColumn("bucket",
+              pmod(col("dst"), lit(nBuckets.toLong)).cast("int"))
+            .localCheckpoint(true)
+          overwriteBuckets(revPath, revNew, dstBuckets, Seq("dst", "src"))
+        }
+      }
+      // store side: LWW + tombstones against only the batch's buckets,
+      // read pruned (legacy materializes the whole store first)
+      val storeBuckets = bucketsOf(doomedIds ++ addIds)
+      if (storeBuckets.nonEmpty) {
+        val sAff = spark.read.parquet(path)
+          .filter(inBuckets(storeBuckets)).drop("bucket").localCheckpoint(true)
+        val bucketed = sAff
+          .join(doomed, Seq("id"), "left_anti")
+          .unionByName(adds)
+          .withColumn("bucket",
+            pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
+          .localCheckpoint(true)
+        overwriteBuckets(path, bucketed, storeBuckets, Seq("id"))
+      }
+      return
+    }
+
+    // ---- LEGACY PATH (no rev sidecar, or no entry seeds): whole-table
+    // read, bucket-pruned WRITE only — kept for stores written before
+    // the reverse sidecar existed; output identical (spec-asserted) ----
+    // localCheckpoint(true) cuts every lineage back to the paths being
+    // overwritten below
+    val store = spark.read.parquet(path).drop("bucket").localCheckpoint(true)
+    val graph = spark.read.parquet(graphPath).drop("bucket")
+      .localCheckpoint(true)
     // srcs whose edge lists shrink on delete: the doomed ids themselves
     // plus every src holding an edge INTO a doomed id
     val incidentSrcs =
@@ -387,7 +543,6 @@ object CollectionStore {
         "build-time cap (or rebuild the graph to re-cap globally)")
     val g1 = Ann.graphDelete(graph, doomed)
     val storeSurv = store.join(doomed, Seq("id"), "left_anti")
-    val hasAdds = !adds.isEmpty
     // neighbor selection runs ONCE (checkpointed) and feeds both the
     // merged graph and the affected-src set: the srcs that can change on
     // insert are the new ids plus every PRE-CAP chosen neighbor — a
@@ -399,34 +554,19 @@ object CollectionStore {
         entryCids, entryCents).localCheckpoint(true)
     val g2 = (if (!hasAdds) g1
       else Ann.graphMergeNn(g1, nn, maxDegree)).localCheckpoint(true)
-    val addIds = adds.select("id").collect().map(_.getLong(0)).toSeq
     val nbrSrcs =
       if (!hasAdds) Array.empty[Long]
       else nn.select("id").distinct().collect().map(_.getLong(0))
-    val changedBuckets =
-      (incidentSrcs ++ doomedIds ++ addIds ++ nbrSrcs)
-        .map(i => java.lang.Math.floorMod(i, nBuckets.toLong).toInt)
-        .distinct.toSeq.sorted
+    val changedBuckets = bucketsOf(incidentSrcs ++ doomedIds ++ addIds ++ nbrSrcs)
     if (changedBuckets.nonEmpty) {
       val gOut = g2
         .withColumn("bucket", pmod(col("src"), lit(nBuckets.toLong)).cast("int"))
         .filter(col("bucket").isin(changedBuckets.map(Int.box): _*))
         .localCheckpoint(true)
-      gOut.repartition(col("bucket"))
-        .sortWithinPartitions("bucket", "src", "dst")
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(graphPath)
-      val survivingG = gOut.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
-      (changedBuckets.toSet -- survivingG).foreach { b =>
-        fs.delete(new Path(s"$graphPath/bucket=$b"), true)
-      }
+      overwriteBuckets(graphPath, gOut, changedBuckets, Seq("src", "dst"))
     }
     // store side: LWW + tombstones against only the batch's buckets
-    val storeBuckets = (doomedIds ++ addIds)
-      .map(i => java.lang.Math.floorMod(i, nBuckets.toLong).toInt)
-      .distinct.toSeq.sorted
+    val storeBuckets = bucketsOf(doomedIds ++ addIds)
     if (storeBuckets.nonEmpty) {
       val bucketed = store
         .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
@@ -435,16 +575,7 @@ object CollectionStore {
         .unionByName(adds.withColumn("bucket",
           pmod(col("id"), lit(nBuckets.toLong)).cast("int")))
         .localCheckpoint(true)
-      bucketed.repartition(col("bucket"))
-        .sortWithinPartitions("bucket", "id")
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(path)
-      val survivingS = bucketed.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
-      (storeBuckets.toSet -- survivingS).foreach { b =>
-        fs.delete(new Path(s"$path/bucket=$b"), true)
-      }
+      overwriteBuckets(path, bucketed, storeBuckets, Seq("id"))
     }
   }
 

@@ -265,7 +265,9 @@ class IndexedStoreSpec extends SparkSpec {
         .map(f => f.getPath -> f.lastModified()).toMap
     }
     val gFilesBefore = fileMap(path + "_graph")
+    val rFilesBefore = fileMap(path + "_graph_rev")
     val sFilesBefore = fileMap(path)
+    assert(rFilesBefore.nonEmpty, "saveGraphSidecar must write the reverse sidecar")
     // batch: tombstone 40/41, UPSERT id 50 with a changed embedding
     // (id-450's vector), insert a brand-new id
     val emb450 = pts.filter($"id" === 450)
@@ -308,13 +310,15 @@ class IndexedStoreSpec extends SparkSpec {
       .filter($"src".isin(40L, 41L) || $"dst".isin(40L, 41L)).count() == 0)
     // UNTOUCHED buckets keep their files byte for byte: recompute the
     // changed-src set the merge derived and assert everything else of
-    // both sidecar trees is identical (paths AND mtimes)
+    // both sidecar trees is identical (paths AND mtimes). Neighbor srcs
+    // come from the PRE-CAP candidate set (graphInsertNn), matching the
+    // merge's own derivation (ADVICE r10)
     val incident = graph0.filter($"src".isin(40L, 41L, 50L, 200000L) ||
         $"dst".isin(40L, 41L, 50L, 200000L))
       .select("src").distinct().as[Long].collect()
-    val nbrs = spark.read.parquet(path + "_graph")
-      .filter($"src".isin(50L, 200000L)).select("dst").distinct()
-      .as[Long].collect()
+    val nbrs = Ann.graphInsertNn(surv, g1, adds, graphK = 12, beam = 24,
+        hops = 8, entryCids = cids, entryCents = ces)
+      .select("id").distinct().as[Long].collect()
     val changedG = (incident ++ Seq(40L, 41L, 50L, 200000L) ++ nbrs)
       .map(i => java.lang.Math.floorMod(i, nBuckets.toLong)).toSet
     val changedS = Seq(40L, 41L, 50L, 200000L)
@@ -338,5 +342,68 @@ class IndexedStoreSpec extends SparkSpec {
       entryCids = cids, entryCents = ces)
     assert(hits.select("id").as[Long].collect().contains(200000L),
       "inserted id not reachable through the maintained sidecar")
+    // ---- reverse sidecar invariants (the pruned-merge contract) ----
+    // 1. content: rev table == src table as an edge SET (it is the same
+    //    graph, re-bucketed by dst)
+    val fwdSet = spark.read.parquet(path + "_graph").drop("bucket")
+      .select("src", "dst", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val revSet = spark.read.parquet(path + "_graph_rev").drop("bucket")
+      .select("src", "dst", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(revSet == fwdSet,
+      s"rev sidecar diverged: ${revSet.size} vs ${fwdSet.size} edges, " +
+        s"sym-diff ${(revSet.diff(fwdSet) ++ fwdSet.diff(revSet)).take(3)}")
+    // 2. untouched rev buckets keep their files byte for byte: the
+    //    changed rev buckets are the dst-buckets of the changed edges
+    val finalG = spark.read.parquet(path + "_graph").drop("bucket")
+      .select("src", "dst", "score")
+    val g0sel = graph0.select("src", "dst", "score")
+    val changedRev = g0sel.except(finalG).unionByName(finalG.except(g0sel))
+      .select("dst").distinct().as[Long].collect()
+      .map(i => java.lang.Math.floorMod(i, nBuckets.toLong)).toSet
+    val rAfter = fileMap(path + "_graph_rev")
+    assert(rFilesBefore.filter(kv => !changedRev(bucketOf(kv._1))) ==
+      rAfter.filter(kv => !changedRev(bucketOf(kv._1))),
+      "untouched REV bucket dirs changed")
+  }
+
+  test("mergeGraphIndexed: pruned path ≡ legacy whole-table path, edge for edge") {
+    val dirP = java.nio.file.Files.createTempDirectory("graph_idx_p").toString
+    val dirL = java.nio.file.Files.createTempDirectory("graph_idx_l").toString
+    val nBuckets = 16
+    val pts = points.select($"id", $"embedding", $"user_id")
+    val cents = Ann.seedCentroids(pts, 16)
+    val crows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = crows.map(_.getLong(0)).toSeq
+    val ces = crows.map(_.getSeq[Double](1).toSeq).toSeq
+    val graph0 = Ann.graphBuild(pts, cents, graphK = 12, maxDegree = 16)
+      .localCheckpoint(true)
+    // pruned store: full sidecar pair; legacy store: src sidecar only
+    val pathP = s"$dirP/store"; val pathL = s"$dirL/store"
+    CollectionStore.saveBucketed(pts, pathP, nBuckets)
+    CollectionStore.saveGraphSidecar(graph0, pathP, nBuckets)
+    CollectionStore.saveBucketed(pts, pathL, nBuckets)
+    Ann.saveGraphBucketed(graph0, pathL + "_graph", nBuckets)
+    assert(!new java.io.File(pathL + "_graph_rev").exists)
+    val emb9 = pts.filter($"id" === 9)
+      .select("embedding").as[Seq[Double]].head()
+    val adds = Seq((60L, emb9, 911), (300000L, emb9, 912))
+      .toDF("id", "embedding", "user_id")
+    val dels = Seq(70L, 71L).toDF("id")
+    Seq(pathP, pathL).foreach { p =>
+      CollectionStore.mergeGraphIndexed(spark, p, adds, Some(dels),
+        cids, ces, nBuckets, graphK = 12, maxDegree = 16,
+        beam = 24, hops = 8)
+    }
+    def edges(p: String) = spark.read.parquet(p + "_graph").drop("bucket")
+      .select("src", "dst", "score").orderBy("src", "dst")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(edges(pathP) == edges(pathL),
+      "pruned merge diverged from the legacy whole-table merge")
+    def rows(p: String) = CollectionStore.loadBucketed(spark, p)
+      .select($"id", $"user_id".cast("int")).orderBy("id")
+      .as[(Long, Int)].collect().toSeq
+    assert(rows(pathP) == rows(pathL), "store contents diverged")
   }
 }
