@@ -81,12 +81,18 @@ object ScaleProbe {
       val (rB, tB) = timed(Bpe.learnBatched(docs, nRounds = rounds, batch = 32))
       val m1 = r1._1.size
       val mB = rB._1.size
-      println(s"""{"probe":"bpe","sf":"$sfDir","rounds":$rounds,""" +
-        s""""seq_merges":$m1,"seq_secs":${math.rint(t1 * 100) / 100},""" +
-        s""""b32_merges":$mB,"b32_secs":${math.rint(tB * 100) / 100},""" +
-        s""""merges_per_round_b32":${math.rint(mB * 100.0 / rounds) / 100},""" +
+      // rounds actually USED (training stops early when the vocabulary's
+      // mergeable pairs exhaust — the fixture corpus tops out near ~90
+      // merges), so merges/round is measured against real driver trips
+      val used1 = if (r1._1.isEmpty) 0 else r1._1.map(_.round).max
+      val usedB = if (rB._1.isEmpty) 0 else rB._1.map(_.round).max
+      val perRound = mB.toDouble / math.max(usedB, 1)
+      println(s"""{"probe":"bpe","sf":"$sfDir","rounds_requested":$rounds,""" +
+        s""""seq_merges":$m1,"seq_rounds":$used1,"seq_secs":${math.rint(t1 * 100) / 100},""" +
+        s""""b32_merges":$mB,"b32_rounds":$usedB,"b32_secs":${math.rint(tB * 100) / 100},""" +
+        s""""merges_per_round_b32":${math.rint(perRound * 100) / 100},""" +
         s""""rounds_for_1k_vocab_seq":1000,""" +
-        s""""rounds_for_1k_vocab_b32":${math.ceil(1000.0 * rounds / math.max(mB, 1)).toInt}}""")
+        s""""rounds_for_1k_vocab_b32":${math.ceil(1000.0 / math.max(perRound, 1e-9)).toInt}}""")
       spark.stop()
       return
     }

@@ -2053,11 +2053,15 @@ object SparkEntry {
       for (j <- 2 to batch) {
         val prevUnion = (1 until j)
           .map(jj => s"SELECT lhs, rhs FROM a${r}_$jj").mkString(" UNION ALL ")
+        // conflict = the EXACT order-independence condition (mirrors
+        // Bpe.learnBatched): adjacent chaining (one rule's rhs is the
+        // other's lhs) or a merged product feeding/naming another rule;
+        // same-side symbol sharing commutes and is allowed
         b += (s"a${r}_$j AS (SELECT lhs, rhs, c, rn FROM cand$r cc " +
           s"WHERE rn > coalesce((SELECT max(rn) FROM a${r}_${j - 1}), 4611686018427387904) " +
           s"AND NOT EXISTS (SELECT 1 FROM ($prevUnion) aa " +
-          "WHERE cc.lhs IN (aa.lhs, aa.rhs, aa.lhs||aa.rhs) " +
-          "OR cc.rhs IN (aa.lhs, aa.rhs, aa.lhs||aa.rhs) " +
+          "WHERE cc.lhs = aa.rhs OR cc.rhs = aa.lhs " +
+          "OR cc.lhs = aa.lhs||aa.rhs OR cc.rhs = aa.lhs||aa.rhs " +
           "OR (cc.lhs||cc.rhs) IN (aa.lhs, aa.rhs, aa.lhs||aa.rhs)) " +
           "ORDER BY rn LIMIT 1)")
       }

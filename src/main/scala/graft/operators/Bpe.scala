@@ -70,7 +70,7 @@ object Bpe {
   /** One merge-rewrite of the symbol arrays: merge every (lhs, rhs)
     * occurrence. Bounds-checked gates precede every element access
     * (ANSI mode throws on out-of-range element_at; `&&` short-circuits). */
-  private def rewrite(sym: Column, lhs: String, rhs: String): Column = {
+  private[graft] def rewrite(sym: Column, lhs: String, rhs: String): Column = {
     val a = lit(lhs); val b = lit(rhs)
     def at(i: Column): Column = element_at(sym, i)
     transform(
@@ -115,25 +115,32 @@ object Bpe {
   def batchedCandCap(batch: Int): Int = 8 * batch
 
   /** BATCHED BPE training (VERDICT r9 #3): per round, accept up to
-    * `batch` pairwise-DISJOINT merges from the ranked pair-count table
+    * `batch` mutually COMMUTING merges from the ranked pair-count table
     * instead of one — the standard scalable-BPE batching. Greedy scan in
     * (count DESC, lhs ASC, rhs ASC) order over the top
-    * [[batchedCandCap]] candidates: a candidate is accepted iff none of
-    * {lhs, rhs, lhs||rhs} collides with any symbol or merged token
-    * already accepted this round. Disjoint merges touch disjoint
-    * positions (a position matching two pairs would force a shared
-    * symbol), so the one-pass simultaneous rewrite applies them all
-    * exactly as sequential application in any order would — which is why
-    * a vocab of ~1k merges needs ~tens of rounds (each round = one
-    * bounded pair aggregate + one 24-row collect + one rewrite pass)
-    * instead of ~1k. With `batch = 1` every round is exactly the argmax,
-    * so batched training DEGENERATES to [[learn]] — spec-asserted.
+    * [[batchedCandCap]] candidates; a candidate conflicts with an
+    * already-accepted rule iff they can CHAIN at adjacent positions
+    * (one's rhs = the other's lhs — "aba"-style order sensitivity) or a
+    * merged product feeds or names the other rule. This is the EXACT
+    * order-independence condition: rules merely sharing a same-side
+    * symbol — (t,h) and (t,o), or (a,c) and (b,c) — can never compete
+    * for an occurrence (one position would need two symbols at once),
+    * so the one-pass simultaneous rewrite applies an accepted batch
+    * exactly as sequential application in any order would
+    * (property-tested in BpeSpec against both orders). The r10 rule
+    * (blanket symbol disjointness) was sound but accepted only ~3
+    * merges/round on real text — every top pair shares a vowel; the
+    * exact condition accepts ~batch, so a vocab of ~1k merges needs
+    * ~1000/batch driver rounds (each one bounded pair aggregate + one
+    * ≤8·batch-row collect + one rewrite pass), measured in SCALING.md.
+    * With `batch = 1` every round is exactly the argmax, so batched
+    * training DEGENERATES to [[learn]] — spec-asserted.
     *
     * Runs exactly `nRounds` rounds (stopping early only when no
     * mergeable pair remains); rounds may accept fewer than `batch` when
-    * top candidates collide (e.g. (t,h) and (h,e) share h). The oracle
-    * replays every round's greedy selection in SQL — both engines must
-    * accept identical merge batches. */
+    * top candidates chain (e.g. (t,h) then (h,e)). The oracle replays
+    * every round's greedy selection in SQL — both engines must accept
+    * identical merge batches. */
   def learnBatched(docs: DataFrame, nRounds: Int, batch: Int)
       : (Seq[BatchedMerge], DataFrame) = {
     require(nRounds >= 1, s"nRounds must be >= 1, got $nRounds")
@@ -151,13 +158,32 @@ object Bpe {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (cands.isEmpty) done = true
       else {
-        val used = scala.collection.mutable.Set.empty[String]
+        // EXACT order-independence condition, not blanket symbol
+        // disjointness (which accepted only ~3 merges/round on real text
+        // — every top pair shares a vowel): two rules commute unless
+        // they can CHAIN at adjacent positions (one's rhs is the other's
+        // lhs) or one's merged product feeds or names the other. Rules
+        // merely sharing a same-side symbol — (t,h) and (t,o), or (a,c)
+        // and (b,c) — can never compete for the same occurrence (the
+        // shared position would need two different symbols at once), so
+        // the simultaneous rewrite still equals sequential application
+        // in any order.
+        val accL = scala.collection.mutable.Set.empty[String]
+        val accR = scala.collection.mutable.Set.empty[String]
+        val accP = scala.collection.mutable.Set.empty[String]
         val acc = Seq.newBuilder[(String, String, Long)]
         var taken = 0
         for ((l, rr, c) <- cands if taken < batch) {
-          val syms = Seq(l, rr, l + rr)
-          if (!syms.exists(used.contains)) {
-            acc += ((l, rr, c)); used ++= syms; taken += 1
+          val p = l + rr
+          val conflict =
+            accR.contains(l) ||     // (x,l) then (l,rr): chains
+            accL.contains(rr) ||    // (l,rr) then (rr,y): chains
+            accP.contains(l) || accP.contains(rr) || // consumes a product
+            accL.contains(p) || accR.contains(p) ||  // product feeds a rule
+            accP.contains(p)        // ambiguous product
+          if (!conflict) {
+            acc += ((l, rr, c))
+            accL += l; accR += rr; accP += p; taken += 1
           }
         }
         val accepted = acc.result()
