@@ -65,6 +65,88 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "gmerge") {
+      // Graph-sidecar maintenance probe: time ONE mergeGraphIndexed batch
+      // (20 upserts + 10 tombstones) against the PRUNED path (full
+      // sidecar pair — reads only affected buckets) and the LEGACY path
+      // (src sidecar only — materializes the whole edge table + store
+      // per batch). The claim under test: pruned batch cost is flat in
+      // corpus size (exponent ~0), legacy grows ~linearly. Store build
+      // and graph build are one-time costs, reported but not the claim.
+      import graft.sources.CollectionStore
+      // bucket count sized for the pruning to have room to bite (the
+      // 100 TB deployment regime: nBuckets >> batch's affected srcs).
+      // Deployment holds bucket SIZE constant — nBuckets ∝ N — which is
+      // what makes pruned bytes per batch flat in corpus size; override
+      // to measure that regime (fixed nBuckets leaves a constant-factor
+      // saving only, since each touched bucket grows with N).
+      // Batch sized like a CDC micro-batch.
+      val nBuckets = sys.env.getOrElse("GRAFT_GMERGE_BUCKETS", "512").toInt
+      val san = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val cents = Ann.seedCentroids(points, cells)
+      val (graph, buildSecs) = timed {
+        Ann.graphBuild(points, cents, graphK = 12, maxDegree = 16)
+          .localCheckpoint(true)
+      }
+      val seeds = Ann.seedCentroids(points, 32).orderBy("cid").collect()
+      val ecids = seeds.map(_.getLong(0)).toSeq
+      val ecents = seeds.map(_.getSeq[Double](1).toSeq).toSeq
+      val maxId = points.agg(max(col("id"))).head().getLong(0)
+      val adds = points.filter(col("id") < 2)
+        .select((col("id") + maxId + 1000L).as("id"), col("embedding"),
+          col("user_id")).localCheckpoint(true)
+      val delIds = Seq(maxId - 1).filterNot(ecids.contains)
+      val dels = {
+        import spark.implicits._
+        delIds.toDF("id")
+      }
+      // bytes actually READ per merge — the 100 TB cost predictor (wall
+      // seconds at fixture scale are fixed per-job overhead, ~30 small
+      // jobs either way); includes checkpoint/cache re-reads
+      val bytesAcc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesAcc.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      def mergeRun(pruned: Boolean): (Double, Long) = {
+        val p = s"/tmp/graft_probe_gmerge_$san/" +
+          (if (pruned) "p" else "l") + "/store"
+        val dir = new java.io.File(p).getParentFile
+        if (dir.exists) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+          }
+          rm(dir)
+        }
+        CollectionStore.saveBucketed(points
+          .select(col("id"), col("embedding"), col("user_id")), p, nBuckets)
+        if (pruned) CollectionStore.saveGraphSidecar(graph, p, nBuckets)
+        else Ann.saveGraphBucketed(graph, p + "_graph", nBuckets)
+        spark.sparkContext.addSparkListener(listener)
+        bytesAcc.set(0L)
+        val secs = timed {
+          CollectionStore.mergeGraphIndexed(spark, p, adds, Some(dels),
+            ecids, ecents, nBuckets, graphK = 12, maxDegree = 16,
+            beam = 24, hops = 8)
+        }._2
+        Thread.sleep(2000) // listener events drain async
+        spark.sparkContext.removeSparkListener(listener)
+        (secs, bytesAcc.get())
+      }
+      val (legacySecs, legacyBytes) = mergeRun(pruned = false)
+      val (prunedSecs, prunedBytes) = mergeRun(pruned = true)
+      println(s"""{"probe":"gmerge","sf":"$sfDir","n":$n,"cells":$cells,""" +
+        s""""n_buckets":$nBuckets,"build_secs":${math.rint(buildSecs * 100) / 100},""" +
+        s""""batch_adds":2,"batch_dels":${delIds.size},""" +
+        s""""legacy_merge_secs":${math.rint(legacySecs * 100) / 100},""" +
+        s""""legacy_merge_mb":${math.rint(legacyBytes / 1e5) / 10},""" +
+        s""""pruned_merge_secs":${math.rint(prunedSecs * 100) / 100},""" +
+        s""""pruned_merge_mb":${math.rint(prunedBytes / 1e5) / 10}}""")
+      spark.stop()
+      return
+    }
     if (mode == "bpe") {
       // BPE-at-vocab-scale probe (VERDICT r9 #3 follow-through): the
       // sequential learner pays one driver round per merge, so a 32k

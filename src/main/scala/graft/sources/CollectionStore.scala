@@ -420,10 +420,38 @@ object CollectionStore {
 
     if (fs.exists(new Path(revPath)) && entryCids.nonEmpty) {
       // ---- PRUNED PATH: O(affected buckets), never O(|graph|) ----
+      // Read ONLY the named bucket dirs (basePath keeps the partition
+      // column): a plain read of the whole table root lists every
+      // bucket dir per call, which at hundreds of buckets × one read
+      // per descent hop dominates the batch — listing is part of the
+      // O(affected) contract, not just bytes. One root listStatus per
+      // table caches which buckets exist.
+      def existingBuckets(tablePath: String): Set[Int] =
+        fs.listStatus(new Path(tablePath)).map(_.getPath.getName)
+          .filter(_.startsWith("bucket="))
+          .map(_.stripPrefix("bucket=").toInt).toSet
+      val bucketCache =
+        scala.collection.mutable.Map.empty[String, Set[Int]]
+      def readBuckets(tablePath: String, bs: Seq[Int]): DataFrame = {
+        val existing = bucketCache.getOrElseUpdate(
+          tablePath, existingBuckets(tablePath))
+        val dirs = bs.filter(existing).map(b => s"$tablePath/bucket=$b")
+        if (dirs.isEmpty)
+          spark.read.parquet(tablePath).filter(lit(false))
+        else spark.read.option("basePath", tablePath).parquet(dirs: _*)
+      }
+      // phase timings for the gmerge scaling probe (env-gated, no-op
+      // otherwise)
+      var _t = System.nanoTime()
+      def mark(tag: String): Unit = {
+        if (sys.env.contains("GRAFT_GMERGE_DEBUG"))
+          println(f"GMERGE $tag: ${(System.nanoTime() - _t) / 1e9}%.2f s")
+        _t = System.nanoTime()
+      }
       val incidentSrcs =
         if (doomedIds.isEmpty) Array.empty[Long]
-        else spark.read.parquet(revPath)
-          .filter(inBuckets(bucketsOf(doomedIds)) && inIds(col("dst"), doomedIds))
+        else readBuckets(revPath, bucketsOf(doomedIds))
+          .filter(inIds(col("dst"), doomedIds))
           .select("src").distinct().collect().map(_.getLong(0))
       // per-hop pruned suppliers for the insert descent: collect the
       // hop's ids (CDC-batch bounded), read only their buckets with the
@@ -436,23 +464,25 @@ object CollectionStore {
       def storeFor(ids: DataFrame): DataFrame = {
         val need = ids.select("id").distinct()
           .collect().map(_.getLong(0)).toSeq.filterNot(doomedIds.toSet)
-        spark.read.parquet(path)
-          .filter(inBuckets(bucketsOf(need)) && inIds(col("id"), need))
+        readBuckets(path, bucketsOf(need))
+          .filter(inIds(col("id"), need))
           .drop("bucket")
       }
       def graphFor(frontier: DataFrame): DataFrame = {
         val ids = frontier.select("id").distinct()
           .collect().map(_.getLong(0)).toSeq
-        notDoomedEdges(spark.read.parquet(graphPath)
-          .filter(inBuckets(bucketsOf(ids)) && inIds(col("src"), ids))
+        notDoomedEdges(readBuckets(graphPath, bucketsOf(ids))
+          .filter(inIds(col("src"), ids))
           .drop("bucket"))
       }
       // PRE-CAP neighbor selection (ADVICE r10): the affected srcs on
       // insert are the new ids plus every chosen candidate, derived
       // before the per-src degree re-cap
+      mark("incident")
       val nn = if (!hasAdds) null
         else Ann.graphInsertNnVia(storeFor, graphFor, adds, graphK, beam,
           hops, entryCids, entryCents).localCheckpoint(true)
+      mark("descent")
       val nbrSrcs =
         if (!hasAdds) Array.empty[Long]
         else nn.select("id").distinct().collect().map(_.getLong(0))
@@ -463,8 +493,8 @@ object CollectionStore {
         // (read-then-overwrite rule); srcs merely SHARING a bucket with
         // an affected src get recapped too — unchanged by the invariant
         // checked below, so rewriting them is exact
-        val gAff = spark.read.parquet(graphPath)
-          .filter(inBuckets(srcBuckets)).drop("bucket").localCheckpoint(true)
+        val gAff = readBuckets(graphPath, srcBuckets)
+          .drop("bucket").localCheckpoint(true)
         val builtRow = gAff.groupBy("src")
           .agg(count(lit(1)).as("d")).agg(max(col("d"))).head()
         val builtDegree = if (builtRow.isNullAt(0)) 0L else builtRow.getLong(0)
@@ -472,9 +502,11 @@ object CollectionStore {
           s"mergeGraphIndexed: maxDegree ($maxDegree) is tighter than the " +
             s"sidecar's observed max out-degree ($builtDegree) — pass the " +
             "build-time cap (or rebuild the graph to re-cap globally)")
+        mark("gaff_read")
         val g1Aff = Ann.graphDelete(gAff, doomed)
         val g2Aff = (if (!hasAdds) g1Aff
           else Ann.graphMergeNn(g1Aff, nn, maxDegree)).localCheckpoint(true)
+        mark("recap")
         overwriteBuckets(graphPath,
           g2Aff.withColumn("bucket",
             pmod(col("src"), lit(nBuckets.toLong)).cast("int")),
@@ -483,14 +515,16 @@ object CollectionStore {
         // touched dst-buckets minus removed plus added. removed/added
         // come from the before/after of the recapped region, which holds
         // every changed edge (all changes have srcs in affected buckets)
+        mark("src_write")
         val removed = gAff.except(g2Aff).localCheckpoint(true)
         val added = g2Aff.except(gAff).localCheckpoint(true)
         val dstBuckets = removed.select("dst").unionByName(added.select("dst"))
           .select(pmod(col("dst"), lit(nBuckets.toLong)).cast("int").as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        mark("except")
         if (dstBuckets.nonEmpty) {
-          val revAff = spark.read.parquet(revPath)
-            .filter(inBuckets(dstBuckets)).drop("bucket").localCheckpoint(true)
+          val revAff = readBuckets(revPath, dstBuckets)
+            .drop("bucket").localCheckpoint(true)
           val revNew = revAff
             .join(removed.select("src", "dst"), Seq("src", "dst"), "left_anti")
             .unionByName(added)
@@ -500,12 +534,13 @@ object CollectionStore {
           overwriteBuckets(revPath, revNew, dstBuckets, Seq("dst", "src"))
         }
       }
+      mark("rev_patch")
       // store side: LWW + tombstones against only the batch's buckets,
       // read pruned (legacy materializes the whole store first)
       val storeBuckets = bucketsOf(doomedIds ++ addIds)
       if (storeBuckets.nonEmpty) {
-        val sAff = spark.read.parquet(path)
-          .filter(inBuckets(storeBuckets)).drop("bucket").localCheckpoint(true)
+        val sAff = readBuckets(path, storeBuckets)
+          .drop("bucket").localCheckpoint(true)
         val bucketed = sAff
           .join(doomed, Seq("id"), "left_anti")
           .unionByName(adds)
