@@ -451,6 +451,51 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** [[graphCdcStream]] for a BUCKETED store + graph-sidecar pair — the
+    * 100 TB execution form the flat variant's scaladoc promises: each
+    * micro-batch applies tombstones + upserts through
+    * [[graft.sources.CollectionStore.mergeGraphIndexed]], whose pruned
+    * path (reverse sidecar present) reads and rewrites ONLY the
+    * affected buckets of the store, the src-bucketed graph, and the
+    * dst-bucketed reverse sidecar — per-batch cost O(batch footprint),
+    * never O(corpus) (measured: SCALING.md round-11 gmerge table).
+    * Same-batch add+tombstone resolves to the tombstone; upserts are
+    * LWW (mergeGraphIndexed's doomed = adds ∪ deletes drops the old
+    * row and its stale-scored edges before re-linking).
+    *
+    * Exactly-once: offsets checkpoint per micro-batch — a restart
+    * after commit never re-executes the batch. A crash INSIDE the
+    * multi-table commit window can leave the batch partially applied;
+    * on replay the store converges (LWW + tombstone anti-joins are
+    * idempotent) and the graph converges up to degree re-cap
+    * evictions — the periodic-rebuild repair already documented (and
+    * recall-graded) for churn degradation covers that window too. */
+  def graphCdcStreamBucketed(spark: SparkSession, changes: DataFrame,
+      path: String, entryCids: Seq[Long], entryCents: Seq[Seq[Double]],
+      nBuckets: Int = 16, checkpoint: String = "",
+      graphK: Int = 12, maxDegree: Int = 16,
+      beam: Int = 24, hops: Int = 8): Unit = {
+    import graft.sources.CollectionStore
+    val ckpt = if (checkpoint.nonEmpty) checkpoint else path + "_gcdc_ckpt"
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.count() > 0) {
+          val dels = b.filter(col("_deleted")).select("id")
+          val adds = b.filter(!col("_deleted"))
+            .select(col("id"), col("embedding"), col("user_id"))
+            .join(dels, Seq("id"), "left_anti") // tombstone wins in-batch
+          CollectionStore.mergeGraphIndexed(spark, path, adds, Some(dels),
+            entryCids, entryCents, nBuckets, graphK, maxDegree, beam, hops)
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def curationStream(spark: SparkSession, docs: DataFrame,
       evalSet: DataFrame, destPath: String, bloomPath: String,
       mBits: Int = 65536, kProbes: Int = 3, minQuality: Double = 0.2,

@@ -342,6 +342,74 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(storePath).count() == store.count())
   }
 
+  test("bucketed graph CDC stream: pruned maintenance ≡ direct merge, restart no-op") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Ann, Collection}
+    import graft.sources.CollectionStore
+    val dir = java.nio.file.Files.createTempDirectory("cdc_graph_bkt")
+    val path = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val nBuckets = 16
+    val points = Collection.load(spark, sf001)
+      .select($"id", $"embedding", $"user_id")
+    val base = points.filter($"id" < 400)
+    val cents = Ann.seedCentroids(base, 16)
+    val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val ces = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    CollectionStore.saveBucketed(base, path, nBuckets)
+    val graph0 = Ann.graphBuild(base, cents, graphK = 12, maxDegree = 16)
+      .localCheckpoint(true)
+    CollectionStore.saveGraphSidecar(graph0, path, nBuckets)
+    // one CDC batch: insert ids 400-407, upsert id 50 (id-450's vector),
+    // tombstone 100-101 — through the streaming pruned-merge path
+    val fresh = points.filter($"id" >= 400 && $"id" < 408)
+      .as[(Long, Seq[Double], Int)].collect().toSeq
+    val newEmb = points.filter($"id" === 450)
+      .select($"embedding").as[Seq[Double]].head()
+    implicit val sc = spark.sqlContext
+    val changes = MemoryStream[(Long, Seq[Double], Int, Boolean)]
+    changes.addData(fresh.map { case (i, e, u) => (i, e, u, false) }: _*)
+    changes.addData((50L, newEmb, 7, false))
+    changes.addData((100L, Seq.empty[Double], 0, true),
+      (101L, Seq.empty[Double], 0, true))
+    val df = changes.toDF().toDF("id", "embedding", "user_id", "_deleted")
+    StreamingOps.graphCdcStreamBucketed(spark, df, path, cids, ces,
+      nBuckets, checkpoint = ckpt)
+    // ≡ one direct mergeGraphIndexed of the same batch on a pristine copy
+    val dir2 = java.nio.file.Files.createTempDirectory("cdc_graph_bkt_ref")
+    val path2 = dir2.resolve("store").toString
+    CollectionStore.saveBucketed(base, path2, nBuckets)
+    CollectionStore.saveGraphSidecar(graph0, path2, nBuckets)
+    val adds = points.filter($"id" >= 400 && $"id" < 408)
+      .unionByName(Seq((50L, newEmb, 7)).toDF("id", "embedding", "user_id"))
+    CollectionStore.mergeGraphIndexed(spark, path2, adds,
+      Some(Seq(100L, 101L).toDF("id")), cids, ces, nBuckets,
+      graphK = 12, maxDegree = 16, beam = 24, hops = 8)
+    def edges(p: String) = spark.read.parquet(p + "_graph").drop("bucket")
+      .select("src", "dst", "score").orderBy("src", "dst")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(edges(path) == edges(path2),
+      "streamed pruned maintenance diverged from the direct merge")
+    val store = CollectionStore.loadBucketed(spark, path)
+    assert(store.filter($"id".isin(100L, 101L)).count() == 0)
+    assert(store.filter($"id" === 50).select($"user_id".cast("int"))
+      .as[Int].head() == 7)
+    assert(store.filter($"id" >= 400 && $"id" < 408).count() == 8)
+    // rev sidecar stays consistent with the forward table through CDC
+    val fwd = spark.read.parquet(path + "_graph").drop("bucket")
+      .select("src", "dst", "score").as[(Long, Long, Double)].collect().toSet
+    val rev = spark.read.parquet(path + "_graph_rev").drop("bucket")
+      .select("src", "dst", "score").as[(Long, Long, Double)].collect().toSet
+    assert(fwd == rev, "reverse sidecar diverged through streamed CDC")
+    // exactly-once: rerun with the same checkpoint is a no-op
+    val before = edges(path)
+    StreamingOps.graphCdcStreamBucketed(spark, df, path, cids, ces,
+      nBuckets, checkpoint = ckpt)
+    assert(edges(path) == before)
+  }
+
   test("graph CDC stream: upserting an existing id rebuilds its incident edges") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
