@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Collection, IndexMeta, Quantization, Search}
+import graft.operators.{Ann, Collection, IndexMeta, Pca, Quantization, Search}
 
 /** Bench-scale recall measurement: recall@k of each approximate search path
   * against exact brute force, averaged over a deterministic query sample.
@@ -105,8 +105,18 @@ object RecallReport {
           .groupBy(_.getLong(0)).map { case (q, rs) =>
             q -> rs.map(_.getLong(1)).toSet }
       }
+      // PCA-PQ: PQ in the UNCENTERED PCA basis (Pca.rotate preserves inner
+      // products — orthogonal, no mean shift), graded against the same
+      // original-space exact sets; next to pq_adc it measures what the
+      // energy-compacting rotation buys (or costs) the quantizer at the
+      // same code budget.
+      val pcaM = SparkEntry.pcaModel(spark, sfDir)
+      val rotPoints = Pca.rotate(points, pcaM).cache()
+      val pqPcaCb = Quantization.pqCodebookOf(
+        Quantization.pqTrain(rotPoints, dim = 64, m = 8, ksub = 16, maxIter = 5))
       val perQuery = qids.map { qid =>
         val q = points.filter(col("id") === qid).select(col("embedding").as("qemb"))
+        val qRot = Pca.rotate(q, pcaM, "qemb")
         val exact = ids(Search.knn(points, q, k, -1.0))
         def recall(approx: Set[Long]): Double =
           if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
@@ -119,6 +129,7 @@ object RecallReport {
           "cascade" -> recall(ids(Quantization.cascadeSearch(points, q, k))),
           "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))),
           "pq_adc" -> recall(ids(Quantization.pqAdcSearch(points, q, pqCb, k))),
+          "pq_pca_adc" -> recall(ids(Quantization.pqAdcSearch(rotPoints, qRot, pqPcaCb, k))),
           "graph_beam" -> recall(graphIds.getOrElse(qid.toLong, Set.empty)),
           "graph_after_cdc" -> recall(graphCdcIds.getOrElse(qid.toLong, Set.empty)))
         // held-out only: the calibration set must not grade itself
@@ -130,6 +141,7 @@ object RecallReport {
       val out = perQuery.flatten.groupBy(_._1).map { case (m, xs) =>
         m -> xs.map(_._2).sum / xs.size }
       assigned.unpersist()
+      rotPoints.unpersist()
       // target-vs-measured: `ivf` is the measured held-out recall,
       // `ivf_target` the calibration target its nprobe was chosen for —
       // side by side so a calibration undershoot is visible in every bench

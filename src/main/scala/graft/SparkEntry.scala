@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Bpe, Collection, Dedup, Events, IndexMeta, Multimodal, Privacy, Quantization, Relational, Search, Stats, TextAnalysis}
+import graft.operators.{Ann, Bpe, Collection, Dedup, Events, IndexMeta, Multimodal, Pca, Privacy, Quantization, Relational, Search, Stats, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -60,6 +60,7 @@ object SparkEntry {
   @volatile private var kmOracleDir: String = null
   @volatile private var pqOracleDir: String = null
   @volatile private var nbqOracleDir: String = null
+  @volatile private var pcaOracleDir: String = null
   @volatile private var lmOracleDir: String = null
   private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
     kmOracleDir = dir
@@ -115,6 +116,33 @@ object SparkEntry {
   private[graft] def pqMeta(s: SparkSession, dir: String): Quantization.PqCodebook =
     pqMetaBuilt.computeIfAbsent(dir,
       _ => Quantization.pqCodebookOf(pqCodebookDf(s, dir)))
+
+  /** PCA model side table (kmeans/PQ lifecycle): full-rank model trained
+    * ONCE per JVM per scale dir from exact decimal moments
+    * ([[Pca.train]]), persisted as a ≤64-row (comp, eigval, vec, mu_proj)
+    * table; Spark projects against the broadcast table, the DuckDB oracle
+    * projects from the SAME parquet — the non-SQL-expressible Jacobi
+    * eigendecomposition drops out of the comparison. */
+  private def pcaPath(dir: String) = "/tmp/graft_pca_" + san(dir)
+  private val pcaAlias = "/tmp/graft_pca_current"
+  private val pcaBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pcaModelBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.PcaModel]()
+  private[graft] def pcaModel(s: SparkSession, dir: String): Pca.PcaModel =
+    pcaModelBuilt.computeIfAbsent(dir,
+      _ => Pca.train(Collection.load(s, dir), 64))
+  private def pcaTableDf(s: SparkSession, dir: String): DataFrame = {
+    pcaOracleDir = dir
+    val path = pcaPath(dir)
+    pcaBuilt.computeIfAbsent(path, _ => {
+      val t = Pca.modelTable(s, pcaModel(s, dir))
+      t.coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(pcaAlias)
+      path
+    })
+    s.read.parquet(path)
+  }
 
   /** NPY migration fixture: the embeddings table dumped ONCE per JVM per
     * scale dir as a real float32 `.npy` file — standing in for the foreign
@@ -1108,6 +1136,18 @@ object SparkEntry {
       Stats.embeddingHealth(
         s.read.parquet(s"$dir/embeddings.parquet")
           .select(col("embedding").cast("array<double>").as("embedding")))),
+    // PCA energy diagnostic: per-component variance of the centered
+    // projection vs the model eigenvalue, with cumulative explained
+    // energy — verifies the one-pass exact-moment train and the
+    // broadcast projection distributively (every collection row scored).
+    "pca_variance" -> ((s, dir) =>
+      Pca.varianceReport(Collection.load(s, dir), pcaTableDf(s, dir), 64)),
+    // Centered PCA projection, long format, first 8 components of the
+    // first 32 points — the reduced-representation read path itself.
+    "pca_project" -> ((s, dir) =>
+      Pca.project(Collection.load(s, dir).filter(col("id") < 32),
+          pcaTableDf(s, dir), 8)
+        .orderBy("id", "comp")),
     // Zipf-fit corpus diagnostic: power-law slope of the top-100 token
     // frequencies (drift from ~-1 flags templating or over-dedup).
     "zipf_fit" -> ((s, dir) =>
@@ -1737,6 +1777,7 @@ object SparkEntry {
   private def idxOracleGlob = kmOracleGlob
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
+  private def pcaOracleGlob = sideGlob(pcaOracleDir, pcaPath, pcaAlias)
   private def lmOracleGlob = sideGlob(lmOracleDir, lmPath, lmAlias)
   private def gidxStoreGlob =
     sideGlob(gidxOracleDir, d => gidxPath(d) + "_ostore", gidxStoreAlias)
@@ -2987,6 +3028,32 @@ object SparkEntry {
         |SELECT dim_count, min_norm, mean_norm, max_norm, mean_var, max_var, max_var_dim,
         |  round((max_var / mean_var)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS anisotropy
         |FROM da, top, na""".stripMargin,
+    // PCA: both engines project from the SAME persisted model table; every
+    // computed-double rounding uses the ::VARCHAR::DECIMAL shortest-repr
+    // trick (the text_quality rule).
+    "pca_variance" ->
+      s"""WITH $C,
+         |m AS (SELECT comp, eigval, vec, mu_proj FROM read_parquet($pcaOracleGlob)),
+         |p AS (SELECT c.id, m.comp,
+         |  round((list_dot_product(c.ne, m.vec) - m.mu_proj)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS proj
+         |  FROM c, m),
+         |v AS (SELECT comp,
+         |  round(((sum(proj::DECIMAL(18,6) * proj::DECIMAL(18,6))::DOUBLE
+         |    - sum(proj::DECIMAL(28,6))::DOUBLE * sum(proj::DECIMAL(28,6))::DOUBLE / count(*))
+         |    / count(*))::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS var_proj
+         |  FROM p GROUP BY comp),
+         |t AS (SELECT sum(eigval::DECIMAL(28,9)) AS te FROM m)
+         |SELECT m.comp::INT AS comp, m.eigval, v.var_proj,
+         |  round(((sum(m.eigval::DECIMAL(28,9)) OVER (ORDER BY m.comp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+         |    / t.te::DOUBLE)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS cum_energy_ratio
+         |FROM v JOIN m USING (comp), t ORDER BY comp""".stripMargin,
+    "pca_project" ->
+      s"""WITH $C,
+         |m AS (SELECT comp, vec, mu_proj FROM read_parquet($pcaOracleGlob) WHERE comp < 8)
+         |SELECT c.id, m.comp,
+         |  round((list_dot_product(c.ne, m.vec) - m.mu_proj)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS proj
+         |FROM c, m WHERE c.id < 32 ORDER BY id, comp""".stripMargin,
     // computed-double roundings use the ::VARCHAR::DECIMAL shortest-repr
     // trick (the text_quality rule): Spark round()s the double's shortest
     // decimal repr, DuckDB the true binary value

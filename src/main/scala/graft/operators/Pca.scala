@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorExpressions.dotD
+
+/** PCA over the embedding column — the dimensionality-reduction /
+  * energy-compaction stage of an embedding curation pipeline (public
+  * practice: PCA'd embeddings for clustering and dedup, and the rotation
+  * in front of product quantization — Jégou et al. '11 §V.A note PQ is
+  * sensitive to the basis; an orthogonal rotation is the standard
+  * pre-transform). The reference stores raw vectors only; this operator
+  * family is part of the engine's training-data-pipeline surface, like
+  * dedup and DSIR.
+  *
+  * Execution shape, designed for 100 TB:
+  *  - [[moments]] is ONE map-side-combined aggregate. Each row explodes to
+  *    its d mean entries plus the d(d+1)/2 upper-triangle second-moment
+  *    products (inherent O(N·d²) compute of any Gram accumulation), and
+  *    `groupBy(i,j).sum` partial-aggregates per map task, so the shuffle
+  *    carries ≤ (d(d+1)/2 + d) rows PER TASK regardless of N. Sums are
+  *    DECIMAL — exact, order-free, deterministic across runs and engines
+  *    (the engine's standard money-sum rule).
+  *  - Eigendecomposition runs on the DRIVER over the d×d covariance —
+  *    index-metadata scale (d=64 → 32 KB), same tier as kmeans centroids
+  *    and PQ codebooks. Cyclic Jacobi with a fixed tolerance: fully
+  *    deterministic given the (exact-decimal) input moments.
+  *  - The model persists as a ≤d-row side table (comp, eigval, vec,
+  *    mu_proj); projection is a broadcast of that table against the
+  *    collection with the codegen'd [[dotD]] kernel — no shuffle beyond
+  *    the one the caller's aggregation already owns.
+  *
+  * Determinism: model components are rounded to 9dp at train time and
+  * persisted; both engines (Spark and the DuckDB oracle) project from the
+  * SAME persisted table, so Jacobi's float path never meets the
+  * cross-engine comparison (the kmeans/PQ side-table rule).
+  */
+object Pca {
+
+  /** Trained model, driver-side (index-metadata scale): `mu` is the mean
+    * vector, `comps(c)` the c-th eigenvector (descending eigenvalue),
+    * both rounded to 9dp; `eigvals` rounded to 9dp, non-increasing. */
+  case class PcaModel(mu: Array[Double], eigvals: Array[Double],
+      comps: Array[Array[Double]]) {
+    def dim: Int = mu.length
+  }
+
+  /** Exact first/second raw moments of the embedding column in ONE
+    * aggregate: returns (n, Σx, upper-triangle Σ x_i·x_j). Entries are
+    * cast to DECIMAL(38,18) before summing — the per-element cast is a
+    * deterministic rounding, and the sum is then exact and order-free. */
+  def moments(points: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val d = dim
+    // per-row entry list: (i, -1, x_i) mean entries ++ (i, j, x_i*x_j)
+    // upper-triangle entries, built by codegen'd HOFs
+    val entries = expr(
+      s"""concat(
+         |  transform(sequence(0, $d-1),
+         |    i -> struct(i AS i, -1 AS j, embedding[i] AS v)),
+         |  flatten(transform(sequence(0, $d-1),
+         |    i -> transform(sequence(i, $d-1),
+         |      j -> struct(i AS i, j AS j, embedding[i] * embedding[j] AS v)))))
+         |""".stripMargin)
+    val agg = points
+      .select(explode(entries).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.v").cast("decimal(38,18)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val s1 = Array.ofDim[Double](d)
+    val s2 = Array.ofDim[Double](d, d)
+    var n = 0L
+    agg.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val s = r.getDouble(2)
+      if (j < 0) { s1(i) = s; n = r.getLong(3) }
+      else { s2(i)(j) = s; s2(j)(i) = s }
+    }
+    (n, s1, s2)
+  }
+
+  /** Train a full-rank PCA model from the exact moments: covariance
+    * C = S2/n − μμᵀ, cyclic-Jacobi eigendecomposition, eigenpairs sorted
+    * by descending eigenvalue (index tiebreak), each eigenvector's sign
+    * fixed so its largest-magnitude component (first on ties) is
+    * positive, then everything rounded to 9dp. Deterministic end to end:
+    * the moments are exact decimals and Jacobi is branch-stable. */
+  def train(points: DataFrame, dim: Int): PcaModel = {
+    val (n, s1, s2) = moments(points, dim)
+    val d = dim
+    val mu = s1.map(_ / n)
+    val c = Array.tabulate(d, d)((i, j) => s2(i)(j) / n - mu(i) * mu(j))
+    val (evals, evecs) = jacobiEigen(c)
+    // sort by descending eigenvalue, index tiebreak
+    val order = (0 until d).sortBy(i => (-evals(i), i))
+    val eigvals = order.map(i => round9(math.max(evals(i), 0.0))).toArray
+    val comps = order.map { i =>
+      val v = Array.tabulate(d)(r => evecs(r)(i))
+      // sign convention: largest-|component| (first on ties) positive
+      var best = 0
+      var k = 1
+      while (k < d) {
+        if (math.abs(v(k)) > math.abs(v(best)) + 1e-12) best = k
+        k += 1
+      }
+      val s = if (v(best) < 0) -1.0 else 1.0
+      v.map(x => round9(s * x))
+    }.toArray
+    PcaModel(mu.map(round9), eigvals, comps)
+  }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS). Fixed sweep order (p<q row
+    * major), rotations applied while any off-diagonal exceeds 1e-12,
+    * capped at 64 sweeps — deterministic for a deterministic input. */
+  private[graft] def jacobiEigen(cIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = cIn.length
+    val a = cIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val cth = 1.0 / math.sqrt(t * t + 1.0)
+            val sth = t * cth
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = cth * akp - sth * akq
+              a(k)(q) = sth * akp + cth * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = cth * apk - sth * aqk
+              a(q)(k) = sth * apk + cth * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = cth * vkp - sth * vkq
+              v(k)(q) = sth * vkp + cth * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { off = math.max(off, math.abs(a(i)(j))); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** The model as its persistable side table: one row per component,
+    * `(comp, eigval, vec, mu_proj)` where `mu_proj = ⟨μ, vec⟩` is the
+    * precomputed centering offset (left-to-right double dot of the
+    * ROUNDED values, rounded to 9dp), so centered projection is a single
+    * [[dotD]] minus a scalar in both engines. */
+  def modelTable(spark: org.apache.spark.sql.SparkSession, m: PcaModel): DataFrame = {
+    import spark.implicits._
+    m.comps.indices.map { ci =>
+      val vec = m.comps(ci)
+      var dp = 0.0
+      var i = 0
+      while (i < vec.length) { dp += m.mu(i) * vec(i); i += 1 }
+      (ci, m.eigvals(ci), vec.toSeq, round9(dp))
+    }.toDF("comp", "eigval", "vec", "mu_proj")
+  }
+
+  /** Centered projection onto the first `k` components, long format
+    * `(id, comp, proj)`: broadcast of the ≤d-row model table against the
+    * collection, one codegen'd dot per (row, comp), rounded to 6dp. */
+  def project(points: DataFrame, model: DataFrame, k: Int): DataFrame =
+    points
+      .crossJoin(broadcast(model.filter(col("comp") < k)
+        .select(col("comp"), col("vec"), col("mu_proj"))))
+      .select(col("id"), col("comp"),
+        round(dotD(col("embedding"), col("vec")) - col("mu_proj"), 6).as("proj"))
+
+  /** Per-component variance of the CENTERED projection over the whole
+    * collection, next to the model's eigenvalue and the cumulative
+    * explained-energy ratio — the "how many dims does this corpus really
+    * use" diagnostic, verified distributively (the variance recomputes
+    * the projection over every row; matching eigval certifies the whole
+    * moments→Jacobi→persist→project chain end to end). Variance uses the
+    * exact-decimal sum-of-squares identity over the 6dp projections (the
+    * [[Stats.metricSummary]] rule). Output: (comp, eigval, var_proj,
+    * cum_energy_ratio), ordered by comp. */
+  def varianceReport(points: DataFrame, model: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val proj = project(points, model, k)
+    val dsum = sum(col("proj").cast("decimal(28,6)")).cast("double")
+    val dsumsq = sum(col("proj").cast("decimal(18,6)") * col("proj").cast("decimal(18,6)"))
+      .cast("double")
+    val n = count(lit(1))
+    val perComp = proj.groupBy("comp")
+      .agg(round((dsumsq - dsum * dsum / n) / n, 6).as("var_proj"))
+      .join(broadcast(model.select(col("comp"), col("eigval"))), Seq("comp"))
+    val total = perComp.agg(sum(col("eigval").cast("decimal(28,9)")).as("te"))
+    val w = Window.orderBy("comp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perComp.crossJoin(broadcast(total))
+      .withColumn("cum_energy_ratio",
+        round(sum(col("eigval").cast("decimal(28,9)")).over(w).cast("double")
+          / col("te").cast("double"), 6))
+      .select(col("comp").cast("int").as("comp"), col("eigval"),
+        col("var_proj"), col("cum_energy_ratio"))
+      .orderBy("comp")
+  }
+
+  /** UNCENTERED orthogonal rotation of the embedding column into the PCA
+    * basis — `y_c = ⟨x, comps(c)⟩` with NO mean subtraction, so inner
+    * products are preserved exactly (R orthonormal ⇒ ⟨Rx,Rq⟩ = ⟨x,q⟩, up
+    * to the 9dp component rounding): the metric-safe pre-transform for
+    * product quantization (PCA-PQ). Pure map: one literal d×d matrix in
+    * the closure, codegen'd zip_with/aggregate per output component. */
+  def rotate(points: DataFrame, m: PcaModel, embCol: String = "embedding"): DataFrame = {
+    val r: Column = typedLit(m.comps.map(_.toSeq).toSeq)
+    points.withColumn(embCol, transform(r, rw => dotD(rw, col(embCol))))
+  }
+}

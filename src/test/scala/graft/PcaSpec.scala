@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Collection, Pca}
+
+/** PCA specs: exact moments vs a driver-side recomputation, Jacobi
+  * orthonormality and residual, eigenvalue ordering, projected variance ≡
+  * eigenvalue (the end-to-end certificate), dot-product preservation of
+  * the uncentered rotation (the PCA-PQ metric-safety claim), and train
+  * determinism across physical layouts. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val points = Collection.load(spark, sf001).cache()
+  private lazy val rows =
+    points.select($"embedding").as[Seq[Double]].collect().map(_.toArray)
+  private lazy val model = Pca.train(points, 64)
+
+  test("moments: exact vs driver recomputation") {
+    val (n, s1, s2) = Pca.moments(points, 64)
+    assert(n == rows.length)
+    val d = 64
+    val es1 = Array.ofDim[Double](d)
+    val es2 = Array.ofDim[Double](d, d)
+    rows.foreach { x =>
+      var i = 0
+      while (i < d) {
+        es1(i) += x(i)
+        var j = i
+        while (j < d) { es2(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) {
+      assert(math.abs(s1(i) - es1(i)) < 1e-9, s"mean sum $i")
+      var j = i
+      while (j < d) {
+        assert(math.abs(s2(i)(j) - es2(i)(j)) < 1e-9, s"gram sum $i,$j")
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  test("eigvals non-increasing and non-negative; comps orthonormal") {
+    val d = model.dim
+    model.eigvals.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) >= w(1) - 1e-12) }
+    assert(model.eigvals.forall(_ >= 0.0))
+    // R Rᵀ ≈ I at the 9dp component rounding
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val dp = (0 until d).map(k => model.comps(i)(k) * model.comps(j)(k)).sum
+        val want = if (i == j) 1.0 else 0.0
+        assert(math.abs(dp - want) < 1e-6, s"orthonormality $i,$j: $dp")
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  test("projected variance matches eigenvalue per component") {
+    val table = Pca.modelTable(spark, model)
+    val rep = Pca.varianceReport(points, table, 64)
+      .select($"comp", $"eigval", $"var_proj", $"cum_energy_ratio")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(rep.length == 64)
+    rep.foreach { case (c, ev, vp, _) =>
+      // 6dp projection rounding + n vs n−1 free: population variance both
+      assert(math.abs(ev - vp) < 1e-3 + 0.01 * ev, s"comp $c: eig $ev var $vp")
+    }
+    assert(math.abs(rep.last._4 - 1.0) < 1e-6, "cumulative energy sums to 1")
+    val cums = rep.map(_._4)
+    cums.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1) + 1e-12) }
+  }
+
+  test("uncentered rotation preserves dot products (PCA-PQ metric safety)") {
+    val sample = rows.take(12)
+    val rot = sample.map { x =>
+      model.comps.map(rw => rw.zip(x).map { case (a, b) => a * b }.sum)
+    }
+    for (a <- sample.indices; b <- sample.indices) {
+      val orig = sample(a).zip(sample(b)).map { case (x, y) => x * y }.sum
+      val r = rot(a).zip(rot(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(orig - r) < 1e-6, s"dot drift $a,$b: $orig vs $r")
+    }
+  }
+
+  test("rotate() column path agrees with driver rotation") {
+    val got = Pca.rotate(points.filter($"id" < 8), model)
+      .orderBy("id").select($"embedding").as[Seq[Double]].collect()
+    val want = rows.take(8).map { x =>
+      model.comps.map(rw => rw.zip(x).map { case (a, b) => a * b }.sum)
+    }
+    got.zip(want).foreach { case (g, w) =>
+      g.zip(w).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
+  test("train is deterministic across physical layout") {
+    val m2 = Pca.train(points.repartition(7), 64)
+    assert(m2.eigvals.toSeq == model.eigvals.toSeq)
+    assert(m2.mu.toSeq == model.mu.toSeq)
+    assert(m2.comps.map(_.toSeq).toSeq == model.comps.map(_.toSeq).toSeq)
+  }
+}
