@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Bpe, Collection, Dedup, Events, IndexMeta, Multimodal, Pca, Privacy, Quantization, Relational, Search, Stats, TextAnalysis}
+import graft.operators.{Ann, Bpe, Collection, Dedup, Events, IndexMeta, LogReg, Multimodal, Pca, Privacy, Quantization, Relational, Search, Stats, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -61,6 +61,7 @@ object SparkEntry {
   @volatile private var pqOracleDir: String = null
   @volatile private var nbqOracleDir: String = null
   @volatile private var pcaOracleDir: String = null
+  @volatile private var lrOracleDir: String = null
   @volatile private var lmOracleDir: String = null
   private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
     kmOracleDir = dir
@@ -139,6 +140,28 @@ object SparkEntry {
       t.coalesce(1).write.mode("overwrite").parquet(path)
       s.read.parquet(path).coalesce(1)
         .write.mode("overwrite").parquet(pcaAlias)
+      path
+    })
+    s.read.parquet(path)
+  }
+
+  /** Logistic-regression quality-filter side table (kmeans/PQ lifecycle):
+    * weights trained ONCE per JVM per scale dir by [[LogReg.train]]'s
+    * decimal-exact full-batch GD, persisted as a 5-row (j, w) table;
+    * scoring is a pure linear form both engines evaluate identically —
+    * the transcendental training loop drops out of the comparison. */
+  private def lrPath(dir: String) = "/tmp/graft_lr_" + san(dir)
+  private val lrAlias = "/tmp/graft_lr_current"
+  private val lrBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lrWeightsDf(s: SparkSession, dir: String): DataFrame = {
+    lrOracleDir = dir
+    val path = lrPath(dir)
+    lrBuilt.computeIfAbsent(path, _ => {
+      val feats = LogReg.qualityFeatures(s.read.parquet(s"$dir/documents.parquet"))
+      val w = LogReg.train(feats)
+      LogReg.weightsTable(s, w).coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(lrAlias)
       path
     })
     s.read.parquet(path)
@@ -1093,6 +1116,13 @@ object SparkEntry {
     "quality_model_score" -> ((s, dir) =>
       TextAnalysis.scoreQualityModel(
         s.read.parquet(s"$dir/documents.parquet"), qualityModel(s, dir))),
+    // Trained LR quality classifier (GPT-3 §2.2 / CCNet shape): weights
+    // from decimal-exact full-batch GD persisted as a side table; the
+    // scored logit is a pure fixed-order linear form — the iterative
+    // distributed-training execution shape next to the one-pass NB.
+    "quality_lr_score" -> ((s, dir) =>
+      LogReg.score(
+        s.read.parquet(s"$dir/documents.parquet"), lrWeightsDf(s, dir))),
     // CCNet-style LM fluency score: per-doc average bigram negative
     // log-likelihood under the per-dir persisted hashed-bigram model
     // (the oracle scores from the SAME table — training drops out).
@@ -1778,6 +1808,7 @@ object SparkEntry {
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
   private def pcaOracleGlob = sideGlob(pcaOracleDir, pcaPath, pcaAlias)
+  private def lrOracleGlob = sideGlob(lrOracleDir, lrPath, lrAlias)
   private def lmOracleGlob = sideGlob(lmOracleDir, lmPath, lmAlias)
   private def gidxStoreGlob =
     sideGlob(gidxOracleDir, d => gidxPath(d) + "_ostore", gidxStoreAlias)
@@ -2958,6 +2989,33 @@ object SparkEntry {
          |SELECT doc_id, round(sum(w::DECIMAL(18,6))::DOUBLE, 6) AS nb_score,
          |  count(*)::BIGINT AS n_tokens
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // LR quality filter: features recomputed at 6dp in both engines, the
+    // logit a fixed-order linear form over the persisted 6dp weights.
+    "quality_lr_score" ->
+      s"""WITH $W,
+         |wt AS (SELECT max(CASE WHEN j = 0 THEN w END) AS w0,
+         |  max(CASE WHEN j = 1 THEN w END) AS w1,
+         |  max(CASE WHEN j = 2 THEN w END) AS w2,
+         |  max(CASE WHEN j = 3 THEN w END) AS w3,
+         |  max(CASE WHEN j = 4 THEN w END) AS w4
+         |  FROM read_parquet($lrOracleGlob)),
+         |s AS (SELECT doc_id,
+         |  least(1.0::DOUBLE, len(w)::DOUBLE / 100.0::DOUBLE) AS f1,
+         |  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS f2,
+         |  ${swRatio("en")} AS f3,
+         |  round(list_reduce([0] || list_transform(w, x -> length(x)), (a,b) -> a+b)::DOUBLE / len(w), 6) AS awl,
+         |  len(w)::BIGINT AS word_count
+         |  FROM t),
+         |f AS (SELECT doc_id, f1, f2, f3,
+         |  least(1.0::DOUBLE, awl / 10.0::DOUBLE) AS f4,
+         |  round((least(1.0::DOUBLE, word_count::DOUBLE / 100.0::DOUBLE)
+         |    * (1.0::DOUBLE - f3) * f2)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS qs
+         |  FROM s)
+         |SELECT doc_id,
+         |  round((wt.w0 + wt.w1 * f1 + wt.w2 * f2 + wt.w3 * f3 + wt.w4 * f4)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS lr_logit,
+         |  (qs >= 0.2)::BIGINT AS weak_label,
+         |  (round((wt.w0 + wt.w1 * f1 + wt.w2 * f2 + wt.w3 * f3 + wt.w4 * f4)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE > 0.0)::BIGINT AS keep
+         |FROM f, wt ORDER BY doc_id""".stripMargin,
     "lm_perplexity" ->
       s"""WITH $W,
          |pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
