@@ -114,9 +114,15 @@ object RecallReport {
       val rotPoints = Pca.rotate(points, pcaM).cache()
       val pqPcaCb = Quantization.pqCodebookOf(
         Quantization.pqTrain(rotPoints, dim = 64, m = 8, ksub = 16, maxIter = 5))
+      // the eigval-balanced layout (least-loaded subspace assignment):
+      // the known fix for straight PCA starving 7 of 8 codebooks
+      val rotBalPoints = Pca.rotateBalanced(points, pcaM, 8).cache()
+      val pqPcaBalCb = Quantization.pqCodebookOf(
+        Quantization.pqTrain(rotBalPoints, dim = 64, m = 8, ksub = 16, maxIter = 5))
       val perQuery = qids.map { qid =>
         val q = points.filter(col("id") === qid).select(col("embedding").as("qemb"))
         val qRot = Pca.rotate(q, pcaM, "qemb")
+        val qRotBal = Pca.rotateBalanced(q, pcaM, 8, "qemb")
         val exact = ids(Search.knn(points, q, k, -1.0))
         def recall(approx: Set[Long]): Double =
           if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
@@ -130,6 +136,7 @@ object RecallReport {
           "int8_quant" -> recall(ids(Quantization.twoPhaseSearch(points, q, k))),
           "pq_adc" -> recall(ids(Quantization.pqAdcSearch(points, q, pqCb, k))),
           "pq_pca_adc" -> recall(ids(Quantization.pqAdcSearch(rotPoints, qRot, pqPcaCb, k))),
+          "pq_pca_bal_adc" -> recall(ids(Quantization.pqAdcSearch(rotBalPoints, qRotBal, pqPcaBalCb, k))),
           "graph_beam" -> recall(graphIds.getOrElse(qid.toLong, Set.empty)),
           "graph_after_cdc" -> recall(graphCdcIds.getOrElse(qid.toLong, Set.empty)))
         // held-out only: the calibration set must not grade itself
@@ -142,6 +149,7 @@ object RecallReport {
         m -> xs.map(_._2).sum / xs.size }
       assigned.unpersist()
       rotPoints.unpersist()
+      rotBalPoints.unpersist()
       // target-vs-measured: `ivf` is the measured held-out recall,
       // `ivf_target` the calibration target its nprobe was chosen for —
       // side by side so a calibration undershoot is visible in every bench

@@ -147,6 +147,44 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "bpe1k") {
+      // REALISTIC-VOCAB batched BPE (the r10/r11 scale question made a
+      // measurement): train to a 1024-merge vocabulary on the
+      // rich-vocabulary fixture (gen_scale_fixture.py sfbpe — the base
+      // fixture's ~120 words exhaust near 91 merges) and report the
+      // driver rounds actually used. The per-round cost is bounded by
+      // the DISTINCT-WORD table, not the corpus (vocab() aggregates
+      // once), so rounds — the genuinely sequential dimension — are the
+      // 100 TB cost driver that batching divides by ~merges/round.
+      // Sequential cost is extrapolated from a measured 32-round prefix
+      // (labelled _est; 1024 sequential rounds would be the whole probe
+      // budget), batched cost is measured to the full target.
+      import graft.operators.Bpe
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val target = if (nQueries > 100) nQueries else 1024
+      val maxRounds = 400
+      val ((mergesB, vocabB), tB) =
+        timed(Bpe.learnBatched(docs, nRounds = maxRounds, batch = 32))
+      val total = mergesB.size
+      val sorted = mergesB.sortBy(m => (m.round, m.rank))
+      val roundsToTarget =
+        if (total >= target) sorted.take(target).map(_.round).max else -1L
+      val usedRounds = if (sorted.isEmpty) 0L else sorted.map(_.round).max
+      val seqProbe = 32
+      val (_, tSeq) = timed(Bpe.learnBatched(docs, nRounds = seqProbe, batch = 1))
+      val seqPerRound = tSeq / seqProbe
+      val (nTok, tApply) = timed(
+        Bpe.tokenize(docs, vocabB)
+          .agg(sum(col("n_bpe_tokens"))).head().getLong(0))
+      println(s"""{"probe":"bpe1k","sf":"$sfDir","target_merges":$target,""" +
+        s""""merges_learned":$total,"rounds_used":$usedRounds,""" +
+        s""""rounds_to_target":$roundsToTarget,"b32_secs":${math.rint(tB * 100) / 100},""" +
+        s""""seq_secs_per_round":${math.rint(seqPerRound * 1000) / 1000},""" +
+        s""""seq_secs_est_${target}":${math.rint(seqPerRound * target * 10) / 10},""" +
+        s""""apply_tokens":$nTok,"apply_secs":${math.rint(tApply * 100) / 100}}""")
+      spark.stop()
+      return
+    }
     if (mode == "bpe") {
       // BPE-at-vocab-scale probe (VERDICT r9 #3 follow-through): the
       // sequential learner pays one driver round per merge, so a 32k

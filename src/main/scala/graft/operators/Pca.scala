@@ -241,4 +241,47 @@ object Pca {
     val r: Column = typedLit(m.comps.map(_.toSeq).toSeq)
     points.withColumn(embCol, transform(r, rw => dotD(rw, col(embCol))))
   }
+
+  /** Eigenvalue-balanced component permutation for an m-subspace product
+    * quantizer: straight PCA order concentrates nearly all the energy in
+    * the FIRST subspace, starving the others' codebooks (the known
+    * PCA-before-PQ failure; Jégou et al. '11 §V.A, and the balanced
+    * variant in Ge et al. '13 OPQ's "natural" baseline). Greedy
+    * least-loaded assignment: components in descending-eigval order each
+    * go to the lowest-total-eigval subspace with a free slot (index
+    * tiebreak) — deterministic, and within-subspace slots keep eigval
+    * order. Returns newDim → original component index. */
+  def balancedPermutation(eigvals: Array[Double], mSub: Int): Array[Int] = {
+    val d = eigvals.length
+    require(d % mSub == 0, s"dim $d not divisible by $mSub subspaces")
+    val dsub = d / mSub
+    val load = Array.fill(mSub)(0.0)
+    val slots = Array.fill(mSub)(0)
+    val buckets = Array.fill(mSub)(List.newBuilder[Int])
+    // eigvals arrive sorted descending (train's contract)
+    var c = 0
+    while (c < d) {
+      var best = -1
+      var s = 0
+      while (s < mSub) {
+        if (slots(s) < dsub && (best < 0 || load(s) < load(best) - 1e-15)) best = s
+        s += 1
+      }
+      buckets(best) += c
+      load(best) += eigvals(c)
+      slots(best) += 1
+      c += 1
+    }
+    buckets.flatMap(_.result()).toArray
+  }
+
+  /** [[rotate]] with the [[balancedPermutation]] row order — still an
+    * orthonormal rotation (a row permutation of R), so inner products
+    * are preserved identically; only the subspace layout changes. */
+  def rotateBalanced(points: DataFrame, m: PcaModel, mSub: Int,
+      embCol: String = "embedding"): DataFrame = {
+    val perm = balancedPermutation(m.eigvals, mSub)
+    val r: Column = typedLit(perm.map(c => m.comps(c).toSeq).toSeq)
+    points.withColumn(embCol, transform(r, rw => dotD(rw, col(embCol))))
+  }
 }

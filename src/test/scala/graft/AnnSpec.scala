@@ -220,7 +220,8 @@ class AnnSpec extends SparkSpec {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
     assert(r.keySet == Set("ivf", "ivf_nprobe", "ivf_target", "ivf_ref_target",
       "ivf_ref_nprobe", "lsh_multiprobe", "lsh_multitable", "binary_quant",
-      "cascade", "int8_quant", "pq_adc", "pq_pca_adc", "graph_beam",
+      "cascade", "int8_quant", "pq_adc", "pq_pca_adc", "pq_pca_bal_adc",
+      "graph_beam",
       "graph_after_cdc",
       "lsh_calibrated", "lsh_calibrated_l", "lsh_calibrated_target"))
     assert(r("graph_beam") >= 0.6, s"graph beam recall ${r("graph_beam")}")

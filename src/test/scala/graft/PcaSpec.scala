@@ -101,6 +101,28 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("balanced permutation: valid, balanced, metric-preserving") {
+    val perm = Pca.balancedPermutation(model.eigvals, 8)
+    assert(perm.sorted.toSeq == (0 until 64), "a permutation of 0..63")
+    // per-subspace eigval loads must be far more even than straight order
+    def loads(order: Array[Int]) = (0 until 8).map { s =>
+      (0 until 8).map(i => model.eigvals(order(s * 8 + i))).sum }
+    val bal = loads(perm)
+    val straight = loads((0 until 64).toArray)
+    assert(bal.max / bal.min < straight.max / straight.min,
+      s"balance ${bal.max / bal.min} vs straight ${straight.max / straight.min}")
+    assert(bal.max / bal.min < 3.0, s"balanced ratio ${bal.max / bal.min}")
+    // a row permutation of an orthonormal R still preserves dots
+    val sample = rows.take(6)
+    val rot = sample.map { x =>
+      perm.map(c => model.comps(c).zip(x).map { case (a, b) => a * b }.sum) }
+    for (a <- sample.indices; b <- sample.indices) {
+      val orig = sample(a).zip(sample(b)).map { case (x, y) => x * y }.sum
+      val r = rot(a).zip(rot(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(orig - r) < 1e-6)
+    }
+  }
+
   test("train is deterministic across physical layout") {
     val m2 = Pca.train(points.repartition(7), 64)
     assert(m2.eigvals.toSeq == model.eigvals.toSeq)

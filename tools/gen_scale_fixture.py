@@ -101,9 +101,67 @@ def gen(outdir: str, n_emb: int, n_doc: int, seed: int = 42,
     print(f"{outdir}: embeddings={n_emb} documents={n_doc}")
 
 
+def gen_rich(outdir: str, n_doc: int, seed: int = 43,
+             n_vocab: int = 12_000) -> None:
+    """Rich-vocabulary corpus for BPE-at-scale probes: the base fixture's
+    ~120-word vocabulary exhausts its mergeable pairs near 91 merges, so a
+    1k-vocab training run needs words with combinatorial character
+    structure. Words are 2-3 syllables drawn from an onset x vowel x coda
+    grid (~2.5k syllables -> millions of possible words, n_vocab kept),
+    sampled with a power-law skew so pair counts have a realistic
+    Zipf-like head. A small embeddings table rides along only because the
+    probe harness loads the collection unconditionally."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    onsets = list("bcdfghjklmnprstvwz") + [
+        "br", "ch", "cl", "dr", "fl", "gr", "pl", "pr", "sh", "sl",
+        "st", "th", "tr"]
+    vowels = ["a", "e", "i", "o", "u", "ai", "ea", "ou"]
+    codas = ["", "n", "r", "s", "t", "l", "m", "ck", "ng", "st"]
+    syll = np.array([o + v + c for o in onsets for v in vowels for c in codas])
+    n_syll = [2, 3]
+    vocab = []
+    seen = set()
+    while len(vocab) < n_vocab:
+        k = n_syll[len(vocab) % 2]
+        w = "".join(syll[rng.integers(0, len(syll), k)])
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+    v = np.array(vocab)
+    texts = []
+    for i in range(n_doc):
+        ln = 40 + (i * 7) % 40
+        # power-skewed rank sampling: a Zipf-ish frequency head
+        idx = (len(v) * rng.random(ln) ** 2.2).astype(np.int64)
+        texts.append(" ".join(v[idx]))
+    doc_id = np.arange(n_doc, dtype=np.int64)
+    pq.write_table(
+        pa.table({
+            "doc_id": doc_id,
+            "text": texts,
+            "lang": ["en"] * n_doc,
+            "source": [f"src{int(i) % 10}" for i in doc_id],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }),
+        f"{outdir}/documents.parquet")
+    emb = rng.standard_normal((1000, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    vec_id = np.arange(1000, dtype=np.int64)
+    pq.write_table(
+        pa.table({
+            "vec_id": vec_id,
+            "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+            "label": (vec_id % 10).astype(np.int32),
+        }),
+        f"{outdir}/embeddings.parquet")
+    print(f"{outdir}: documents={n_doc} vocab={n_vocab}")
+
+
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scale"
     gen(f"{base}/sf1", 20_000, 50_000)
     gen(f"{base}/sf10", 200_000, 500_000)
     gen(f"{base}/sf1c", 20_000, 50_000, clusters=16, spread=0.05)
     gen(f"{base}/sf10c", 200_000, 500_000, clusters=16, spread=0.05)
+    gen_rich(f"{base}/sfbpe", 20_000)
