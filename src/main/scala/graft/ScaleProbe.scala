@@ -164,7 +164,8 @@ object ScaleProbe {
       val target = if (nQueries > 100) nQueries else 1024
       val maxRounds = 400
       val ((mergesB, vocabB), tB) =
-        timed(Bpe.learnBatched(docs, nRounds = maxRounds, batch = 32))
+        timed(Bpe.learnBatched(docs, nRounds = maxRounds, batch = 32,
+          maxMerges = target))
       val total = mergesB.size
       val sorted = mergesB.sortBy(m => (m.round, m.rank))
       val roundsToTarget =

@@ -141,17 +141,22 @@ object Bpe {
     * top candidates chain (e.g. (t,h) then (h,e)). The oracle replays
     * every round's greedy selection in SQL — both engines must accept
     * identical merge batches. */
-  def learnBatched(docs: DataFrame, nRounds: Int, batch: Int)
+  def learnBatched(docs: DataFrame, nRounds: Int, batch: Int,
+      maxMerges: Int = Int.MaxValue)
       : (Seq[BatchedMerge], DataFrame) = {
     require(nRounds >= 1, s"nRounds must be >= 1, got $nRounds")
     require(batch >= 1, s"batch must be >= 1, got $batch")
+    require(maxMerges >= 1, s"maxMerges must be >= 1, got $maxMerges")
     val candCap = batchedCandCap(batch)
     var v = vocab(docs).localCheckpoint()
     val out = Seq.newBuilder[BatchedMerge]
     var rank = 0L
     var round = 1
     var done = false
-    while (round <= nRounds && !done) {
+    // vocab-size early stop: whole rounds only (batch semantics — the
+    // oracle replays complete rounds), so the result may overshoot
+    // `maxMerges` by at most batch−1 merges
+    while (round <= nRounds && !done && rank < maxMerges) {
       val cands = pairCounts(v)
         .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
         .limit(candCap).collect()

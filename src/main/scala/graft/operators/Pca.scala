@@ -219,7 +219,11 @@ object Pca {
     val perComp = proj.groupBy("comp")
       .agg(round((dsumsq - dsum * dsum / n) / n, 6).as("var_proj"))
       .join(broadcast(model.select(col("comp"), col("eigval"))), Seq("comp"))
-    val total = perComp.agg(sum(col("eigval").cast("decimal(28,9)")).as("te"))
+    // total energy from the ≤d-row MODEL, not from perComp — deriving it
+    // from perComp would re-execute the whole projection subtree (caught
+    // in the plan audit: two full collection scans for one report)
+    val total = model.filter(col("comp") < k)
+      .agg(sum(col("eigval").cast("decimal(28,9)")).as("te"))
     val w = Window.orderBy("comp")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perComp.crossJoin(broadcast(total))
