@@ -234,6 +234,53 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "pqpca") {
+      // PCA-before-PQ, graded where it can matter: recall@10 of the PQ
+      // quantizer under three layouts — identity, straight PCA order,
+      // eigval-balanced permutation — at BOTH oversample=1 (pure ADC
+      // ranking: the codebook-quality signal) and the serving config
+      // (oversample=32 + exact rescore, which masks codebook differences
+      // behind the rescore). Run on sf1 (near-isotropic) AND sf1c
+      // (clustered, anisotropic) — the spectrum head is printed so the
+      // fixture's anisotropy is in the artifact next to the recalls.
+      import graft.operators.{Pca, Quantization, Search}
+      val pcaM = Pca.train(points, 64)
+      val head = pcaM.eigvals.take(8).map(v => math.rint(v * 1e4) / 1e4)
+      val variants: Seq[(String, org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+        ("pq", points, false),
+        ("pq_pca", Pca.rotate(points, pcaM).cache(), true),
+        ("pq_pca_bal", Pca.rotateBalanced(points, pcaM, 8).cache(), true),
+        ("pq_pca_balp",
+          Pca.rotateBalanced(points, pcaM, 8, byProduct = true).cache(), true))
+      val qids = (0 until nQueries).map(i => i * (n / nQueries))
+      val results = variants.map { case (tag, frame, isBal) =>
+        val cb = Quantization.pqCodebookOf(
+          Quantization.pqTrain(frame, dim = 64, m = 8, ksub = 16, maxIter = 5))
+        val recalls = qids.map { qid =>
+          val q = points.filter(col("id") === qid)
+            .select(col("embedding").as("qemb"))
+          val qv = frame.filter(col("id") === qid)
+            .select(col("embedding").as("qemb"))
+          val exact = Search.knn(points, q, 10, -1.0)
+            .select("id").collect().map(_.getLong(0)).toSet
+          def r(os: Double) = {
+            val got = Quantization.pqAdcSearch(frame, qv, cb, 10, oversample = os)
+              .select("id").collect().map(_.getLong(0)).toSet
+            if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+          }
+          (r(1.0), r(32.0))
+        }
+        val adc1 = recalls.map(_._1).sum / recalls.size
+        val serve = recalls.map(_._2).sum / recalls.size
+        s""""${tag}_adc1":${math.rint(adc1 * 1000) / 1000},""" +
+          s""""${tag}_serve":${math.rint(serve * 1000) / 1000}"""
+      }
+      println(s"""{"probe":"pqpca","sf":"$sfDir","n":$n,"nq":$nQueries,""" +
+        s""""eigval_head":[${head.mkString(",")}],""" +
+        results.mkString(",") + "}")
+      spark.stop()
+      return
+    }
     if (mode == "knn") {
       val cents = Ann.seedCentroids(points, cells)
       val rows2 = cents.select(col("cid"), col("ce")).orderBy("cid").collect()

@@ -439,6 +439,46 @@ object SparkEntry {
     graft.sources.CollectionStore.loadIndexed(s, path)
   }
 
+  /** Post-SPLIT indexed store (the segment-split maintenance op,
+    * [[graft.sources.CollectionStore.splitOversizedCells]]): built once
+    * per JVM per scale dir — saveIndexed on the trained centroids, then
+    * split with maxRows = N/24 so several of the 16 trained cells are
+    * oversized and split. The post-split centroid table and a FLAT copy
+    * of the id→cid sidecar persist for the DuckDB oracle: the oracle
+    * replays probe selection + search from the engine's own persisted
+    * assignment, so a store/sidecar disagreement, a wrong centroid swap,
+    * or a probe over stale centroids all hash-mismatch. (The split's
+    * internal invariants — untouched dirs byte-identical, parent
+    * containment, layout-independent determinism — are spec-pinned:
+    * IndexedStoreSpec.) */
+  private def splitStorePath(dir: String) = "/tmp/graft_splitidx_" + san(dir)
+  private val splitCentsAlias = "/tmp/graft_splitcents_current"
+  private val splitIdsAlias = "/tmp/graft_splitids_current"
+  @volatile private var splitOracleDir: String = null
+  private val splitBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def splitStore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    splitOracleDir = dir
+    val path = splitStorePath(dir)
+    splitBuilt.computeIfAbsent(path, _ => {
+      val points = Collection.load(s, dir)
+      graft.sources.CollectionStore.saveIndexed(
+        points, path, trainedCentroids(s, dir), idSidecarBuckets = Some(8))
+      val maxRows = math.max(1L, points.count() / 24)
+      graft.sources.CollectionStore.splitOversizedCells(
+        s, path, maxRows, nBuckets = 8)
+      s.read.parquet(path + "_centroids").coalesce(1)
+        .write.mode("overwrite").parquet(splitCentsAlias)
+      val flat = s.read.parquet(path + "_ids")
+        .select(col("id"), col("cid").cast("long").as("cid"))
+      flat.coalesce(1).write.mode("overwrite").parquet(path + "_idsflat")
+      s.read.parquet(path + "_idsflat").coalesce(1)
+        .write.mode("overwrite").parquet(splitIdsAlias)
+      path
+    })
+    graft.sources.CollectionStore.loadIndexed(s, path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1: flagship exact top-k cosine search (self-query vec_id=0).
     "knn_search" -> ((s, dir) => {
@@ -1426,6 +1466,27 @@ object SparkEntry {
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10)
     }),
+    // Search over the SPLIT store (segment-split maintenance,
+    // CollectionStore.splitOversizedCells): oversized cells were split
+    // in place, so the same nprobe now prunes to smaller dirs. The
+    // oracle replays probes + search from the persisted post-split
+    // centroid table and the engine's own id→cid sidecar — store/
+    // sidecar/centroid-table agreement is part of the hash.
+    "ivf_split_search" -> ((s, dir) => {
+      val (store, cents) = splitStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10)
+    }),
+    // Post-split cell-size report (the maintenance decision surface):
+    // Spark counts the STORE's partition column, the oracle counts the
+    // SIDECAR — they hash-match only if the two artifacts agree row-set
+    // for row-set, cell for cell.
+    "ivf_split_stats" -> ((s, dir) => {
+      val (store, _) = splitStore(s, dir)
+      store.groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("cell_rows"))
+        .orderBy("cid")
+    }),
     "indexed_two_phase" -> ((s, dir) => {
       val (store, _) = indexedStore(s, dir)
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
@@ -1805,6 +1866,10 @@ object SparkEntry {
     * the kmeans and indexed oracles. */
   private def kmOracleGlob = sideGlob(kmOracleDir, kmeansPath, kmeansAlias)
   private def idxOracleGlob = kmOracleGlob
+  private def splitCentsGlob = sideGlob(splitOracleDir,
+    d => splitStorePath(d) + "_centroids", splitCentsAlias)
+  private def splitIdsGlob = sideGlob(splitOracleDir,
+    d => splitStorePath(d) + "_idsflat", splitIdsAlias)
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
   private def pcaOracleGlob = sideGlob(pcaOracleDir, pcaPath, pcaAlias)
@@ -3846,6 +3911,25 @@ object SparkEntry {
     // embeddings), so each oracle recomputes the index from the raw table.
     // cells/probes come from the SAME persisted trained-centroid side table
     // the store was bucketed by (saveIndexed writes it next to the data)
+    // Split-store searches: probes + search replayed from the POST-SPLIT
+    // centroid table and the engine's own persisted id→cid sidecar (the
+    // stored assignment is historical — sub-k-means output, not a global
+    // argmax — so the sidecar, not re-assignment, is the ground truth).
+    "ivf_split_search" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($splitCentsGlob)),
+         |asgn AS (SELECT id, cid FROM read_parquet($splitIdsGlob)),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM c JOIN asgn USING (id), q
+         |  WHERE asgn.cid IN (SELECT cid FROM probes))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "ivf_split_stats" ->
+      s"""SELECT cid, count(*)::BIGINT AS cell_rows
+         |FROM read_parquet($splitIdsGlob)
+         |GROUP BY cid ORDER BY cid""".stripMargin,
     "indexed_ivf_search" ->
       s"""WITH $C,
          |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),

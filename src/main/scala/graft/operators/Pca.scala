@@ -326,7 +326,8 @@ object Pca {
     * go to the lowest-total-eigval subspace with a free slot (index
     * tiebreak) — deterministic, and within-subspace slots keep eigval
     * order. Returns newDim → original component index. */
-  def balancedPermutation(eigvals: Array[Double], mSub: Int): Array[Int] = {
+  def balancedPermutation(eigvals: Array[Double], mSub: Int,
+      byProduct: Boolean = false): Array[Int] = {
     val d = eigvals.length
     require(d % mSub == 0, s"dim $d not divisible by $mSub subspaces")
     val dsub = d / mSub
@@ -343,7 +344,11 @@ object Pca {
         s += 1
       }
       buckets(best) += c
-      load(best) += eigvals(c)
+      // byProduct: Ge et al. '13 eigenvalue allocation balances the
+      // PRODUCT of per-subspace eigvals (= sum of logs); the sum rule
+      // is the simpler variance-balancing heuristic
+      load(best) += (if (byProduct) math.log(math.max(eigvals(c), 1e-300))
+        else eigvals(c))
       slots(best) += 1
       c += 1
     }
@@ -352,10 +357,22 @@ object Pca {
 
   /** [[rotate]] with the [[balancedPermutation]] row order — still an
     * orthonormal rotation (a row permutation of R), so inner products
-    * are preserved identically; only the subspace layout changes. */
+    * are preserved identically; only the subspace layout changes.
+    *
+    * MEASURED NEGATIVE on this engine's cosine-ADC searches (ScaleProbe
+    * `pqpca`, 20k×64, m=8/ksub=16, oversample-32 + exact-rescore serving
+    * config): on the clustered (anisotropic) fixture, straight PCA order
+    * serves recall@10 = 0.72 vs 0.335 for the sum-balanced permutation
+    * and 0.35 for no PCA at all — balancing SCATTERS the cluster-bearing
+    * head components across subspaces, so no single sub-codebook can
+    * separate the clusters, while straight order lets subspace 0 encode
+    * cluster identity with its full codebook. On the near-isotropic
+    * fixture the three layouts are within noise (0.54-0.64). Kept for
+    * the measured comparison (bench `recall.pq_pca_bal_adc`); the
+    * serving default is [[rotate]] — straight order. */
   def rotateBalanced(points: DataFrame, m: PcaModel, mSub: Int,
-      embCol: String = "embedding"): DataFrame = {
-    val perm = balancedPermutation(m.eigvals, mSub)
+      embCol: String = "embedding", byProduct: Boolean = false): DataFrame = {
+    val perm = balancedPermutation(m.eigvals, mSub, byProduct)
     val r: Column = typedLit(perm.map(c => m.comps(c).toSeq).toSeq)
     points.withColumn(embCol, transform(r, rw => dotD(rw, col(embCol))))
   }

@@ -614,6 +614,186 @@ object CollectionStore {
     }
   }
 
+  /** Split oversized IVF cells IN PLACE — the segment-split half of the
+    * reference's optimizer (Qdrant `max_segment_size` /
+    * `default_segment_number`, src/core/qdrant_client.py:117-127: segments
+    * past the size cap are split so per-segment scans stay bounded; the
+    * delete-side half is [[compact]]/[[deleteIndexed]]). A cell that
+    * outgrows `maxRows` makes every probe that touches it scan the whole
+    * oversized dir — cell sizes, not C, bound IVF probe cost, so
+    * maintenance must split where growth lands, without rewriting the
+    * store.
+    *
+    * For each cell past `maxRows` (sizes come from ONE partition-column
+    * aggregate — a footer-count scan that reads zero data columns), a
+    * deterministic sub-k-means runs over just that cell's rows, all
+    * oversized cells in the SAME jobs:
+    *
+    *  - `subK = min(maxSubK, ceil(rows / maxRows))` per parent;
+    *  - init: the subK lowest-id members (the [[graft.operators.Ann
+    *    .seedCentroids]] convention);
+    *  - assignment: the codegen [[graft.plans.NearestCentroid]] argmax
+    *    (round-6 dot, lower-sub tiebreak), branched per parent cell like
+    *    `ivfAssignHierarchical` — a pure projection, no join;
+    *  - update: per-component sums in DECIMAL(38,18) (exact, order-free —
+    *    bit-identical across partitionings, like the LogReg gradient),
+    *    mean + L2-normalize on the driver (cosine cells, matching
+    *    `kmeansCentroids`); an emptied sub-cell keeps its previous
+    *    centroid.
+    *
+    * New cids are `max(existing) + 1 ..` in (parent, sub) order, so the
+    * result is reproducible and collision-free. The rewrite is
+    * O(oversized cells): split rows land in NEW `cid=` dirs via dynamic
+    * partition overwrite, parent dirs are dropped, untouched cell dirs
+    * keep their files byte-for-byte (spec-asserted); the id sidecar
+    * rewrites only the split ids' buckets; `<path>_centroids` swaps the
+    * parent rows for the sub-centroids. Search needs no code change —
+    * it replans against the updated centroid table and prunes to the
+    * smaller dirs. Returns the new centroid table.
+    *
+    * One pass: a sub-cell can still exceed `maxRows` when the parent's
+    * mass is concentrated (duplicate vectors); callers loop until the
+    * size report is clean or stops improving. */
+  def splitOversizedCells(
+      spark: SparkSession, path: String, maxRows: Long, nBuckets: Int,
+      maxSubK: Int = 8, maxIter: Int = 3): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    require(maxSubK >= 2, s"maxSubK must be >= 2, got $maxSubK")
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(path + "_ids")),
+      s"splitOversizedCells: no id sidecar at ${path}_ids — the store must " +
+        "be written via saveIndexed(..., idSidecarBuckets = Some(n))")
+    val (store0, cents0) = loadIndexed(spark, path)
+    val store = store0.withColumn("cid", col("cid").cast("long"))
+    // cell sizes: partition column only — parquet footer row counts
+    val sizes = store.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parents = sizes.filter(_._2 > maxRows).keys.toSeq.sorted
+    if (parents.isEmpty) return cents0
+    val centRows = cents0.select(col("cid").cast("long"), col("ce"))
+      .orderBy("cid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val maxCid = centRows.map(_._1).max
+    val subKOf: Map[Long, Int] = parents.map { p =>
+      p -> math.min(maxSubK.toLong,
+        (sizes(p) + maxRows - 1) / maxRows).toInt
+    }.toMap
+    // the oversized cells' rows — a partition-pruned read, iterated over
+    // by every Lloyd sweep
+    val subFrame = store
+      .filter(col("cid").isin(parents.map(Long.box): _*))
+      .localCheckpoint()
+    def l2norm(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0 || java.lang.Double.isNaN(n)) v.clone()
+      else v.map(_ / n)
+    }
+    // init: per parent, the subK lowest-id members' embeddings
+    val initRows = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("cid").orderBy(asc("id"))
+      subFrame.select(col("cid"), col("id"), col("embedding"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= lit(maxSubK))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3) - 1,
+          r.getSeq[Double](2).toArray))
+        .filter { case (p, s, _) => s < subKOf(p) }
+    }
+    var subCents: Map[(Long, Int), Array[Double]] =
+      initRows.map { case (p, s, e) => (p, s) -> l2norm(e) }.toMap
+    // assignment column: per-parent NearestCentroid branch over that
+    // parent's sub-centroids (sub index rides as the expression's "cid")
+    def assignCol(): org.apache.spark.sql.Column = {
+      val branches = parents.map { p =>
+        val subs = (0 until subKOf(p)).filter(s => subCents.contains((p, s)))
+        when(col("cid") === p,
+          graft.plans.VectorExpressions.nearestCentroid(
+            col("embedding"), subs.map(_.toLong),
+            subs.map(s => subCents((p, s)).toSeq)))
+      }
+      coalesce(branches: _*)
+    }
+    var iter = 0
+    while (iter < maxIter) {
+      // per-(parent, sub, component) exact decimal sums: one map-side
+      // combined aggregate over the oversized rows; result ≤
+      // |parents|·maxSubK·dim rows — driver-safe at any store size
+      val sums = subFrame
+        .withColumn("sub", assignCol().cast("int"))
+        .select(col("cid"), col("sub"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "sub", "pos")
+        .agg(sum(col("v").cast("decimal(38,18)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getLong(0), r.getInt(1)))
+      subCents = subCents.map { case (key, prev) =>
+        key -> byCell.get(key).fold(prev) { rs =>
+          val dim = rs.map(_.getInt(2)).max + 1
+          val m = new Array[Double](dim)
+          rs.foreach { r =>
+            m(r.getInt(2)) =
+              r.getDecimal(3).doubleValue() / r.getLong(4)
+          }
+          l2norm(m)
+        }
+      }
+      iter += 1
+    }
+    // final assignment + new-cid allocation in (parent, sub) order
+    val orderedKeys = subCents.keys.toSeq.sorted
+    val cidOf: Map[(Long, Int), Long] = orderedKeys.zipWithIndex
+      .map { case (k, i) => k -> (maxCid + 1 + i) }.toMap
+    val cidMap = map(orderedKeys.flatMap { case (p, s) =>
+      Seq(lit(p * maxSubK + s), lit(cidOf((p, s)))) }: _*)
+    val reassigned = subFrame
+      .withColumn("cid",
+        element_at(cidMap, col("cid") * maxSubK + assignCol()))
+      .localCheckpoint() // cut lineage back to `path` before the overwrite
+    // new cell dirs via dynamic overwrite; parents dropped explicitly
+    reassigned
+      .repartition(col("cid"))
+      .sortWithinPartitions("cid", "user_id", "id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(path)
+    parents.foreach(p => fs.delete(new Path(s"$path/cid=$p"), true))
+    // sidecar: rewrite only the split ids' buckets
+    val splitIds = reassigned.select(col("id"), col("cid"))
+    val buckets = reassigned
+      .select(pmod(col("id"), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val sidecarMerged = spark.read.parquet(path + "_ids")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .join(splitIds.select("id"), Seq("id"), "left_anti")
+      .select("id", "cid", "bucket")
+      .unionByName(splitIds
+        .withColumn("bucket",
+          pmod(col("id"), lit(nBuckets.toLong)).cast("int")))
+      .localCheckpoint()
+    sidecarMerged
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path + "_ids")
+    // centroid table: parents out, sub-centroids in
+    val spark2 = spark
+    import spark2.implicits._
+    val keptCents = centRows.filterNot(c => parents.contains(c._1))
+      .map { case (c, e) => (c, e.toSeq) }.toSeq
+    val newCents = orderedKeys.map(k => (cidOf(k), subCents(k).toSeq))
+    (keptCents ++ newCents).toDF("cid", "ce")
+      .orderBy("cid").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "_centroids")
+    spark.read.parquet(path + "_centroids")
+  }
+
   /** Morton (Z-order) value of two non-negative integer columns: the low
     * 16 bits of each, bit-interleaved (a in even positions, b in odd) — a
     * space-filling curve key. Statically unrolled shift/mask terms: one

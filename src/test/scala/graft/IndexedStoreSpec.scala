@@ -406,4 +406,99 @@ class IndexedStoreSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSeq
     assert(rows(pathP) == rows(pathL), "store contents diverged")
   }
+
+  test("splitOversizedCells: in-place cell split, O(oversized) footprint") {
+    val nBuckets = 8
+    val path = "/tmp/graft_test_split_store"
+    val cents = Ann.seedCentroids(points, 6)
+    CollectionStore.saveIndexed(points, path, cents,
+      idSidecarBuckets = Some(nBuckets))
+    def sizesOf(p: String): Map[Long, Long] =
+      CollectionStore.loadIndexed(spark, p)._1
+        .groupBy($"cid".cast("long")).count()
+        .as[(Long, Long)].collect().toMap
+    val sizes0 = sizesOf(path)
+    val maxSize = sizes0.values.max
+    assert(sizes0.values.exists(_ < maxSize),
+      "fixture produced equal-size cells; pick different seeds")
+    val maxRows = maxSize - 1 // exactly the largest cell(s) split
+    val parents = sizes0.filter(_._2 > maxRows).keySet
+    def fileMap(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val filesBefore = fileMap(path)
+    def idCid(p: String): Map[Long, Long] =
+      CollectionStore.loadIndexed(spark, p)._1
+        .select($"id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    val before = idCid(path)
+    val newCents = CollectionStore.splitOversizedCells(
+      spark, path, maxRows, nBuckets)
+    val after = idCid(path)
+    val sizes1 = sizesOf(path)
+    val maxCid0 = sizes0.keySet.max
+    // rows preserved; only parent-cell members moved, all to NEW cids
+    assert(after.keySet == before.keySet, "split lost or invented ids")
+    before.foreach { case (id, c0) =>
+      if (parents(c0)) assert(after(id) > maxCid0,
+        s"id $id left oversized cell $c0 for non-new cid ${after(id)}")
+      else assert(after(id) == c0, s"id $id moved out of untouched cell $c0")
+    }
+    // parent dirs gone; untouched cell dirs byte-identical (paths+mtimes)
+    parents.foreach(p => assert(
+      !new java.io.File(s"$path/cid=$p").exists, s"parent dir cid=$p remains"))
+    def cellOf(p: String): Long =
+      "cid=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    def untouched(m: Map[String, Long]) =
+      m.filter(kv => !parents(cellOf(kv._1)) && cellOf(kv._1) <= maxCid0)
+    assert(untouched(filesBefore) == untouched(fileMap(path)),
+      "untouched cell dirs changed")
+    // sub-cell sizes sum to their parent's size
+    val newTotal = sizes1.filter(_._1 > maxCid0).values.sum
+    assert(newTotal == parents.toSeq.map(sizes0).sum)
+    // sidecar agrees with the store everywhere
+    val sidecar = spark.read.parquet(path + "_ids")
+      .select($"id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    assert(sidecar == after, "id sidecar diverged from the store")
+    // every stored cid has exactly one centroid row
+    val centCids = newCents.select($"cid".cast("long"))
+      .as[Long].collect().toSeq
+    assert(centCids.distinct.sizeIs == centCids.size)
+    assert(sizes1.keySet.subsetOf(centCids.toSet),
+      "stored cell without a centroid")
+    assert(parents.forall(p => !centCids.contains(p)),
+      "a split parent's centroid survived")
+    // search still works against the new layout: probing ALL cells must
+    // equal the exact scan's top-k
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val (store1, cents1) = CollectionStore.loadIndexed(spark, path)
+    val got = Ann.ivfSearch(store1, cents1, q,
+        nprobe = centCids.size, k = 10)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    val exact = Search.knn(points, q, k = 10, threshold = -1.0)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == exact, "all-cells probe diverged from exact search")
+    // determinism across input layouts: rebuild from a differently
+    // partitioned frame, split again — bit-identical centroids and
+    // identical assignment
+    val path2 = "/tmp/graft_test_split_store2"
+    CollectionStore.saveIndexed(points.repartition(13), path2, cents,
+      idSidecarBuckets = Some(nBuckets))
+    val newCents2 = CollectionStore.splitOversizedCells(
+      spark, path2, maxRows, nBuckets)
+    def centMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.select($"cid".cast("long"), $"ce")
+        .as[(Long, Seq[Double])].collect().toMap
+    assert(centMap(newCents2) == centMap(newCents),
+      "split centroids depend on input partitioning")
+    assert(idCid(path2) == after, "split assignment depends on partitioning")
+    // a store with nothing oversized is untouched, byte for byte
+    val filesNow = fileMap(path)
+    CollectionStore.splitOversizedCells(spark, path,
+      sizes1.values.max, nBuckets)
+    assert(fileMap(path) == filesNow, "no-op split rewrote files")
+  }
 }
