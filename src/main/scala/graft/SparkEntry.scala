@@ -127,6 +127,7 @@ object SparkEntry {
   private def pcaPath(dir: String) = "/tmp/graft_pca_" + san(dir)
   private val pcaAlias = "/tmp/graft_pca_current"
   private val pcaBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pcaStreamBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val pcaModelBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Pca.PcaModel]()
   private[graft] def pcaModel(s: SparkSession, dir: String): Pca.PcaModel =
@@ -1052,6 +1053,33 @@ object SparkEntry {
     // Streaming ingest dedup (watermarked dropDuplicates state).
     "streaming_dedup_distinct" -> ((s, dir) =>
       StreamingOps.distinctUsersStream(s, dir)),
+    // Streaming PCA maintenance: the fixture streamed through
+    // pcaMomentsStream (exact mergeable moment state, versioned
+    // exactly-once), then the variance report over the STREAMED model
+    // table. Same oracle as pca_variance (the batch-trained side
+    // table): a hash match proves streamed-maintained ≡ batch-trained
+    // bit for bit, through DuckDB.
+    "streaming_pca_variance" -> ((s, dir) => {
+      val path = "/tmp/graft_pcastream_" + san(dir)
+      pcaStreamBuilt.computeIfAbsent(path, _ => {
+        // fresh state per JVM: a stale /tmp state + checkpoint pair from
+        // an earlier process would mask this run's stream entirely
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        Seq(path, path + "_model", path + "_ckpt").foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        val batchSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val embs = Collection.withNormalized(stream)
+          .select(col("nemb").as("embedding"))
+        StreamingOps.pcaMomentsStream(s, embs, path, 64)
+        path
+      })
+      pcaTableDf(s, dir) // the BATCH side table the oracle replays from
+      Pca.varianceReport(Collection.load(s, dir),
+        s.read.parquet(path + "_model"), 64)
+    }),
     // Stream-static enrichment join (stateless dim lookup per micro-batch).
     "streaming_enrich_join" -> ((s, dir) =>
       StreamingOps.enrichJoinStream(s, dir)),
@@ -1218,6 +1246,25 @@ object SparkEntry {
       Pca.project(Collection.load(s, dir).filter(col("id") < 32),
           pcaTableDf(s, dir), 8)
         .orderBy("id", "comp")),
+    // INCREMENTAL PCA maintenance: the moment state is an exact 128-bit
+    // integer sum, so chunk states merge with zero error — the model
+    // retrained from 4 disjoint chunks merged in a scrambled order is
+    // BIT-IDENTICAL to the batch model. The Spark side trains
+    // incrementally here; the oracle replays the variance report from
+    // the BATCH-trained side table — a hash match proves
+    // incremental ≡ batch end to end through DuckDB.
+    "pca_incremental" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      def chunk(r: Int) = points.filter(pmod(col("id"), lit(4)) === r)
+      val st = Pca.mergeStates(
+        Pca.mergeStates(
+          Pca.momentState(chunk(3), 64), Pca.momentState(chunk(1), 64)),
+        Pca.mergeStates(
+          Pca.momentState(chunk(2), 64), Pca.momentState(chunk(0), 64)))
+      val m = Pca.trainFromState(st)
+      pcaTableDf(s, dir) // force the BATCH side table the oracle reads
+      Pca.varianceReport(points, Pca.modelTable(s, m), 64)
+    }),
     // Zipf-fit corpus diagnostic: power-law slope of the top-100 token
     // frequencies (drift from ~-1 flags templating or over-dedup).
     "zipf_fit" -> ((s, dir) =>
@@ -1873,6 +1920,28 @@ object SparkEntry {
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
   private def pcaOracleGlob = sideGlob(pcaOracleDir, pcaPath, pcaAlias)
+
+  /** Variance-report replay from the persisted PCA model side table —
+    * shared by `pca_variance` (batch-trained Spark side) and
+    * `pca_incremental` (merged-chunk-state Spark side vs the SAME batch
+    * table: the hash match proves the merge is exact). */
+  private def pcaVarianceOracle: String =
+    s"""WITH $C,
+       |m AS (SELECT comp, eigval, vec, mu_proj FROM read_parquet($pcaOracleGlob)),
+       |p AS (SELECT c.id, m.comp,
+       |  round((list_dot_product(c.ne, m.vec) - m.mu_proj)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS proj
+       |  FROM c, m),
+       |v AS (SELECT comp,
+       |  round(((sum(proj::DECIMAL(18,6) * proj::DECIMAL(18,6))::DOUBLE
+       |    - sum(proj::DECIMAL(28,6))::DOUBLE * sum(proj::DECIMAL(28,6))::DOUBLE / count(*))
+       |    / count(*))::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS var_proj
+       |  FROM p GROUP BY comp),
+       |t AS (SELECT sum(eigval::DECIMAL(28,9)) AS te FROM m)
+       |SELECT m.comp::INT AS comp, m.eigval, v.var_proj,
+       |  round(((sum(m.eigval::DECIMAL(28,9)) OVER (ORDER BY m.comp
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+       |    / t.te::DOUBLE)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS cum_energy_ratio
+       |FROM v JOIN m USING (comp), t ORDER BY comp""".stripMargin
   private def lrOracleGlob = sideGlob(lrOracleDir, lrPath, lrAlias)
   private def lmOracleGlob = sideGlob(lmOracleDir, lmPath, lmAlias)
   private def gidxStoreGlob =
@@ -3154,23 +3223,13 @@ object SparkEntry {
     // PCA: both engines project from the SAME persisted model table; every
     // computed-double rounding uses the ::VARCHAR::DECIMAL shortest-repr
     // trick (the text_quality rule).
-    "pca_variance" ->
-      s"""WITH $C,
-         |m AS (SELECT comp, eigval, vec, mu_proj FROM read_parquet($pcaOracleGlob)),
-         |p AS (SELECT c.id, m.comp,
-         |  round((list_dot_product(c.ne, m.vec) - m.mu_proj)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS proj
-         |  FROM c, m),
-         |v AS (SELECT comp,
-         |  round(((sum(proj::DECIMAL(18,6) * proj::DECIMAL(18,6))::DOUBLE
-         |    - sum(proj::DECIMAL(28,6))::DOUBLE * sum(proj::DECIMAL(28,6))::DOUBLE / count(*))
-         |    / count(*))::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS var_proj
-         |  FROM p GROUP BY comp),
-         |t AS (SELECT sum(eigval::DECIMAL(28,9)) AS te FROM m)
-         |SELECT m.comp::INT AS comp, m.eigval, v.var_proj,
-         |  round(((sum(m.eigval::DECIMAL(28,9)) OVER (ORDER BY m.comp
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
-         |    / t.te::DOUBLE)::VARCHAR::DECIMAL(38,20), 6)::DOUBLE AS cum_energy_ratio
-         |FROM v JOIN m USING (comp), t ORDER BY comp""".stripMargin,
+    "pca_variance" -> pcaVarianceOracle,
+    // same replay, from the BATCH-trained side table: the Spark side
+    // trained from merged chunk states (pca_incremental) / the streamed
+    // versioned state (streaming_pca_variance), so the hash match
+    // certifies incremental ≡ streaming ≡ batch (exact mergeable moments)
+    "pca_incremental" -> pcaVarianceOracle,
+    "streaming_pca_variance" -> pcaVarianceOracle,
     "pca_project" ->
       s"""WITH $C,
          |m AS (SELECT comp, vec, mu_proj FROM read_parquet($pcaOracleGlob) WHERE comp < 8)

@@ -63,7 +63,54 @@ object Pca {
     * emits ONE (d(d+1)/2 + d)-cell partial per partition (the identical
     * shuffle volume partial hash aggregation would produce) and the
     * driver reduces ≤ numPartitions exact partials. */
-  def moments(points: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+  def moments(points: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) =
+    stateToMoments(momentState(points, dim))
+
+  /** Mergeable exact-moment state: the 128-bit fixed-point partials of
+    * [[moments]] BEFORE conversion to doubles — (count, hi/lo word pairs
+    * for the d first-moment cells then the d(d+1)/2 upper-triangle Gram
+    * cells). Because every cell is an EXACT integer sum of per-element
+    * quantizations, states merge by 128-bit addition with no error and
+    * no order sensitivity: `merge(a, b) == merge(b, a)` and any merge
+    * tree over any chunking of the data yields the bit-identical state a
+    * single pass would — so incremental / streaming PCA maintenance
+    * (absorb a micro-batch, retrain from the merged state) produces
+    * EXACTLY the batch-retrain model, not an approximation of it
+    * (PcaSpec + the `pca_incremental` oracle row pin this). */
+  final case class MomentState(dim: Int, n: Long,
+      hi: Array[Long], lo: Array[Long])
+
+  def zeroState(dim: Int): MomentState = {
+    val nCells = dim + dim * (dim + 1) / 2
+    MomentState(dim, 0L, new Array[Long](nCells), new Array[Long](nCells))
+  }
+
+  /** Merge two moment states (exact 128-bit adds; inputs untouched). */
+  def mergeStates(a: MomentState, b: MomentState): MomentState = {
+    require(a.dim == b.dim, s"dim mismatch: ${a.dim} vs ${b.dim}")
+    val hi = a.hi.clone()
+    val lo = a.lo.clone()
+    add128(hi, lo, b.hi, b.lo)
+    MomentState(a.dim, a.n + b.n, hi, lo)
+  }
+
+  /** In-place 128-bit vector add: (hi, lo) += (phi, plo). `plo` is the
+    * UNSIGNED low word of a 128-bit value (its sign lives in phi) — only
+    * the unsigned carry propagates. */
+  private def add128(hi: Array[Long], lo: Array[Long],
+      phi: Array[Long], plo: Array[Long]): Unit = {
+    var c = 0
+    while (c < hi.length) {
+      val l = lo(c)
+      val r = plo(c)
+      val s = l + r
+      hi(c) += phi(c) + (((l & r) | ((l | r) & ~s)) >>> 63)
+      lo(c) = s
+      c += 1
+    }
+  }
+
+  def momentState(points: DataFrame, dim: Int): MomentState = {
     val d = dim
     val nCells = d + d * (d + 1) / 2
     val sess = points.sparkSession
@@ -114,20 +161,19 @@ object Pca {
     var n = 0L
     partials.foreach { case (pn, phi, plo) =>
       n += pn
-      var c = 0
-      while (c < nCells) {
-        val l = lo(c)
-        val r = plo(c)
-        val s = l + r
-        // r is the UNSIGNED low word of a 128-bit partial (its sign lives
-        // in phi) — only the unsigned carry propagates
-        hi(c) += phi(c) + (((l & r) | ((l | r) & ~s)) >>> 63)
-        lo(c) = s
-        c += 1
-      }
+      add128(hi, lo, phi, plo)
     }
-    // (hi·2^64 + unsigned lo) / 1e18, via BigDecimal only for the ≤2,144
-    // final conversions
+    MomentState(d, n, hi, lo)
+  }
+
+  /** Convert a moment state to (n, Σx, full Σ x_i·x_j): each 128-bit
+    * cell becomes (hi·2^64 + unsigned lo) / 1e18, via BigDecimal only
+    * for the ≤2,144 final conversions. */
+  def stateToMoments(st: MomentState): (Long, Array[Double], Array[Array[Double]]) = {
+    val d = st.dim
+    val hi = st.hi
+    val lo = st.lo
+    val n = st.n
     def toD(c: Int): Double = {
       val v = java.math.BigInteger.valueOf(hi(c)).shiftLeft(64)
         .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo(c))))
@@ -156,9 +202,15 @@ object Pca {
     * fixed so its largest-magnitude component (first on ties) is
     * positive, then everything rounded to 9dp. Deterministic end to end:
     * the moments are exact decimals and Jacobi is branch-stable. */
-  def train(points: DataFrame, dim: Int): PcaModel = {
-    val (n, s1, s2) = moments(points, dim)
-    val d = dim
+  def train(points: DataFrame, dim: Int): PcaModel =
+    trainFromState(momentState(points, dim))
+
+  /** [[train]] from an (incrementally merged) moment state — the
+    * maintenance path: identical math, so a merged state yields the
+    * bit-identical model a fresh batch train would. */
+  def trainFromState(st: MomentState): PcaModel = {
+    val (n, s1, s2) = stateToMoments(st)
+    val d = st.dim
     val mu = s1.map(_ / n)
     val c = Array.tabulate(d, d)((i, j) => s2(i)(j) / n - mu(i) * mu(j))
     val (evals, evecs) = jacobiEigen(c)

@@ -548,4 +548,98 @@ object StreamingOps {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming PCA maintenance: each micro-batch's EXACT moment state
+    * ([[graft.operators.Pca.momentState]] — 128-bit integer sums) merges
+    * into a versioned persisted state, and the model side table is
+    * retrained from the merged state — so after every batch the
+    * persisted model is BIT-IDENTICAL to a batch retrain over all rows
+    * seen so far (the merge is exact, not approximate; StreamingSpec
+    * asserts array equality against `Pca.train`).
+    *
+    * Exactly-once without an idempotent merge: moment addition is not
+    * idempotent, so the state is versioned by batch id — version b is a
+    * pure function of (version b-1, batch b), written by OVERWRITING
+    * only `v=b`. foreachBatch replays at-least-once after a crash;
+    * a replayed batch recomputes the same version from the same
+    * predecessor — convergent under replay (spec-pinned by applying a
+    * duplicate batch id). Versions older than b-1 are pruned: the
+    * checkpoint guarantees only the last uncommitted batch can replay,
+    * so its predecessor is all the history a recovery needs. State is
+    * ≤ d(d+3)/2 rows regardless of N; the per-batch cost is one scan of
+    * the BATCH plus a driver-side merge — O(batch), never O(corpus). */
+  def pcaMomentsStream(spark: SparkSession, embeddings: DataFrame,
+      statePath: String, dim: Int, checkpoint: String = ""): Unit = {
+    val ckpt = if (checkpoint.nonEmpty) checkpoint else statePath + "_ckpt"
+    val q = embeddings.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeMomentBatch(spark, statePath, batch, batchId, dim)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of [[pcaMomentsStream]]: merge the batch's moment
+    * state into version `batchId`, retrain, persist the model table at
+    * `<statePath>_model`. Idempotent per (predecessor state, batch):
+    * re-running the same batch id overwrites `v=batchId` with the same
+    * bytes and leaves every other version untouched. */
+  private[graft] def mergeMomentBatch(spark: SparkSession,
+      statePath: String, batch: DataFrame, batchId: Long, dim: Int): Unit = {
+    import graft.operators.Pca
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    // predecessor = the highest version BELOW this batch id (a replayed
+    // batch must not read its own failed write's version)
+    val versions: Seq[Long] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    val prevV = versions.filter(_ < batchId).sorted.lastOption
+    val prev = prevV.fold(Pca.zeroState(dim)) { v =>
+      val rows = spark.read.parquet(s"$statePath/v=$v")
+        .select($"cell", $"hi", $"lo", $"n")
+        .as[(Int, Long, Long, Long)].collect()
+      val hi = new Array[Long](rows.length)
+      val lo = new Array[Long](rows.length)
+      rows.foreach { case (c, h, l, _) => hi(c) = h; lo(c) = l }
+      Pca.MomentState(dim, rows.head._4, hi, lo)
+    }
+    val merged = Pca.mergeStates(prev,
+      Pca.momentState(batch.select(col("embedding")), dim))
+    merged.hi.indices.map(c => (c, merged.hi(c), merged.lo(c), merged.n))
+      .toDF("cell", "hi", "lo", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+    // prune everything older than the predecessor this version used
+    versions.filter(v => v < batchId && Some(v) != prevV).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v=$v"), true)
+    }
+    Pca.modelTable(spark, Pca.trainFromState(merged))
+      .coalesce(1).write.mode("overwrite").parquet(statePath + "_model")
+  }
+
+  /** Read back the latest streamed moment state (test/ops seam). */
+  private[graft] def latestMomentState(spark: SparkSession,
+      statePath: String, dim: Int): graft.operators.Pca.MomentState = {
+    import graft.operators.Pca
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val vs = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(vs.nonEmpty, s"no state versions under $statePath")
+    val rows = spark.read.parquet(s"$statePath/v=${vs.max}")
+      .select($"cell", $"hi", $"lo", $"n")
+      .as[(Int, Long, Long, Long)].collect()
+    val hi = new Array[Long](rows.length)
+    val lo = new Array[Long](rows.length)
+    rows.foreach { case (c, h, l, _) => hi(c) = h; lo(c) = l }
+    Pca.MomentState(dim, rows.head._4, hi, lo)
+  }
 }

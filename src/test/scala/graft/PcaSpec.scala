@@ -129,4 +129,33 @@ class PcaSpec extends SparkSpec {
     assert(m2.mu.toSeq == model.mu.toSeq)
     assert(m2.comps.map(_.toSeq).toSeq == model.comps.map(_.toSeq).toSeq)
   }
+
+  test("moment states merge exactly: chunked+merged ≡ single pass, any order") {
+    val full = Pca.momentState(points, 64)
+    def chunk(m: Int, r: Int) =
+      Pca.momentState(points.filter(pmod($"id", lit(m)) === r), 64)
+    // two different chunkings, scrambled merge trees
+    val m4 = Pca.mergeStates(
+      Pca.mergeStates(chunk(4, 3), chunk(4, 1)),
+      Pca.mergeStates(chunk(4, 2), chunk(4, 0)))
+    val m3 = Pca.mergeStates(chunk(3, 1),
+      Pca.mergeStates(chunk(3, 2), chunk(3, 0)))
+    for (m <- Seq(m4, m3)) {
+      assert(m.n == full.n)
+      assert(m.hi.toSeq == full.hi.toSeq, "hi words diverged")
+      assert(m.lo.toSeq == full.lo.toSeq, "lo words diverged")
+    }
+    // zero state is the merge identity; an empty-filter state IS zero
+    val z = Pca.mergeStates(full, Pca.zeroState(64))
+    assert(z.n == full.n && z.hi.toSeq == full.hi.toSeq &&
+      z.lo.toSeq == full.lo.toSeq)
+    val empty = Pca.momentState(points.filter($"id" < 0), 64)
+    assert(empty.n == 0L && empty.hi.forall(_ == 0L))
+    // the maintenance claim: retraining from the merged state is
+    // BIT-IDENTICAL to the batch model — not approximately equal
+    val mInc = Pca.trainFromState(m4)
+    assert(mInc.eigvals.toSeq == model.eigvals.toSeq)
+    assert(mInc.mu.toSeq == model.mu.toSeq)
+    assert(mInc.comps.map(_.toSeq).toSeq == model.comps.map(_.toSeq).toSeq)
+  }
 }

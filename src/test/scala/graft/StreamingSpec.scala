@@ -176,6 +176,52 @@ class StreamingSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("streaming PCA maintenance: per-batch model ≡ batch retrain, bit for bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Collection, Pca}
+    val dir = java.nio.file.Files.createTempDirectory("pca_stream")
+    val state = dir.resolve("moments").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val points = Collection.load(spark, sf001)
+    val all = points.select($"id", $"embedding")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val (h1, h2) = all.splitAt(all.length / 2)
+    def frame(rows: Array[(Long, Seq[Double])]) =
+      rows.toSeq.toDF("id", "embedding")
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Seq[Double]]
+    // batch 0: first half
+    stream.addData(h1.map(_._2).toSeq)
+    StreamingOps.pcaMomentsStream(spark, stream.toDF().toDF("embedding"),
+      state, 64, ckpt)
+    def stateArrays(st: Pca.MomentState) = (st.n, st.hi.toSeq, st.lo.toSeq)
+    assert(stateArrays(StreamingOps.latestMomentState(spark, state, 64)) ==
+      stateArrays(Pca.momentState(frame(h1), 64)),
+      "batch-0 state diverged from the half-1 moments")
+    // batch 1: second half — merged state must equal the FULL single pass
+    stream.addData(h2.map(_._2).toSeq)
+    StreamingOps.pcaMomentsStream(spark, stream.toDF().toDF("embedding"),
+      state, 64, ckpt)
+    val full = Pca.momentState(points, 64)
+    assert(stateArrays(StreamingOps.latestMomentState(spark, state, 64)) ==
+      stateArrays(full), "merged streamed state diverged from batch moments")
+    // the persisted model is the bit-identical batch retrain
+    def modelRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"comp", $"eigval", $"vec", $"mu_proj")
+        .as[(Int, Double, Seq[Double], Double)].collect().sortBy(_._1).toSeq
+    assert(modelRows(spark.read.parquet(state + "_model")) ==
+      modelRows(Pca.modelTable(spark, Pca.train(points, 64))))
+    // at-least-once replay converges: re-applying the last batch id
+    // recomputes the same version from the same predecessor
+    StreamingOps.mergeMomentBatch(spark, state,
+      frame(h2).select($"embedding"), 1L, 64)
+    assert(stateArrays(StreamingOps.latestMomentState(spark, state, 64)) ==
+      stateArrays(full), "replayed batch changed the state")
+    assert(modelRows(spark.read.parquet(state + "_model")) ==
+      modelRows(Pca.modelTable(spark, Pca.train(points, 64))),
+      "replayed batch changed the model")
+  }
+
   test("bucketed merge rewrites ONLY the buckets containing batch ids") {
     import org.apache.spark.sql.functions._
     import graft.sources.CollectionStore
