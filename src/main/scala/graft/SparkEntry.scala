@@ -480,6 +480,44 @@ object SparkEntry {
     graft.sources.CollectionStore.loadIndexed(s, path)
   }
 
+  /** Post-MERGE indexed store (the segment-merge maintenance op,
+    * [[graft.sources.CollectionStore.mergeSmallCells]]) — the same
+    * build-once + oracle-side-table lifecycle as [[splitStore]]:
+    * saveIndexed on the trained centroids, then cells below the
+    * 25th-percentile size fold into their nearest survivors. */
+  private def mergeStorePath(dir: String) = "/tmp/graft_mergeidx_" + san(dir)
+  private val mergeCentsAlias = "/tmp/graft_mergecents_current"
+  private val mergeIdsAlias = "/tmp/graft_mergeids_current"
+  @volatile private var mergeOracleDir: String = null
+  private val mergeStoreBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergeStore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    mergeOracleDir = dir
+    val path = mergeStorePath(dir)
+    mergeStoreBuilt.computeIfAbsent(path, _ => {
+      val points = Collection.load(s, dir)
+      graft.sources.CollectionStore.saveIndexed(
+        points, path, trainedCentroids(s, dir), idSidecarBuckets = Some(8))
+      // doom the smallest quartile of cells — a deterministic function
+      // of the store, so every run merges the same cells
+      val sizes = s.read.parquet(path)
+        .groupBy(col("cid").cast("long")).count()
+        .collect().map(_.getLong(1)).sorted
+      val minRows = sizes(sizes.length / 4) + 1
+      graft.sources.CollectionStore.mergeSmallCells(
+        s, path, minRows, nBuckets = 8)
+      s.read.parquet(path + "_centroids").coalesce(1)
+        .write.mode("overwrite").parquet(mergeCentsAlias)
+      val flat = s.read.parquet(path + "_ids")
+        .select(col("id"), col("cid").cast("long").as("cid"))
+      flat.coalesce(1).write.mode("overwrite").parquet(path + "_idsflat")
+      s.read.parquet(path + "_idsflat").coalesce(1)
+        .write.mode("overwrite").parquet(mergeIdsAlias)
+      path
+    })
+    graft.sources.CollectionStore.loadIndexed(s, path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1: flagship exact top-k cosine search (self-query vec_id=0).
     "knn_search" -> ((s, dir) => {
@@ -1534,6 +1572,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("cell_rows"))
         .orderBy("cid")
     }),
+    // Search over the MERGED store (segment-merge maintenance,
+    // CollectionStore.mergeSmallCells): the smallest quartile of cells
+    // folded into their nearest survivors; same oracle shape as the
+    // split — probes + search replayed from the engine's own persisted
+    // post-merge centroid table and sidecar.
+    "ivf_merge_search" -> ((s, dir) => {
+      val (store, cents) = mergeStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10)
+    }),
+    // Post-merge cell-size report: store partition column (Spark) vs
+    // sidecar (oracle) — artifact agreement in the hash.
+    "ivf_merge_stats" -> ((s, dir) => {
+      val (store, _) = mergeStore(s, dir)
+      store.groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("cell_rows"))
+        .orderBy("cid")
+    }),
     "indexed_two_phase" -> ((s, dir) => {
       val (store, _) = indexedStore(s, dir)
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
@@ -1917,6 +1973,10 @@ object SparkEntry {
     d => splitStorePath(d) + "_centroids", splitCentsAlias)
   private def splitIdsGlob = sideGlob(splitOracleDir,
     d => splitStorePath(d) + "_idsflat", splitIdsAlias)
+  private def mergeCentsGlob = sideGlob(mergeOracleDir,
+    d => mergeStorePath(d) + "_centroids", mergeCentsAlias)
+  private def mergeIdsGlob = sideGlob(mergeOracleDir,
+    d => mergeStorePath(d) + "_idsflat", mergeIdsAlias)
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
   private def pcaOracleGlob = sideGlob(pcaOracleDir, pcaPath, pcaAlias)
@@ -3988,6 +4048,21 @@ object SparkEntry {
     "ivf_split_stats" ->
       s"""SELECT cid, count(*)::BIGINT AS cell_rows
          |FROM read_parquet($splitIdsGlob)
+         |GROUP BY cid ORDER BY cid""".stripMargin,
+    "ivf_merge_search" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($mergeCentsGlob)),
+         |asgn AS (SELECT id, cid FROM read_parquet($mergeIdsGlob)),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM c JOIN asgn USING (id), q
+         |  WHERE asgn.cid IN (SELECT cid FROM probes))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "ivf_merge_stats" ->
+      s"""SELECT cid, count(*)::BIGINT AS cell_rows
+         |FROM read_parquet($mergeIdsGlob)
          |GROUP BY cid ORDER BY cid""".stripMargin,
     "indexed_ivf_search" ->
       s"""WITH $C,

@@ -794,6 +794,98 @@ object CollectionStore {
     spark.read.parquet(path + "_centroids")
   }
 
+  /** Merge undersized IVF cells away — the segment-MERGE half of the
+    * reference's optimizer ([[splitOversizedCells]] is the split half;
+    * Qdrant merges sub-`default_segment_number` segments the same way):
+    * cells below `minRows` contribute a directory-listing + probe-
+    * selection cost out of proportion to the rows they prune, so
+    * maintenance folds them into their surviving neighbors.
+    *
+    * Every row of an undersized cell re-assigns to the nearest SURVIVING
+    * centroid (the codegen [[graft.plans.NearestCentroid]] argmax over
+    * the non-doomed centroid set — one projection, no join); the
+    * rewrite footprint is O(doomed cells + target cells): target cell
+    * dirs are read, unioned with their adopted rows, and overwritten
+    * (dynamic partition overwrite — every other cell dir byte-
+    * identical), doomed dirs dropped, the id sidecar rewritten only in
+    * the moved ids' buckets, and the centroid table loses the doomed
+    * rows. Degenerate guard: at least one cell must survive.
+    *
+    * Deterministic (assignment is round-6-dot argmax with cid
+    * tiebreak), so a re-run on identically-built stores produces
+    * identical layouts (spec-pinned alongside the split). Returns the
+    * new centroid table. */
+  def mergeSmallCells(
+      spark: SparkSession, path: String, minRows: Long,
+      nBuckets: Int): DataFrame = {
+    require(minRows >= 1, s"minRows must be >= 1, got $minRows")
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(path + "_ids")),
+      s"mergeSmallCells: no id sidecar at ${path}_ids — the store must " +
+        "be written via saveIndexed(..., idSidecarBuckets = Some(n))")
+    val (store0, cents0) = loadIndexed(spark, path)
+    val store = store0.withColumn("cid", col("cid").cast("long"))
+    val sizes = store.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val doomed = sizes.filter(_._2 < minRows).keys.toSeq.sorted
+    if (doomed.isEmpty) return cents0
+    val centRows = cents0.select(col("cid").cast("long"), col("ce"))
+      .orderBy("cid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val surviving = centRows.filterNot(c => doomed.contains(c._1))
+    require(surviving.nonEmpty,
+      s"mergeSmallCells: minRows=$minRows dooms every cell — nothing to merge into")
+    // re-home the doomed cells' rows: nearest surviving centroid
+    val moved = store
+      .filter(col("cid").isin(doomed.map(Long.box): _*))
+      .withColumn("cid", graft.plans.VectorExpressions.nearestCentroid(
+        col("embedding"), surviving.map(_._1), surviving.map(_._2.toSeq)))
+      .localCheckpoint()
+    val targets = moved.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // target dirs absorb their adopted rows (full-dir rewrite — dynamic
+    // overwrite replaces whole partitions); every other dir untouched
+    val rewritten = store
+      .filter(col("cid").isin(targets.map(Long.box): _*))
+      .unionByName(moved)
+      .localCheckpoint() // cut lineage back to `path` before the overwrite
+    rewritten
+      .repartition(col("cid"))
+      .sortWithinPartitions("cid", "user_id", "id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(path)
+    doomed.foreach(c => fs.delete(new Path(s"$path/cid=$c"), true))
+    // sidecar: rewrite only the moved ids' buckets
+    val movedIds = moved.select(col("id"), col("cid"))
+    val buckets = moved
+      .select(pmod(col("id"), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val sidecarMerged = spark.read.parquet(path + "_ids")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .join(movedIds.select("id"), Seq("id"), "left_anti")
+      .select("id", "cid", "bucket")
+      .unionByName(movedIds
+        .withColumn("bucket",
+          pmod(col("id"), lit(nBuckets.toLong)).cast("int")))
+      .localCheckpoint()
+    sidecarMerged
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path + "_ids")
+    // centroid table: doomed rows out
+    val sparkS = spark
+    import sparkS.implicits._
+    surviving.map { case (c, e) => (c, e.toSeq) }.toSeq.toDF("cid", "ce")
+      .orderBy("cid").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "_centroids")
+    spark.read.parquet(path + "_centroids")
+  }
+
   /** Morton (Z-order) value of two non-negative integer columns: the low
     * 16 bits of each, bit-interleaved (a in even positions, b in odd) — a
     * space-filling curve key. Statically unrolled shift/mask terms: one

@@ -501,4 +501,78 @@ class IndexedStoreSpec extends SparkSpec {
       sizes1.values.max, nBuckets)
     assert(fileMap(path) == filesNow, "no-op split rewrote files")
   }
+
+  test("mergeSmallCells: undersized cells fold into nearest survivors, O(affected)") {
+    val nBuckets = 8
+    val path = "/tmp/graft_test_merge_store"
+    val cents = Ann.seedCentroids(points, 6)
+    CollectionStore.saveIndexed(points, path, cents,
+      idSidecarBuckets = Some(nBuckets))
+    def sizesOf(p: String): Map[Long, Long] =
+      CollectionStore.loadIndexed(spark, p)._1
+        .groupBy($"cid".cast("long")).count()
+        .as[(Long, Long)].collect().toMap
+    def idCid(p: String): Map[Long, Long] =
+      CollectionStore.loadIndexed(spark, p)._1
+        .select($"id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    def fileMap(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val sizes0 = sizesOf(path)
+    val minSize = sizes0.values.min
+    assert(sizes0.values.exists(_ > minSize),
+      "fixture produced equal-size cells; pick different seeds")
+    val minRows = minSize + 1 // exactly the smallest cell(s) merge away
+    val doomed = sizes0.filter(_._2 < minRows).keySet
+    val before = idCid(path)
+    val filesBefore = fileMap(path)
+    val newCents = CollectionStore.mergeSmallCells(
+      spark, path, minRows, nBuckets)
+    val after = idCid(path)
+    // rows preserved; only doomed-cell members moved, each to its
+    // nearest SURVIVING centroid (recomputed here independently)
+    assert(after.keySet == before.keySet, "merge lost or invented ids")
+    val survCents = newCents.select($"cid".cast("long"), $"ce")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val expected = graft.operators.Ann.ivfAssign(
+        points, survCents.map(_._1).toSeq, survCents.map(_._2).toSeq)
+      .select($"id", $"cid").as[(Long, Long)].collect().toMap
+    before.foreach { case (id, c0) =>
+      if (doomed(c0)) assert(after(id) == expected(id),
+        s"id $id not re-homed to its nearest surviving centroid")
+      else assert(after(id) == c0, s"id $id moved out of surviving cell $c0")
+    }
+    // doomed dirs gone; centroid table lost exactly the doomed rows
+    doomed.foreach(c => assert(
+      !new java.io.File(s"$path/cid=$c").exists, s"doomed dir cid=$c remains"))
+    assert(survCents.map(_._1).toSet == sizes0.keySet -- doomed)
+    // only doomed + target dirs rewritten; everything else byte-identical
+    val targets = before.collect {
+      case (id, c0) if doomed(c0) => after(id) }.toSet
+    def cellOf(p: String): Long =
+      "cid=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    def untouched(m: Map[String, Long]) =
+      m.filter(kv => !doomed(cellOf(kv._1)) && !targets(cellOf(kv._1)))
+    assert(untouched(filesBefore) == untouched(fileMap(path)),
+      "a cell neither doomed nor target was rewritten")
+    // sidecar agrees with the store everywhere
+    val sidecar = spark.read.parquet(path + "_ids")
+      .select($"id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    assert(sidecar == after, "id sidecar diverged from the store")
+    // determinism across input layouts
+    val path2 = "/tmp/graft_test_merge_store2"
+    CollectionStore.saveIndexed(points.repartition(13), path2, cents,
+      idSidecarBuckets = Some(nBuckets))
+    CollectionStore.mergeSmallCells(spark, path2, minRows, nBuckets)
+    assert(idCid(path2) == after, "merge depends on input partitioning")
+    // no-op below every cell size is untouched, byte for byte
+    val filesNow = fileMap(path)
+    CollectionStore.mergeSmallCells(spark, path,
+      sizesOf(path).values.min, nBuckets)
+    assert(fileMap(path) == filesNow, "no-op merge rewrote files")
+  }
 }
