@@ -281,6 +281,45 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "kmpp") {
+      // index-training comparison at scale: MLlib KMeans (single fit,
+      // k-means||-init internally, RNG-seeded) vs the engine's
+      // deterministic kmeansParallelCentroids (hash-determinized
+      // sampling + decimal-exact Lloyd), same C — wall time, cell
+      // balance, and recall@10 at the same nprobe on the SAME queries
+      import graft.operators.Search
+      val qids = (0 until nQueries).map(i => i * (n / nQueries))
+      def grade(tag: String, train: () => org.apache.spark.sql.DataFrame)
+          : String = {
+        val (cents, secs) = timed(train().localCheckpoint())
+        val assigned = Ann.ivfAssign(points, cents).cache()
+        val sizes = assigned.groupBy("cid").count()
+          .select(col("count")).collect().map(_.getLong(0))
+        val maxRatio = sizes.max.toDouble * sizes.length / sizes.sum
+        val recalls = qids.map { qid =>
+          val q = points.filter(col("id") === qid)
+            .select(col("embedding").as("qemb"))
+          val exact = Search.knn(points, q, 10, -1.0)
+            .select("id").collect().map(_.getLong(0)).toSet
+          val got = Ann.ivfSearch(assigned, cents, q, nprobe = 4, k = 10)
+            .select("id").collect().map(_.getLong(0)).toSet
+          if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+        }
+        val rec = recalls.sum / recalls.size
+        assigned.unpersist()
+        s""""${tag}_secs":${math.rint(secs * 100) / 100},""" +
+          s""""${tag}_maxcell_ratio":${math.rint(maxRatio * 100) / 100},""" +
+          s""""${tag}_recall":${math.rint(rec * 1000) / 1000}"""
+      }
+      val out = Seq(
+        grade("mllib", () => Ann.kmeansCentroids(points, cells, maxIter = 5)),
+        grade("kmpp", () => Ann.kmeansParallelCentroids(
+          points, cells, rounds = 3, maxIter = 5)))
+      println(s"""{"probe":"kmpp","sf":"$sfDir","n":$n,"c":$cells,""" +
+        out.mkString(",") + "}")
+      spark.stop()
+      return
+    }
     if (mode == "knn") {
       val cents = Ann.seedCentroids(points, cells)
       val rows2 = cents.select(col("cid"), col("ce")).orderBy("cid").collect()

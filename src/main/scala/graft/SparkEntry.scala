@@ -76,6 +76,29 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** k-means||-trained centroids (same persisted-side-table lifecycle as
+    * [[trainedCentroids]]): the scalable-init training path —
+    * hash-determinized D² oversampling + greedy weighted reduction +
+    * decimal-exact Lloyd — whose assignment/search the oracle replays
+    * from the persisted table exactly like the MLlib-trained set. */
+  private def kmppPath(dir: String) = "/tmp/graft_kmpp_" + san(dir)
+  private val kmppAlias = "/tmp/graft_kmpp_current"
+  private val kmppBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var kmppOracleDir: String = null
+  private def kmppCentroids(s: SparkSession, dir: String): DataFrame = {
+    kmppOracleDir = dir
+    val path = kmppPath(dir)
+    kmppBuilt.computeIfAbsent(path, _ => {
+      val cents = Ann.kmeansParallelCentroids(
+        Collection.load(s, dir).cache(), k = 16, rounds = 3, maxIter = 5)
+      cents.coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(kmppAlias)
+      path
+    })
+    s.read.parquet(path)
+  }
+
   /** Serving-layer index metadata (trained centroids, calibrated recall
     * curve, LSH hyperplanes, collection count) — built once per JVM per
     * scale dir and cached, so constructing a search query does zero Spark
@@ -1209,6 +1232,18 @@ object SparkEntry {
       val persisted = trainedCentroids(s, dir)
       Ann.ivfSearch(Ann.ivfAssign(points, persisted), persisted, q, nprobe = 4, k = 10)
     }),
+    // IVF over k-means||-trained centroids (Bahmani et al. '12 scalable
+    // seeding + decimal-exact distributed Lloyd — the init that holds
+    // when C and N outgrow single-fit training; see
+    // Ann.kmeansParallelCentroids). Same lifecycle and oracle shape as
+    // ann_ivf_kmeans: training persists once, both engines replay
+    // assignment + probe + search from the same parquet.
+    "ann_ivf_kmpp" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      val persisted = kmppCentroids(s, dir)
+      Ann.ivfSearch(Ann.ivfAssign(points, persisted), persisted, q, nprobe = 4, k = 10)
+    }),
     // Keyset-paginated scroll (vector-DB scroll endpoint): page after the
     // cursor (ts=300, id=300) under a payload filter — a pushed range
     // predicate + top-n, cost independent of scroll depth.
@@ -1969,6 +2004,7 @@ object SparkEntry {
     * the kmeans and indexed oracles. */
   private def kmOracleGlob = sideGlob(kmOracleDir, kmeansPath, kmeansAlias)
   private def idxOracleGlob = kmOracleGlob
+  private def kmppOracleGlob = sideGlob(kmppOracleDir, kmppPath, kmppAlias)
   private def splitCentsGlob = sideGlob(splitOracleDir,
     d => splitStorePath(d) + "_centroids", splitCentsAlias)
   private def splitIdsGlob = sideGlob(splitOracleDir,
@@ -2878,6 +2914,21 @@ object SparkEntry {
     "ann_ivf_kmeans" ->
       s"""WITH $C,
          |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
+         |  FROM pts p, q WHERE p.cid IN (SELECT cid FROM probes))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // identical replay over the k-means||-trained table
+    "ann_ivf_kmpp" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($kmppOracleGlob)),
          |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
          |  row_number() OVER (PARTITION BY c.id
          |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn

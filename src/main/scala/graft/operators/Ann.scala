@@ -193,6 +193,224 @@ object Ann {
         graft.plans.VectorExpressions.normalizeL2(col("raw")).as("ce"))
   }
 
+  /** k-means|| seeding + deterministic distributed Lloyd refinement —
+    * the index-training path that HOLDS at 100 TB, where MLlib's
+    * single-fit lifecycle (collect-free but driver-coordinated, k·N
+    * distance work per internal init pass with its own RNG) is replaced
+    * by explicitly bounded passes the engine controls:
+    *
+    *  1. '''Seeding''' (Bahmani et al. '12 k-means||): `rounds` sweeps,
+    *     each ONE projection over the collection — current-center
+    *     assignment via the codegen [[graft.plans.NearestCentroid]]
+    *     argmax, per-point cost 2−2·round6(dot) (squared Euclidean on
+    *     the unit sphere), each point kept with probability
+    *     min(1, l·cost/Σcost). The coin is HASH-determinized:
+    *     u(id) = h60("kmpp_r<r>_" + id)/2^60, so the sample — and hence
+    *     the whole training run — is a pure function of the data, not
+    *     of a partition-order RNG. Expected `l` new candidates per
+    *     round ride back as a tiny collect.
+    *  2. '''Weighting''': one more projection counts the points each
+    *     candidate owns.
+    *  3. '''Driver reduction''' of the ≤ 1+l·rounds weighted candidates
+    *     to k seeds: greedy weighted D² farthest-point (argmax
+    *     weight·min-dist², min-candidate-index tiebreak) — the
+    *     deterministic variant of weighted k-means++.
+    *  4. '''Refinement''': `maxIter` distributed Lloyd sweeps, each one
+    *     assignment projection + ONE map-side-combined aggregate of
+    *     per-(cell, component) DECIMAL(38,18) sums — exact and
+    *     order-free, so the refined centers are bit-identical across
+    *     partitionings (AnnSpec pins layout-independence end to end).
+    *     Emptied cells keep their previous center. Centers re-normalize
+    *     per sweep (cosine cells, the [[kmeansCentroids]] convention).
+    *
+    * Per-pass shuffle is ≤ C·d decimal rows per map task — flat in N —
+    * and driver state is O(C·d): nothing here scales with the
+    * collection but the fixed number of full scans (rounds + maxIter +
+    * 2), each of which Catalyst fuses into one codegen stage over the
+    * cached frame. Returns (cid 0..k-1, ce) like [[kmeansCentroids]]. */
+  def kmeansParallelCentroids(points: DataFrame, k: Int, l: Int = 0,
+      rounds: Int = 5, maxIter: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ll = if (l > 0) l else 2 * k
+    // training controls its own parallelism: a raw fixture read can land
+    // in 1-2 file-split partitions, serializing every N·C·d sweep onto
+    // two cores (measured 5× at 200k×64/C=320) — one up-front shuffle to
+    // core count fixes every subsequent pass
+    val pts = points.select(col("id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val dbg = sys.env.contains("GRAFT_KMPP_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(tag: String): Unit = if (dbg) {
+      val t = System.nanoTime()
+      println(f"kmpp/$tag: ${(t - t0) / 1e9}%.2f s")
+      t0 = t
+    }
+    def assignCol(cents: IndexedSeq[Array[Double]]): Column =
+      graft.plans.VectorExpressions.nearestCentroid(
+        col("embedding"), cents.indices.map(_.toLong), cents.map(_.toSeq))
+    def costVs(cents: IndexedSeq[Array[Double]]): Column =
+      lit(2.0) - lit(2.0) * graft.plans.VectorExpressions
+        .nearestCentroidDot(col("embedding"), cents.map(_.toSeq))
+    // 1. seeding: first center = the min-id vector; then `rounds`
+    // hash-determinized D²-oversampling sweeps. The per-point cost is
+    // tracked INCREMENTALLY (the MLlib k-means|| trick): each round
+    // scores only against the candidates IT added — min(old cost, cost
+    // vs new) ≡ cost vs all, exactly, since the per-point cost is a min
+    // over candidates — so a sweep is N·l·d work, not N·|cand|·d.
+    var cand: IndexedSeq[Array[Double]] = IndexedSeq(
+      pts.orderBy("id").limit(1).select("embedding")
+        .as[Seq[Double]].head().toArray)
+    var cur = pts.withColumn("_cost", costVs(cand)).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val total = cur
+        .agg(sum(col("_cost").cast("decimal(28,6)")).cast("double"))
+        .as[Double].head()
+      if (total > 0) {
+        val thresh = ll.toDouble / total * math.pow(2.0, 60)
+        val sampled = cur
+          .filter(graft.functions.TextOps.hash60(
+              concat(lit(s"kmpp_r${r}_"), col("id").cast("string")))
+            .cast("double") < col("_cost") * thresh)
+          .orderBy("id").select("embedding")
+          .as[Seq[Double]].collect()
+        if (sampled.nonEmpty) {
+          val fresh = sampled.map(_.toArray).toIndexedSeq
+          cand = cand ++ fresh
+          cur = cur.withColumn("_cost",
+              least(col("_cost"), costVs(fresh)))
+            .localCheckpoint()
+        }
+      }
+      mark(s"seed_round_$r(c=${cand.length})")
+    }
+    // 2. weight candidates by the points they own
+    val weights = pts.withColumn("_c", assignCol(cand))
+      .groupBy("_c").count().as[(Long, Long)].collect().toMap
+    mark(s"weights(c=${cand.length})")
+    val w = cand.indices.map(i => weights.getOrElse(i.toLong, 0L).toDouble)
+    // 3. greedy weighted D² farthest-point reduction to k seeds
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        val d = a(i) - b(i); s += d * d; i += 1
+      }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[Int](
+      w.indices.maxBy(i => (w(i), -i)))
+    val minD2 = Array.fill(cand.length)(Double.MaxValue)
+    while (chosen.length < math.min(k, cand.length)) {
+      val last = cand(chosen.last)
+      var i = 0
+      while (i < cand.length) {
+        val d = d2(cand(i), last)
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+      val next = cand.indices
+        .filterNot(chosen.contains)
+        .maxBy(i => (w(i) * minD2(i), -i))
+      chosen += next
+    }
+    var centers: IndexedSeq[Array[Double]] =
+      chosen.map(cand(_)).toIndexedSeq
+    mark("reduce")
+    // 4. deterministic distributed Lloyd refinement (exact decimal sums)
+    def l2norm(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0 || java.lang.Double.isNaN(n)) v.clone() else v.map(_ / n)
+    }
+    for (_ <- 1 to maxIter) {
+      // one sweep = ONE mapPartitions kernel (the Pca.moments execution
+      // form): per partition, assign each row with the same round-6/
+      // lower-cid walk the codegen NearestCentroid performs and
+      // accumulate round(v·1e18) per (cell, component) in exact 128-bit
+      // (hi, lo) pairs — one C·d partial per partition, order-free, so
+      // refinement is bit-deterministic at any layout. The declarative
+      // posexplode+DECIMAL groupBy form measured ~4 s/sweep at 20k×64
+      // (C=64); this kernel retires the same sweep in ~0.2 s.
+      val cFlat = {
+        val a = new Array[Double](centers.length * centers.head.length)
+        var c = 0
+        while (c < centers.length) {
+          System.arraycopy(centers(c), 0, a, c * centers(c).length,
+            centers(c).length)
+          c += 1
+        }
+        a
+      }
+      val nC = centers.length
+      val d = centers.head.length
+      val partials = pts.select(col("embedding")).as[Seq[Double]]
+        .mapPartitions { it =>
+          val hi = new Array[Long](nC * d)
+          val lo = new Array[Long](nC * d)
+          val cnt = new Array[Long](nC)
+          val x = new Array[Double](d)
+          while (it.hasNext) {
+            val e = it.next()
+            var i = 0
+            while (i < d && i < e.length) { x(i) = e(i); i += 1 }
+            var best = java.lang.Double.NEGATIVE_INFINITY
+            var bc = 0
+            var c = 0
+            while (c < nC) {
+              var s = 0.0d; var j = 0
+              while (j < d) { s += x(j) * cFlat(c * d + j); j += 1 }
+              val r = graft.plans.Num.round6(s)
+              if (r > best) { best = r; bc = c }
+              c += 1
+            }
+            cnt(bc) += 1
+            i = 0
+            while (i < d) {
+              val cell = bc * d + i
+              val q = Math.round(x(i) * 1e18)
+              val l = lo(cell)
+              val sm = l + q
+              hi(cell) += (((l & q) | ((l | q) & ~sm)) >>> 63) + (q >> 63)
+              lo(cell) = sm
+              i += 1
+            }
+          }
+          Iterator.single((cnt, hi, lo))
+        }.collect()
+      val hi = new Array[Long](nC * d)
+      val lo = new Array[Long](nC * d)
+      val cnt = new Array[Long](nC)
+      partials.foreach { case (pc, phi, plo) =>
+        var c = 0
+        while (c < nC) { cnt(c) += pc(c); c += 1 }
+        graft.operators.Pca.add128(hi, lo, phi, plo)
+      }
+      centers = centers.indices.map { c =>
+        if (cnt(c) == 0L) centers(c)
+        else {
+          val m = new Array[Double](d)
+          var i = 0
+          while (i < d) {
+            val cell = c * d + i
+            val v = java.math.BigInteger.valueOf(hi(cell)).shiftLeft(64)
+              .add(new java.math.BigInteger(
+                java.lang.Long.toUnsignedString(lo(cell))))
+            m(i) = new java.math.BigDecimal(v).movePointLeft(18)
+              .doubleValue() / cnt(c)
+            i += 1
+          }
+          l2norm(m)
+        }
+      }
+    }
+    mark("lloyd_total")
+    centers.indices.map(i => (i.toLong, centers(i).toSeq))
+      .toDF("cid", "ce")
+  }
+
   /** The `nprobe` cell ids nearest to the query (rounded score, cid
     * tiebreak) — the probe set of an IVF search. */
   def probeCids(centroids: DataFrame, queryDf: DataFrame, nprobe: Int): DataFrame =

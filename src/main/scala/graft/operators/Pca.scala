@@ -96,8 +96,9 @@ object Pca {
 
   /** In-place 128-bit vector add: (hi, lo) += (phi, plo). `plo` is the
     * UNSIGNED low word of a 128-bit value (its sign lives in phi) — only
-    * the unsigned carry propagates. */
-  private def add128(hi: Array[Long], lo: Array[Long],
+    * the unsigned carry propagates. Shared with [[graft.operators.Ann]]'s
+    * Lloyd-sweep kernel. */
+  private[graft] def add128(hi: Array[Long], lo: Array[Long],
       phi: Array[Long], plo: Array[Long]): Unit = {
     var c = 0
     while (c < hi.length) {

@@ -311,6 +311,80 @@ case class NearestCentroid(
     copy(child = newChild)
 }
 
+/** [[NearestCentroid]]'s score twin: the BEST rounded dot product against
+  * the embedded centroid set (same round-6/lower-cid argmax walk, but
+  * returning the winning score instead of the winning cid) — the
+  * per-point assignment-cost input of k-means|| seeding. One flat codegen
+  * loop, C dots per row, no join; the former formulation (a per-row
+  * `element_at` on a C-entry literal MAP of d-element arrays) rebuilt the
+  * whole map per row — measured 6× slower seeding at C=64. */
+case class NearestCentroidDot(
+    child: Expression, cents: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty, "nearest_centroid_dot needs a non-empty centroid set")
+
+  @transient private lazy val dim: Int = cents.head.length
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](cents.length * dim)
+    var c = 0
+    while (c < cents.length) {
+      val v = cents(c); var i = 0
+      while (i < dim) { a(c * dim + i) = v(i); i += 1 }
+      c += 1
+    }
+    a
+  }
+  @transient private lazy val nCents: Int = cents.length
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_dot expects array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var best = java.lang.Double.NEGATIVE_INFINITY
+    var c = 0
+    while (c < nCents) {
+      var s = 0.0d; var i = 0
+      while (i < n) { s += x.getDouble(i) * flat(c * dim + i); i += 1 }
+      val r = Num.round6(s)
+      if (r > best) best = r
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val r = ctx.freshName("r"); val best = ctx.freshName("best")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $nCents; $c++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $flatRef[$c * $dim + $i];
+         |  }
+         |  double $r = graft.plans.Num.round6($s);
+         |  if ($r > $best) $best = $r;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDot =
+    copy(child = newChild)
+}
+
 /** Map-side multi-cell probe assignment: the `p` nearest centroid ids
   * (rounded score desc, smallest cid on ties), as an array<bigint> — the
   * query-side counterpart of [[NearestCentroid]] for bulk k-NN joins: each
@@ -437,6 +511,8 @@ object VectorExpressions {
     GraftBridge.column(SignPack64(GraftBridge.expression(v)))
   def nearestCentroid(v: Column, cids: Seq[Long], cents: Seq[Seq[Double]]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(v), cids, cents))
+  def nearestCentroidDot(v: Column, cents: Seq[Seq[Double]]): Column =
+    GraftBridge.column(NearestCentroidDot(GraftBridge.expression(v), cents))
   def topCentroids(v: Column, cids: Seq[Long], cents: Seq[Seq[Double]], p: Int): Column =
     GraftBridge.column(TopCentroids(GraftBridge.expression(v), cids, cents, p))
 }

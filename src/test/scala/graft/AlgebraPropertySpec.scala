@@ -187,4 +187,37 @@ class AlgebraPropertySpec extends SparkSpec {
     assert(fwd.sameElements(rev), "reversed branch order changed the result")
     assert(fwd.sameElements(shuf), "shuffled branch order changed the result")
   }
+
+  test("round6 fast path ≡ BigDecimal reference across magnitudes and tie boundaries") {
+    import graft.plans.Num
+    val r = new Random(777)
+    def check(x: Double): Unit = {
+      val fast = Num.round6(x)
+      val ref = Num.round6Ref(x)
+      assert(java.lang.Double.doubleToRawLongBits(fast) ==
+        java.lang.Double.doubleToRawLongBits(ref),
+        s"round6($x): fast=$fast ref=$ref")
+    }
+    // random doubles across 24 orders of magnitude, both signs
+    for (_ <- 0 until 200000) {
+      val mag = math.pow(10.0, r.nextInt(25) - 12)
+      check((r.nextDouble() * 2 - 1) * mag)
+    }
+    // adversarial: values AT and NEAR decimal tie boundaries (k+0.5)/1e6
+    for (_ <- 0 until 200000) {
+      val k = r.nextInt(2000000001) - 1000000000
+      val base = (k + 0.5) / 1e6
+      check(base)
+      check(Math.nextUp(base)); check(Math.nextDown(base))
+      check(base + r.nextGaussian() * 1e-13)
+    }
+    // exact 6dp values, integers, denormals, zeros, extremes
+    for (_ <- 0 until 100000) {
+      check(r.nextInt(2000001) / 1e6 - 1.0)
+      check(r.nextInt(Int.MaxValue).toDouble - Int.MaxValue / 2)
+    }
+    Seq(0.0, -0.0, 1e-320, -1e-320, 4.9e-324, Double.MinPositiveValue,
+      1e300, -1e300, Double.MaxValue, -Double.MaxValue,
+      0.1234565, -0.1234565, 1.0000005, -1.0000005).foreach(check)
+  }
 }

@@ -30,6 +30,35 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 $mean too low: $recalls")
   }
 
+  test("kmeans|| centroids: layout-deterministic, unit-norm, recall-sane") {
+    def centsOf(df: org.apache.spark.sql.DataFrame) =
+      Ann.kmeansParallelCentroids(df, k = 16, rounds = 3, maxIter = 3)
+        .select($"cid", $"ce").as[(Long, Seq[Double])]
+        .collect().sortBy(_._1).toSeq
+    val c1 = centsOf(points)
+    // bit-identical across physical layouts: hash-determinized sampling,
+    // decimal-exact Lloyd — no RNG, no order sensitivity anywhere
+    assert(c1 == centsOf(points.repartition(7)),
+      "kmeans|| training depends on input partitioning")
+    assert(c1.map(_._1) == (0L until 16L), "cids must be 0..k-1")
+    c1.foreach { case (cid, ce) =>
+      val n = math.sqrt(ce.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid $cid not unit-norm: $n")
+    }
+    // serving sanity at the usual fixture config
+    val cents = Ann.kmeansParallelCentroids(points, 16, rounds = 3, maxIter = 3)
+    val assigned = Ann.ivfAssign(points, cents).cache()
+    val recalls = Seq(0L, 17L, 99L, 250L).map { qid =>
+      val q = points.filter($"id" === qid).select($"embedding".as("qemb"))
+      val approx = Ann.ivfSearch(assigned, cents, q, nprobe = 4, k = 10)
+        .select("id").as[Long].collect().toSet
+      assert(approx.contains(qid), s"self $qid must be in its own probed cell")
+      (approx intersect exactTop(qid, 10)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"kmeans|| mean recall@10 $mean too low: $recalls")
+  }
+
   test("hierarchical assignment: valid everywhere, faithful on clustered data") {
     // structureless fixture (random unit vectors): the coarse dispatch
     // has nothing to exploit — assert only the CONTRACT (every point
