@@ -541,6 +541,39 @@ object SparkEntry {
     graft.sources.CollectionStore.loadIndexed(s, path)
   }
 
+  /** Post-OPTIMIZE indexed store: the composed segment optimizer
+    * ([[graft.sources.CollectionStore.optimizePartitions]] — split +
+    * merge alternating to a [minRows, maxRows] band) over the trained
+    * layout; same oracle-side-table lifecycle as [[splitStore]]. */
+  private def optStorePath(dir: String) = "/tmp/graft_optidx_" + san(dir)
+  private val optCentsAlias = "/tmp/graft_optcents_current"
+  private val optIdsAlias = "/tmp/graft_optids_current"
+  @volatile private var optOracleDir: String = null
+  private val optStoreBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def optStore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    optOracleDir = dir
+    val path = optStorePath(dir)
+    optStoreBuilt.computeIfAbsent(path, _ => {
+      val points = Collection.load(s, dir)
+      graft.sources.CollectionStore.saveIndexed(
+        points, path, trainedCentroids(s, dir), idSidecarBuckets = Some(8))
+      val n = points.count()
+      graft.sources.CollectionStore.optimizePartitions(
+        s, path, minRows = math.max(1L, n / 48),
+        maxRows = math.max(2L, n / 20), nBuckets = 8)
+      s.read.parquet(path + "_centroids").coalesce(1)
+        .write.mode("overwrite").parquet(optCentsAlias)
+      val flat = s.read.parquet(path + "_ids")
+        .select(col("id"), col("cid").cast("long").as("cid"))
+      flat.coalesce(1).write.mode("overwrite").parquet(path + "_idsflat")
+      s.read.parquet(path + "_idsflat").coalesce(1)
+        .write.mode("overwrite").parquet(optIdsAlias)
+      path
+    })
+    graft.sources.CollectionStore.loadIndexed(s, path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1: flagship exact top-k cosine search (self-query vec_id=0).
     "knn_search" -> ((s, dir) => {
@@ -1625,6 +1658,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("cell_rows"))
         .orderBy("cid")
     }),
+    // Search + size report over the fully OPTIMIZED store (split+merge
+    // alternating to the [N/48, N/20] band): the composed maintenance
+    // pipeline's end state, replayed by the oracle from the persisted
+    // sidecar/centroid artifacts like the split and merge rows.
+    "ivf_optimize_search" -> ((s, dir) => {
+      val (store, cents) = optStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10)
+    }),
+    "ivf_optimize_stats" -> ((s, dir) => {
+      val (store, _) = optStore(s, dir)
+      store.groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("cell_rows"))
+        .orderBy("cid")
+    }),
     "indexed_two_phase" -> ((s, dir) => {
       val (store, _) = indexedStore(s, dir)
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
@@ -2013,6 +2061,10 @@ object SparkEntry {
     d => mergeStorePath(d) + "_centroids", mergeCentsAlias)
   private def mergeIdsGlob = sideGlob(mergeOracleDir,
     d => mergeStorePath(d) + "_idsflat", mergeIdsAlias)
+  private def optCentsGlob = sideGlob(optOracleDir,
+    d => optStorePath(d) + "_centroids", optCentsAlias)
+  private def optIdsGlob = sideGlob(optOracleDir,
+    d => optStorePath(d) + "_idsflat", optIdsAlias)
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
   private def pcaOracleGlob = sideGlob(pcaOracleDir, pcaPath, pcaAlias)
@@ -4114,6 +4166,21 @@ object SparkEntry {
     "ivf_merge_stats" ->
       s"""SELECT cid, count(*)::BIGINT AS cell_rows
          |FROM read_parquet($mergeIdsGlob)
+         |GROUP BY cid ORDER BY cid""".stripMargin,
+    "ivf_optimize_search" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($optCentsGlob)),
+         |asgn AS (SELECT id, cid FROM read_parquet($optIdsGlob)),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM c JOIN asgn USING (id), q
+         |  WHERE asgn.cid IN (SELECT cid FROM probes))
+         |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    "ivf_optimize_stats" ->
+      s"""SELECT cid, count(*)::BIGINT AS cell_rows
+         |FROM read_parquet($optIdsGlob)
          |GROUP BY cid ORDER BY cid""".stripMargin,
     "indexed_ivf_search" ->
       s"""WITH $C,

@@ -886,6 +886,43 @@ object CollectionStore {
     spark.read.parquet(path + "_centroids")
   }
 
+  /** The composed segment optimizer: alternate [[splitOversizedCells]]
+    * and [[mergeSmallCells]] until every cell sits in [minRows, maxRows]
+    * or a pass changes nothing (fixed point), capped at `maxPasses`.
+    * `minRows·2 ≤ maxRows` is required so the two halves cannot
+    * oscillate: a split of a >maxRows cell lands pieces ≥ ~maxRows/2 ≥
+    * minRows (merge won't re-doom them), and a merge target can exceed
+    * maxRows only to be split into still-in-band pieces next pass.
+    * Each pass costs O(out-of-band cells), so a store whose layout is
+    * already in band pays exactly two footer-count scans. A pathological
+    * layout can churn (a split piece below minRows re-merges, its target
+    * re-splits): progress is monotone in practice but not guaranteed, so
+    * the cap — not a convergence proof — bounds the work; callers
+    * re-invoke on the next maintenance tick. Returns the final centroid
+    * table. */
+  def optimizePartitions(
+      spark: SparkSession, path: String, minRows: Long, maxRows: Long,
+      nBuckets: Int, maxPasses: Int = 8): DataFrame = {
+    require(minRows >= 1 && minRows * 2 <= maxRows,
+      s"need minRows >= 1 and minRows*2 <= maxRows, got [$minRows, $maxRows]")
+    def sizesOf(): Map[Long, Long] =
+      load(spark, path).groupBy(col("cid").cast("long")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var pass = 0
+    var prev = sizesOf()
+    var done = prev.values.forall(s => s >= minRows && s <= maxRows)
+    while (pass < maxPasses && !done) {
+      splitOversizedCells(spark, path, maxRows, nBuckets)
+      mergeSmallCells(spark, path, minRows, nBuckets)
+      val now = sizesOf()
+      done = now.values.forall(s => s >= minRows && s <= maxRows) ||
+        now == prev
+      prev = now
+      pass += 1
+    }
+    spark.read.parquet(path + "_centroids")
+  }
+
   /** Morton (Z-order) value of two non-negative integer columns: the low
     * 16 bits of each, bit-interleaved (a in even positions, b in odd) — a
     * space-filling curve key. Statically unrolled shift/mask terms: one

@@ -575,4 +575,58 @@ class IndexedStoreSpec extends SparkSpec {
       sizesOf(path).values.min, nBuckets)
     assert(fileMap(path) == filesNow, "no-op merge rewrote files")
   }
+
+  test("optimizePartitions: split+merge compose to an in-band fixed point") {
+    val nBuckets = 8
+    val path = "/tmp/graft_test_opt_store"
+    CollectionStore.saveIndexed(points, path, Ann.seedCentroids(points, 6),
+      idSidecarBuckets = Some(nBuckets))
+    val n = points.count()
+    val (minRows, maxRows) = (math.max(1L, n / 48), math.max(2L, n / 20))
+    val before = CollectionStore.loadIndexed(spark, path)._1
+      .select($"id").as[Long].collect().toSet
+    val cents = CollectionStore.optimizePartitions(
+      spark, path, minRows, maxRows, nBuckets)
+    val (store, _) = CollectionStore.loadIndexed(spark, path)
+    // rows preserved through any number of passes
+    assert(store.select($"id").as[Long].collect().toSet == before)
+    // sidecar and store agree; every stored cid has one centroid
+    val byId = store.select($"id", $"cid".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val sidecar = spark.read.parquet(path + "_ids")
+      .select($"id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    assert(sidecar == byId, "sidecar diverged after optimization")
+    val centCids = cents.select($"cid".cast("long")).as[Long].collect().toSet
+    val sizes = store.groupBy($"cid".cast("long")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.keySet.subsetOf(centCids))
+    // convergence: monotone progress — re-running never INCREASES the
+    // out-of-band cell count, and invariants survive every extra pass
+    def outOfBand(m: Map[Long, Long]): Int =
+      m.values.count(s => s < minRows || s > maxRows)
+    CollectionStore.optimizePartitions(
+      spark, path, minRows, maxRows, nBuckets, maxPasses = 2)
+    val again = spark.read.parquet(path)
+      .groupBy(col("cid").cast("long")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(outOfBand(again) <= outOfBand(sizes),
+      s"extra optimizer passes regressed: ${outOfBand(sizes)} -> ${outOfBand(again)}")
+    val byId2 = spark.read.parquet(path)
+      .select($"id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    val sidecar2 = spark.read.parquet(path + "_ids")
+      .select($"id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    assert(byId2.keySet == before && sidecar2 == byId2,
+      "invariants broke under extra passes")
+    // search over the optimized layout still exact under a full probe —
+    // store/centroids re-read FRESH (the pre-rerun handles hold a stale
+    // file listing of the rewritten dirs)
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val (store2, cents2) = CollectionStore.loadIndexed(spark, path)
+    val nCells = cents2.count().toInt
+    val got = Ann.ivfSearch(store2, cents2, q, nprobe = nCells, k = 10)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    val exact = Search.knn(points, q, k = 10, threshold = -1.0)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == exact)
+  }
 }
