@@ -59,6 +59,14 @@ object RecallReport {
       // at that target, showing parity is one parameter away
       val npHi = meta.nprobeFor(0.992)
       val assigned = Ann.ivfAssign(points, meta.cids, meta.cents).cache()
+      // kmeans||-trained cells at the SAME nprobe: what the deterministic
+      // scalable-init training buys/costs vs the MLlib serving set
+      val kmppRows = SparkEntry.kmppCentroids(spark, sfDir)
+        .select(col("cid"), col("ce")).orderBy("cid").collect()
+      val (kmppCids, kmppCes) = (kmppRows.map(_.getLong(0)).toSeq,
+        kmppRows.map(_.getSeq[Double](1).toSeq).toSeq)
+      val kmppCents = (kmppCids, kmppCes)
+      val kmppAssigned = Ann.ivfAssign(points, kmppCids, kmppCes).cache()
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("id").collect().map(_.getLong(0)).toSet
       // graph ANN: ONE batched beam over all report qids (the serving
@@ -114,8 +122,10 @@ object RecallReport {
       val rotPoints = Pca.rotate(points, pcaM).cache()
       val pqPcaCb = Quantization.pqCodebookOf(
         Quantization.pqTrain(rotPoints, dim = 64, m = 8, ksub = 16, maxIter = 5))
-      // the eigval-balanced layout (least-loaded subspace assignment):
-      // the known fix for straight PCA starving 7 of 8 codebooks
+      // the eigval-balanced layout — kept as a graded comparison row:
+      // MEASURED NEGATIVE vs straight order on anisotropic data (the
+      // pqpca probe / SCALING.md; scattering the head components starves
+      // every sub-codebook of the cluster signal)
       val rotBalPoints = Pca.rotateBalanced(points, pcaM, 8).cache()
       val pqPcaBalCb = Quantization.pqCodebookOf(
         Quantization.pqTrain(rotBalPoints, dim = 64, m = 8, ksub = 16, maxIter = 5))
@@ -128,6 +138,7 @@ object RecallReport {
           if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
         val base = Map(
           "ivf" -> recall(ids(Ann.ivfSearch(assigned, meta.cids, meta.cents, q, np, k))),
+          "ivf_kmpp" -> recall(ids(Ann.ivfSearch(kmppAssigned, kmppCents._1, kmppCents._2, q, np, k))),
           "ivf_ref_target" -> recall(ids(Ann.ivfSearch(assigned, meta.cids, meta.cents, q, npHi, k))),
           "lsh_multiprobe" -> recall(ids(Ann.lshSearchMultiProbe(points, q, hps, k))),
           "lsh_multitable" -> recall(ids(Ann.lshSearchMultiTable(points, q, mtPlanes, 4, k))),

@@ -85,7 +85,7 @@ object SparkEntry {
   private val kmppAlias = "/tmp/graft_kmpp_current"
   private val kmppBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var kmppOracleDir: String = null
-  private def kmppCentroids(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmppCentroids(s: SparkSession, dir: String): DataFrame = {
     kmppOracleDir = dir
     val path = kmppPath(dir)
     kmppBuilt.computeIfAbsent(path, _ => {

@@ -247,7 +247,8 @@ class AnnSpec extends SparkSpec {
 
   test("bench recall report covers all approximate paths with sane floors") {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
-    assert(r.keySet == Set("ivf", "ivf_nprobe", "ivf_target", "ivf_ref_target",
+    assert(r.keySet == Set("ivf", "ivf_kmpp", "ivf_nprobe", "ivf_target",
+      "ivf_ref_target",
       "ivf_ref_nprobe", "lsh_multiprobe", "lsh_multitable", "binary_quant",
       "cascade", "int8_quant", "pq_adc", "pq_pca_adc", "pq_pca_bal_adc",
       "graph_beam",
