@@ -153,6 +153,21 @@ object CollectionStore {
       s"mergeIndexed: no id sidecar at ${path}_ids — the store must be " +
         "written via saveIndexed(..., idSidecarBuckets = Some(n)) before " +
         "incremental merges can locate the old cells of updated ids")
+    // stale-centroid guard: after a maintenance op rewrote the cell
+    // layout (splitOversizedCells / mergeSmallCells / optimizePartitions),
+    // a caller still holding the OLD centroid set would assign adds into
+    // cells the centroid table no longer lists — rows search can never
+    // probe. The persisted table is ≤C rows; fail loud instead. A store
+    // first created THROUGH this merge path has no `_centroids` table
+    // (the caller owns the centroid literals end to end) — skipped then.
+    if (fs.exists(new Path(path + "_centroids"))) {
+      val persistedCids = spark.read.parquet(path + "_centroids")
+        .select(col("cid").cast("long")).collect().map(_.getLong(0)).toSet
+      require(cids.toSet == persistedCids,
+        s"mergeIndexed: centroid set does not match ${path}_centroids " +
+          s"(${cids.size} passed vs ${persistedCids.size} persisted) — " +
+          "re-read the centroid table after any cell-maintenance op")
+    }
     // tombstones ride the same incremental machinery: delete ids join the
     // bucket/cell resolution (their OLD cells must be rewritten), and the
     // merge anti-joins them out. An id in both adds and deletes is

@@ -188,6 +188,78 @@ class AlgebraPropertySpec extends SparkSpec {
     assert(fwd.sameElements(shuf), "shuffled branch order changed the result")
   }
 
+  test("optimizer composes with upserts/deletes: invariants + exact full-probe over random sequences") {
+    import graft.operators.{Ann, Search}
+    val points = Collection.load(spark, sf001).limit(60).localCheckpoint()
+    val cents0 = Ann.kmeansCentroids(points, 4, 3)
+    val pool = points.select($"id", $"embedding")
+      .as[(Long, Seq[Double])].collect()
+    (0 until 2).foreach { seq =>
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_opt_$seq").toString
+      val path = s"$dir/store"
+      CollectionStore.saveIndexed(points, path, cents0,
+        idSidecarBuckets = Some(4))
+      var logical = points
+      (0 until 3).foreach { b =>
+        // maintenance first: re-band the layout, then merge a batch
+        // against the RE-READ centroid table (the stale-centroid guard
+        // makes passing the old set a loud failure, asserted below)
+        CollectionStore.optimizePartitions(spark, path,
+          minRows = 2, maxRows = 10, nBuckets = 4)
+        val cRows = spark.read.parquet(path + "_centroids")
+          .select($"cid".cast("long"), $"ce").orderBy("cid")
+          .as[(Long, Seq[Double])].collect()
+        val addIds = Seq.fill(3)(rnd.nextInt(80).toLong).distinct
+        val delIds = Seq.fill(3)(rnd.nextInt(80).toLong).distinct
+          .filterNot(addIds.contains)
+        val adds = addIds.map { i =>
+          (i, pool(rnd.nextInt(pool.length))._2, 600 + b, 2e9 + b)
+        }.toDF("id", "embedding", "user_id", "ts")
+        CollectionStore.mergeIndexed(spark, path, adds,
+          cRows.map(_._1).toSeq, cRows.map(_._2).toSeq,
+          nBuckets = 4, deletes = Some(delIds.toDF("id")))
+        logical = Collection.upsert(logical, adds)
+          .join(delIds.toDF("id"), Seq("id"), "left_anti")
+          .localCheckpoint()
+      }
+      // id/user contents match the logical twin (cids are historical —
+      // the optimizer's layout, not a global argmax — so compare rows)
+      val got = spark.read.parquet(path)
+        .select($"id", $"user_id".cast("int"))
+        .as[(Long, Int)].collect().toSet
+      val expect = logical.select($"id", $"user_id".cast("int"))
+        .as[(Long, Int)].collect().toSet
+      assert(got == expect, s"sequence $seq: store diverged from twin")
+      // sidecar == store; every stored cid is in the centroid table
+      val (store, cents) = CollectionStore.loadIndexed(spark, path)
+      val byId = store.select($"id", $"cid".cast("long"))
+        .as[(Long, Long)].collect().toMap
+      val side = spark.read.parquet(path + "_ids")
+        .select($"id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+      assert(side == byId, s"sequence $seq: sidecar diverged")
+      val centCids = cents.select($"cid".cast("long")).as[Long].collect().toSet
+      assert(byId.values.toSet.subsetOf(centCids),
+        s"sequence $seq: stored cell without a centroid")
+      // full-probe search over the maintained store == exact over twin
+      val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+      val gotTop = Ann.ivfSearch(store, cents, q,
+          nprobe = centCids.size, k = 10)
+        .select("id", "score").as[(Long, Double)].collect().toSeq
+      val exactTop = Search.knn(logical, q, k = 10, threshold = -1.0)
+        .select("id", "score").as[(Long, Double)].collect().toSeq
+      assert(gotTop == exactTop, s"sequence $seq: search diverged")
+      // the stale-centroid guard fires on the pre-optimize set
+      val old = cents0.select($"cid", $"ce").orderBy("cid").collect()
+      val stale = intercept[IllegalArgumentException] {
+        CollectionStore.mergeIndexed(spark, path,
+          Seq((999L, pool(0)._2, 1, 3e9)).toDF("id", "embedding", "user_id", "ts"),
+          old.map(_.getLong(0)).toSeq,
+          old.map(_.getSeq[Double](1).toSeq).toSeq, nBuckets = 4)
+      }
+      assert(stale.getMessage.contains("centroid set does not match"))
+    }
+  }
+
   test("round6 fast path ≡ BigDecimal reference across magnitudes and tie boundaries") {
     import graft.plans.Num
     val r = new Random(777)
