@@ -576,6 +576,34 @@ class IndexedStoreSpec extends SparkSpec {
     assert(fileMap(path) == filesNow, "no-op merge rewrote files")
   }
 
+  test("cell maintenance preserves quantization codes (pq/sig/pqc ride the rewrite)") {
+    val nBuckets = 8
+    val path = "/tmp/graft_test_split_pq_store"
+    CollectionStore.saveIndexed(points, path, Ann.seedCentroids(points, 6),
+      pqCodebook = Some(pqCb), idSidecarBuckets = Some(nBuckets))
+    def codes(): Map[Long, (Seq[Long], Long)] =
+      CollectionStore.loadIndexed(spark, path)._1
+        .select($"id", $"pqc".cast("array<long>"), $"sig")
+        .as[(Long, Seq[Long], Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    val before = codes()
+    val n = points.count()
+    CollectionStore.optimizePartitions(spark, path,
+      minRows = math.max(1L, n / 48), maxRows = math.max(2L, n / 20), nBuckets)
+    val after = codes()
+    // codes are per-point functions of the embedding — a layout op must
+    // carry them through every rewrite byte-for-byte
+    assert(after == before, "maintenance rewrote quantization codes")
+    // and the persisted-code ADC search still runs against the new layout
+    val (store, _) = CollectionStore.loadIndexed(spark, path)
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val got = Quantization.pqAdcSearch(store, q, pqCb, 10)
+      .select("id").as[Long].collect().toSeq
+    val ref = Quantization.pqAdcSearch(points, q, pqCb, 10)
+      .select("id").as[Long].collect().toSeq
+    assert(got == ref, "ADC over the maintained store diverged")
+  }
+
   test("optimizePartitions: split+merge compose to an in-band fixed point") {
     val nBuckets = 8
     val path = "/tmp/graft_test_opt_store"
