@@ -135,6 +135,31 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+  /** Trained scalar-quantization range side table (kmeans/PQ lifecycle):
+    * exact per-dim |x| max from [[Quantization.sqTrainRanges]], persisted
+    * once per JVM per scale dir; Spark encodes against the collected
+    * literals, the oracle recomputes codes from the SAME parquet. */
+  private def sqPath(dir: String) = "/tmp/graft_sq_" + san(dir)
+  private val sqAlias = "/tmp/graft_sq_current"
+  private val sqBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var sqOracleDir: String = null
+  private val sqRangesBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+  private def sqRanges(s: SparkSession, dir: String): Seq[Double] = {
+    sqOracleDir = dir
+    val path = sqPath(dir)
+    sqBuilt.computeIfAbsent(path, _ => {
+      Quantization.sqTrainRanges(Collection.load(s, dir))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(sqAlias)
+      path
+    })
+    sqRangesBuilt.computeIfAbsent(dir, _ =>
+      s.read.parquet(path).orderBy("dim")
+        .select("hi").collect().map(_.getDouble(0)).toSeq)
+  }
+
   private val pqMetaBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Quantization.PqCodebook]()
   private[graft] def pqMeta(s: SparkSession, dir: String): Quantization.PqCodebook =
@@ -1137,6 +1162,16 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Quantization.twoPhaseSearch(points, q, k = 10, oversample = 3.0)
     }),
+    // TRAINED scalar quantization (the reference's scalar
+    // quantization_config trains a clip range; ours is the exact per-dim
+    // |x| max from a persisted side table both engines read): phase-1
+    // codes use the full +/-127 range instead of assuming |x| <= 1, and
+    // the query side stays float (asymmetric scoring).
+    "quantized_two_phase_trained" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Quantization.sqTwoPhaseSearchTrained(points, q, sqRanges(s, dir), k = 10)
+    }),
     // Structured Streaming twin of events_hourly_window (same oracle).
     "streaming_hourly_window" -> ((s, dir) =>
       StreamingOps.hourlyWindowStream(s, dir)),
@@ -2066,6 +2101,7 @@ object SparkEntry {
   private def optIdsGlob = sideGlob(optOracleDir,
     d => optStorePath(d) + "_idsflat", optIdsAlias)
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
+  private def sqOracleGlob = sideGlob(sqOracleDir, sqPath, sqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
   private def pcaOracleGlob = sideGlob(pcaOracleDir, pcaPath, pcaAlias)
 
@@ -3114,6 +3150,25 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 6) AS p95,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // trained-SQ replay: codes recomputed from the persisted per-dim
+    // range table; phase-1 is the asymmetric code·(hi·q) dot in list
+    // order (matches Spark's sequential aggregate fold), float rescore
+    "quantized_two_phase_trained" ->
+      s"""WITH $C, q0 AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |r AS (SELECT dim, hi FROM read_parquet($sqOracleGlob)),
+         |enc AS (SELECT c.id, c.user_id, c.ne, r.dim,
+         |  CASE WHEN r.hi > 0 THEN greatest(-127, least(127, round(c.ne[r.dim+1] / r.hi * 127)::INT))
+         |       ELSE 0 END AS cd
+         |  FROM c, r),
+         |pv AS (SELECT id, user_id, ne, list(cd ORDER BY dim) AS codes
+         |  FROM enc GROUP BY id, user_id, ne),
+         |hq AS (SELECT list(r.hi * q0.qe[r.dim+1] ORDER BY r.dim) AS hv
+         |  FROM r, q0),
+         |phase1 AS (SELECT pv.id, pv.user_id, pv.ne, q0.qe,
+         |  round(list_dot_product(pv.codes::DOUBLE[], hq.hv) / 127.0, 6) AS cheap
+         |  FROM pv, hq, q0 ORDER BY cheap DESC, id ASC LIMIT 30)
+         |SELECT id, round(list_dot_product(ne, qe), 6) AS score, user_id FROM phase1
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "quantized_two_phase" ->
       s"""WITH $C, q0 AS (SELECT ne AS qe FROM c WHERE id = 0),
          |qq AS (SELECT qe, list_transform(qe, x -> greatest(-127, least(127, round(x*127)::INT))) AS qv FROM q0),

@@ -34,6 +34,53 @@ object Quantization {
     aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")), lit(0L),
       (acc, x) => acc + x).cast("double") / lit(127.0d * 127.0d)
 
+  /** TRAINED per-dimension symmetric scalar-quantization ranges — the
+    * engine's analogue of Qdrant's trained scalar quantization (the
+    * reference configures `quantization_config.scalar` with a trained
+    * clip quantile; src/core/qdrant_client.py:129-137): the fixed
+    * `quantize` scale assumes components fill [-1, 1], but unit-norm
+    * embeddings at d=64 concentrate within ~±0.5, wasting ~2 of the 8
+    * code bits. Ranges are the EXACT per-dim |x| max (order-free,
+    * deterministic, trivially SQL-replayable — the quantile clip the
+    * reference uses would need an approximate-percentile both engines
+    * agree on), rounded to 6dp so both engines share identical literals.
+    * One map-side-combined aggregate; ≤d rows out. */
+  def sqTrainRanges(points: DataFrame): DataFrame =
+    points
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(round(max(abs(col("v"))), 6).as("hi"))
+      .orderBy("dim")
+
+  /** Encode with trained ranges: code_i = clamp(round(127·x_i/hi_i)); a
+    * zero-range dimension (constant 0 across the corpus) codes to 0. */
+  def sqEncodeTrained(v: Column, his: Seq[Double]): Column =
+    zip_with(v, typedLit(his), (x, h) =>
+      when(h > 0, greatest(lit(-127), least(lit(127),
+        round(x / h * 127.0d).cast("int")))).otherwise(lit(0)))
+
+  /** Asymmetric trained-SQ score: Σ code_i·(hi_i·q_i) / 127 — the float
+    * query is NOT quantized (free precision on the query side), and the
+    * fold order matches DuckDB's `list_dot_product` for oracle parity. */
+  def sqScoreTrained(codes: Column, qemb: Column, his: Seq[Double]): Column =
+    aggregate(
+      zip_with(codes, zip_with(typedLit(his), qemb, (h, q) => h * q),
+        (cd, hq) => cd.cast("double") * hq),
+      lit(0.0d), (acc, x) => acc + x) / lit(127.0d)
+
+  /** Two-phase search over trained-SQ codes (same phase-1/rescore shape
+    * as [[twoPhaseSearch]], better phase-1 resolution at the same byte
+    * budget). `his` comes from a persisted [[sqTrainRanges]] table. */
+  def sqTwoPhaseSearchTrained(
+      points: DataFrame, queryDf: DataFrame, his: Seq[Double], k: Int,
+      oversample: Double = 3.0): DataFrame = {
+    val fetchK = math.max(k, (k * oversample).toInt)
+    val q = queryDf.select(col("qemb"))
+    twoPhase(points, q, k, fetchK, "sqt",
+      sqEncodeTrained(col("embedding"), his),
+      round(sqScoreTrained(col("sqt"), col("qemb"), his), 6))
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
   /** Binary (1-bit) quantization: sign bits of the normalized embedding
     * packed into a single bigint (≤64 dims). 64× smaller than the float64
     * column — the most aggressive point on the same RAM/recall trade-off
