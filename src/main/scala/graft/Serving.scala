@@ -539,9 +539,10 @@ object BatchedServer {
     ((s0 + s1) + (s2 + s3)) + ((s4 + s5) + (s6 + s7))
   }
 
-  /** [[dotFastSlab]] over a standalone row array (job-tier form). */
-  private[graft] def dotFast(emb: Array[Double], q: Array[Double]): Double =
-    dotFastSlab(emb, 0, math.min(emb.length, q.length), q)
+  // (removed) dotFast — the old standalone-row entry point with the fixed
+  // 1e-6 slack assumption. The job tier gates through [[dotFastAbs]] +
+  // [[gateSlack]] (magnitude-scaled); keeping the old form invited a call
+  // site that reintroduces the unnormalized-magnitude gating bug (ADVICE r11).
 
   /** Job-tier gate pass: one scan computing BOTH the reassociated fast
     * dot and Σ|aᵢbᵢ| (written to `out(0)`/`out(1)`), so the gate slack

@@ -89,8 +89,16 @@ object SparkEntry {
     kmppOracleDir = dir
     val path = kmppPath(dir)
     kmppBuilt.computeIfAbsent(path, _ => {
-      val cents = Ann.kmeansParallelCentroids(
-        Collection.load(s, dir).cache(), k = 16, rounds = 3, maxIter = 5)
+      // cache only for the training sweeps, then release: a training-time
+      // cache left behind pins executor memory for the JVM lifetime per
+      // scale dir (ADVICE r11). Respect a caller-level cache if one exists
+      // (the LogReg.train pattern): only unpersist what we persisted.
+      val pts = Collection.load(s, dir)
+      val weCached = pts.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      if (weCached) pts.cache()
+      val cents =
+        try Ann.kmeansParallelCentroids(pts, k = 16, rounds = 3, maxIter = 5)
+        finally { if (weCached) pts.unpersist() }
       cents.coalesce(1).write.mode("overwrite").parquet(path)
       s.read.parquet(path).coalesce(1)
         .write.mode("overwrite").parquet(kmppAlias)
@@ -974,6 +982,26 @@ object SparkEntry {
       // sample at sf0.1 (the HNSW ef/M dial, turned until the graded tier)
       Ann.graphBeamSearch(points, graphTable(s, dir), q,
           k = 10, beam = 24, hops = 8,
+          entryCids = ecids, entryCents = ecents)
+        .select(col("id"), col("score"), col("user_id"))
+    }),
+    // FILTERED graph search — Qdrant's filtered-HNSW semantics
+    // (reference src/core/qdrant_client.py:354-374): the payload
+    // predicate gates result ELIGIBILITY only; the beam descent runs
+    // over the full graph so non-matching nodes still route the beam
+    // toward the query's region (filtering the traversal itself would
+    // disconnect the graph under selective predicates — the recall hole
+    // the filter-cardinality planner routes around at low cardinality).
+    // Oracle: the same hop-replaying graph oracle with the predicate on
+    // the FINAL visited-set selection only.
+    "ann_graph_filtered" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qemb"))
+      val (ecids, ecents) = graphEntrySeeds(s, dir)
+      Ann.graphBeamSearch(points, graphTable(s, dir), q,
+          k = 10, beam = 24, hops = 8,
+          preFilter = Some(col("user_id") % 3 === 1),
           entryCids = ecids, entryCents = ecents)
         .select(col("id"), col("score"), col("user_id"))
     }),
@@ -2168,7 +2196,8 @@ object SparkEntry {
     * visited, score, union, frontier = top-`beam` of visited minus
     * expanded) → final top-k of visited. */
   private def graphBeamOracle(hops: Int, beam: Int, k: Int,
-      graphK: Int = 12, maxDegree: Int = 16): String = {
+      graphK: Int = 12, maxDegree: Int = 16,
+      finalWhere: String = ""): String = {
     val b = Seq.newBuilder[String]
     b += s"""cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),
        |gscored AS (SELECT p.id, ct.cid,
@@ -2218,7 +2247,8 @@ object SparkEntry {
          |  ORDER BY score DESC, id ASC LIMIT $beam)""".stripMargin
     }
     s"WITH $C,\n" + b.result().mkString(",\n") +
-      s"\nSELECT id, score, user_id FROM v$hops ORDER BY score DESC, id ASC LIMIT $k"
+      s"\nSELECT id, score, user_id FROM v$hops $finalWhere" +
+      s" ORDER BY score DESC, id ASC LIMIT $k"
   }
 
   /** Batched form of [[graphBeamOracle]]: `nQ` evenly-spread stored
@@ -2925,6 +2955,10 @@ object SparkEntry {
     // same semantics as ann_graph_beam — one oracle grades both
     // execution forms (analytic hop joins vs bucket-pruned serving)
     "ann_graph_serve" -> graphBeamOracle(hops = 8, beam = 24, k = 10),
+    // filtered-HNSW semantics: unfiltered descent replay, predicate
+    // applied to the final visited set only (result eligibility)
+    "ann_graph_filtered" -> graphBeamOracle(hops = 8, beam = 24, k = 10,
+      finalWhere = "WHERE user_id % 3 = 1"),
     // Side-table pattern (like lm_perplexity): store+graph MAINTENANCE
     // (tombstones + beam-descent inserts + degree re-cap) is verified by
     // IndexedStoreSpec's replay-equality; the SEARCH over the maintained

@@ -286,6 +286,14 @@ object Ann {
       }
       mark(s"seed_round_$r(c=${cand.length})")
     }
+    // the reduction below picks min(k, |cand|) seeds; a pool smaller than
+    // k would silently return fewer centroids than the documented
+    // "cid 0..k-1" contract and break downstream nprobe/ivfSearch cell
+    // sizing — fail loud instead (ADVICE r11)
+    require(cand.length >= k,
+      s"k-means|| candidate pool ${cand.length} < k=$k after $rounds " +
+        s"rounds at l=$ll: raise l or rounds (or lower k) so the " +
+        "oversampling pool covers the requested cell count")
     // 2. weight candidates by the points they own
     val weights = pts.withColumn("_c", assignCol(cand))
       .groupBy("_c").count().as[(Long, Long)].collect().toMap
@@ -356,6 +364,12 @@ object Ann {
             val e = it.next()
             var i = 0
             while (i < d && i < e.length) { x(i) = e(i); i += 1 }
+            // zero-fill the tail: a ragged (shorter-than-dim) embedding
+            // must not inherit the previous row's components in either the
+            // assignment dot or the centroid sums (ADVICE r11); matches
+            // the codegen NearestCentroid walk, which truncates to
+            // min(n, dim) — i.e. treats missing tail components as 0.
+            while (i < d) { x(i) = 0.0; i += 1 }
             var best = java.lang.Double.NEGATIVE_INFINITY
             var bc = 0
             var c = 0

@@ -68,10 +68,16 @@ def gen(outdir: str, n_emb: int, n_doc: int, seed: int = 42,
         emb[i] = emb[i - 1] + rng.standard_normal(64).astype(np.float32) * 0.01
         emb[i] /= np.linalg.norm(emb[i])
     vec_id = np.arange(n_emb, dtype=np.int64)
+    # list<float> built from the flat buffer: identical values/schema to the
+    # old emb.tolist() path but O(1) python objects — required at sf100
+    # (2M x 64 = 128M floats) and faster at every size.
+    offsets = pa.array(np.arange(n_emb + 1, dtype=np.int64) * 64)
+    emb_col = pa.LargeListArray.from_arrays(
+        offsets, pa.array(emb.reshape(-1))).cast(pa.list_(pa.float32()))
     pq.write_table(
         pa.table({
             "vec_id": vec_id,
-            "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+            "embedding": emb_col,
             "label": (vec_id % 10).astype(np.int32),
         }),
         f"{outdir}/embeddings.parquet")
@@ -160,8 +166,14 @@ def gen_rich(outdir: str, n_doc: int, seed: int = 43,
 
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scale"
-    gen(f"{base}/sf1", 20_000, 50_000)
-    gen(f"{base}/sf10", 200_000, 500_000)
-    gen(f"{base}/sf1c", 20_000, 50_000, clusters=16, spread=0.05)
-    gen(f"{base}/sf10c", 200_000, 500_000, clusters=16, spread=0.05)
-    gen_rich(f"{base}/sfbpe", 20_000)
+    if len(sys.argv) > 2 and sys.argv[2] == "sf100":
+        # round-12 third scale point (VERDICT r11 #1): 2M vectors / 5M docs,
+        # same generator + near-dup injection so the three-point exponent
+        # is distribution-clean.
+        gen(f"{base}/sf100", 2_000_000, 5_000_000)
+    else:
+        gen(f"{base}/sf1", 20_000, 50_000)
+        gen(f"{base}/sf10", 200_000, 500_000)
+        gen(f"{base}/sf1c", 20_000, 50_000, clusters=16, spread=0.05)
+        gen(f"{base}/sf10c", 200_000, 500_000, clusters=16, spread=0.05)
+        gen_rich(f"{base}/sfbpe", 20_000)
