@@ -525,6 +525,17 @@ object Bench {
       spark.stop()
       return
     }
+    // dev knob: SPARK_GRAFT_PHASE=recall runs ONLY the recall report
+    // (local iteration on index-quality rows; errors surface raw here
+    // instead of being swallowed into an empty map like the full run)
+    if (sys.env.get("SPARK_GRAFT_PHASE").contains("recall")) {
+      val r = RecallReport.report(spark, sfDir).toSeq.sortBy(_._1)
+        .map { case (m, v) => "\"" + m + "\":" + math.rint(v * 1000) / 1000 }
+        .mkString("{", ",", "}")
+      println(s"""{"recall":$r,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     // warmup: run the flagship once at the smallest scale (class loading,
     // codegen compilation, parquet footer caches)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

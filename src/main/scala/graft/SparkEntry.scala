@@ -153,7 +153,7 @@ object SparkEntry {
   @volatile private var sqOracleDir: String = null
   private val sqRangesBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
-  private def sqRanges(s: SparkSession, dir: String): Seq[Double] = {
+  private[graft] def sqRanges(s: SparkSession, dir: String): Seq[Double] = {
     sqOracleDir = dir
     val path = sqPath(dir)
     sqBuilt.computeIfAbsent(path, _ => {
