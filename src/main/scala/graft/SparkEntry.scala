@@ -614,6 +614,16 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Search.knn(points, q, k = 10, threshold = 0.1)
     }),
+    // Q1, per-request SERVING form: the query vector inlined as a
+    // literal (no broadcast exchange, one single-stage job) — identical
+    // semantics to knn_search, graded by the same oracle; the form the
+    // per-request bench tier drives (PLANS_r12).
+    "knn_search_direct" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val qemb = points.filter(col("id") === 0)
+        .select("embedding").head().getSeq[Double](0).toSeq
+      Search.knnDirect(points, qemb, k = 10, threshold = 0.1)
+    }),
     // Q1+Q3: search with user equality pre-filter.
     "knn_search_filtered" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -3349,6 +3359,13 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey, o_totalprice, rank FROM r WHERE rank <= 3
         |ORDER BY o_custkey, rank""".stripMargin,
     "knn_search" ->
+      s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q)
+         |SELECT id, score, user_id FROM s WHERE score >= 0.1
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // same oracle as knn_search: the literal-inline execution form must
+    // produce byte-identical results to the broadcast form
+    "knn_search_direct" ->
       s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
          |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id FROM c, q)
          |SELECT id, score, user_id FROM s WHERE score >= 0.1

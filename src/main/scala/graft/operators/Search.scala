@@ -54,6 +54,34 @@ object Search {
       .select((Seq("id", "score", "user_id") ++ projectExtra).map(col): _*)
   }
 
+  /** Per-request serving form of [[knn]]: the single query vector inlined
+    * as a LITERAL into the scoring expression — no query-side frame (no
+    * per-request reflection encoder), no broadcast exchange, ONE
+    * single-stage job per request. Identical results to [[knn]] (same
+    * scoring expression, 6dp rounding, score-desc/id-asc tie-break, same
+    * pre-filter placement); the literal only changes plan VALUES, not
+    * shape, so whole-stage codegen cache-hits across requests
+    * (literals land in the references array, not the generated source).
+    * Measured ~2× the one-job-per-query throughput of the broadcast form
+    * (PLANS_r12 — per-request root-cause); the remaining bound is the
+    * single-threaded DAGScheduler dispatch ceiling (~340 bare jobs/s on
+    * this box), which no one-job-per-query tier can exceed — the reason
+    * the batched/replica tiers exist. */
+  def knnDirect(
+      points: DataFrame,
+      qemb: Seq[Double],
+      k: Int,
+      threshold: Double,
+      preFilter: Option[Column] = None): DataFrame = {
+    val filtered = preFilter.map(points.filter).getOrElse(points)
+    filtered
+      .withColumn("score", score(col("embedding"), typedLit(qemb)))
+      .filter(col("score") >= threshold)
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select("id", "score", "user_id")
+  }
+
   /** Batched exact top-k: one row per (query_id, hit), per-query rank <= k.
     * `queries` has columns (query_id, qemb[normalized]). The query side is
     * broadcast; the per-query top-k is a single shuffle on query_id. */
