@@ -616,8 +616,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // discarded warmup
-      val times3 = (1 to 3).map(_ => once())
-      val med3 = times3.sorted.apply(1)
+      // SPARK_GRAFT_RUNS: timed-run count override for the sf100 scale
+      // campaign, where a single heavy query runs for tens of minutes
+      // and the exponent claim needs magnitude, not median-of-3
+      // precision (graded per-round runs keep the default 3)
+      val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+      val times3 = (1 to nRuns).map(_ => once())
+      val med3 = times3.sorted.apply(times3.length / 2)
       // ADAPTIVE N=5 for the volatile tail (VERDICT r9 #4): when the
       // 3-run spread exceeds 15% of the median on a non-trivial query,
       // two more timed runs tighten the graded median — the same-code

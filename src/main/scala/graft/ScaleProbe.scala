@@ -179,9 +179,13 @@ object ScaleProbe {
       import graft.operators.Bpe
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val target = if (nQueries > 100) nQueries else 1024
-      val maxRounds = 400
+      // r12 deep-vocab knobs: at 8k+ targets the ranked tail thins and
+      // the accept rate falls — the probe reports the per-round accept
+      // curve so the regime is measured, not assumed (VERDICT r11 #5)
+      val maxRounds = sys.env.getOrElse("GRAFT_BPE_MAXROUNDS", "400").toInt
+      val batchW = sys.env.getOrElse("GRAFT_BPE_BATCH", "32").toInt
       val ((mergesB, vocabB), tB) =
-        timed(Bpe.learnBatched(docs, nRounds = maxRounds, batch = 32,
+        timed(Bpe.learnBatched(docs, nRounds = maxRounds, batch = batchW,
           maxMerges = target))
       val total = mergesB.size
       val sorted = mergesB.sortBy(m => (m.round, m.rank))
@@ -194,7 +198,13 @@ object ScaleProbe {
       val (nTok, tApply) = timed(
         Bpe.tokenize(docs, vocabB)
           .agg(sum(col("n_bpe_tokens"))).head().getLong(0))
+      // accept-rate curve: merges accepted per driver round, in round
+      // order — the honest shape of the deep-vocab regime
+      val acceptCurve = sorted.groupBy(_.round).toSeq.sortBy(_._1)
+        .map(_._2.size).mkString("[", ",", "]")
       println(s"""{"probe":"bpe1k","sf":"$sfDir","target_merges":$target,""" +
+        s""""batch":$batchW,"max_rounds":$maxRounds,""" +
+        s""""accept_per_round":$acceptCurve,""" +
         s""""merges_learned":$total,"rounds_used":$usedRounds,""" +
         s""""rounds_to_target":$roundsToTarget,"b32_secs":${math.rint(tB * 100) / 100},""" +
         s""""seq_secs_per_round":${math.rint(seqPerRound * 1000) / 1000},""" +
@@ -311,10 +321,16 @@ object ScaleProbe {
           s""""${tag}_maxcell_ratio":${math.rint(maxRatio * 100) / 100},""" +
           s""""${tag}_recall":${math.rint(rec * 1000) / 1000}"""
       }
-      val out = Seq(
-        grade("mllib", () => Ann.kmeansCentroids(points, cells, maxIter = 5)),
-        grade("kmpp", () => Ann.kmeansParallelCentroids(
+      // GRAFT_KMPP_SKIP_MLLIB=1 drops the MLlib comparison leg (at sf100
+      // the RNG-seeded MLlib fit costs multiples of the engine's own
+      // trainer; the sf1/sf10 table already grades the comparison)
+      val legs =
+        (if (sys.env.contains("GRAFT_KMPP_SKIP_MLLIB")) Seq.empty
+         else Seq("mllib" -> (() => Ann.kmeansCentroids(
+           points, cells, maxIter = 5)))) ++
+        Seq("kmpp" -> (() => Ann.kmeansParallelCentroids(
           points, cells, rounds = 3, maxIter = 5)))
+      val out = legs.map { case (tag, train) => grade(tag, train) }
       println(s"""{"probe":"kmpp","sf":"$sfDir","n":$n,"c":$cells,""" +
         out.mkString(",") + "}")
       spark.stop()
