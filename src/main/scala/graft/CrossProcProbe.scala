@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-process sharded serving (VERDICT r11 #8): hand each hash-shard
+  * of a replica-too-big collection to a WORKER JVM as a slab file and
+  * drive the [[RemoteShardedRouter]] scatter-gather over real sockets —
+  * the executor-resident-scorer shape of the 100 TB deployment, measured
+  * instead of argued. Workers are plain JVMs (no Spark at runtime)
+  * running the bit-exact replica kernel ([[BatchedServer.scoreRange]],
+  * SIMD dispatch included).
+  *
+  * [[measure]] returns the keys the bench grades:
+  *   - `crossproc_correct` (1.0 = router top-10 ≡ exact
+  *     [[graft.operators.Search.knn]] over the union, row for row, on
+  *     sampled queries — the in-JVM ShardedServer equivalence);
+  *   - `crossproc_ping_p50_ms` — the pure IPC round-trip floor;
+  *   - closed-loop (32 clients) QPS/p50/p99 and paced-1000
+  *     p50/p99 from scheduled arrival (coordinated-omission-correct) —
+  *     the same two load shapes the in-JVM sharded tier is graded at. */
+object CrossProc {
+
+  def measure(spark: SparkSession, bigPoints: DataFrame,
+      qPool: Array[Array[Double]], k: Int = 10, th: Double = 0.1)
+      : Map[String, Double] = {
+    val bigN = bigPoints.count()
+    val shardMaxRows = BatchedServer.DefaultReplicaMaxRows
+    val nShards = math.max(1, ((bigN + shardMaxRows - 1) / shardMaxRows).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("graft_xproc").toString
+    // shard handoff: one slab file per hash shard (what a cluster would
+    // read from the bucketed store)
+    val slabs = (0 until nShards).map { s =>
+      val rows = bigPoints
+        .filter(pmod(col("id"), lit(nShards.toLong)) === s.toLong)
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Double](1).toArray, r.getInt(2)))
+      val p = s"$dir/shard_$s.slab"
+      SlabIO.write(p, rows)
+      p
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val basePort = 42800 + (System.nanoTime() % 100).toInt
+    val workerThreads = math.max(4,
+      Runtime.getRuntime.availableProcessors / nShards)
+    val procs = slabs.zipWithIndex.map { case (slab, i) =>
+      new ProcessBuilder(javaBin, "--add-modules=jdk.incubator.vector",
+        "-Xmx2g", "-cp", cp, "graft.ShardWorker", slab,
+        (basePort + i).toString, k.toString, th.toString,
+        workerThreads.toString)
+        .redirectOutput(new java.io.File(s"$dir/worker_$i.log"))
+        .redirectErrorStream(true)
+        .start()
+    }
+    try {
+      // wait for readiness: retry the router handshake
+      val addrs = (0 until nShards).map(i => ("127.0.0.1", basePort + i))
+      var router: RemoteShardedRouter = null
+      var tries = 0
+      while (router == null) {
+        try router = new RemoteShardedRouter(addrs, k)
+        catch {
+          case e: java.io.IOException =>
+            tries += 1
+            if (tries > 120) throw e
+            Thread.sleep(500)
+        }
+      }
+      try {
+        router.ping()
+        val nQ = qPool.length
+        // correctness: router ≡ solo exact knn on 3 spread queries
+        val okAll = Seq(0, nQ / 2, nQ - 1).forall { qi =>
+          val got = router.search(qPool(qi)).map(h => (h._1, h._2)).toSeq
+          val q = {
+            import spark.implicits._
+            Seq(qPool(qi).toSeq).toDF("qemb")
+          }
+          val want = graft.operators.Search.knn(bigPoints, q, k, th)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          got == want
+        }
+        // IPC floor
+        (0 until 200).foreach(_ => router.ping())
+        val pings = (0 until 1000).map { _ =>
+          val t0 = System.nanoTime(); router.ping()
+          (System.nanoTime() - t0) / 1e6
+        }.sorted.toIndexedSeq
+        // JIT/GC warm for router AND workers before the timed drives
+        (0 until 600).foreach(i => router.search(qPool(i % nQ)))
+        def pct(xs: IndexedSeq[Double], p: Double): Double =
+          math.rint(xs(((xs.length - 1) * p).toInt) * 1000) / 1000
+        val closedClients = 32
+        val perClient = 100
+        val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(closedClients)
+        val t0 = System.nanoTime()
+        val fs = (0 until closedClients).map { c =>
+          pool.submit(new Runnable { def run(): Unit = {
+            var i = 0
+            while (i < perClient) {
+              val s0 = System.nanoTime()
+              router.search(qPool((c * perClient + i) % nQ))
+              lats.add((System.nanoTime() - s0) / 1e6)
+              i += 1
+            }
+          }})
+        }
+        fs.foreach(_.get()); pool.shutdownNow()
+        val closedSecs = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val cl = lats.asScala.toIndexedSeq.sorted
+        // paced 1000 QPS, p50/p99 from SCHEDULED arrival
+        val paceQps = 1000
+        val paceN = 5000
+        val pLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val ppool = java.util.concurrent.Executors.newFixedThreadPool(64)
+        val start = System.nanoTime()
+        (0 until paceN).foreach { i =>
+          val due = start + i * (1000000000L / paceQps)
+          var now = System.nanoTime()
+          while (now < due) {
+            val ns = due - now
+            if (ns > 2000000) Thread.sleep(ns / 2000000) else Thread.onSpinWait()
+            now = System.nanoTime()
+          }
+          ppool.submit(new Runnable { def run(): Unit = {
+            router.search(qPool(i % nQ))
+            pLats.add((System.nanoTime() - due) / 1e6)
+          }})
+        }
+        ppool.shutdown()
+        ppool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+        val pl = pLats.asScala.toIndexedSeq.sorted
+        Map(
+          "crossproc_rows" -> bigN.toDouble,
+          "crossproc_shards" -> nShards.toDouble,
+          "crossproc_worker_threads" -> workerThreads.toDouble,
+          "crossproc_correct" -> (if (okAll) 1.0 else 0.0),
+          "crossproc_ping_p50_ms" -> pct(pings, 0.5),
+          "crossproc_ping_p99_ms" -> pct(pings, 0.99),
+          "crossproc_closed_clients" -> closedClients.toDouble,
+          "crossproc_closed_qps" ->
+            math.rint(closedClients * perClient / closedSecs * 10) / 10,
+          "crossproc_closed_p50_ms" -> pct(cl, 0.5),
+          "crossproc_closed_p99_ms" -> pct(cl, 0.99),
+          "crossproc_paced_rate_qps" -> paceQps.toDouble,
+          "crossproc_paced_p50_ms" -> pct(pl, 0.5),
+          "crossproc_paced_p99_ms" -> pct(pl, 0.99))
+      } finally router.close()
+    } finally procs.foreach(_.destroyForcibly())
+  }
+}
+
+/** Standalone runner for [[CrossProc.measure]]: builds the same
+  * replica-too-big fixture the graded sharded tier uses and prints the
+  * measurement as one JSON line. */
+object CrossProcProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val points = graft.operators.Collection.load(spark, sfDir)
+    val n = points.count()
+    val shardMaxRows = BatchedServer.DefaultReplicaMaxRows
+    val nCopies = (shardMaxRows / math.max(n, 1L)).toInt + 1
+    val idStride = 1L << 32
+    val bigPoints = {
+      val copies = spark.range(nCopies).select(col("id").as("copy"))
+      points.crossJoin(copies)
+        .select((col("id") + col("copy") * idStride).as("id"),
+          col("embedding"), col("user_id"))
+        .repartition(32).cache()
+    }
+    bigPoints.count()
+    val qPool = points.orderBy("id").limit(400)
+      .select("embedding").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val m = CrossProc.measure(spark, bigPoints, qPool)
+    println(m.toSeq.sortBy(_._1)
+      .map { case (key, v) => "\"" + key + "\":" + v }
+      .mkString(s"""{"probe":"crossproc","sf":"$sfDir",""", ",", "}"))
+    spark.stop()
+  }
+}

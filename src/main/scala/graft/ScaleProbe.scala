@@ -82,6 +82,34 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "ivfprobe") {
+      // the deployment-regime IVF probe curve (VERDICT r11 #1 / r12): the
+      // REGISTERED indexed_ivf_search store carries the oracle-pinned
+      // C=16 trained cells, so probe bytes grow ∝ N/16 — flat only while
+      // fixed cost dominates. At 100 TB the optimizer family holds cell
+      // SIZE constant (C ∝ N — ivf_split/merge/optimize); this mode
+      // builds the store at C = max(16, N/1250) (sf1: 16, sf10: 160,
+      // sf100: 1600 — constant 1250-row cells) and times the
+      // partition-pruned nprobe=4 search: the flat-at-any-N property
+      // measured on its own three-point curve.
+      import graft.sources.CollectionStore
+      val c = math.max(16, (n / 1250).toInt)
+      val san = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_probe_ivf_$san"
+      val (_, buildSecs) = timed(CollectionStore.saveIndexed(
+        points, path, Ann.seedCentroids(points, c)))
+      val (store, cents) = CollectionStore.loadIndexed(spark, path)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      def once(): Double =
+        timed(Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10).count())._2
+      once() // warmup (codegen + footer cache)
+      val t = Seq(once(), once(), once()).sorted.apply(1)
+      println(s"""{"probe":"ivfprobe","sf":"$sfDir","n":$n,"cells":$c,""" +
+        s""""build_secs":${math.rint(buildSecs * 100) / 100},""" +
+        s""""probe_secs":${math.rint(t * 1000) / 1000}}""")
+      spark.stop()
+      return
+    }
     if (mode == "gmerge") {
       // Graph-sidecar maintenance probe: time ONE mergeGraphIndexed batch
       // (20 upserts + 10 tombstones) against the PRUNED path (full
