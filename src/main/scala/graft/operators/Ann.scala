@@ -307,8 +307,16 @@ object Ann {
       }
       s
     }
+    // O(1) membership + explicit argmax: the r11 form's
+    // `filterNot(chosen.contains).maxBy` was O(k²·|cand|) driver time —
+    // fine at C=320 (sf10), hours at the sf100 point's C=3200. The
+    // selection is IDENTICAL (same (w·minD2 desc, index asc) order, ties
+    // impossible on the index component), just a mask instead of a list
+    // scan — kmpp output is bit-for-bit unchanged (AnnSpec determinism).
     val chosen = scala.collection.mutable.ArrayBuffer[Int](
       w.indices.maxBy(i => (w(i), -i)))
+    val chosenMask = new Array[Boolean](cand.length)
+    chosenMask(chosen.head) = true
     val minD2 = Array.fill(cand.length)(Double.MaxValue)
     while (chosen.length < math.min(k, cand.length)) {
       val last = cand(chosen.last)
@@ -318,10 +326,18 @@ object Ann {
         if (d < minD2(i)) minD2(i) = d
         i += 1
       }
-      val next = cand.indices
-        .filterNot(chosen.contains)
-        .maxBy(i => (w(i) * minD2(i), -i))
+      var next = -1
+      var bestV = Double.NegativeInfinity
+      i = 0
+      while (i < cand.length) {
+        if (!chosenMask(i)) {
+          val v = w(i) * minD2(i)
+          if (v > bestV) { bestV = v; next = i }
+        }
+        i += 1
+      }
       chosen += next
+      chosenMask(next) = true
     }
     var centers: IndexedSeq[Array[Double]] =
       chosen.map(cand(_)).toIndexedSeq
