@@ -180,7 +180,14 @@ object ScaleProbe {
         spark.sparkContext.removeSparkListener(listener)
         (secs, bytesAcc.get())
       }
-      val (legacySecs, legacyBytes) = mergeRun(pruned = false)
+      // GRAFT_GMERGE_SKIP_LEGACY=1 runs only the pruned leg (the sf100
+      // claim under test is pruned-bytes-flat; the legacy path's linear
+      // bytes are already a two-point measured fact and its sf100 leg
+      // would add a ~47 GB full-table read plus a second 51k-dir store
+      // write for no new information)
+      val (legacySecs, legacyBytes) =
+        if (sys.env.contains("GRAFT_GMERGE_SKIP_LEGACY")) (-1.0, -1L)
+        else mergeRun(pruned = false)
       val (prunedSecs, prunedBytes) = mergeRun(pruned = true)
       println(s"""{"probe":"gmerge","sf":"$sfDir","n":$n,"cells":$cells,""" +
         s""""n_buckets":$nBuckets,"build_secs":${math.rint(buildSecs * 100) / 100},""" +
