@@ -247,10 +247,15 @@ class AnnSpec extends SparkSpec {
 
   test("bench recall report covers all approximate paths with sane floors") {
     val r = RecallReport.report(spark, sf001, nQueries = 4)
+    // negbase_* = the documented negative-baseline comparison rows
+    // (r12: named so the artifact is self-describing); sq_trained = the
+    // trained-scalar-quantization recall row next to int8_quant (r12)
     assert(r.keySet == Set("ivf", "ivf_kmpp", "ivf_nprobe", "ivf_target",
       "ivf_ref_target",
-      "ivf_ref_nprobe", "lsh_multiprobe", "lsh_multitable", "binary_quant",
-      "cascade", "int8_quant", "pq_adc", "pq_pca_adc", "pq_pca_bal_adc",
+      "ivf_ref_nprobe", "negbase_lsh_multiprobe", "lsh_multitable",
+      "binary_quant",
+      "cascade", "int8_quant", "sq_trained", "pq_adc", "pq_pca_adc",
+      "negbase_pq_pca_bal_adc",
       "graph_beam",
       "graph_after_cdc",
       "lsh_calibrated", "lsh_calibrated_l", "lsh_calibrated_target"))
@@ -274,7 +279,7 @@ class AnnSpec extends SparkSpec {
     // multi-table LSH is the recall-bearing LSH form: 12×4-bit tables
     // must beat single-table multiprobe by a wide margin
     assert(r("lsh_multitable") >= 0.5, s"multitable ${r("lsh_multitable")}")
-    assert(r("lsh_multitable") > r("lsh_multiprobe"))
+    assert(r("lsh_multitable") > r("negbase_lsh_multiprobe"))
     assert(r("ivf_nprobe") >= 1 && r("ivf_nprobe") <= 16)
   }
 
