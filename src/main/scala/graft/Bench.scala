@@ -37,8 +37,8 @@ object Bench {
     // One timed per-request storm: `threads` clients, one Spark job per
     // query, mkQuery builds the per-request frame. Returns (wall s,
     // sorted latencies ms).
-    def perRequestStorm(
-        mkQuery: Int => org.apache.spark.sql.DataFrame): (Double, Array[Double]) = {
+    def perRequestStormF(
+        doReq: (Int, Int) => Unit): (Double, Array[Double]) = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
       val t0 = System.nanoTime()
@@ -50,7 +50,7 @@ object Bench {
                 var i = 0
                 while (i < queriesPerThread) {
                   val s0 = System.nanoTime()
-                  mkQuery(t * queriesPerThread + i).collect()
+                  doReq(t, t * queriesPerThread + i)
                   lats.add((System.nanoTime() - s0) / 1e6) // ms
                   i += 1
                 }
@@ -63,6 +63,9 @@ object Bench {
       import scala.jdk.CollectionConverters._
       (secs, lats.asScala.toArray.sorted)
     }
+    def perRequestStorm(
+        mkQuery: Int => org.apache.spark.sql.DataFrame): (Double, Array[Double]) =
+      perRequestStormF((_, i) => mkQuery(i).collect())
     def knnQuery(i: Int) = graft.operators.Search.knn(points,
       Seq(qPool(i % nQ)).toDF("qemb"), k = 10, threshold = 0.1)
     def directQuery(i: Int) =
@@ -86,23 +89,56 @@ object Bench {
     // the engineered per-request form (Search.knnDirect — query literal
     // inlined, no broadcast exchange, one single-stage job per request;
     // oracle-graded as knn_search_direct): measured at the same storm
-    // shape, ~2× the broadcast form's throughput
+    // shape, ~2× the broadcast form's throughput. NOTE this drives the
+    // direct form alone over the pre-fetched qPool (steady-state serving
+    // path); the GRADED knn_search_direct query additionally times store
+    // load + head() vector fetch per run — do not compare the two
+    // numbers as one path (VERDICT r12 #7).
     val (dsecs, dLat) = perRequestStorm(directQuery)
     def dPctF(p: Double): Double =
       math.rint(dLat(((dLat.length - 1) * p).toInt) * 10) / 10
+    // PREPARED-STATEMENT form (VERDICT r12 #6): one physical plan per
+    // worker thread built ONCE (Search.PreparedKnn — slot rebinding, no
+    // per-request Catalyst at all); same storm shape and query pool.
+    // This is the engine pinned to its own dispatch ceiling: the only
+    // per-request work left is the DAGScheduler job — compare
+    // prepared_qps against job_ceiling_jobs_per_sec, not against
+    // direct_qps.
+    val (psecs, prepLat) = {
+      val preps = (0 until threads).map(_ =>
+        new graft.operators.Search.PreparedKnn(points, 10, 0.1))
+      (0 until 100).foreach(i =>
+        preps(i % threads).search(qPool(i % nQ).toArray)) // JIT warm
+      perRequestStormF((t, i) => preps(t).search(qPool(i % nQ).toArray))
+    }
+    def prPctF(p: Double): Double =
+      math.rint(prepLat(((prepLat.length - 1) * p).toInt) * 10) / 10
     // the JVM-wide one-job-per-query bound: the same storm submitting
     // the cheapest possible 1-task job (pinned 1-partition RDD count).
     // ANY per-request tier is capped by this single-threaded
     // DAGScheduler dispatch ceiling — measured in-artifact so the
     // per_request FAIL rows are self-explaining (VERDICT r11 #2).
-    val jobCeiling = {
+    def jobCeilingWith(closureKiB: Int): Double = {
       val bare = spark.sparkContext.parallelize(1 to 100, 1).cache()
-      (0 until 50).foreach(_ => bare.count())
+      // optional captured blob: the bare ceiling's closure is ~1 KB while
+      // a real plan's task binary is hundreds of KB of codegen source +
+      // plan tree — serialized and torrent-broadcast PER JOB in the
+      // single-threaded DAGScheduler loop. Measuring the ceiling at a
+      // realistic closure size separates "driver dispatch floor" from
+      // "this plan could still be slimmer" (VERDICT r12 #6).
+      val blob: Array[Byte] =
+        if (closureKiB == 0) Array.emptyByteArray
+        else Array.tabulate(closureKiB * 1024)(i => (i % 251).toByte)
+      def onceJob(): Unit =
+        if (closureKiB == 0) bare.count()
+        else { val b = blob; bare.mapPartitions { it =>
+          if (b.length > 1 && b(1) == 127) Iterator.empty else it }.count() }
+      (0 until 50).foreach(_ => onceJob())
       val pool3 = java.util.concurrent.Executors.newFixedThreadPool(threads)
       val t3 = System.nanoTime()
       val fs3 = (0 until threads).map { _ =>
         pool3.submit(new Runnable { def run(): Unit = {
-          var i = 0; while (i < 50) { bare.count(); i += 1 }
+          var i = 0; while (i < 50) { onceJob(); i += 1 }
         }})
       }
       try fs3.foreach(_.get()) finally pool3.shutdownNow()
@@ -110,6 +146,8 @@ object Bench {
       bare.unpersist()
       math.rint(c * 10) / 10
     }
+    val jobCeiling = jobCeilingWith(0)
+    val jobCeilingReal = jobCeilingWith(512)
     // batched serving mode — Api.batchedServer, the first-class operator
     // (graft.BatchedServer): per-request jobs pay Spark's driver-side
     // plan+schedule cost (~0.1s) regardless of data size; the serving
@@ -425,7 +463,14 @@ object Bench {
     // spawn failure degrades to absent keys, not a broken bench.
     val crossProc: Map[String, Double] =
       try CrossProc.measure(spark, bigPoints, qPool.map(_.toArray))
-      catch { case _: Throwable => Map.empty }
+      catch {
+        // NonFatal only (an OOM should kill the bench, not silently
+        // drop rows); the one-line note makes an absent-keys artifact
+        // diagnosable instead of mute (ADVICE r12)
+        case scala.util.control.NonFatal(e) =>
+          println(s"crossproc_error: ${e.getClass.getName}: ${e.getMessage}")
+          Map.empty
+      }
     bigPoints.unpersist()
     // per-request floor via the serving template (VERDICT r7 #6): ONE
     // closed-loop client, each request a batch of 1 through the pinned
@@ -475,7 +520,10 @@ object Bench {
       "lat_p99_ms" -> pct(0.99),
       "direct_qps" -> math.rint(done.get() / dsecs * 10) / 10,
       "direct_p50_ms" -> dPctF(0.50), "direct_p99_ms" -> dPctF(0.99),
+      "prepared_qps" -> math.rint(done.get() / psecs * 10) / 10,
+      "prepared_p50_ms" -> prPctF(0.50), "prepared_p99_ms" -> prPctF(0.99),
       "job_ceiling_jobs_per_sec" -> jobCeiling,
+      "job_ceiling_512k_closure_jobs_per_sec" -> jobCeilingReal,
       "batch_queries" -> bQ.toDouble,
       "batch_seconds" -> math.rint(bsecs * 1000) / 1000,
       "batch_qps" -> math.rint(bQ / bsecs * 10) / 10,
@@ -541,6 +589,8 @@ object Bench {
   def targetsJson(qps: Map[String, Double]): String = {
     val refQps = 1000.0
     val refLatMs = 20.0
+    def crossProcCorrect(m: Map[String, Double]): Boolean =
+      m.getOrElse("crossproc_correct", 0.0) == 1.0
     def field(name: String, measured: Option[Double], pass: Option[Boolean],
         extra: Option[String] = None) =
       measured.zip(pass).map { case (m, p) =>
@@ -568,6 +618,16 @@ object Bench {
       field("per_request_direct_p50_ms_vs_20",
         qps.get("direct_p50_ms"),
         qps.get("direct_p50_ms").map(_ <= refLatMs), extra = ceilAnno) ++
+      // prepared-statement form (VERDICT r12 #6): per-request Catalyst
+      // removed entirely (one plan per thread, slot rebinding) — the
+      // closest any one-job-per-query tier can sit to the measured
+      // dispatch ceiling; still under 1000 by that ceiling's construction
+      field("per_request_prepared_qps_vs_1000",
+        qps.get("prepared_qps"),
+        qps.get("prepared_qps").map(_ >= refQps), extra = ceilAnno) ++
+      field("per_request_prepared_p50_ms_vs_20",
+        qps.get("prepared_p50_ms"),
+        qps.get("prepared_p50_ms").map(_ <= refLatMs), extra = ceilAnno) ++
       field("batched_qps_vs_1000",
         qps.get("batch_qps"), qps.get("batch_qps").map(_ >= refQps)) ++
       field("batched_p50_ms_vs_20",
@@ -621,20 +681,25 @@ object Bench {
       // the CROSS-PROCESS sharded tier (VERDICT r11 #8): worker JVMs per
       // shard, scatter-gather over sockets — the reference bars graded
       // on the multi-process deployment shape, with the measured IPC
-      // floor attached. Correctness (router ≡ exact knn) is a key too:
-      // a passing latency row with correct=0 would be meaningless.
+      // floor attached. Correctness (router ≡ exact knn) GATES the pass
+      // on every cross-process row (ADVICE r12): a passing latency or
+      // QPS number measured against wrong answers would be meaningless,
+      // so pass requires the bar AND crossproc_correct == 1.
       field("cross_process_sharded_qps_vs_1000",
         qps.get("crossproc_closed_qps"),
-        qps.get("crossproc_closed_qps").map(_ >= refQps),
+        qps.get("crossproc_closed_qps").map(v =>
+          v >= refQps && crossProcCorrect(qps)),
         extra = qps.get("crossproc_ping_p50_ms").map(p =>
           "\"ipc_ping_p50_ms\":" + p + ",\"correct\":" +
-            (qps.getOrElse("crossproc_correct", 0.0) == 1.0))) ++
+            crossProcCorrect(qps))) ++
       field("cross_process_sharded_closed_p50_ms_vs_20",
         qps.get("crossproc_closed_p50_ms"),
-        qps.get("crossproc_closed_p50_ms").map(_ <= refLatMs)) ++
+        qps.get("crossproc_closed_p50_ms").map(v =>
+          v <= refLatMs && crossProcCorrect(qps))) ++
       field("cross_process_sharded_paced_p50_ms_vs_20",
         qps.get("crossproc_paced_p50_ms"),
-        qps.get("crossproc_paced_p50_ms").map(_ <= refLatMs))
+        qps.get("crossproc_paced_p50_ms").map(v =>
+          v <= refLatMs && crossProcCorrect(qps)))
     (Seq("\"ref_qps_min\":" + refQps, "\"ref_search_ms_max\":" + refLatMs) ++ checks)
       .mkString("{", ",", "}")
   }
@@ -697,8 +762,15 @@ object Bench {
       // and the exponent claim needs magnitude, not median-of-3
       // precision (graded per-round runs keep the default 3)
       val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+      // even-count medians average the two middle runs (ADVICE r12: the
+      // upper-middle pick graded the SLOWER run at SPARK_GRAFT_RUNS=2)
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+      }
       val times3 = (1 to nRuns).map(_ => once())
-      val med3 = times3.sorted.apply(times3.length / 2)
+      val med3 = median(times3)
       // ADAPTIVE N=5 for the volatile tail (VERDICT r9 #4): when the
       // 3-run spread exceeds 15% of the median on a non-trivial query,
       // two more timed runs tighten the graded median — the same-code
@@ -708,7 +780,7 @@ object Bench {
         if (med3 > 0.2 && (times3.max - times3.min) / med3 > 0.15)
           times3 ++ (1 to 2).map(_ => once())
         else times3
-      (name, times.sorted.apply(times.length / 2), times)
+      (name, median(times), times)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

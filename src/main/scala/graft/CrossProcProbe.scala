@@ -149,7 +149,22 @@ object CrossProc {
           "crossproc_paced_p50_ms" -> pct(pl, 0.5),
           "crossproc_paced_p99_ms" -> pct(pl, 0.99))
       } finally router.close()
-    } finally procs.foreach(_.destroyForcibly())
+    } finally {
+      procs.foreach(_.destroyForcibly())
+      // the slab handoff dir is hundreds of MB at the replica-too-big
+      // fixture size — reclaim it (workers are dead; logs go with it)
+      // rather than leaking one copy per bench run (ADVICE r12)
+      procs.foreach(p => try p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => () })
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 }
 

@@ -318,7 +318,10 @@ object Ann {
     val chosenMask = new Array[Boolean](cand.length)
     chosenMask(chosen.head) = true
     val minD2 = Array.fill(cand.length)(Double.MaxValue)
-    while (chosen.length < math.min(k, cand.length)) {
+    // the require above guarantees cand.length >= k, so the loop bound
+    // is k alone — the contract is stated ONCE, at the require (ADVICE
+    // r12: the old math.min(k, cand.length) was dead tolerance)
+    while (chosen.length < k) {
       val last = cand(chosen.last)
       var i = 0
       while (i < cand.length) {

@@ -42,6 +42,113 @@ class ShardWorkerSpec extends AnyFunSuite {
     java.nio.file.Files.delete(java.nio.file.Paths.get(p))
   }
 
+  test("searchPartial: a straggler shard is dropped at the deadline and " +
+      "its late reply re-pools the socket instead of poisoning it") {
+    val rows = mkRows(400, 16)
+    val (fastRows, slowRows) = rows.partition(_._1 % 2 == 0)
+    val k = 10
+    def freePort(): Int = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val fastPort = freePort()
+    val slabPath = java.nio.file.Files.createTempFile("slab_fast", ".bin").toString
+    SlabIO.write(slabPath, fastRows)
+    val workerThread = new Thread(new Runnable {
+      def run(): Unit = ShardWorker.main(
+        Array(slabPath, fastPort.toString, k.toString, "0.0", "2"))
+    })
+    workerThread.setDaemon(true)
+    workerThread.start()
+    // slow shard: protocol-correct responder with a settable reply delay
+    // (same frame format and merge rule as the worker, via topK)
+    val slowSrv = new java.net.ServerSocket(0)
+    val slowPort = slowSrv.getLocalPort
+    val delayMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val slowRep = BatchedServer.FlatReplica(slowRows)
+    val slowPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val acceptThread = new Thread(new Runnable {
+      def run(): Unit = try {
+        while (true) {
+          val sock = slowSrv.accept()
+          sock.setTcpNoDelay(true)
+          val t = new Thread(new Runnable { def run(): Unit = {
+            val in = new java.io.DataInputStream(
+              new java.io.BufferedInputStream(sock.getInputStream))
+            val out = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(sock.getOutputStream))
+            try {
+              while (true) {
+                val nq = in.readInt()
+                if (nq == 0) { out.writeInt(0); out.flush() }
+                else {
+                  val d = in.readInt()
+                  val qs = Array.fill(nq)(Array.fill(d)(in.readDouble()))
+                  Thread.sleep(delayMs.get())
+                  val res = ShardWorker.topK(slowRep, slowPool, 2, qs, k, 0.0)
+                  res.foreach { hits =>
+                    out.writeInt(hits.length)
+                    hits.foreach { case (id, s, u) =>
+                      out.writeLong(id); out.writeDouble(s); out.writeInt(u) }
+                  }
+                  out.flush()
+                }
+              }
+            } catch { case _: java.io.IOException | _: InterruptedException => () }
+            finally sock.close()
+          }})
+          t.setDaemon(true); t.start()
+        }
+      } catch { case _: java.io.IOException => () }
+    })
+    acceptThread.setDaemon(true)
+    acceptThread.start()
+    // router over (fast, slow); readiness via retry like CrossProc
+    var router: RemoteShardedRouter = null
+    var tries = 0
+    while (router == null) {
+      try router = new RemoteShardedRouter(
+        Seq(("127.0.0.1", fastPort), ("127.0.0.1", slowPort)), k,
+        connsPerShard = 2)
+      catch { case e: java.io.IOException =>
+        tries += 1; if (tries > 60) throw e; Thread.sleep(250) }
+    }
+    try {
+      val q = {
+        val v = Array.tabulate(16)(i => math.sin(i + 1.0))
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      def brute(rs: Array[(Long, Array[Double], Int)]) =
+        rs.map { case (id, e, u) =>
+          var s = 0.0; var i = 0
+          while (i < e.length) { s += e(i) * q(i); i += 1 }
+          (id, graft.plans.Num.round6(s), u)
+        }.sortBy { case (id, s, _) => (-s, id) }.take(k).toSeq
+      // 1. both shards answer: partial == complete == exact global top-k
+      val full = router.searchPartial(q, timeoutMs = 10000)
+      assert(full.complete && full.shardsAnswered == 2)
+      assert(full.hits.toSeq == brute(rows))
+      // 2. slow shard misses the deadline: degraded answer, flagged
+      delayMs.set(1500L)
+      val part = router.searchPartial(q, timeoutMs = 300)
+      assert(!part.complete && part.shardsAnswered == 1)
+      assert(part.hits.toSeq == brute(fastRows),
+        "partial result must be the exact top-k over the answering shard")
+      // 3. the straggler's late reply must NOT poison the pooled socket:
+      // once it drains, the same router completes again
+      delayMs.set(0L)
+      Thread.sleep(2000L) // let the abandoned round-trip finish + re-pool
+      val again = router.searchPartial(q, timeoutMs = 10000)
+      assert(again.complete && again.hits.toSeq == brute(rows),
+        "router must recover to complete answers after a transient straggler")
+    } finally {
+      router.close()
+      slowSrv.close()
+      slowPool.shutdownNow()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(slabPath))
+    }
+  }
+
   test("worker topK over slices == brute-force top-k with the global tie order") {
     val rows = mkRows(1003, 32)
     val rep = BatchedServer.FlatReplica(rows)
