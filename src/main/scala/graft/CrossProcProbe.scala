@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
 object CrossProc {
 
   def measure(spark: SparkSession, bigPoints: DataFrame,
-      qPool: Array[Array[Double]], k: Int = 10, th: Double = 0.1)
-      : Map[String, Double] = {
+      qPool: Array[Array[Double]], k: Int = 10, th: Double = 0.1,
+      forcedShards: Option[Int] = None): Map[String, Double] = {
     val bigN = bigPoints.count()
     val shardMaxRows = BatchedServer.DefaultReplicaMaxRows
-    val nShards = math.max(1, ((bigN + shardMaxRows - 1) / shardMaxRows).toInt)
+    // forcedShards: the shard-count SWEEP knob (VERDICT r12 #3) — same
+    // total rows split across 2/4/8 workers to measure how closed-loop
+    // p50 grows with gather width (all-shards-must-answer tail risk)
+    val nShards = forcedShards.getOrElse(
+      math.max(1, ((bigN + shardMaxRows - 1) / shardMaxRows).toInt))
     val dir = java.nio.file.Files.createTempDirectory("graft_xproc").toString
     // shard handoff: one slab file per hash shard (what a cluster would
     // read from the bucketed store)
@@ -199,7 +203,8 @@ object CrossProcProbe {
     val qPool = points.orderBy("id").limit(400)
       .select("embedding").collect()
       .map(_.getSeq[Double](0).toArray)
-    val m = CrossProc.measure(spark, bigPoints, qPool)
+    val forced = sys.env.get("GRAFT_XPROC_SHARDS").map(_.toInt)
+    val m = CrossProc.measure(spark, bigPoints, qPool, forcedShards = forced)
     println(m.toSeq.sortBy(_._1)
       .map { case (key, v) => "\"" + key + "\":" + v }
       .mkString(s"""{"probe":"crossproc","sf":"$sfDir",""", ",", "}"))

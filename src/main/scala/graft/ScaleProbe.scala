@@ -110,6 +110,40 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "cnprobe") {
+      // the GRADED C∝N config (VERDICT r12 #4): exactly the
+      // indexed_ivf_search_cn lifecycle — saveIndexed on a small trained
+      // centroid set, then optimizePartitions to the cnBand cell-size
+      // band (constant ~1250-row cells at scale), then the
+      // partition-pruned nprobe=4 search. Unlike `ivfprobe` (which
+      // builds the end state directly at C = N/1250), this measures the
+      // MAINTENANCE route the registered query uses, so the graded row
+      // and the scale story coincide: report optimize wall, resulting C,
+      // and the probe median.
+      import graft.sources.CollectionStore
+      val san = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_probe_cn_$san"
+      val (_, buildSecs) = timed(CollectionStore.saveIndexed(
+        points, path, Ann.seedCentroids(points, 16),
+        idSidecarBuckets = Some(64)))
+      val (minR, maxR) = CollectionStore.cnBand(n)
+      val (_, optSecs) = timed(CollectionStore.optimizePartitions(
+        spark, path, minRows = minR, maxRows = maxR, nBuckets = 64))
+      val (store, cents) = CollectionStore.loadIndexed(spark, path)
+      val c = cents.count()
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      def once(): Double =
+        timed(Ann.ivfSearch(store, cents, q, nprobe = 4, k = 10).count())._2
+      once() // warmup (codegen + footer cache)
+      val t = Seq(once(), once(), once()).sorted.apply(1)
+      println(s"""{"probe":"cnprobe","sf":"$sfDir","n":$n,"cells":$c,""" +
+        s""""band_min":$minR,"band_max":$maxR,""" +
+        s""""build_secs":${math.rint(buildSecs * 100) / 100},""" +
+        s""""optimize_secs":${math.rint(optSecs * 100) / 100},""" +
+        s""""probe_secs":${math.rint(t * 1000) / 1000}}""")
+      spark.stop()
+      return
+    }
     if (mode == "gmerge") {
       // Graph-sidecar maintenance probe: time ONE mergeGraphIndexed batch
       // (20 upserts + 10 tombstones) against the PRUNED path (full

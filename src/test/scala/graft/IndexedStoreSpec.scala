@@ -604,6 +604,21 @@ class IndexedStoreSpec extends SparkSpec {
     assert(got == ref, "ADC over the maintained store diverged")
   }
 
+  test("cnBand: constant ~1250-row cells at scale, N-proportional clamps below") {
+    // deployment regime: cell size pinned to [625, 2500] regardless of N
+    assert(CollectionStore.cnBand(2000000L) == (625L, 2500L))
+    assert(CollectionStore.cnBand(100000000L) == (625L, 2500L))
+    // fixture regime: bounds track N so small stores stay multi-cell
+    assert(CollectionStore.cnBand(500L) == (10L, 62L))
+    assert(CollectionStore.cnBand(2000L) == (41L, 250L))
+    // the optimizePartitions precondition (minRows*2 <= maxRows) holds
+    // across the whole range, including the crossover points
+    Seq(1L, 16L, 48L, 100L, 5000L, 30000L, 29999L, 1234567L).foreach { n =>
+      val (lo, hi) = CollectionStore.cnBand(n)
+      assert(lo >= 1 && lo * 2 <= hi, s"degenerate band ($lo, $hi) at n=$n")
+    }
+  }
+
   test("optimizePartitions: split+merge compose to an in-band fixed point") {
     val nBuckets = 8
     val path = "/tmp/graft_test_opt_store"
