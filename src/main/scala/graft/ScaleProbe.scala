@@ -144,6 +144,44 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "quantrecall") {
+      // Quantization recall at the scale fixture (VERDICT r12 #8): the
+      // graded recall report runs at sf0.1; this re-grades the
+      // quantized two-phase paths — fixed-range INT8, trained SQ, and
+      // PQ/ADC — against exact knn over the SAME rows at 2M-row scale,
+      // where code-range behavior (clipping, per-dim hi spread, sub-
+      // codebook coverage) could differ from the small store. Trained
+      // artifacts are built ON the fixture (the reference trains its
+      // INT8 quantile on the served collection, settings.py:48-51).
+      import graft.operators.{Quantization, Search}
+      val his = Quantization.sqTrainRanges(points).orderBy("dim")
+        .select("hi").collect().map(_.getDouble(0)).toSeq
+      val (pqCb, pqSecs) = timed(Quantization.pqCodebookOf(
+        Quantization.pqTrain(points, dim = 64, m = 8, ksub = 16, maxIter = 5)))
+      val k = 10
+      val qids = (0 until nQueries).map(i => i * (n / nQueries))
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("id").collect().map(_.getLong(0)).toSet
+      val per = qids.map { qid =>
+        val q = points.filter(col("id") === qid)
+          .select(col("embedding").as("qemb"))
+        val exact = ids(Search.knn(points, q, k, -1.0))
+        def rec(a: Set[Long]): Double =
+          if (exact.isEmpty) 1.0 else (a & exact).size.toDouble / exact.size
+        (rec(ids(Quantization.twoPhaseSearch(points, q, k))),
+          rec(ids(Quantization.sqTwoPhaseSearchTrained(points, q, his, k))),
+          rec(ids(Quantization.pqAdcSearch(points, q, pqCb, k))))
+      }
+      def mean(f: ((Double, Double, Double)) => Double): Double =
+        math.rint(per.map(f).sum / per.length * 1000) / 1000
+      println(s"""{"probe":"quantrecall","sf":"$sfDir","n":$n,""" +
+        s""""queries":${qids.length},"k":$k,""" +
+        s""""pq_train_secs":${math.rint(pqSecs * 100) / 100},""" +
+        s""""int8_quant":${mean(_._1)},"sq_trained":${mean(_._2)},""" +
+        s""""pq_adc":${mean(_._3)}}""")
+      spark.stop()
+      return
+    }
     if (mode == "gmerge") {
       // Graph-sidecar maintenance probe: time ONE mergeGraphIndexed batch
       // (20 upserts + 10 tombstones) against the PRUNED path (full

@@ -164,9 +164,71 @@ def gen_rich(outdir: str, n_doc: int, seed: int = 43,
     print(f"{outdir}: documents={n_doc} vocab={n_vocab}")
 
 
+def gen_headshare(outdir: str, n_doc: int, seed: int = 47,
+                  n_vocab: int = 8_000) -> None:
+    """HEAD-SHARING corpus for the batched-BPE worst case (VERDICT r12
+    #5): natural language at small vocab is where batch acceptance
+    narrows, because the top-ranked candidate pairs all share the same
+    few high-frequency symbols ('e','t','a' in English -> 'th','he',
+    'er','re',... every one touching 'e'/'t'/'h') and the exact commute
+    rule can only accept mutually DISJOINT products per round. The rich
+    sfbpe fixture deliberately avoids this (syllable grid -> disjoint
+    products at depth); this one deliberately creates it: words are
+    letter sequences drawn iid from a Zipf-skewed 16-letter alphabet
+    (top letter ~25% of mass, like 'e'+'t' in English), so pair
+    frequency mass concentrates on a tiny clique of shared-letter
+    bigrams. Word usage is Zipf too (natural-language token curve)."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    letters = np.array(list("etaoinshrdlucmfw"))
+    # Zipf(~1.07) over letter ranks, normalized — close to English letter
+    # frequencies (e ~12.7%, t ~9.1%, ...)
+    w = 1.0 / np.arange(1, len(letters) + 1) ** 1.07
+    w /= w.sum()
+    vocab = []
+    seen = set()
+    while len(vocab) < n_vocab:
+        ln = 2 + int(rng.integers(0, 7))  # word length 2..8
+        word = "".join(rng.choice(letters, size=ln, p=w))
+        if word not in seen:
+            seen.add(word)
+            vocab.append(word)
+    v = np.array(vocab)
+    # word usage: Zipf-ish rank sampling (power 1.7 over the uniform ->
+    # a heavy token-frequency head, like real text)
+    texts = []
+    for i in range(n_doc):
+        ln = 40 + (i * 7) % 40
+        idx = (len(v) * rng.random(ln) ** 1.7).astype(np.int64)
+        texts.append(" ".join(v[idx]))
+    doc_id = np.arange(n_doc, dtype=np.int64)
+    pq.write_table(
+        pa.table({
+            "doc_id": doc_id,
+            "text": texts,
+            "lang": ["en"] * n_doc,
+            "source": [f"src{int(i) % 10}" for i in doc_id],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }),
+        f"{outdir}/documents.parquet")
+    emb = rng.standard_normal((1000, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    vec_id = np.arange(1000, dtype=np.int64)
+    pq.write_table(
+        pa.table({
+            "vec_id": vec_id,
+            "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+            "label": (vec_id % 10).astype(np.int32),
+        }),
+        f"{outdir}/embeddings.parquet")
+    print(f"{outdir}: documents={n_doc} vocab={n_vocab} (head-share)")
+
+
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scale"
-    if len(sys.argv) > 2 and sys.argv[2] == "sf100":
+    if len(sys.argv) > 2 and sys.argv[2] == "headshare":
+        gen_headshare(f"{base}/sfbpe_head", 20_000)
+    elif len(sys.argv) > 2 and sys.argv[2] == "sf100":
         # round-12 third scale point (VERDICT r11 #1): 2M vectors / 5M docs,
         # same generator + near-dup injection so the three-point exponent
         # is distribution-clean.
