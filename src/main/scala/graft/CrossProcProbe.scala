@@ -137,6 +137,33 @@ object CrossProc {
         ppool.shutdown()
         ppool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
         val pl = pLats.asScala.toIndexedSeq.sorted
+        // DEADLINE path (searchPartial, PLANS_r13 §3): the same paced
+        // drive with a 20 ms per-request gather deadline — the tail is
+        // bounded by construction at the cost of (1 − complete_rate)
+        // degraded-but-exact-subset answers; both shipped so the
+        // trade is visible next to the blocking path's p99.
+        val deadlineMs = 20L
+        val dLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val dIncomplete = new java.util.concurrent.atomic.AtomicLong(0)
+        val dpool = java.util.concurrent.Executors.newFixedThreadPool(64)
+        val dstart = System.nanoTime()
+        (0 until paceN).foreach { i =>
+          val due = dstart + i * (1000000000L / paceQps)
+          var now = System.nanoTime()
+          while (now < due) {
+            val ns = due - now
+            if (ns > 2000000) Thread.sleep(ns / 2000000) else Thread.onSpinWait()
+            now = System.nanoTime()
+          }
+          dpool.submit(new Runnable { def run(): Unit = {
+            val r = router.searchPartial(qPool(i % nQ), deadlineMs)
+            if (!r.complete) dIncomplete.incrementAndGet()
+            dLats.add((System.nanoTime() - due) / 1e6)
+          }})
+        }
+        dpool.shutdown()
+        dpool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+        val dl = dLats.asScala.toIndexedSeq.sorted
         Map(
           "crossproc_rows" -> bigN.toDouble,
           "crossproc_shards" -> nShards.toDouble,
@@ -151,7 +178,12 @@ object CrossProc {
           "crossproc_closed_p99_ms" -> pct(cl, 0.99),
           "crossproc_paced_rate_qps" -> paceQps.toDouble,
           "crossproc_paced_p50_ms" -> pct(pl, 0.5),
-          "crossproc_paced_p99_ms" -> pct(pl, 0.99))
+          "crossproc_paced_p99_ms" -> pct(pl, 0.99),
+          "crossproc_deadline_ms" -> deadlineMs.toDouble,
+          "crossproc_deadline_paced_p50_ms" -> pct(dl, 0.5),
+          "crossproc_deadline_paced_p99_ms" -> pct(dl, 0.99),
+          "crossproc_deadline_complete_rate" ->
+            math.rint((1.0 - dIncomplete.get().toDouble / paceN) * 10000) / 10000)
       } finally router.close()
     } finally {
       procs.foreach(_.destroyForcibly())
