@@ -48,11 +48,16 @@ object CrossProc {
     val basePort = 42800 + (System.nanoTime() % 100).toInt
     val workerThreads = math.max(4,
       Runtime.getRuntime.availableProcessors / nShards)
+    // straggler injection (measurement only, default off): the LAST
+    // shard sleeps stallMs per request, so the deadline path is graded
+    // under an actual straggler instead of only where it never fires
+    val stallMs = sys.env.getOrElse("GRAFT_XPROC_STALL_MS", "0").toLong
     val procs = slabs.zipWithIndex.map { case (slab, i) =>
+      val stall = if (i == slabs.length - 1) stallMs else 0L
       new ProcessBuilder(javaBin, "--add-modules=jdk.incubator.vector",
         "-Xmx2g", "-cp", cp, "graft.ShardWorker", slab,
         (basePort + i).toString, k.toString, th.toString,
-        workerThreads.toString)
+        workerThreads.toString, stall.toString)
         .redirectOutput(new java.io.File(s"$dir/worker_$i.log"))
         .redirectErrorStream(true)
         .start()
@@ -183,7 +188,8 @@ object CrossProc {
           "crossproc_deadline_paced_p50_ms" -> pct(dl, 0.5),
           "crossproc_deadline_paced_p99_ms" -> pct(dl, 0.99),
           "crossproc_deadline_complete_rate" ->
-            math.rint((1.0 - dIncomplete.get().toDouble / paceN) * 10000) / 10000)
+            math.rint((1.0 - dIncomplete.get().toDouble / paceN) * 10000) / 10000,
+          "crossproc_stall_ms" -> stallMs.toDouble)
       } finally router.close()
     } finally {
       procs.foreach(_.destroyForcibly())

@@ -134,6 +134,17 @@ object ShardWorker {
     val th = if (args.length > 3) args(3).toDouble else 0.1
     val threads = if (args.length > 4) args(4).toInt else
       math.max(4, Runtime.getRuntime.availableProcessors / 2)
+    // fault-injection knobs (measurement only): stall every Nth search
+    // request by stallMs, so the router's straggler semantics can be
+    // measured under an ACTUAL (intermittent, Dean–Barroso-shaped)
+    // straggler rather than only in the regime where deadlines never
+    // fire. Intermittent by design: a PERSISTENT stall under offered
+    // load beyond conns/stall capacity exhausts the connection pool —
+    // that failure needs shedding/failover (the documented cluster-
+    // manager layer), not a deadline.
+    val stallMs = if (args.length > 5) args(5).toLong else 0L
+    val stallEvery = if (args.length > 6) args(6).toInt else 20
+    val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
     val rep = BatchedServer.FlatReplica(SlabIO.read(slabPath))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val srv = new ServerSocket()
@@ -156,6 +167,9 @@ object ShardWorker {
               queries(qi) = q
               qi += 1
             }
+            if (stallMs > 0 &&
+              reqCounter.incrementAndGet() % stallEvery == 0)
+              Thread.sleep(stallMs)
             val res = topK(rep, pool, threads, queries, k, th)
             var i = 0
             while (i < nq) {
