@@ -193,6 +193,68 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "ivfpqrecall") {
+      // IVF-PQ at scale (round 13 follow-through on the quantrecall
+      // finding): flat pq_adc at the 32-bit budget collapses at 2M rows
+      // because ADC ranks ALL N candidates; IVF-PQ ranks only the
+      // nprobe probed cells' candidates (~nprobe·1250 rows on the
+      // cnBand store), so per-CELL density — not N — sets the
+      // code-budget trade (Jégou '11 §V, the FAISS IVFPQ layout).
+      // Measured next to the same-store exact-scoring ivfSearch, which
+      // is the cell-recall CEILING: the gap between the two is what ADC
+      // costs, the gap from 1.0 is what nprobe costs.
+      import graft.sources.CollectionStore
+      import graft.operators.{Quantization, Search}
+      val san = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_probe_cn_$san"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        CollectionStore.saveIndexed(points, path,
+          Ann.seedCentroids(points, 16), idSidecarBuckets = Some(64))
+        val (minR, maxR) = CollectionStore.cnBand(n)
+        CollectionStore.optimizePartitions(
+          spark, path, minRows = minR, maxRows = maxR, nBuckets = 64)
+      }
+      val (store, cents) = CollectionStore.loadIndexed(spark, path)
+      val pqM = sys.env.getOrElse("GRAFT_PQ_M", "8").toInt
+      val pqKsub = sys.env.getOrElse("GRAFT_PQ_KSUB", "16").toInt
+      val pqOver = sys.env.getOrElse("GRAFT_PQ_OVERSAMPLE", "32").toDouble
+      val nprobe = sys.env.getOrElse("GRAFT_IVF_NPROBE", "4").toInt
+      val (pqCb, pqSecs) = timed(Quantization.pqCodebookOf(
+        Quantization.pqTrain(points, dim = 64, m = pqM, ksub = pqKsub,
+          maxIter = 5)))
+      // the residual codebook (FAISS IVFPQ default): trained on
+      // x − c(cell) over the same store — the within-cell signal
+      val (pqResCb, pqResSecs) = timed(Quantization.pqCodebookOf(
+        Quantization.pqTrainResiduals(store, cents,
+          dim = 64, m = pqM, ksub = pqKsub, maxIter = 5)))
+      val k = 10
+      val qids = (0 until nQueries).map(i => i * (n / nQueries))
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("id").collect().map(_.getLong(0)).toSet
+      val per = qids.map { qid =>
+        val q = points.filter(col("id") === qid)
+          .select(col("embedding").as("qemb"))
+        val exact = ids(Search.knn(points, q, k, -1.0))
+        def rec(a: Set[Long]): Double =
+          if (exact.isEmpty) 1.0 else (a & exact).size.toDouble / exact.size
+        (rec(ids(Ann.ivfSearch(store, cents, q, nprobe, k))),
+          rec(ids(Ann.ivfPqSearch(store, cents, pqCb, q, nprobe, k, pqOver))),
+          rec(ids(Ann.ivfPqResidualSearch(store, cents, pqResCb, q, nprobe,
+            k, pqOver))))
+      }
+      def mean(f: ((Double, Double, Double)) => Double): Double =
+        math.rint(per.map(f).sum / per.length * 1000) / 1000
+      println(s"""{"probe":"ivfpqrecall","sf":"$sfDir","n":$n,""" +
+        s""""cells":${cents.count()},"nprobe":$nprobe,""" +
+        s""""queries":${qids.length},"k":$k,""" +
+        s""""pq_m":$pqM,"pq_ksub":$pqKsub,"pq_oversample":$pqOver,""" +
+        s""""pq_train_secs":${math.rint(pqSecs * 100) / 100},""" +
+        s""""pqres_train_secs":${math.rint(pqResSecs * 100) / 100},""" +
+        s""""ivf_exact_ceiling":${mean(_._1)},"ivfpq_adc":${mean(_._2)},""" +
+        s""""ivfpq_res_adc":${mean(_._3)}}""")
+      spark.stop()
+      return
+    }
     if (mode == "gmerge") {
       // Graph-sidecar maintenance probe: time ONE mergeGraphIndexed batch
       // (20 upserts + 10 tombstones) against the PRUNED path (full

@@ -143,6 +143,36 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+  /** RESIDUAL PQ codebook side table (same lifecycle as [[pqCodebookDf]]):
+    * trained on x − c(cell) over the indexed store's trained centroids —
+    * the codebook the FAISS-style residual IVF-PQ scores with
+    * ([[graft.operators.Ann.ivfPqResidualSearch]]). The oracle recomputes
+    * residuals, codes and ADC from the SAME persisted parquet + the
+    * engine's own centroid/sidecar tables. */
+  private def pqResPath(dir: String) = "/tmp/graft_pqres_" + san(dir)
+  private val pqResAlias = "/tmp/graft_pqres_current"
+  private val pqResBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var pqResOracleDir: String = null
+  private def pqResCodebookDf(s: SparkSession, dir: String): DataFrame = {
+    pqResOracleDir = dir
+    val path = pqResPath(dir)
+    pqResBuilt.computeIfAbsent(path, _ => {
+      val (store, cents) = indexedStore(s, dir)
+      val cb = Quantization.pqTrainResiduals(store, cents,
+        dim = 64, m = 8, ksub = 16, maxIter = 5)
+      cb.coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(pqResAlias)
+      path
+    })
+    s.read.parquet(path)
+  }
+  private val pqResMetaBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Quantization.PqCodebook]()
+  private[graft] def pqResMeta(s: SparkSession, dir: String): Quantization.PqCodebook =
+    pqResMetaBuilt.computeIfAbsent(dir,
+      _ => Quantization.pqCodebookOf(pqResCodebookDf(s, dir)))
+
   /** Trained scalar-quantization range side table (kmeans/PQ lifecycle):
     * exact per-dim |x| max from [[Quantization.sqTrainRanges]], persisted
     * once per JVM per scale dir; Spark encodes against the collected
@@ -1854,6 +1884,19 @@ object SparkEntry {
       val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Ann.ivfPqSearch(store, cents, pqMeta(s, dir), q, nprobe = 4, k = 10)
     }),
+    // RESIDUAL IVF-PQ (the FAISS IVFPQ default, Jégou '11 §V.A): codes
+    // quantize x − c(cell) so the whole budget discriminates WITHIN the
+    // cell (raw codes re-encode the shared cell mean — measured collapse
+    // on the clustered fixture, SCALING r13); phase 1 ranks
+    // q·c + residual-ADC (cosine decomposes exactly over the split),
+    // phase 2 rescores exactly. Oracle recomputes residuals, codes and
+    // ADC from the engine's persisted residual-codebook side table.
+    "ivf_pq_residual_search" -> ((s, dir) => {
+      val (store, cents) = indexedStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.ivfPqResidualSearch(store, cents, pqResMeta(s, dir), q,
+        nprobe = 4, k = 10)
+    }),
     // PQ ADC on the persisted index: phase 1 reads the stored `pqc` codes
     // column (m bytes/point) — the float column is untouched until rescore.
     "indexed_pq_adc" -> ((s, dir) => {
@@ -2209,6 +2252,7 @@ object SparkEntry {
   private def cnIdsGlob = sideGlob(cnOracleDir,
     d => cnStorePath(d) + "_idsflat", cnIdsAlias)
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
+  private def pqResOracleGlob = sideGlob(pqResOracleDir, pqResPath, pqResAlias)
   private def sqOracleGlob = sideGlob(sqOracleDir, sqPath, sqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
   private def pcaOracleGlob = sideGlob(pcaOracleDir, pcaPath, pcaAlias)
@@ -4225,6 +4269,53 @@ object SparkEntry {
          |adc AS (SELECT id,
          |  round(list_reduce([0.0::DOUBLE] || list(l ORDER BY sub), (a, b) -> a + b), 6) AS adc
          |  FROM luts GROUP BY id),
+         |p1 AS (SELECT id FROM adc ORDER BY adc DESC, id ASC LIMIT 320),
+         |f AS (SELECT pp.id, round(list_dot_product(pp.ne, q.qe), 6) AS score, pp.user_id
+         |  FROM pp JOIN p1 USING (id), q)
+         |SELECT id, score, user_id FROM f ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // residual IVF-PQ: same assignment/probe replay as ivf_pq_search, but
+    // codes are the L2-argmin of the RESIDUAL sub-vectors (x − c(cell))
+    // over the persisted residual codebook, and phase 1 ranks on
+    // round(q·c + round(Σ_s lut_s, 6), 6) — the inner round is the ADC
+    // kernel's, the outer the operator's (both mirrored from Spark).
+    "ivf_pq_residual_search" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 4),
+         |pp AS (SELECT pts.*, cent.ce FROM pts JOIN cent USING (cid)
+         |  WHERE cid IN (SELECT cid FROM probes)),
+         |cb AS (SELECT sub, code, cent,
+         |  cent || [-list_dot_product(cent, cent) / 2.0] AS caug
+         |  FROM read_parquet($pqResOracleGlob)),
+         |sv AS (SELECT pp.id, s.range::INT AS sub,
+         |  list_slice(pp.ne, s.range*8 + 1, s.range*8 + 8) AS xs,
+         |  list_slice(pp.ce, s.range*8 + 1, s.range*8 + 8) AS cs
+         |  FROM pp, range(8) s),
+         |rv AS (SELECT id, sub,
+         |  [xs[1]-cs[1], xs[2]-cs[2], xs[3]-cs[3], xs[4]-cs[4],
+         |   xs[5]-cs[5], xs[6]-cs[6], xs[7]-cs[7], xs[8]-cs[8]] AS rs
+         |  FROM sv),
+         |dist AS (SELECT rv.id, rv.sub, cb.code,
+         |  row_number() OVER (PARTITION BY rv.id, rv.sub
+         |    ORDER BY round(list_dot_product(rv.rs || [1.0], cb.caug), 6) DESC, cb.code ASC) AS rn
+         |  FROM rv JOIN cb USING (sub)),
+         |codes AS (SELECT id, sub, code FROM dist WHERE rn = 1),
+         |luts AS (SELECT codes.id, codes.sub,
+         |  list_dot_product(list_slice(q.qe, codes.sub*8 + 1, codes.sub*8 + 8), cb.cent) AS l
+         |  FROM codes JOIN cb USING (sub, code), q),
+         |radc AS (SELECT id,
+         |  round(list_reduce([0.0::DOUBLE] || list(l ORDER BY sub), (a, b) -> a + b), 6) AS adc6
+         |  FROM luts GROUP BY id),
+         |adc AS (SELECT pp.id,
+         |  round(list_dot_product(pp.ce, q.qe) + radc.adc6, 6) AS adc
+         |  FROM pp JOIN radc USING (id), q),
          |p1 AS (SELECT id FROM adc ORDER BY adc DESC, id ASC LIMIT 320),
          |f AS (SELECT pp.id, round(list_dot_product(pp.ne, q.qe), 6) AS score, pp.user_id
          |  FROM pp JOIN p1 USING (id), q)

@@ -536,6 +536,49 @@ object Ann {
     Quantization.pqAdcSearch(probed, queryDf, cb, k, oversample)
   }
 
+  /** RESIDUAL-encoded IVF-PQ — the FAISS IVFPQ default (Jégou '11 §V.A:
+    * "we encode the residual vector"): codes quantize x − c(cell), not x.
+    * Raw-vector codes spend their whole budget re-encoding the shared
+    * cell mean, so WITHIN a cell they cannot rank near-identical
+    * candidates (measured collapse to 0.038 recall@10 on the clustered
+    * fixture, SCALING r13); the residual carries exactly the
+    * within-cell signal. Cosine decomposes exactly over the split:
+    * q·x = q·c + q·(x−c), so phase 1 ranks on the probed cell's
+    * constant q·c plus the residual ADC — same information, all of the
+    * code budget on the part that discriminates. Phase 2 rescores the
+    * k·oversample survivors with the exact float dot, unchanged.
+    *
+    * `cbRes` must be trained on residuals over the SAME centroid set
+    * ([[Quantization.pqTrainResiduals]]). Determinism: phase 1 ranks on
+    * round(q·c + round(Σ_s lut_s, 6), 6) with id tiebreaks — the inner
+    * round is [[Quantization.pqAdcScore]]'s, the outer one this
+    * function's, and the oracle mirrors both. */
+  def ivfPqResidualSearch(
+      store: DataFrame, centroids: DataFrame,
+      cbRes: Quantization.PqCodebook, queryDf: DataFrame,
+      nprobe: Int, k: Int, oversample: Double = 32.0): DataFrame = {
+    val probes = probeCids(centroids, queryDf, nprobe)
+    val fetchK = math.max(k, (k * oversample).toInt)
+    val probed = store
+      .join(broadcast(probes), Seq("cid"), "left_semi")
+      .join(broadcast(centroids.select(col("cid"), col("ce"))), Seq("cid"))
+    val residual = zip_with(col("embedding"), col("ce"), (x, c) => x - c)
+    val survivors = probed
+      .crossJoin(broadcast(queryDf.select(col("qemb"))))
+      .withColumn("adc", round(
+        VectorOps.dot(col("ce"), col("qemb")) +
+          Quantization.pqAdcScore(
+            Quantization.pqEncode(residual, cbRes), col("qemb"), cbRes), 6))
+      .orderBy(desc("adc"), asc("id")).limit(fetchK)
+      .select(col("id"), col("qemb"))
+    store.select(col("id"), col("embedding"), col("user_id"))
+      .join(broadcast(survivors), Seq("id"))
+      .withColumn("score", round(VectorOps.dot(col("embedding"), col("qemb")), 6))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("user_id"))
+  }
+
   /** Sign-LSH bucket signature as a bit string. `hyperplanes` are plain
     * Scala vectors (index parameters — tiny, embedded as literals so the
     * hot path is flat codegen'd expressions, the distributed analogue of

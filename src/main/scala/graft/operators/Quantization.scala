@@ -295,6 +295,21 @@ object Quantization {
     rows.toDF("sub", "code", "cent")
   }
 
+  /** Train a PQ codebook on RESIDUALS x − c(cell) over an assigned
+    * store — the codebook [[graft.operators.Ann.ivfPqResidualSearch]]
+    * scores with. Same output schema/lifecycle as [[pqTrain]] (persist
+    * the table, collect to literals); the residual subtraction is a
+    * per-row 64-element zip, done once at training. */
+  def pqTrainResiduals(store: DataFrame, centroids: DataFrame,
+      dim: Int, m: Int, ksub: Int, maxIter: Int = 5): DataFrame =
+    pqTrain(
+      store
+        .join(org.apache.spark.sql.functions.broadcast(
+          centroids.select(col("cid"), col("ce"))), Seq("cid"))
+        .select(zip_with(col("embedding"), col("ce"), (x, c) => x - c)
+          .as("embedding")),
+      dim, m, ksub, maxIter)
+
   /** Collect a persisted (sub, code, cent) table into plan-literal form. */
   def pqCodebookOf(df: DataFrame): PqCodebook = {
     val rows = df.select(col("sub"), col("code"), col("cent")).collect()

@@ -476,6 +476,49 @@ class AnnSpec extends SparkSpec {
     assert(narrow.forall(id => probes(cellOf(id))))
   }
 
+  test("ivfPqResidualSearch: full-probe deep-oversample = exact; " +
+      "narrow probe stays in its cells; within-cell ADC beats raw codes") {
+    val cents = Ann.kmeansCentroids(points, k = 8, maxIter = 3)
+    val assigned = Ann.ivfAssign(points, cents)
+    val cbRaw = graft.operators.Quantization.pqCodebookOf(
+      graft.operators.Quantization.pqTrain(points, 64, 8, 16, 3))
+    val cbRes = graft.operators.Quantization.pqCodebookOf(
+      graft.operators.Quantization.pqTrainResiduals(assigned, cents, 64, 8, 16, 3))
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    // exact-rescore safety net: probing everything with a deep
+    // oversample must reduce to exact top-k, same as the raw form
+    val full = Ann.ivfPqResidualSearch(assigned, cents, cbRes, q,
+      nprobe = 8, k = 10, oversample = 1000.0)
+      .select("id").as[Long].collect().toSeq
+    val exact = Search.knn(points, q, 10, -1.0).select("id").as[Long].collect().toSeq
+    assert(full == exact)
+    // narrow probe returns only points from the probed cells
+    val probes = Ann.probeCids(cents, q, 2).as[Long].collect().toSet
+    val narrow = Ann.ivfPqResidualSearch(assigned, cents, cbRes, q, nprobe = 2, k = 10)
+      .select("id").as[Long].collect().toSeq
+    val cellOf = assigned.select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(narrow.forall(id => probes(cellOf(id))))
+    // the residual property itself: at a TIGHT phase-1 funnel (no
+    // oversample slack) the residual codes must keep at least as much
+    // of the exact top-k as raw codes — the within-cell signal raw
+    // codes spend on re-encoding the cell mean (deterministic fixture,
+    // deterministic codebooks: a fixed comparison, not a flaky one)
+    def kept(cb: graft.operators.Quantization.PqCodebook): Int = {
+      val got = Ann.ivfPqResidualSearch(assigned, cents, cb, q,
+        nprobe = 8, k = 10, oversample = 1.0)
+        .select("id").as[Long].collect().toSet
+      (got & exact.toSet).size
+    }
+    // raw codebook driven through the residual scorer would be wrong by
+    // construction; compare the two OPERATORS at the same tight funnel
+    val keptRes = kept(cbRes)
+    val keptRaw = (Ann.ivfPqSearch(assigned, cents, cbRaw, q,
+      nprobe = 8, k = 10, oversample = 1.0)
+      .select("id").as[Long].collect().toSet & exact.toSet).size
+    assert(keptRes >= keptRaw,
+      s"residual ADC kept $keptRes of exact top-10, raw kept $keptRaw")
+  }
+
   test("ivfSearchBatch: per-query blocks match single-query ivfSearch") {
     val cents = Ann.kmeansCentroids(points, 8, 3)
     val rows = cents.select($"cid", $"ce").orderBy("cid").collect()
