@@ -67,6 +67,15 @@ object RecallReport {
         kmppRows.map(_.getSeq[Double](1).toSeq).toSeq)
       val kmppCents = (kmppCids, kmppCes)
       val kmppAssigned = Ann.ivfAssign(points, kmppCids, kmppCes).cache()
+      // the composed IVF-PQ paths (raw + RESIDUAL encoding) at the same
+      // calibrated nprobe: centroid frame == the served/trained set, so
+      // the residual codebook (trained on the indexed store's cells,
+      // same trainedCentroids source) matches this assignment exactly
+      val centsDf = {
+        import spark.implicits._
+        meta.cids.zip(meta.cents).toDF("cid", "ce")
+      }
+      val pqResCb = SparkEntry.pqResMeta(spark, sfDir)
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("id").collect().map(_.getLong(0)).toSet
       // graph ANN: ONE batched beam over all report qids (the serving
@@ -161,6 +170,10 @@ object RecallReport {
           "sq_trained" -> recall(ids(
             Quantization.sqTwoPhaseSearchTrained(points, q, sqHis, k))),
           "pq_adc" -> recall(ids(Quantization.pqAdcSearch(points, q, pqCb, k))),
+          "ivf_pq" -> recall(ids(
+            Ann.ivfPqSearch(assigned, centsDf, pqCb, q, np, k))),
+          "ivf_pq_res" -> recall(ids(
+            Ann.ivfPqResidualSearch(assigned, centsDf, pqResCb, q, np, k))),
           "pq_pca_adc" -> recall(ids(Quantization.pqAdcSearch(rotPoints, qRot, pqPcaCb, k))),
           "negbase_pq_pca_bal_adc" -> recall(ids(Quantization.pqAdcSearch(rotBalPoints, qRotBal, pqPcaBalCb, k))),
           "graph_beam" -> recall(graphIds.getOrElse(qid.toLong, Set.empty)),
