@@ -255,6 +255,7 @@ class AnnSpec extends SparkSpec {
       "ivf_ref_nprobe", "negbase_lsh_multiprobe", "lsh_multitable",
       "binary_quant",
       "cascade", "int8_quant", "sq_trained", "pq_adc", "pq_pca_adc",
+      "ivf_pq", "ivf_pq_res", // composed IVF-PQ, raw + residual (r13)
       "negbase_pq_pca_bal_adc",
       "graph_beam",
       "graph_after_cdc",
