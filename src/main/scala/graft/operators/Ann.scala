@@ -559,16 +559,30 @@ object Ann {
       nprobe: Int, k: Int, oversample: Double = 32.0): DataFrame = {
     val probes = probeCids(centroids, queryDf, nprobe)
     val fetchK = math.max(k, (k * oversample).toInt)
-    val probed = store
+    // phase 1 reads the precomputed residual-code column when the store
+    // carries one (saveIndexed pqResidualCodebook — m bytes/point over
+    // the probed cells only: cell pruning × code compression, the
+    // IVFPQ storage layout); otherwise residuals are encoded on the fly
+    // from the float column. Identical scores either way — the stored
+    // codes were produced by the same pqEncode over the same residuals.
+    val phase1Src =
+      if (store.columns.contains("pqrc"))
+        store.select(col("id"), col("cid"), col("pqrc"))
+      else
+        store.select(col("id"), col("cid"),
+          col("embedding").as("_emb_for_res"))
+    val probed = phase1Src
       .join(broadcast(probes), Seq("cid"), "left_semi")
       .join(broadcast(centroids.select(col("cid"), col("ce"))), Seq("cid"))
-    val residual = zip_with(col("embedding"), col("ce"), (x, c) => x - c)
+    val resCodes =
+      if (store.columns.contains("pqrc")) col("pqrc")
+      else Quantization.pqEncode(
+        zip_with(col("_emb_for_res"), col("ce"), (x, c) => x - c), cbRes)
     val survivors = probed
       .crossJoin(broadcast(queryDf.select(col("qemb"))))
       .withColumn("adc", round(
         VectorOps.dot(col("ce"), col("qemb")) +
-          Quantization.pqAdcScore(
-            Quantization.pqEncode(residual, cbRes), col("qemb"), cbRes), 6))
+          Quantization.pqAdcScore(resCodes, col("qemb"), cbRes), 6))
       .orderBy(desc("adc"), asc("id")).limit(fetchK)
       .select(col("id"), col("qemb"))
     store.select(col("id"), col("embedding"), col("user_id"))

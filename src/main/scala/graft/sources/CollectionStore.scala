@@ -49,15 +49,30 @@ object CollectionStore {
       points: DataFrame, path: String, centroids: DataFrame,
       numFiles: Int = 4,
       pqCodebook: Option[graft.operators.Quantization.PqCodebook] = None,
-      idSidecarBuckets: Option[Int] = None): Unit = {
+      idSidecarBuckets: Option[Int] = None,
+      pqResidualCodebook: Option[graft.operators.Quantization.PqCodebook] = None)
+      : Unit = {
     centroids.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(path + "_centroids")
     val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
     // product-quantization codes (m bytes/point) when a codebook is given:
     // the ADC phase-1 scan then reads (id, pqc) only, like sig/pq
-    val assigned = withIndexCols(points,
+    val assigned0 = withIndexCols(points,
       rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Double](1)).toSeq,
       pqCodebook)
+    // RESIDUAL codes (`pqrc`): x − c(cell) encoded at write time, so the
+    // residual IVF-PQ's phase 1 reads (id, pqrc) of the probed cells
+    // only — cell pruning × code compression, the FAISS IVFPQ storage
+    // layout ([[graft.operators.Ann.ivfPqResidualSearch]] uses the
+    // column when present, recomputes when absent)
+    val assigned = pqResidualCodebook match {
+      case Some(cbRes) => assigned0
+        .join(broadcast(centroids.select(col("cid"), col("ce"))), Seq("cid"))
+        .withColumn("pqrc", graft.operators.Quantization.pqEncode(
+          zip_with(col("embedding"), col("ce"), (x, c) => x - c), cbRes))
+        .drop("ce")
+      case None => assigned0
+    }
     assigned
       .repartition(numFiles, col("cid"))
       .sortWithinPartitions("cid", "user_id", "id")

@@ -71,6 +71,39 @@ class IndexedStoreSpec extends SparkSpec {
     }
   }
 
+  test("residual-code store (pqrc): identical results to on-the-fly " +
+      "encoding, phase-1 scan reads codes, not floats") {
+    val cents0 = Ann.kmeansCentroids(points, k = 8, maxIter = 3)
+    val assigned = Ann.ivfAssign(points, cents0)
+    val cbRes = Quantization.pqCodebookOf(
+      Quantization.pqTrainResiduals(assigned, cents0, 64, 8, 16, 3))
+    val path = "/tmp/graft_test_pqrc_store"
+    CollectionStore.saveIndexed(points, path, cents0,
+      pqResidualCodebook = Some(cbRes))
+    val (store, cents) = CollectionStore.loadIndexed(spark, path)
+    assert(store.columns.contains("pqrc"))
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "score").as[(Long, Double)].collect().toSeq
+    // the stored-codes path ≡ the recomputed path (same pqEncode over
+    // the same residuals), at a narrow probe where codes decide ranks
+    val viaStore = Ann.ivfPqResidualSearch(store, cents, cbRes, q,
+      nprobe = 2, k = 10)
+    assert(rows(viaStore) ==
+      rows(Ann.ivfPqResidualSearch(assigned, cents0, cbRes, q,
+        nprobe = 2, k = 10)))
+    // phase 1 reads (id, cid, pqrc) — the float column appears only in
+    // the rescore scan, never next to the code column
+    val scans = viaStore.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    // match the COLUMN in ReadSchema, not the store path (which also
+    // contains the substring "pqrc")
+    val phase1 = scans.filter(_.contains("pqrc:array"))
+    assert(phase1.nonEmpty, s"no scan reads pqrc:\n${scans.mkString("\n")}")
+    assert(phase1.forall(!_.contains("embedding:array")),
+      s"phase-1 scan still reads embedding:\n${phase1.mkString("\n")}")
+  }
+
   test("adaptive params mirror the reference size tiers") {
     val p1 = Ann.adaptiveParams(5000L, k = 10)
     assert(p1.useExact && p1.ef == 64 && p1.oversample.isEmpty)
