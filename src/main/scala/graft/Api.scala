@@ -79,13 +79,14 @@ object Api {
       scoreThreshold: Option[Double] = None,
       maxBatch: Int = 1024, maxWaitMs: Long = 0L,
       pipelineDepth: Int = 2,
-      localReplicaMaxRows: Long = BatchedServer.DefaultReplicaMaxRows)
+      localReplicaMaxRows: Long = BatchedServer.DefaultReplicaMaxRows,
+      int8Replica: Boolean = false)
       : BatchedServer = {
     validateK(k)
     val t = scoreThreshold.getOrElse(DefaultThreshold)
     validateThreshold(t)
     new BatchedServer(points, k, t, maxBatch, maxWaitMs, pipelineDepth,
-      localReplicaMaxRows)
+      localReplicaMaxRows, int8Replica = int8Replica)
   }
 
   /** Validated sharded serving router — the replica-TOO-BIG tier (see
@@ -112,12 +113,13 @@ object Api {
       k: Int = 10, scoreThreshold: Option[Double] = None,
       maxBatch: Int = 1024, maxWaitMs: Long = 0L,
       pipelineDepth: Int = 2,
-      localReplicaMaxRows: Long = BatchedServer.DefaultReplicaMaxRows)
+      localReplicaMaxRows: Long = BatchedServer.DefaultReplicaMaxRows,
+      int8Replica: Boolean = false)
       : Seq[Array[org.apache.spark.sql.Row]] = {
     import scala.concurrent.Await
     import scala.concurrent.duration._
     val srv = batchedServer(points, k, scoreThreshold, maxBatch, maxWaitMs,
-      pipelineDepth, localReplicaMaxRows)
+      pipelineDepth, localReplicaMaxRows, int8Replica)
     try {
       val futures = requests.map(srv.submit)
       futures.map(Await.result(_, 10.minutes))

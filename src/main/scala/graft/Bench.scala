@@ -497,6 +497,27 @@ object Bench {
     val rQpsRuns = runKeys("solo_replica_warm_qps", rRuns.map(r => rReqs / r._1))
     def rPct(p: Double): Double =
       math.rint(rLatSorted(((rLatSorted.length - 1) * p).toInt) * 10) / 10
+    // ---- QUANTIZED (INT8) serving replica (VERDICT r13 #3): the same
+    // lone-client protocol on a server whose replica serves phase 1 from
+    // the int8 byte slab (8× smaller than the float slab — the
+    // reference's always-RAM INT8 config, qdrant_client.py:129-138) with
+    // exact float rescore of the k·3 survivors; output ≡ float replica
+    // (ApiSpec). Both slab sizes are reported as the memory note.
+    def driveServerInt8(threads: Int, perThread: Int): (Double, Array[Double]) =
+      driveServerWith(() => Api.batchedServer(pointsPar, k = 10,
+        scoreThreshold = Some(0.1), int8Replica = true),
+        threads, perThread, closedLoop = true)
+    driveServerInt8(1, 100) // discarded JIT warm pass
+    val i8Runs = (1 to rSamples).map(_ => driveServerInt8(1, rReqs))
+    val (i8secs, i8LatSorted) = med3(i8Runs)(_._1)
+    val i8QpsRuns = runKeys("replica_int8_qps", i8Runs.map(r => rReqs / r._1))
+    def i8Pct(p: Double): Double =
+      math.rint(i8LatSorted(((i8LatSorted.length - 1) * p).toInt) * 10) / 10
+    val (i8FloatBytes, i8CodeBytes) = {
+      val srv = Api.batchedServer(pointsPar, k = 10,
+        scoreThreshold = Some(0.1), int8Replica = true)
+      try srv.replicaSlabBytes finally srv.close()
+    }
     // insertion throughput (reference BenchmarkSuite insertion phase):
     // normalize + LWW-merge a batch into the bucketed store, rows/sec
     val ingestDest = "/tmp/graft_bench_ingest"
@@ -574,8 +595,13 @@ object Bench {
       "solo_replica_warm_qps" -> math.rint(rReqs / rsecs * 10) / 10,
       "solo_replica_warm_p50_ms" -> rPct(0.50),
       "solo_replica_warm_p99_ms" -> rPct(0.99),
+      "replica_int8_qps" -> math.rint(rReqs / i8secs * 10) / 10,
+      "replica_int8_p50_ms" -> i8Pct(0.50),
+      "replica_int8_p99_ms" -> i8Pct(0.99),
+      "replica_int8_slab_mb" -> math.rint(i8CodeBytes / 1e5) / 10,
+      "replica_float_slab_mb" -> math.rint(i8FloatBytes / 1e5) / 10,
       "ingest_rows_per_sec" -> math.rint(ingested / isecs)) ++
-      bQpsRuns ++ cP50Runs ++ pP50Runs ++ jP50Runs ++ rQpsRuns ++
+      bQpsRuns ++ cP50Runs ++ pP50Runs ++ jP50Runs ++ rQpsRuns ++ i8QpsRuns ++
       shcP50Runs ++ shpP50Runs ++ crossProc
   }
 
@@ -651,6 +677,18 @@ object Bench {
       field("per_request_replica_p50_ms_vs_20",
         qps.get("solo_replica_warm_p50_ms"),
         qps.get("solo_replica_warm_p50_ms").map(_ <= refLatMs)) ++
+      // the QUANTIZED replica (VERDICT r13 #3): same bars as the float
+      // replica, served from the int8 slab (memory noted in the qps map:
+      // replica_int8_slab_mb vs replica_float_slab_mb), output ≡ float
+      // replica (ApiSpec parity)
+      field("per_request_replica_int8_qps_vs_1000",
+        qps.get("replica_int8_qps"),
+        qps.get("replica_int8_qps").map(_ >= refQps),
+        extra = qps.get("replica_int8_slab_mb").map(m =>
+          "\"int8_slab_mb\":" + m)) ++
+      field("per_request_replica_int8_p50_ms_vs_20",
+        qps.get("replica_int8_p50_ms"),
+        qps.get("replica_int8_p50_ms").map(_ <= refLatMs)) ++
       // the replica-too-big regime, SERVED (VERDICT r9 #1): a collection
       // past one replica's budget (sharded_rows > 2^18) hash-splits into
       // replica-sized shards — one BatchedServer each — behind the

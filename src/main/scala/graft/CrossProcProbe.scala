@@ -62,6 +62,9 @@ object CrossProc {
         .redirectErrorStream(true)
         .start()
     }
+    // success flag for the cleanup path: set only when the full
+    // measurement completed (worker logs are kept on failure)
+    var ok: Option[Map[String, Double]] = None
     try {
       // wait for readiness: retry the router handshake
       val addrs = (0 until nShards).map(i => ("127.0.0.1", basePort + i))
@@ -169,7 +172,41 @@ object CrossProc {
         dpool.shutdown()
         dpool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
         val dl = dLats.asScala.toIndexedSeq.sorted
-        Map(
+        // HEDGED path (searchHedged, VERDICT r13 #4): the same paced
+        // drive with a duplicate send to any shard still silent after
+        // `hedgeMs` (default: a p95-ish fraction of the 20 ms deadline —
+        // Dean–Barroso's "after the 95th-percentile expected latency"
+        // rule), full 100 ms budget so nothing is dropped. Cuts the
+        // gather tail WITHOUT the (1 − complete_rate) recall loss the
+        // drop-based deadline path pays; the hedge rate is reported so
+        // the extra-load budget is in the artifact.
+        val hedgeMs = sys.env.getOrElse("GRAFT_XPROC_HEDGE_MS", "5").toLong
+        val hLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val hIncomplete = new java.util.concurrent.atomic.AtomicLong(0)
+        val hSent = new java.util.concurrent.atomic.AtomicLong(0)
+        val hWins = new java.util.concurrent.atomic.AtomicLong(0)
+        val hpool = java.util.concurrent.Executors.newFixedThreadPool(64)
+        val hstart = System.nanoTime()
+        (0 until paceN).foreach { i =>
+          val due = hstart + i * (1000000000L / paceQps)
+          var now = System.nanoTime()
+          while (now < due) {
+            val ns = due - now
+            if (ns > 2000000) Thread.sleep(ns / 2000000) else Thread.onSpinWait()
+            now = System.nanoTime()
+          }
+          hpool.submit(new Runnable { def run(): Unit = {
+            val r = router.searchHedged(qPool(i % nQ), hedgeMs, 100L)
+            if (!r.complete) hIncomplete.incrementAndGet()
+            hSent.addAndGet(r.hedgesSent)
+            hWins.addAndGet(r.hedgeWins)
+            hLats.add((System.nanoTime() - due) / 1e6)
+          }})
+        }
+        hpool.shutdown()
+        hpool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+        val hl = hLats.asScala.toIndexedSeq.sorted
+        val result = Map(
           "crossproc_rows" -> bigN.toDouble,
           "crossproc_shards" -> nShards.toDouble,
           "crossproc_worker_threads" -> workerThreads.toDouble,
@@ -189,23 +226,43 @@ object CrossProc {
           "crossproc_deadline_paced_p99_ms" -> pct(dl, 0.99),
           "crossproc_deadline_complete_rate" ->
             math.rint((1.0 - dIncomplete.get().toDouble / paceN) * 10000) / 10000,
+          "crossproc_hedge_after_ms" -> hedgeMs.toDouble,
+          "crossproc_hedged_paced_p50_ms" -> pct(hl, 0.5),
+          "crossproc_hedged_paced_p99_ms" -> pct(hl, 0.99),
+          "crossproc_hedged_complete_rate" ->
+            math.rint((1.0 - hIncomplete.get().toDouble / paceN) * 10000) / 10000,
+          "crossproc_hedge_rate" ->
+            math.rint(hSent.get().toDouble / paceN * 10000) / 10000,
+          "crossproc_hedge_win_rate" -> (if (hSent.get() == 0) 0.0 else
+            math.rint(hWins.get().toDouble / hSent.get() * 10000) / 10000),
           "crossproc_stall_ms" -> stallMs.toDouble)
+        ok = Some(result)
+        result
       } finally router.close()
     } finally {
       procs.foreach(_.destroyForcibly())
       // the slab handoff dir is hundreds of MB at the replica-too-big
-      // fixture size — reclaim it (workers are dead; logs go with it)
-      // rather than leaking one copy per bench run (ADVICE r12)
+      // fixture size — reclaim the SLABS unconditionally rather than
+      // leaking one copy per bench run (ADVICE r12). Worker logs are
+      // deleted only on the success path: after a measurement failure
+      // they are the only diagnostic left (the bench catch keeps just
+      // the one-line exception message — ADVICE r13), so on failure the
+      // dir (logs only, slabs gone) is left behind and its path printed.
       procs.foreach(p => try p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)
         catch { case _: InterruptedException => () })
+      val failed = ok.isEmpty
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .iterator().asScala
+          .filter(p => !failed || java.nio.file.Files.isDirectory(p) ||
+            !p.getFileName.toString.endsWith(".log"))
           .foreach(p => try java.nio.file.Files.deleteIfExists(p)
             catch { case _: java.io.IOException => () })
       } catch { case scala.util.control.NonFatal(_) => () }
+      if (failed)
+        println(s"crossproc_worker_logs_kept: $dir")
     }
   }
 }

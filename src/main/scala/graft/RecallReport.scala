@@ -76,6 +76,18 @@ object RecallReport {
         meta.cids.zip(meta.cents).toDF("cid", "ce")
       }
       val pqResCb = SparkEntry.pqResMeta(spark, sfDir)
+      // the recall-calibrated PQ budget (VERDICT r13 #2): the ladder is
+      // walked on the shared calibration sample; the chosen tier is
+      // graded below on the report qids MINUS that sample (held-out,
+      // same rule as ivf/lsh_calibrated), with the chosen budget and the
+      // shared target emitted alongside so recall can't be bought by
+      // silently climbing the ladder
+      val pqLadder = Quantization.PqBudgetLadder.indices
+        .map(t => () => SparkEntry.pqCalMeta(spark, sfDir, t))
+      val pqCalTier = Quantization.pqCalibrateBudget(points, k,
+        Quantization.DefaultPqRecallTarget,
+        Quantization.DefaultPqCalibrationSample, pqLadder)
+      val pqCalCb = pqLadder(pqCalTier)()
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("id").collect().map(_.getLong(0)).toSet
       // graph ANN: ONE batched beam over all report qids (the serving
@@ -178,10 +190,14 @@ object RecallReport {
           "negbase_pq_pca_bal_adc" -> recall(ids(Quantization.pqAdcSearch(rotBalPoints, qRotBal, pqPcaBalCb, k))),
           "graph_beam" -> recall(graphIds.getOrElse(qid.toLong, Set.empty)),
           "graph_after_cdc" -> recall(graphCdcIds.getOrElse(qid.toLong, Set.empty)))
-        // held-out only: the calibration set must not grade itself
-        if (Ann.DefaultLshCalibrationSample.contains(qid.toLong)) base
-        else base + ("lsh_calibrated" ->
-          recall(ids(Ann.lshSearchMultiTable(points, q, calPlanes, 4, k))))
+        // held-out only: the calibration sets must not grade themselves
+        val withLsh =
+          if (Ann.DefaultLshCalibrationSample.contains(qid.toLong)) base
+          else base + ("lsh_calibrated" ->
+            recall(ids(Ann.lshSearchMultiTable(points, q, calPlanes, 4, k))))
+        if (Quantization.DefaultPqCalibrationSample.contains(qid.toLong)) withLsh
+        else withLsh + ("pq_calibrated" ->
+          recall(ids(Quantization.pqAdcSearch(points, q, pqCalCb, k))))
       }
       // per-key mean (lsh_calibrated averages over its held-out subset)
       val out = perQuery.flatten.groupBy(_._1).map { case (m, xs) =>
@@ -195,7 +211,10 @@ object RecallReport {
       out + ("ivf_nprobe" -> np.toDouble) + ("ivf_ref_nprobe" -> npHi.toDouble) +
         ("ivf_target" -> operators.IndexMeta.DefaultRecallTarget) +
         ("lsh_calibrated_l" -> lCal.toDouble) +
-        ("lsh_calibrated_target" -> Ann.DefaultLshRecallTarget)
+        ("lsh_calibrated_target" -> Ann.DefaultLshRecallTarget) +
+        ("pq_calibrated_m" -> pqCalCb.m.toDouble) +
+        ("pq_calibrated_ksub" -> pqCalCb.ksub.toDouble) +
+        ("pq_calibrated_target" -> Quantization.DefaultPqRecallTarget)
     } finally {
       points.unpersist()
     }

@@ -207,12 +207,21 @@ object ScaleProbe {
       import graft.operators.{Quantization, Search}
       val san = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/tmp/graft_probe_cn_$san"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      // reuse is keyed on a FIXTURE SIGNATURE (row count written at build
+      // time), not bare existence: a regenerated fixture at the same dir
+      // must rebuild the store or the probe silently grades against
+      // stale centroids/codes (ADVICE r13). GRAFT_PROBE_REBUILD=1 forces.
+      val marker = java.nio.file.Paths.get(path + "_fixture_sig")
+      val fresh = !sys.env.contains("GRAFT_PROBE_REBUILD") &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker)).trim == n.toString
+      if (!fresh) {
         CollectionStore.saveIndexed(points, path,
           Ann.seedCentroids(points, 16), idSidecarBuckets = Some(64))
         val (minR, maxR) = CollectionStore.cnBand(n)
         CollectionStore.optimizePartitions(
           spark, path, minRows = minR, maxRows = maxR, nBuckets = 64)
+        java.nio.file.Files.write(marker, n.toString.getBytes)
       }
       val (store, cents) = CollectionStore.loadIndexed(spark, path)
       val pqM = sys.env.getOrElse("GRAFT_PQ_M", "8").toInt

@@ -232,6 +232,14 @@ object RemoteShardedRouter {
     * that answered; `complete` iff every shard did. */
   final case class PartialResult(
       hits: Array[(Long, Double, Int)], shardsAnswered: Int, complete: Boolean)
+
+  /** Result of a hedged gather ([[RemoteShardedRouter.searchHedged]]):
+    * exact top-k over the answering shards, plus the hedge accounting the
+    * probe reports (how many duplicates were sent, how many races the
+    * duplicate won). */
+  final case class HedgedResult(
+      hits: Array[(Long, Double, Int)], shardsAnswered: Int,
+      complete: Boolean, hedgesSent: Int, hedgeWins: Int)
 }
 
 final class RemoteShardedRouter(
@@ -320,12 +328,97 @@ final class RemoteShardedRouter(
         answered += 1
         got ++= hits
       } catch {
-        case _: java.util.concurrent.TimeoutException => () // straggler:
-        // the round-trip keeps running and re-pools its socket on its own
+        case _: java.util.concurrent.TimeoutException =>
+          // straggler: cancel(false) drops the task from the executor
+          // QUEUE if it has not started yet (under a persistently slow
+          // shard, queued scatter tasks for already-abandoned requests
+          // would otherwise accumulate without bound — ADVICE r13); a
+          // round-trip that already STARTED is unaffected by design: it
+          // finishes the read at frame boundary and re-pools its socket.
+          f.cancel(false)
       }
     }
     RemoteShardedRouter.PartialResult(
       mergeTopK(got.result()), answered, answered == addrs.length)
+  }
+
+  /** HEDGED request (Dean & Barroso "The Tail at Scale", CACM 2013 —
+    * the send-to-two-after-a-delay hedge): scatter to every shard, and
+    * any shard still silent after `hedgeAfterMs` gets a DUPLICATE
+    * request on a second pooled connection; the first reply per shard
+    * wins. Unlike [[searchPartial]] nothing is dropped — the answer is
+    * complete whenever every shard answers EITHER attempt within
+    * `timeoutMs` — so the tail is cut without the recall degradation the
+    * drop-based path trades for it. The cost is bounded extra load: one
+    * duplicate per silent shard per request (the probe reports the
+    * hedge rate; at a p95-ish `hedgeAfterMs` that is ≤ ~5% extra sends,
+    * the budget Dean–Barroso prescribe).
+    *
+    * Why the duplicate helps against a SLOW WORKER and not just a slow
+    * link: the worker serves each connection on its own thread, so an
+    * intermittent per-request stall (GC, CPU spike, the probe's
+    * injected sleep) holds only the connection it arrived on — the
+    * duplicate lands on a different pooled socket/thread and returns at
+    * normal latency. A shard whose BOTH attempts miss `timeoutMs` is
+    * reported exactly like searchPartial's straggler (answered < all,
+    * `complete = false`), and losing attempts drain and re-pool their
+    * sockets on their own (never a poisoned connection). */
+  def searchHedged(qemb: Array[Double], hedgeAfterMs: Long, timeoutMs: Long)
+      : RemoteShardedRouter.HedgedResult = {
+    val nShards = addrs.length
+    // per-request reply channel: each attempt reports (shard, hits,
+    // wasHedge) when it completes; late/duplicate replies are simply
+    // ignored by the drain below (the channel is request-local garbage)
+    val replies = new java.util.concurrent.LinkedBlockingQueue[
+      (Int, Array[(Long, Double, Int)], Boolean)]()
+    def attempt(shard: Int, isHedge: Boolean)
+        : java.util.concurrent.Future[_] =
+      exec.submit(new Runnable {
+        def run(): Unit =
+          try replies.offer((shard, roundTrip(shard, qemb), isHedge))
+          catch { case _: Throwable => () } // socket error: shard silent
+      })
+    val attempts = scala.collection.mutable.ArrayBuffer[
+      java.util.concurrent.Future[_]]()
+    (0 until nShards).foreach(s => attempts += attempt(s, isHedge = false))
+    val t0 = System.nanoTime()
+    val hedgeAt = t0 + hedgeAfterMs * 1000000L
+    val deadline = t0 + timeoutMs * 1000000L
+    val answered = new Array[Boolean](nShards)
+    var nAnswered = 0
+    var hedgesSent = 0
+    var hedgeWins = 0
+    var hedged = false
+    val got = Array.newBuilder[(Long, Double, Int)]
+    while (nAnswered < nShards && System.nanoTime() < deadline) {
+      val waitUntil = if (hedged) deadline else math.min(hedgeAt, deadline)
+      val r = replies.poll(math.max(waitUntil - System.nanoTime(), 0L),
+        java.util.concurrent.TimeUnit.NANOSECONDS)
+      if (r != null) {
+        val (shard, hits, wasHedge) = r
+        if (!answered(shard)) {
+          answered(shard) = true
+          nAnswered += 1
+          got ++= hits
+          if (wasHedge) hedgeWins += 1
+        }
+      }
+      if (!hedged && System.nanoTime() >= hedgeAt) {
+        hedged = true
+        var s = 0
+        while (s < nShards) {
+          if (!answered(s)) { attempts += attempt(s, isHedge = true); hedgesSent += 1 }
+          s += 1
+        }
+      }
+    }
+    // drop not-yet-started attempts from the executor queue (same
+    // unbounded-accumulation guard as searchPartial); started ones
+    // drain and re-pool on their own
+    attempts.foreach(_.cancel(false))
+    RemoteShardedRouter.HedgedResult(
+      mergeTopK(got.result()), nAnswered, nAnswered == nShards,
+      hedgesSent, hedgeWins)
   }
 
   /** Pure IPC round-trip (nq=0 frame) to shard 0 — the network floor. */

@@ -173,6 +173,40 @@ object SparkEntry {
     pqResMetaBuilt.computeIfAbsent(dir,
       _ => Quantization.pqCodebookOf(pqResCodebookDf(s, dir)))
 
+  /** Calibrated-PQ codebook LADDER side tables (same lifecycle as
+    * [[pqCodebookDf]], one table per budget tier): the recall-targeted
+    * budget calibration ([[Quantization.pqCalibrateBudget]], VERDICT r13
+    * #2) measures each tier's sample recall and serves the smallest
+    * clearing the target. ALL tiers persist (the oracle's CASE references
+    * every tier's recall, so every codebook table must exist) — at the
+    * index-build lifecycle this is the one-time training of the ladder,
+    * like IndexMeta training its recall curve. */
+  private def pqCalPath(dir: String, tier: Int) =
+    s"/tmp/graft_pqcal_t${tier}_" + san(dir)
+  private def pqCalAlias(tier: Int) = s"/tmp/graft_pqcal_t${tier}_current"
+  @volatile private var pqCalOracleDir: String = null
+  private val pqCalBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqCalCodebookDf(s: SparkSession, dir: String, tier: Int): DataFrame = {
+    pqCalOracleDir = dir
+    val path = pqCalPath(dir, tier)
+    pqCalBuilt.computeIfAbsent(path, _ => {
+      val (m, ksub) = Quantization.PqBudgetLadder(tier)
+      val cb = Quantization.pqTrain(Collection.load(s, dir),
+        dim = 64, m = m, ksub = ksub, maxIter = 5)
+      cb.coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(pqCalAlias(tier))
+      path
+    })
+    s.read.parquet(path)
+  }
+  private val pqCalMetaBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Quantization.PqCodebook]()
+  private[graft] def pqCalMeta(s: SparkSession, dir: String, tier: Int)
+      : Quantization.PqCodebook =
+    pqCalMetaBuilt.computeIfAbsent(s"$dir#$tier",
+      _ => Quantization.pqCodebookOf(pqCalCodebookDf(s, dir, tier)))
+
   /** Trained scalar-quantization range side table (kmeans/PQ lifecycle):
     * exact per-dim |x| max from [[Quantization.sqTrainRanges]], persisted
     * once per JVM per scale dir; Spark encodes against the collected
@@ -1715,6 +1749,25 @@ object SparkEntry {
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
       Quantization.pqAdcSearch(points, q, cb, k = 10)
     }),
+    // RECALL-CALIBRATED PQ code budget (VERDICT r13 #2): the engine walks
+    // the 32/64/128-bit ladder, measures each tier's sample recall@10
+    // against exact search, and serves the SMALLEST budget clearing the
+    // shared target — the quantization member of the calibration family
+    // (IVF nprobe, LSH L, graph beam). m_used/ksub_used ship in the
+    // output so the decision itself is hash-verified; the oracle replays
+    // every tier's encode/ADC/rescore/recall from the persisted ladder
+    // side tables and makes the same choice.
+    "pq_calibrated" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      // all tiers persist up front (the oracle reads every tier's table)
+      Quantization.PqBudgetLadder.indices.foreach(t => pqCalCodebookDf(s, dir, t))
+      val ladder = Quantization.PqBudgetLadder.indices
+        .map(t => () => pqCalMeta(s, dir, t))
+      val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Quantization.pqAdcSearchCalibrated(points, q, ladder, k = 10,
+        Quantization.DefaultPqRecallTarget,
+        Quantization.DefaultPqCalibrationSample)
+    }),
     // Binary (1-bit) quantization + Hamming-prefilter two-phase search.
     "binary_quant_search" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -2252,6 +2305,8 @@ object SparkEntry {
   private def cnIdsGlob = sideGlob(cnOracleDir,
     d => cnStorePath(d) + "_idsflat", cnIdsAlias)
   private def pqOracleGlob = sideGlob(pqOracleDir, pqPath, pqAlias)
+  private def pqCalOracleGlob(tier: Int) =
+    sideGlob(pqCalOracleDir, d => pqCalPath(d, tier), pqCalAlias(tier))
   private def pqResOracleGlob = sideGlob(pqResOracleDir, pqResPath, pqResAlias)
   private def sqOracleGlob = sideGlob(sqOracleDir, sqPath, sqAlias)
   private def nbqOracleGlob = sideGlob(nbqOracleDir, nbqPath, nbqAlias)
@@ -2313,6 +2368,83 @@ object SparkEntry {
        |f AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
        |  FROM c JOIN p1 USING (id), q)
        |SELECT id, score, user_id FROM f ORDER BY score DESC, id ASC LIMIT 10""".stripMargin
+
+  /** Calibrated-PQ oracle: replays [[Quantization.pqCalibrateBudget]] +
+    * the final [[Quantization.pqAdcSearch]] end to end. Per ladder tier:
+    * encode every point (per-subspace argmin via the caug trick, same
+    * 6dp/lowest-code tiebreak as pqEncode), ADC-rank per sample query,
+    * keep 32·k, rescore exactly, rank ≤ k — then the tier's recall is
+    * the integer match count against the exact per-query top-k. The
+    * CASE picks the first tier clearing the shared target, and the
+    * output is that tier's qid=0 block with the chosen budget as
+    * columns. All constants render from the SAME Scala values the engine
+    * calibrates with (single-constant rule). Per-tier CTEs are
+    * MATERIALIZED: the choice CASE references every tier's recall, and
+    * inlining would re-expand each tier's whole encode chain per
+    * reference. */
+  private def pqCalibratedOracle: String = {
+    val k = 10
+    val fetchK = (k * 32.0).toInt
+    val target = Quantization.DefaultPqRecallTarget
+    val sample = Quantization.DefaultPqCalibrationSample
+    val sampleIn = sample.mkString(", ")
+    val tiers = Quantization.PqBudgetLadder
+    val b = Seq.newBuilder[String]
+    b += s"""qs AS MATERIALIZED (SELECT id AS qid, ne AS qe FROM c WHERE id IN ($sampleIn)),
+       |exact AS MATERIALIZED (SELECT qid, id FROM (
+       |  SELECT q.qid, c.id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY round(list_dot_product(c.ne, q.qe), 6) DESC, c.id ASC) AS rn
+       |  FROM c, qs q) WHERE rn <= $k)""".stripMargin
+    tiers.zipWithIndex.foreach { case ((m, ksub), t) =>
+      val dsub = 64 / m
+      b += s"""cb$t AS (SELECT sub, code, cent,
+         |  cent || [-list_dot_product(cent, cent) / 2.0] AS caug
+         |  FROM read_parquet(${pqCalOracleGlob(t)})),
+         |codes$t AS MATERIALIZED (SELECT id, sub, code FROM (
+         |  SELECT sv.id, sv.sub, cb.code,
+         |    row_number() OVER (PARTITION BY sv.id, sv.sub
+         |      ORDER BY round(list_dot_product(sv.xs || [1.0], cb.caug), 6) DESC, cb.code ASC) AS rn
+         |  FROM (SELECT c.id, s.range::INT AS sub,
+         |      list_slice(c.ne, s.range*$dsub + 1, s.range*$dsub + $dsub) AS xs
+         |    FROM c, range($m) s) sv
+         |  JOIN cb$t cb USING (sub)) WHERE rn = 1),
+         |adc$t AS MATERIALIZED (SELECT q.qid, codes.id,
+         |  round(list_reduce([0.0::DOUBLE] || list(
+         |    list_dot_product(list_slice(q.qe, codes.sub*$dsub + 1, codes.sub*$dsub + $dsub), cb.cent)
+         |    ORDER BY codes.sub), (a, b) -> a + b), 6) AS adc
+         |  FROM codes$t codes JOIN cb$t cb USING (sub, code), qs q
+         |  GROUP BY q.qid, codes.id),
+         |p1$t AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, id ASC) AS rn
+         |  FROM adc$t) WHERE rn <= $fetchK),
+         |res$t AS MATERIALIZED (SELECT qid, id, score, user_id FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, id ASC) AS rn FROM (
+         |    SELECT p.qid, c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |    FROM p1$t p JOIN c ON c.id = p.id JOIN qs q ON q.qid = p.qid) sc)
+         |  WHERE rn <= $k),
+         |rec$t AS MATERIALIZED (SELECT count(*)::DOUBLE /
+         |  (SELECT count(*) FROM exact) AS r
+         |  FROM res$t h JOIN exact e ON h.qid = e.qid AND h.id = e.id)""".stripMargin
+    }
+    val whens = tiers.indices.dropRight(1).map(t =>
+      s"WHEN (SELECT r FROM rec$t) >= $target THEN $t").mkString(" ")
+    val mCase = tiers.zipWithIndex.map { case ((m, _), t) =>
+      s"WHEN $t THEN $m" }.mkString(" ")
+    val ksCase = tiers.zipWithIndex.map { case ((_, ks), t) =>
+      s"WHEN $t THEN $ks" }.mkString(" ")
+    val unions = tiers.indices.map(t =>
+      s"SELECT $t AS tier, qid, id, score, user_id FROM res$t")
+      .mkString(" UNION ALL ")
+    b += s"""choice AS (SELECT (CASE $whens ELSE ${tiers.size - 1} END) AS tier)""".stripMargin
+    s"WITH $C,\n" + b.result().mkString(",\n") +
+      s"""
+         |SELECT r.id, r.score, r.user_id,
+         |  (CASE ch.tier $mCase END)::INT AS m_used,
+         |  (CASE ch.tier $ksCase END)::INT AS ksub_used
+         |FROM choice ch JOIN ($unions) r ON r.tier = ch.tier AND r.qid = 0
+         |ORDER BY r.score DESC, r.id ASC""".stripMargin
+  }
 
   /** Unrolled graph-ANN oracle (mirrors graphTable + Ann.graphBeamSearch):
     * knnJoin replay (C=32 seed cells, rn<=2 probes, k=8 neighbors) →
@@ -4099,6 +4231,7 @@ object SparkEntry {
     // mirroring NearestCentroid); ADC = ordered sum of per-subspace
     // query·centroid dots; then exact rescore of the top 320.
     "pq_adc_search" -> pqAdcOracle,
+    "pq_calibrated" -> pqCalibratedOracle,
     // the indexed store's pqc codes are the same deterministic encoding,
     // so the persisted-index read path has the identical oracle
     "indexed_pq_adc" -> pqAdcOracle,

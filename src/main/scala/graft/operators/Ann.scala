@@ -566,9 +566,12 @@ object Ann {
     // from the float column. Identical scores either way — the stored
     // codes were produced by the same pqEncode over the same residuals.
     val phase1Src =
-      if (store.columns.contains("pqrc"))
+      if (store.columns.contains("pqrc")) {
+        // fingerprint check: stored codes must have been written under
+        // THIS codebook (ADVICE r13 — silent ADC mis-ranking otherwise)
+        Quantization.assertCodebookMatches(store, "pqrc", cbRes)
         store.select(col("id"), col("cid"), col("pqrc"))
-      else
+      } else
         store.select(col("id"), col("cid"),
           col("embedding").as("_emb_for_res"))
     val probed = phase1Src

@@ -65,11 +65,15 @@ object CollectionStore {
     // only — cell pruning × code compression, the FAISS IVFPQ storage
     // layout ([[graft.operators.Ann.ivfPqResidualSearch]] uses the
     // column when present, recomputes when absent)
+    // the codebook fingerprint rides as column metadata (survives the
+    // parquet round-trip in the Spark schema property) so a search given
+    // a MISMATCHED codebook fails loud instead of silently mis-ranking
+    // on foreign codes (ADVICE r13; Quantization.assertCodebookMatches)
     val assigned = pqResidualCodebook match {
       case Some(cbRes) => assigned0
         .join(broadcast(centroids.select(col("cid"), col("ce"))), Seq("cid"))
-        .withColumn("pqrc", graft.operators.Quantization.pqEncode(
-          zip_with(col("embedding"), col("ce"), (x, c) => x - c), cbRes))
+        .withColumn("pqrc", graft.operators.Quantization.pqrcColumn(
+          col("embedding"), col("ce"), cbRes))
         .drop("ce")
       case None => assigned0
     }
@@ -93,7 +97,11 @@ object CollectionStore {
       .withColumn("sig", graft.operators.Quantization.signPack(col("embedding")))
       .withColumn("pq", graft.operators.Quantization.quantize(col("embedding")))
     pqCodebook.fold(base)(cb => base.withColumn("pqc",
-      graft.operators.Quantization.pqEncode(col("embedding"), cb)))
+      graft.operators.Quantization.pqEncode(col("embedding"), cb)
+        // same fingerprint guard as pqrc (see saveIndexed)
+        .as("pqc", new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(graft.operators.Quantization.FingerprintKey,
+            graft.operators.Quantization.fingerprint(cb)).build())))
   }
 
   /** Write the id→cid SIDECAR of an indexed store: `<path>_ids`, bucketed
@@ -134,12 +142,28 @@ object CollectionStore {
       spark: SparkSession, path: String, adds: DataFrame,
       cids: Seq[Long], cents: Seq[Seq[Double]], nBuckets: Int,
       pqCodebook: Option[graft.operators.Quantization.PqCodebook] = None,
-      deletes: Option[DataFrame] = None): Unit = {
+      deletes: Option[DataFrame] = None,
+      pqResidualCodebook: Option[graft.operators.Quantization.PqCodebook] = None)
+      : Unit = {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val assignedAdds = withIndexCols(adds, cids, cents, pqCodebook)
-      .localCheckpoint() // one assignment pass; reused by steps 2/3/5
+    // residual codes for the batch: assigned cell's centroid from the
+    // caller's literal set (same codes saveIndexed would write — codes
+    // are a function of (x, c(cid), codebook) only)
+    val assignedAdds0 = withIndexCols(adds, cids, cents, pqCodebook)
+    val assignedAdds = (pqResidualCodebook match {
+      case Some(cbRes) =>
+        val sparkA = adds.sparkSession
+        import sparkA.implicits._
+        val centsDf = cids.zip(cents).toDF("cid", "ce")
+        assignedAdds0
+          .join(broadcast(centsDf), Seq("cid"))
+          .withColumn("pqrc", graft.operators.Quantization.pqrcColumn(
+            col("embedding"), col("ce"), cbRes))
+          .drop("ce")
+      case None => assignedAdds0
+    }).localCheckpoint() // one assignment pass; reused by steps 2/3/5
     // first batch against an empty location: plain indexed write
     if (!fs.exists(new Path(path))) {
       assignedAdds
@@ -155,8 +179,8 @@ object CollectionStore {
     // cannot reconcile a store saved with `pqc` against a batch assigned
     // without a codebook, or vice versa); (b) the store must carry the
     // id→cid sidecar this incremental path is built on.
-    val storeHasPq = spark.read.parquet(path)
-      .schema.fieldNames.contains("pqc")
+    val storeFields = spark.read.parquet(path).schema.fieldNames
+    val storeHasPq = storeFields.contains("pqc")
     require(storeHasPq == pqCodebook.isDefined,
       if (storeHasPq)
         s"mergeIndexed: store at $path was saved WITH pq codes (pqc) — pass " +
@@ -164,6 +188,17 @@ object CollectionStore {
       else
         s"mergeIndexed: store at $path was saved WITHOUT pq codes — drop the " +
           "pqCodebook argument or rebuild the store with it")
+    // same coupling for RESIDUAL codes: a pqrc store merged without the
+    // residual codebook would union mismatched schemas (or worse, write
+    // rows whose codes a later search can't trust)
+    val storeHasPqrc = storeFields.contains("pqrc")
+    require(storeHasPqrc == pqResidualCodebook.isDefined,
+      if (storeHasPqrc)
+        s"mergeIndexed: store at $path carries residual codes (pqrc) — pass " +
+          "the pqResidualCodebook it was built with"
+      else
+        s"mergeIndexed: store at $path has no residual codes — drop the " +
+          "pqResidualCodebook argument or rebuild the store with it")
     require(fs.exists(new Path(path + "_ids")),
       s"mergeIndexed: no id sidecar at ${path}_ids — the store must be " +
         "written via saveIndexed(..., idSidecarBuckets = Some(n)) before " +

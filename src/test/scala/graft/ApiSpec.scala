@@ -286,6 +286,46 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("batchedServer INT8 replica ≡ float replica, row for row (and the " +
+      "byte slab is 8x smaller)") {
+    // the quantized serving replica (VERDICT r13 #3, the reference's
+    // always-RAM INT8 config): phase 1 scans int8 codes, phase 2 rescores
+    // the k·3 survivors from the float slab — output must equal the
+    // float replica tier exactly on the fixture (the reference's own
+    // claim for its INT8+rescore path). Driven BOTH through the flush
+    // path (batched) and the direct tier (solo submits).
+    val base = points.orderBy("id").limit(12)
+      .select("embedding").as[Seq[Double]].collect().toSeq
+    val embs = base :+ base.head.take(32) :+ (base.head ++ base.head)
+    val viaFloat = Api.serveBatched(points, embs, k = 7,
+      scoreThreshold = Some(0.1), maxBatch = 5)
+    val viaInt8 = Api.serveBatched(points, embs, k = 7,
+      scoreThreshold = Some(0.1), maxBatch = 5, int8Replica = true)
+    viaFloat.zip(viaInt8).foreach { case (f, q) =>
+      assert(f.length == q.length)
+      f.zip(q).foreach { case (a, b) =>
+        assert(a.get(0) == b.get(0), "id parity (int8 vs float replica)")
+        assert(a.get(1) == b.get(1), "score parity (int8 vs float replica)")
+        assert(a.get(2) == b.get(2), "user_id parity (int8 vs float replica)")
+      }
+    }
+    // solo direct-tier submits agree too, and the slab accounting holds
+    val srv = Api.batchedServer(points, k = 7, scoreThreshold = Some(0.1),
+      int8Replica = true)
+    try {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      val direct = embs.map(e => Await.result(srv.submit(e), 2.minutes))
+      viaFloat.zip(direct).foreach { case (f, d) =>
+        assert(f.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+          d.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      }
+      val (floatBytes, int8Bytes) = srv.replicaSlabBytes
+      assert(int8Bytes > 0 && floatBytes >= 8 * int8Bytes,
+        s"int8 slab must be ≥8x smaller: float=$floatBytes int8=$int8Bytes")
+    } finally srv.close()
+  }
+
   test("batchedServer job tier ≡ replica tier at extreme magnitudes (gate slack scales)") {
     // ADVICE r10: the job tier's fast gate carried a fixed 1e-6 slack
     // valid only near unit norm; with |aᵢbᵢ| products ~1e8+ the

@@ -85,4 +85,75 @@ class PqSpec extends SparkSpec {
     assert(encoders(Quantization.pqAdcSearch(store, q, cb, 10)) == 0)
     assert(encoders(Quantization.pqAdcSearch(points, q, cb, 10)) > 0)
   }
+
+  test("budget calibration: picks the first ladder tier clearing the " +
+      "target, and an unreachable target falls to the last tier") {
+    val ladder = Seq(() => cb) // one-tier ladder: chosen iff target met
+    val sample = Quantization.DefaultPqCalibrationSample
+    // an impossible target still returns the LAST tier (never throws)
+    assert(Quantization.pqCalibrateBudget(points, 10, 1.01, sample, ladder) == 0)
+    // a trivially-met target (recall >= 0) picks tier 0 without touching
+    // later thunks — the laziness callers with expensive ladders rely on
+    var trained2 = false
+    val lazyLadder = Seq(() => cb, () => { trained2 = true; cb })
+    assert(Quantization.pqCalibrateBudget(
+      points, 10, 0.0, sample, lazyLadder) == 0)
+    assert(!trained2, "tiers past the chosen one must not be trained")
+  }
+
+  test("calibrated search: output carries the chosen budget and equals " +
+      "the plain ADC search under that codebook") {
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val got = Quantization.pqAdcSearchCalibrated(points, q, Seq(() => cb),
+      10, 0.0, Quantization.DefaultPqCalibrationSample).collect()
+    val want = Quantization.pqAdcSearch(points, q, cb, 10).collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      want.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(got.forall(r => r.getInt(3) == cb.m && r.getInt(4) == cb.ksub))
+  }
+
+  test("fingerprint: stored codes written under one codebook refuse a " +
+      "mismatched codebook at search time") {
+    val cb2 = Quantization.pqCodebookOf(
+      Quantization.pqTrain(points.filter($"id" % 2 === 0),
+        dim = 64, m = 8, ksub = 16, maxIter = 5))
+    assert(Quantization.fingerprint(cb) != Quantization.fingerprint(cb2))
+    val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(Quantization.FingerprintKey, Quantization.fingerprint(cb))
+      .build()
+    val store = points.withColumn("pqc",
+      Quantization.pqEncode($"embedding", cb).as("pqc", fpMeta))
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    // matching codebook: served
+    assert(Quantization.pqAdcSearch(store, q, cb, 10).count() == 10)
+    // mismatched codebook: fail loud, not silent mis-ranking
+    val e = intercept[IllegalArgumentException](
+      Quantization.pqAdcSearch(store, q, cb2, 10).count())
+    assert(e.getMessage.contains("codebook"))
+  }
+
+  test("fingerprint survives the saveIndexed parquet round-trip (pqc and " +
+      "pqrc carry it; the residual search checks it)") {
+    import graft.operators.Ann
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    val cents = Ann.kmeansCentroids(points, 4, maxIter = 3)
+    val cbRes = Quantization.pqCodebookOf(
+      Quantization.pqTrainResiduals(
+        Ann.ivfAssign(points, cents), cents, dim = 64, m = 8, ksub = 16,
+        maxIter = 3))
+    graft.sources.CollectionStore.saveIndexed(points, s"$dir/store", cents,
+      pqCodebook = Some(cb), pqResidualCodebook = Some(cbRes))
+    val (store, storedCents) =
+      graft.sources.CollectionStore.loadIndexed(spark, s"$dir/store")
+    assert(store.schema("pqc").metadata.getString(Quantization.FingerprintKey)
+      == Quantization.fingerprint(cb))
+    assert(store.schema("pqrc").metadata.getString(Quantization.FingerprintKey)
+      == Quantization.fingerprint(cbRes))
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    // right codebook: serves; wrong codebook (the RAW-vector one): throws
+    assert(Ann.ivfPqResidualSearch(store, storedCents, cbRes, q, 2, 10)
+      .count() == 10)
+    intercept[IllegalArgumentException](
+      Ann.ivfPqResidualSearch(store, storedCents, cb, q, 2, 10).count())
+  }
 }

@@ -65,6 +65,10 @@ class ShardWorkerSpec extends AnyFunSuite {
     val slowSrv = new java.net.ServerSocket(0)
     val slowPort = slowSrv.getLocalPort
     val delayMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // one-shot stall for the hedged phase: exactly ONE request (the
+    // hedge's primary) sleeps `delayMs`; the duplicate passes untouched —
+    // the intermittent Dean–Barroso straggler shape
+    val stallNext = new java.util.concurrent.atomic.AtomicBoolean(false)
     val slowRep = BatchedServer.FlatReplica(slowRows)
     val slowPool = java.util.concurrent.Executors.newFixedThreadPool(2)
     val acceptThread = new Thread(new Runnable {
@@ -84,6 +88,8 @@ class ShardWorkerSpec extends AnyFunSuite {
                 else {
                   val d = in.readInt()
                   val qs = Array.fill(nq)(Array.fill(d)(in.readDouble()))
+                  if (stallNext.compareAndSet(true, false))
+                    Thread.sleep(5000L)
                   Thread.sleep(delayMs.get())
                   val res = ShardWorker.topK(slowRep, slowPool, 2, qs, k, 0.0)
                   res.foreach { hits =>
@@ -128,19 +134,42 @@ class ShardWorkerSpec extends AnyFunSuite {
       val full = router.searchPartial(q, timeoutMs = 10000)
       assert(full.complete && full.shardsAnswered == 2)
       assert(full.hits.toSeq == brute(rows))
-      // 2. slow shard misses the deadline: degraded answer, flagged
-      delayMs.set(1500L)
-      val part = router.searchPartial(q, timeoutMs = 300)
+      // 2. slow shard misses the deadline: degraded answer, flagged.
+      // Margins widened (ADVICE r13): a 5 s stall against a 1 s deadline
+      // keeps the fast/slow separation even on a heavily loaded host
+      // (the old 1.5 s/300 ms pair let BOTH shards miss under CI load).
+      delayMs.set(5000L)
+      val part = router.searchPartial(q, timeoutMs = 1000)
       assert(!part.complete && part.shardsAnswered == 1)
       assert(part.hits.toSeq == brute(fastRows),
         "partial result must be the exact top-k over the answering shard")
       // 3. the straggler's late reply must NOT poison the pooled socket:
       // once it drains, the same router completes again
       delayMs.set(0L)
-      Thread.sleep(2000L) // let the abandoned round-trip finish + re-pool
+      Thread.sleep(4500L) // let the abandoned round-trip finish + re-pool
       val again = router.searchPartial(q, timeoutMs = 10000)
       assert(again.complete && again.hits.toSeq == brute(rows),
         "router must recover to complete answers after a transient straggler")
+      // 4. HEDGED request (searchHedged): an INTERMITTENT straggler —
+      // exactly one request stalls 5 s — is cut by the duplicate send:
+      // the hedge fires after 100 ms on a second pooled connection,
+      // answers fast, and the result is COMPLETE and exact (nothing
+      // dropped), with the hedge accounting visible
+      stallNext.set(true)
+      val hedged = router.searchHedged(q, hedgeAfterMs = 100, timeoutMs = 10000)
+      assert(hedged.complete && hedged.shardsAnswered == 2,
+        "hedged gather must complete without dropping the stalled shard")
+      assert(hedged.hits.toSeq == brute(rows),
+        "hedged result must equal the exact global top-k")
+      assert(hedged.hedgesSent == 1 && hedged.hedgeWins == 1,
+        s"expected exactly one winning hedge, got sent=${hedged.hedgesSent}" +
+          s" wins=${hedged.hedgeWins}")
+      // 4b. no-straggler hedged request: both primaries answer before the
+      // hedge delay — no duplicates sent (the bounded-extra-load claim)
+      Thread.sleep(5500L) // drain the stalled primary; re-pool its socket
+      val calm = router.searchHedged(q, hedgeAfterMs = 2000, timeoutMs = 10000)
+      assert(calm.complete && calm.hedgesSent == 0 &&
+        calm.hits.toSeq == brute(rows))
     } finally {
       router.close()
       slowSrv.close()
