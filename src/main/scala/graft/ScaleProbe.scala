@@ -144,6 +144,106 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "lifecycle") {
+      // ONE composed maintenance tick at scale (VERDICT r13 #5): build
+      // the C∝N store WITH residual codes + sidecar, optimize into the
+      // cnBand, then run a CDC batch (adds + updates + tombstones)
+      // through CollectionStore.maintainIndexed — merge, rebalance, and
+      // residual-code re-encode in one pass — and report wall seconds
+      // AND bytes actually read (the 100 TB cost predictor; fixture
+      // wall is fixed-job-overhead-dominated). A full-store stale-code
+      // scan closes the loop: stale_codes must be 0.
+      import graft.sources.CollectionStore
+      import graft.operators.Quantization
+      val san = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_probe_lc_$san"
+      val marker = java.nio.file.Paths.get(path + "_fixture_sig")
+      val fresh = !sys.env.contains("GRAFT_PROBE_REBUILD") &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker)).trim == n.toString
+      val cbRes = {
+        // residual codebook trained once on the seed assignment (the
+        // store build's own lifecycle); 128-bit config — the measured
+        // scale budget (SCALING r13). Trained on a deterministic
+        // subsample (the FAISS practice), encoded over the full store.
+        val cents = Ann.seedCentroids(points, 16)
+        val trainStep = math.max(1L,
+          n / sys.env.getOrElse("GRAFT_PQ_TRAIN_MAX", "100000").toLong)
+        Quantization.pqCodebookOf(Quantization.pqTrainResiduals(
+          Ann.ivfAssign(points.filter(pmod(col("id"), lit(trainStep)) === 0),
+            cents), cents, dim = 64,
+          m = sys.env.getOrElse("GRAFT_PQ_M", "16").toInt,
+          ksub = sys.env.getOrElse("GRAFT_PQ_KSUB", "256").toInt,
+          maxIter = 5))
+      }
+      val (minR, maxR) = CollectionStore.cnBand(n)
+      // LWW needs a ts column on store and batch alike (Collection.upsert)
+      val pointsTs = points.withColumn("ts", col("id").cast("double"))
+      val (buildSecs, optSecs) =
+        if (fresh) (-1.0, -1.0)
+        else {
+          val (_, b) = timed(CollectionStore.saveIndexed(pointsTs, path,
+            Ann.seedCentroids(points, 16), idSidecarBuckets = Some(64),
+            pqResidualCodebook = Some(cbRes)))
+          val (_, o) = timed(CollectionStore.optimizePartitions(
+            spark, path, minRows = minR, maxRows = maxR, nBuckets = 64,
+            pqResidualCodebook = Some(cbRes)))
+          java.nio.file.Files.write(marker, n.toString.getBytes)
+          (b, o)
+        }
+      // the CDC batch: nQueries fresh inserts + nQueries updates (other
+      // rows' vectors — forced cell moves) + nQueries tombstones
+      val maxId = points.agg(max(col("id"))).head().getLong(0)
+      val adds = points.filter(col("id") < nQueries)
+        .select((col("id") + maxId + 1000L).as("id"), col("embedding"),
+          col("user_id"), lit(1e9).as("ts"))
+        .unionByName(points
+          .filter(col("id").between(maxId / 2, maxId / 2 + nQueries - 1))
+          .select((col("id") - maxId / 2 + 100L).as("id"), col("embedding"),
+            col("user_id"), lit(1e9).as("ts")))
+        .localCheckpoint(true)
+      val dels = {
+        import spark.implicits._
+        (0 until nQueries).map(i => 3000L + i).toDF("id")
+      }
+      val bytesAcc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesAcc.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      bytesAcc.set(0L)
+      val (centsAfter, tickSecs) = timed(CollectionStore.maintainIndexed(
+        spark, path, adds, Some(dels), nBuckets = 64,
+        minRows = minR, maxRows = maxR,
+        pqResidualCodebook = Some(cbRes)))
+      Thread.sleep(2000) // listener events drain async
+      spark.sparkContext.removeSparkListener(listener)
+      val tickBytes = bytesAcc.get()
+      val c = centsAfter.count()
+      // consistency closure: recompute every row's residual codes vs the
+      // final centroid table — stale count must be 0 (one full scan,
+      // probe-only; the spec asserts the same at fixture scale)
+      val (store, centsTable) = CollectionStore.loadIndexed(spark, path)
+      val stale = store
+        .join(org.apache.spark.sql.functions.broadcast(
+          centsTable.select(col("cid"), col("ce"))), Seq("cid"))
+        .filter(col("pqrc") =!= Quantization.pqEncode(
+          zip_with(col("embedding"), col("ce"), (x, cc) => x - cc), cbRes))
+        .count()
+      println(s"""{"probe":"lifecycle","sf":"$sfDir","n":$n,"cells":$c,""" +
+        s""""band_min":$minR,"band_max":$maxR,""" +
+        s""""build_secs":${math.rint(buildSecs * 100) / 100},""" +
+        s""""optimize_secs":${math.rint(optSecs * 100) / 100},""" +
+        s""""batch_adds":${2 * nQueries},"batch_dels":$nQueries,""" +
+        s""""tick_secs":${math.rint(tickSecs * 100) / 100},""" +
+        s""""tick_mb":${math.rint(tickBytes / 1e5) / 10},""" +
+        s""""stale_codes":$stale}""")
+      spark.stop()
+      return
+    }
     if (mode == "quantrecall") {
       // Quantization recall at the scale fixture (VERDICT r12 #8): the
       // graded recall report runs at sf0.1; this re-grades the
@@ -193,6 +293,47 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "pqcal") {
+      // The budget calibration AT SCALE (VERDICT r13 #2 follow-through):
+      // walk the 32/64/128-bit ladder exactly as pqCalibrateBudget does
+      // and report every tier's sample recall next to the chosen tier —
+      // the mechanism that turns the measured "32-bit collapses at 2M
+      // rows" rule into served behavior. Training wall per tier is
+      // reported (index-build lifecycle cost).
+      import graft.operators.{Quantization, Search}
+      val target = Quantization.DefaultPqRecallTarget
+      val sample = Quantization.DefaultPqCalibrationSample
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("id").collect().map(_.getLong(0)).toSet
+      val truth = sample.map { qid =>
+        val q = points.filter(col("id") === qid)
+          .select(col("embedding").as("qemb"))
+        qid -> ids(Search.knn(points, q, 10, -1.0))
+      }
+      val total = truth.map(_._2.size).sum
+      var chosen = -1
+      val tierRows = Quantization.PqBudgetLadder.zipWithIndex.map {
+        case ((m, ksub), t) =>
+          val (cb, trainSecs) = timed(Quantization.pqCodebookOf(
+            Quantization.pqTrain(points, 64, m, ksub, maxIter = 5)))
+          val matches = truth.map { case (qid, exact) =>
+            val q = points.filter(col("id") === qid)
+              .select(col("embedding").as("qemb"))
+            (ids(Quantization.pqAdcSearch(points, q, cb, 10)) & exact).size
+          }.sum
+          val rec = matches.toDouble / total
+          if (chosen < 0 && rec >= target) chosen = t
+          s""""tier${t}_m":$m,"tier${t}_ksub":$ksub,""" +
+            s""""tier${t}_train_secs":${math.rint(trainSecs * 100) / 100},""" +
+            s""""tier${t}_recall":${math.rint(rec * 1000) / 1000}"""
+      }
+      if (chosen < 0) chosen = Quantization.PqBudgetLadder.size - 1
+      println(s"""{"probe":"pqcal","sf":"$sfDir","n":$n,""" +
+        s""""target":$target,"sample":${sample.size},""" +
+        tierRows.mkString(",") + s""","chosen_tier":$chosen}""")
+      spark.stop()
+      return
+    }
     if (mode == "ivfpqrecall") {
       // IVF-PQ at scale (round 13 follow-through on the quantrecall
       // finding): flat pq_adc at the 32-bit budget collapses at 2M rows
@@ -228,13 +369,21 @@ object ScaleProbe {
       val pqKsub = sys.env.getOrElse("GRAFT_PQ_KSUB", "16").toInt
       val pqOver = sys.env.getOrElse("GRAFT_PQ_OVERSAMPLE", "32").toDouble
       val nprobe = sys.env.getOrElse("GRAFT_IVF_NPROBE", "4").toInt
+      // codebooks train on a DETERMINISTIC subsample (id mod step == 0,
+      // capped at GRAFT_PQ_TRAIN_MAX rows — the FAISS practice of
+      // training quantizers on a corpus sample); encode/recall below
+      // still run on the FULL corpus
+      val trainStep = math.max(1L,
+        n / sys.env.getOrElse("GRAFT_PQ_TRAIN_MAX", "100000").toLong)
+      val trainPts = points.filter(pmod(col("id"), lit(trainStep)) === 0)
       val (pqCb, pqSecs) = timed(Quantization.pqCodebookOf(
-        Quantization.pqTrain(points, dim = 64, m = pqM, ksub = pqKsub,
+        Quantization.pqTrain(trainPts, dim = 64, m = pqM, ksub = pqKsub,
           maxIter = 5)))
       // the residual codebook (FAISS IVFPQ default): trained on
       // x − c(cell) over the same store — the within-cell signal
       val (pqResCb, pqResSecs) = timed(Quantization.pqCodebookOf(
-        Quantization.pqTrainResiduals(store, cents,
+        Quantization.pqTrainResiduals(
+          store.filter(pmod(col("id"), lit(trainStep)) === 0), cents,
           dim = 64, m = pqM, ksub = pqKsub, maxIter = 5)))
       val k = 10
       val qids = (0 until nQueries).map(i => i * (n / nQueries))

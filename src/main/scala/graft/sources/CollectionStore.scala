@@ -721,7 +721,9 @@ object CollectionStore {
     * size report is clean or stops improving. */
   def splitOversizedCells(
       spark: SparkSession, path: String, maxRows: Long, nBuckets: Int,
-      maxSubK: Int = 8, maxIter: Int = 3): DataFrame = {
+      maxSubK: Int = 8, maxIter: Int = 3,
+      pqResidualCodebook: Option[graft.operators.Quantization.PqCodebook] = None)
+      : DataFrame = {
     require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
     require(maxSubK >= 2, s"maxSubK must be >= 2, got $maxSubK")
     import org.apache.hadoop.fs.Path
@@ -732,6 +734,14 @@ object CollectionStore {
         "be written via saveIndexed(..., idSidecarBuckets = Some(n))")
     val (store0, cents0) = loadIndexed(spark, path)
     val store = store0.withColumn("cid", col("cid").cast("long"))
+    // residual codes quantize x − c(cell): a row moving to a NEW sub-cell
+    // invalidates its stored pqrc, so a pqrc store can only be split with
+    // the codebook in hand (re-encode rides the same rewrite — no extra
+    // I/O); fail loud rather than leave stale codes behind (same coupling
+    // rule as mergeIndexed's pqc check)
+    require(!store.columns.contains("pqrc") || pqResidualCodebook.isDefined,
+      s"splitOversizedCells: store at $path carries residual codes (pqrc) — " +
+        "pass the pqResidualCodebook so moved rows are re-encoded")
     // cell sizes: partition column only — parquet footer row counts
     val sizes = store.groupBy("cid").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -816,10 +826,25 @@ object CollectionStore {
       .map { case (k, i) => k -> (maxCid + 1 + i) }.toMap
     val cidMap = map(orderedKeys.flatMap { case (p, s) =>
       Seq(lit(p * maxSubK + s), lit(cidOf((p, s)))) }: _*)
-    val reassigned = subFrame
+    val reassigned0 = subFrame
       .withColumn("cid",
         element_at(cidMap, col("cid") * maxSubK + assignCol()))
-      .localCheckpoint() // cut lineage back to `path` before the overwrite
+    // re-encode residual codes against the NEW sub-centroids (see the
+    // pqrc require above) — same pqrcColumn builder as saveIndexed, so
+    // fingerprint and codes stay coupled
+    val reassigned = (pqResidualCodebook match {
+      case Some(cbRes) if store.columns.contains("pqrc") =>
+        val sparkR = spark
+        import sparkR.implicits._
+        val newCentsDf = orderedKeys
+          .map(kk => (cidOf(kk), subCents(kk).toSeq)).toDF("cid", "ce")
+        reassigned0.drop("pqrc")
+          .join(broadcast(newCentsDf), Seq("cid"))
+          .withColumn("pqrc", graft.operators.Quantization.pqrcColumn(
+            col("embedding"), col("ce"), cbRes))
+          .drop("ce")
+      case _ => reassigned0
+    }).localCheckpoint() // cut lineage back to `path` before the overwrite
     // new cell dirs via dynamic overwrite; parents dropped explicitly
     reassigned
       .repartition(col("cid"))
@@ -882,7 +907,9 @@ object CollectionStore {
     * new centroid table. */
   def mergeSmallCells(
       spark: SparkSession, path: String, minRows: Long,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int,
+      pqResidualCodebook: Option[graft.operators.Quantization.PqCodebook] = None)
+      : DataFrame = {
     require(minRows >= 1, s"minRows must be >= 1, got $minRows")
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -892,6 +919,12 @@ object CollectionStore {
         "be written via saveIndexed(..., idSidecarBuckets = Some(n))")
     val (store0, cents0) = loadIndexed(spark, path)
     val store = store0.withColumn("cid", col("cid").cast("long"))
+    // same residual-code coupling as splitOversizedCells: rows adopted by
+    // a surviving cell change their c(cell), so their pqrc must be
+    // re-encoded in the same rewrite
+    require(!store.columns.contains("pqrc") || pqResidualCodebook.isDefined,
+      s"mergeSmallCells: store at $path carries residual codes (pqrc) — " +
+        "pass the pqResidualCodebook so moved rows are re-encoded")
     val sizes = store.groupBy("cid").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val doomed = sizes.filter(_._2 < minRows).keys.toSeq.sorted
@@ -903,11 +936,25 @@ object CollectionStore {
     require(surviving.nonEmpty,
       s"mergeSmallCells: minRows=$minRows dooms every cell — nothing to merge into")
     // re-home the doomed cells' rows: nearest surviving centroid
-    val moved = store
+    val moved0 = store
       .filter(col("cid").isin(doomed.map(Long.box): _*))
       .withColumn("cid", graft.plans.VectorExpressions.nearestCentroid(
         col("embedding"), surviving.map(_._1), surviving.map(_._2.toSeq)))
-      .localCheckpoint()
+    // adopted rows re-encode their residual codes vs the adopting cell's
+    // centroid (rows already IN the target cells keep their valid codes)
+    val moved = (pqResidualCodebook match {
+      case Some(cbRes) if store.columns.contains("pqrc") =>
+        val sparkM = spark
+        import sparkM.implicits._
+        val survCentsDf = surviving
+          .map { case (c, e) => (c, e.toSeq) }.toSeq.toDF("cid", "ce")
+        moved0.drop("pqrc")
+          .join(broadcast(survCentsDf), Seq("cid"))
+          .withColumn("pqrc", graft.operators.Quantization.pqrcColumn(
+            col("embedding"), col("ce"), cbRes))
+          .drop("ce")
+      case _ => moved0
+    }).localCheckpoint()
     val targets = moved.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     // target dirs absorb their adopted rows (full-dir rewrite — dynamic
@@ -980,7 +1027,9 @@ object CollectionStore {
 
   def optimizePartitions(
       spark: SparkSession, path: String, minRows: Long, maxRows: Long,
-      nBuckets: Int, maxPasses: Int = 8): DataFrame = {
+      nBuckets: Int, maxPasses: Int = 8,
+      pqResidualCodebook: Option[graft.operators.Quantization.PqCodebook] = None)
+      : DataFrame = {
     require(minRows >= 1 && minRows * 2 <= maxRows,
       s"need minRows >= 1 and minRows*2 <= maxRows, got [$minRows, $maxRows]")
     def sizesOf(): Map[Long, Long] =
@@ -990,8 +1039,10 @@ object CollectionStore {
     var prev = sizesOf()
     var done = prev.values.forall(s => s >= minRows && s <= maxRows)
     while (pass < maxPasses && !done) {
-      splitOversizedCells(spark, path, maxRows, nBuckets)
-      mergeSmallCells(spark, path, minRows, nBuckets)
+      splitOversizedCells(spark, path, maxRows, nBuckets,
+        pqResidualCodebook = pqResidualCodebook)
+      mergeSmallCells(spark, path, minRows, nBuckets,
+        pqResidualCodebook = pqResidualCodebook)
       val now = sizesOf()
       done = now.values.forall(s => s >= minRows && s <= maxRows) ||
         now == prev
@@ -999,6 +1050,48 @@ object CollectionStore {
       pass += 1
     }
     spark.read.parquet(path + "_centroids")
+  }
+
+  /** ONE maintenance pass over an indexed store — the composed lifecycle
+    * tick a deployment runs after a CDC batch (VERDICT r13 #5), instead
+    * of three separately-scheduled jobs:
+    *
+    *  1. [[mergeIndexed]]: LWW upserts + tombstones against only the
+    *     affected cell dirs and sidecar buckets (index columns — sig/pq/
+    *     pqc/pqrc — computed for the batch rows on the way in);
+    *  2. [[optimizePartitions]]: split/merge the cell layout back into
+    *     the [minRows, maxRows] band (rows that change cells get their
+    *     residual codes re-encoded inside the same rewrite);
+    *
+    * after which store, sidecar, centroid table, and residual codes are
+    * mutually consistent by construction (IndexedStoreSpec asserts all
+    * four after a combined adds+deletes+rebalance pass). Cost is
+    * O(batch footprint + out-of-band cells), never O(store) — the same
+    * bound each step has alone. Returns the final centroid table.
+    *
+    * The reference runs this as Qdrant's background optimizer (segment
+    * vacuum/merge thresholds, src/core/qdrant_client.py:117-127); here
+    * it is an explicit tick so the maintenance cost is measurable
+    * (ScaleProbe `lifecycle` mode) and schedulable per partition. */
+  def maintainIndexed(
+      spark: SparkSession, path: String,
+      adds: DataFrame, deletes: Option[DataFrame],
+      nBuckets: Int, minRows: Long, maxRows: Long,
+      pqCodebook: Option[graft.operators.Quantization.PqCodebook] = None,
+      pqResidualCodebook: Option[graft.operators.Quantization.PqCodebook] = None)
+      : DataFrame = {
+    // centroid set from the persisted table — the maintenance tick owns
+    // the index artifacts end to end (mergeIndexed's stale-centroid
+    // guard would reject anything else after a prior rebalance)
+    val centRows = spark.read.parquet(path + "_centroids")
+      .select(col("cid").cast("long").as("cid"), col("ce"))
+      .orderBy("cid").collect()
+    mergeIndexed(spark, path, adds,
+      centRows.map(_.getLong(0)).toSeq,
+      centRows.map(_.getSeq[Double](1).toSeq).toSeq,
+      nBuckets, pqCodebook, deletes, pqResidualCodebook)
+    optimizePartitions(spark, path, minRows, maxRows, nBuckets,
+      pqResidualCodebook = pqResidualCodebook)
   }
 
   /** Morton (Z-order) value of two non-negative integer columns: the low

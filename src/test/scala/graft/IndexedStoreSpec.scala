@@ -705,4 +705,92 @@ class IndexedStoreSpec extends SparkSpec {
       .select("id", "score").as[(Long, Double)].collect().toSeq
     assert(got == exact)
   }
+
+  test("maintainIndexed: one CDC+rebalance tick keeps store, sidecar, " +
+      "centroids, and residual codes mutually consistent") {
+    val path = "/tmp/graft_test_maintain_store"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("", "_ids", "_centroids").foreach(sfx =>
+      fs.delete(new org.apache.hadoop.fs.Path(path + sfx), true))
+    val cents0 = Ann.kmeansCentroids(points, k = 8, maxIter = 3)
+    val cbRes = Quantization.pqCodebookOf(
+      Quantization.pqTrainResiduals(
+        Ann.ivfAssign(points, cents0), cents0, 64, 8, 16, 3))
+    CollectionStore.saveIndexed(points, path, cents0,
+      idSidecarBuckets = Some(8), pqResidualCodebook = Some(cbRes))
+    // the CDC batch: 3 fresh inserts, 3 UPDATES whose new vectors are
+    // other rows' embeddings (likely cell moves), 4 tombstones — one of
+    // them (id 2) also in the adds, so tombstones-win is exercised
+    val inserts = points.filter($"id" < 3)
+      .select(($"id" + 5000L).as("id"), $"embedding", $"user_id",
+        lit(1e9).as("ts"))
+    val updates = points.filter($"id".between(400, 402))
+      .select(($"id" - 390L).as("id"), $"embedding", $"user_id",
+        lit(1e9).as("ts"))
+    val doomedAdd = points.filter($"id" === 2)
+      .select($"id", $"embedding", $"user_id", lit(1e9).as("ts"))
+    val adds = inserts.unionByName(updates).unionByName(doomedAdd)
+    val dels = Seq(2L, 20L, 21L, 22L).toDF("id")
+    // band forces REAL rebalance work on the ~62-row cells (split to
+    // ≤30, re-merge below 10) — splits + merges + re-encodes in one tick
+    val centsAfter = CollectionStore.maintainIndexed(spark, path, adds,
+      Some(dels), nBuckets = 8, minRows = 10, maxRows = 30,
+      pqResidualCodebook = Some(cbRes))
+    val (store, centsTable) = CollectionStore.loadIndexed(spark, path)
+    val storeRows = store
+      .select($"id", $"cid".cast("long").as("cid"), $"embedding", $"pqrc")
+      .collect()
+    // 1. content: tombstones gone (including the add+delete id), inserts
+    // present, updates carry the NEW vectors (LWW)
+    val byId = storeRows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(!byId.contains(2L) && !byId.contains(20L))
+    assert(byId.contains(5000L) && byId.contains(5002L))
+    val want401 = points.filter($"id" === 401)
+      .select($"embedding").head().getSeq[Double](0)
+    assert(byId(11L)._2 == want401, "update must be last-write-wins")
+    assert(byId.size == points.count() + 3 - 4)
+    // 2. centroid table ≡ the returned frame ≡ the store's cid set, and
+    // every cell is inside the band
+    val tableCids = centsTable.select($"cid".cast("long"))
+      .as[Long].collect().toSet
+    val retCids = centsAfter.select($"cid".cast("long"))
+      .as[Long].collect().toSet
+    val storeCellSizes = storeRows.groupBy(_.getLong(1))
+      .map { case (c, rs) => c -> rs.length }
+    assert(tableCids == retCids)
+    assert(storeCellSizes.keySet == tableCids,
+      "store partitions and centroid table must list the same cells")
+    assert(storeCellSizes.values.forall(s => s >= 10 && s <= 30),
+      s"cells out of band after maintenance: $storeCellSizes")
+    // 3. sidecar ≡ store, row for row
+    val sidecar = spark.read.parquet(path + "_ids")
+      .select($"id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    assert(sidecar == byId.map { case (id, (c, _)) => id -> c })
+    // 4. every row's residual codes re-encode EXACTLY under the final
+    // centroid table — no stale codes survive the moves
+    val centsById = centsTable
+      .select($"cid".cast("long"), $"ce").as[(Long, Seq[Double])]
+      .collect().toMap
+    val recomputed = store
+      .join(broadcast(centsTable.select($"cid", $"ce")), Seq("cid"))
+      .select($"id", $"pqrc",
+        Quantization.pqEncode(
+          zip_with($"embedding", $"ce", (x, c) => x - c), cbRes).as("want"))
+      .collect()
+    recomputed.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"stale residual codes for id ${r.getLong(0)}")
+    }
+    // 5. operational equivalence: the residual search over the
+    // maintained store ≡ the same search with codes recomputed on the fly
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(rows(Ann.ivfPqResidualSearch(store, centsTable, cbRes, q, 4, 10)) ==
+      rows(Ann.ivfPqResidualSearch(store.drop("pqrc"), centsTable, cbRes,
+        q, 4, 10)))
+    assert(centsById.keySet == tableCids) // the collected map is the table
+  }
 }

@@ -233,6 +233,13 @@ if __name__ == "__main__":
         # same generator + near-dup injection so the three-point exponent
         # is distribution-clean.
         gen(f"{base}/sf100", 2_000_000, 5_000_000)
+    elif len(sys.argv) > 2 and sys.argv[2] == "sf100c":
+        # round-14 deployment-regime fixture (VERDICT r13 #1): 2M CLUSTERED
+        # vectors — the regime real embedding corpora live in, where the
+        # r13 residual-PQ recall findings (measured on 200k clustered) are
+        # graded at the 2M scale the cnBand store serves. Docs kept small:
+        # the ANN probes this fixture exists for never read documents.
+        gen(f"{base}/sf100c", 2_000_000, 200_000, clusters=16, spread=0.05)
     else:
         gen(f"{base}/sf1", 20_000, 50_000)
         gen(f"{base}/sf10", 200_000, 500_000)
