@@ -181,6 +181,8 @@ object CrossProc {
         // drop-based deadline path pays; the hedge rate is reported so
         // the extra-load budget is in the artifact.
         val hedgeMs = sys.env.getOrElse("GRAFT_XPROC_HEDGE_MS", "5").toLong
+        val hedgeBudget = sys.env.getOrElse("GRAFT_XPROC_HEDGE_BUDGET",
+          RemoteShardedRouter.HedgeBudgetFraction.toString).toDouble
         val hLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
         val hIncomplete = new java.util.concurrent.atomic.AtomicLong(0)
         val hSent = new java.util.concurrent.atomic.AtomicLong(0)
@@ -196,7 +198,8 @@ object CrossProc {
             now = System.nanoTime()
           }
           hpool.submit(new Runnable { def run(): Unit = {
-            val r = router.searchHedged(qPool(i % nQ), hedgeMs, 100L)
+            val r = router.searchHedged(qPool(i % nQ), hedgeMs, 100L,
+              budgetFraction = hedgeBudget)
             if (!r.complete) hIncomplete.incrementAndGet()
             hSent.addAndGet(r.hedgesSent)
             hWins.addAndGet(r.hedgeWins)
@@ -227,6 +230,7 @@ object CrossProc {
           "crossproc_deadline_complete_rate" ->
             math.rint((1.0 - dIncomplete.get().toDouble / paceN) * 10000) / 10000,
           "crossproc_hedge_after_ms" -> hedgeMs.toDouble,
+          "crossproc_hedge_budget" -> hedgeBudget,
           "crossproc_hedged_paced_p50_ms" -> pct(hl, 0.5),
           "crossproc_hedged_paced_p99_ms" -> pct(hl, 0.99),
           "crossproc_hedged_complete_rate" ->

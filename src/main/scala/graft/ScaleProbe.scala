@@ -376,15 +376,36 @@ object ScaleProbe {
       val trainStep = math.max(1L,
         n / sys.env.getOrElse("GRAFT_PQ_TRAIN_MAX", "100000").toLong)
       val trainPts = points.filter(pmod(col("id"), lit(trainStep)) === 0)
-      val (pqCb, pqSecs) = timed(Quantization.pqCodebookOf(
+      // codebooks PERSIST per (fixture, m, ksub) like the engine's own
+      // side tables — an nprobe sweep over the same store must not
+      // retrain identical codebooks (~20 min each at 2M rows); keyed on
+      // the same fixture signature as the store itself
+      def cachedCb(tag: String, train: => org.apache.spark.sql.DataFrame)
+          : (Quantization.PqCodebook, Double) = {
+        val p = s"/tmp/graft_probe_pqcb_${tag}_${pqM}_${pqKsub}_$san"
+        val mk = java.nio.file.Paths.get(p + "_sig")
+        val cbFresh = !sys.env.contains("GRAFT_PROBE_REBUILD") &&
+          java.nio.file.Files.exists(mk) &&
+          new String(java.nio.file.Files.readAllBytes(mk)).trim == n.toString
+        val secs =
+          if (cbFresh) -1.0
+          else {
+            val (_, s) = timed(
+              train.coalesce(1).write.mode("overwrite").parquet(p))
+            java.nio.file.Files.write(mk, n.toString.getBytes)
+            s
+          }
+        (Quantization.pqCodebookOf(spark.read.parquet(p)), secs)
+      }
+      val (pqCb, pqSecs) = cachedCb("raw",
         Quantization.pqTrain(trainPts, dim = 64, m = pqM, ksub = pqKsub,
-          maxIter = 5)))
+          maxIter = 5))
       // the residual codebook (FAISS IVFPQ default): trained on
       // x − c(cell) over the same store — the within-cell signal
-      val (pqResCb, pqResSecs) = timed(Quantization.pqCodebookOf(
+      val (pqResCb, pqResSecs) = cachedCb("res",
         Quantization.pqTrainResiduals(
           store.filter(pmod(col("id"), lit(trainStep)) === 0), cents,
-          dim = 64, m = pqM, ksub = pqKsub, maxIter = 5)))
+          dim = 64, m = pqM, ksub = pqKsub, maxIter = 5))
       val k = 10
       val qids = (0 until nQueries).map(i => i * (n / nQueries))
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =

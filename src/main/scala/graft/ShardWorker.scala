@@ -240,6 +240,10 @@ object RemoteShardedRouter {
   final case class HedgedResult(
       hits: Array[(Long, Double, Int)], shardsAnswered: Int,
       complete: Boolean, hedgesSent: Int, hedgeWins: Int)
+
+  /** Router-wide hedge budget: total duplicates ≤ this fraction of
+    * hedged-path requests (Dean & Barroso's ~5% extra-load prescription). */
+  val HedgeBudgetFraction: Double = 0.05
 }
 
 final class RemoteShardedRouter(
@@ -342,28 +346,50 @@ final class RemoteShardedRouter(
       mergeTopK(got.result()), answered, answered == addrs.length)
   }
 
+  // hedge-budget accounting (router-wide): hedges are allowed only while
+  // total hedges ≤ HedgeBudgetFraction of total hedged-path requests —
+  // Dean & Barroso's "typically limited to ~5% extra load". Without the
+  // budget, hedging is self-defeating under queueing: a client-side
+  // backlog makes EVERY shard look silent, unbudgeted duplicates double
+  // the offered load, which deepens the backlog — measured congestion
+  // collapse at 8 shards × paced 1000 QPS (hedge rate 8.0/request,
+  // p50 ~1 s) before the budget landed.
+  private val hedgedRequests = new java.util.concurrent.atomic.LongAdder
+  private val hedgesIssued = new java.util.concurrent.atomic.LongAdder
+
   /** HEDGED request (Dean & Barroso "The Tail at Scale", CACM 2013 —
-    * the send-to-two-after-a-delay hedge): scatter to every shard, and
-    * any shard still silent after `hedgeAfterMs` gets a DUPLICATE
-    * request on a second pooled connection; the first reply per shard
-    * wins. Unlike [[searchPartial]] nothing is dropped — the answer is
-    * complete whenever every shard answers EITHER attempt within
-    * `timeoutMs` — so the tail is cut without the recall degradation the
-    * drop-based path trades for it. The cost is bounded extra load: one
-    * duplicate per silent shard per request (the probe reports the
-    * hedge rate; at a p95-ish `hedgeAfterMs` that is ≤ ~5% extra sends,
-    * the budget Dean–Barroso prescribe).
+    * the send-to-two-after-a-delay hedge): scatter to every shard; when
+    * `hedgeAfterMs` passes with shards still silent, ONE duplicate is
+    * sent (`maxHedges` per request, default 1 — the canonical
+    * "send-to-two") to a silent shard that has a FREE pooled connection,
+    * subject to a router-wide budget (total hedges ≤ ~5% of requests).
+    * The first reply per shard wins. Unlike [[searchPartial]] nothing is
+    * dropped — the answer is complete whenever every shard answers
+    * EITHER attempt within `timeoutMs` — so the tail is cut without the
+    * drop path's recall degradation.
+    *
+    * The three guards are what make hedging SAFE, not just helpful:
+    *  - budget: a queueing client sees every shard as "silent"; without
+    *    the cap the duplicates double offered load and collapse the
+    *    router (measured — see the budget fields above);
+    *  - free-socket check: a duplicate aimed at an exhausted pool can
+    *    only queue BEHIND the very request it is trying to beat;
+    *  - one hedge per request: the Dean–Barroso shape — the win comes
+    *    from the second independent latency draw on the slowest shard,
+    *    not from spraying every shard.
     *
     * Why the duplicate helps against a SLOW WORKER and not just a slow
     * link: the worker serves each connection on its own thread, so an
     * intermittent per-request stall (GC, CPU spike, the probe's
     * injected sleep) holds only the connection it arrived on — the
     * duplicate lands on a different pooled socket/thread and returns at
-    * normal latency. A shard whose BOTH attempts miss `timeoutMs` is
+    * normal latency. A shard whose attempts all miss `timeoutMs` is
     * reported exactly like searchPartial's straggler (answered < all,
     * `complete = false`), and losing attempts drain and re-pool their
     * sockets on their own (never a poisoned connection). */
-  def searchHedged(qemb: Array[Double], hedgeAfterMs: Long, timeoutMs: Long)
+  def searchHedged(qemb: Array[Double], hedgeAfterMs: Long, timeoutMs: Long,
+      maxHedges: Int = 1,
+      budgetFraction: Double = RemoteShardedRouter.HedgeBudgetFraction)
       : RemoteShardedRouter.HedgedResult = {
     val nShards = addrs.length
     // per-request reply channel: each attempt reports (shard, hits,
@@ -405,13 +431,27 @@ final class RemoteShardedRouter(
       }
       if (!hedged && System.nanoTime() >= hedgeAt) {
         hedged = true
+        // budget + free-socket + per-request cap (see scaladoc): pick at
+        // most `maxHedges` silent shards whose pools have an idle
+        // connection, while the router-wide hedge ratio stays inside
+        // `budgetFraction`
         var s = 0
-        while (s < nShards) {
-          if (!answered(s)) { attempts += attempt(s, isHedge = true); hedgesSent += 1 }
+        while (s < nShards && hedgesSent < maxHedges) {
+          // rate + one-token burst: hedges ≤ fraction·requests + 1, so a
+          // fresh router can hedge its first straggler while the
+          // long-run ratio converges to `budgetFraction`
+          if (!answered(s) && pools(s).size() > 0 &&
+              hedgesIssued.sum <
+                budgetFraction * hedgedRequests.sum + 1.0) {
+            attempts += attempt(s, isHedge = true)
+            hedgesSent += 1
+            hedgesIssued.increment()
+          }
           s += 1
         }
       }
     }
+    hedgedRequests.increment()
     // drop not-yet-started attempts from the executor queue (same
     // unbounded-accumulation guard as searchPartial); started ones
     // drain and re-pool on their own

@@ -259,15 +259,25 @@ class AnnSpec extends SparkSpec {
       "negbase_pq_pca_bal_adc",
       "graph_beam",
       "graph_after_cdc",
-      "lsh_calibrated", "lsh_calibrated_l", "lsh_calibrated_target"))
+      "lsh_calibrated", "lsh_calibrated_l", "lsh_calibrated_target",
+      // recall-calibrated PQ budget + its decision keys (r14)
+      "pq_calibrated", "pq_calibrated_m", "pq_calibrated_ksub",
+      "pq_calibrated_target"))
     assert(r("graph_beam") >= 0.6, s"graph beam recall ${r("graph_beam")}")
     // churned-then-repaired graph must stay within reach of fresh build
     assert(r("graph_after_cdc") >= 0.5,
       s"post-churn graph recall ${r("graph_after_cdc")}")
-    assert((r - "ivf_nprobe" - "ivf_ref_nprobe" - "lsh_calibrated_l")
+    assert((r - "ivf_nprobe" - "ivf_ref_nprobe" - "lsh_calibrated_l"
+        - "pq_calibrated_m" - "pq_calibrated_ksub")
       .values.forall(v => v >= 0.0 && v <= 1.0))
     // the calibrated-LSH report grades the shared constants, held-out
     assert(r("lsh_calibrated_target") == Ann.DefaultLshRecallTarget)
+    // the calibrated-PQ report grades its shared constants + a valid
+    // ladder choice
+    assert(r("pq_calibrated_target") ==
+      graft.operators.Quantization.DefaultPqRecallTarget)
+    assert(graft.operators.Quantization.PqBudgetLadder.contains(
+      (r("pq_calibrated_m").toInt, r("pq_calibrated_ksub").toInt)))
     assert(r("lsh_calibrated_l") >= 1 && r("lsh_calibrated_l") <= 12)
     // the reference-bar config can't recall less than the 0.95-target one
     assert(r("ivf_ref_target") >= r("ivf"))

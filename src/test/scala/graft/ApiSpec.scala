@@ -326,6 +326,51 @@ class ApiSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("serving metrics: request/flush counters, cumulative latency " +
+      "histogram, and the Prometheus text surface") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val embs = points.orderBy("id").limit(6)
+      .select("embedding").as[Seq[Double]].collect().toSeq
+    // direct tier (replica resident, solo submits): requests counted,
+    // nothing flushes
+    val direct = Api.batchedServer(points, k = 5, scoreThreshold = Some(0.1))
+    try {
+      embs.foreach(e => Await.result(direct.submit(e), 2.minutes))
+      val s = direct.metricsSnapshot
+      assert(s("requests_total") == 6.0 && s("requests_failed_total") == 0.0)
+      // the FIRST request rides a flush (the replica decision is lazy —
+      // made inside the first flush); every later solo submit is direct
+      assert(s("flushes_total") <= 1.0,
+        "after the replica decision, direct-tier requests never flush")
+      assert(s("request_latency_ms_count") == 6.0)
+      assert(s("request_latency_ms_bucket_le_inf") == 6.0)
+      val bks = direct.metrics.BucketsMs
+        .map(b => s(s"request_latency_ms_bucket_le_$b"))
+      assert(bks.zip(bks.tail).forall { case (a, b) => a <= b },
+        "cumulative histogram must be monotone")
+      assert(s("request_latency_ms_sum") > 0.0)
+    } finally direct.close()
+    // job tier (replica off): every request rides a flush; batch-row
+    // accounting reconciles with the request count
+    val job = Api.batchedServer(points, k = 5, scoreThreshold = Some(0.1),
+      localReplicaMaxRows = 0)
+    try {
+      embs.foreach(e => Await.result(job.submit(e), 2.minutes))
+      val s = job.metricsSnapshot
+      assert(s("requests_total") == 6.0)
+      assert(s("flushes_total") >= 1.0)
+      assert(s("flush_batch_rows_total") == 6.0,
+        "flushed rows must reconcile with completed requests")
+      val text = job.metrics.prometheusText(queueDepth = 0)
+      assert(text.contains("# TYPE graft_serving_requests_total counter"))
+      assert(text.contains("graft_serving_requests_total 6"))
+      assert(text.contains(
+        "# TYPE graft_serving_request_latency_ms histogram"))
+      assert(text.contains("le=\"+Inf\"} 6"))
+    } finally job.close()
+  }
+
   test("batchedServer job tier ≡ replica tier at extreme magnitudes (gate slack scales)") {
     // ADVICE r10: the job tier's fast gate carried a fixed 1e-6 slack
     // valid only near unit norm; with |aᵢbᵢ| products ~1e8+ the
