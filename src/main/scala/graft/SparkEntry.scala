@@ -200,6 +200,9 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+  /** Calibrated ladder CHOICE per scale dir (graphBeamCal lifecycle). */
+  private val pqCalTier =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val pqCalMetaBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Quantization.PqCodebook]()
   private[graft] def pqCalMeta(s: SparkSession, dir: String, tier: Int)
@@ -1763,10 +1766,17 @@ object SparkEntry {
       Quantization.PqBudgetLadder.indices.foreach(t => pqCalCodebookDf(s, dir, t))
       val ladder = Quantization.PqBudgetLadder.indices
         .map(t => () => pqCalMeta(s, dir, t))
+      // the calibration is an index-BUILD cost (IndexMeta/graphBeamCal
+      // lifecycle): walked once per JVM per dir, served thereafter
+      val tier = pqCalTier.computeIfAbsent(dir, _ =>
+        Quantization.pqCalibrateBudget(points, 10,
+          Quantization.DefaultPqRecallTarget,
+          Quantization.DefaultPqCalibrationSample, ladder))
+      val cb = ladder(tier)()
       val q = points.filter(col("id") === 0).select(col("embedding").as("qemb"))
-      Quantization.pqAdcSearchCalibrated(points, q, ladder, k = 10,
-        Quantization.DefaultPqRecallTarget,
-        Quantization.DefaultPqCalibrationSample)
+      Quantization.pqAdcSearch(points, q, cb, k = 10)
+        .withColumn("m_used", lit(cb.m))
+        .withColumn("ksub_used", lit(cb.ksub))
     }),
     // Binary (1-bit) quantization + Hamming-prefilter two-phase search.
     "binary_quant_search" -> ((s, dir) => {
