@@ -743,8 +743,8 @@ object CollectionStore {
       s"splitOversizedCells: store at $path carries residual codes (pqrc) — " +
         "pass the pqResidualCodebook so moved rows are re-encoded")
     // cell sizes: partition column only — parquet footer row counts
-    val sizes = store.groupBy("cid").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // footer-metadata sizing (see [[cellSizes]]) — no data pages read
+    val sizes = cellSizes(spark, path)
     val parents = sizes.filter(_._2 > maxRows).keys.toSeq.sorted
     if (parents.isEmpty) return cents0
     val centRows = cents0.select(col("cid").cast("long"), col("ce"))
@@ -925,8 +925,8 @@ object CollectionStore {
     require(!store.columns.contains("pqrc") || pqResidualCodebook.isDefined,
       s"mergeSmallCells: store at $path carries residual codes (pqrc) — " +
         "pass the pqResidualCodebook so moved rows are re-encoded")
-    val sizes = store.groupBy("cid").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // footer-metadata sizing (see [[cellSizes]]) — no data pages read
+    val sizes = cellSizes(spark, path)
     val doomed = sizes.filter(_._2 < minRows).keys.toSeq.sorted
     if (doomed.isEmpty) return cents0
     val centRows = cents0.select(col("cid").cast("long"), col("ce"))
@@ -1025,6 +1025,46 @@ object CollectionStore {
     (math.max(1L, math.min(625L, n / 48)),
       math.max(2L, math.min(2500L, n / 8)))
 
+  /** Per-cell row counts from parquet FOOTERS only — the O(C)-metadata
+    * sizing read the maintenance loop needs. The obvious
+    * `groupBy(cid).count()` reads DATA pages (the sf100c lifecycle probe
+    * measured its two band-check passes at ~the whole store's bytes);
+    * footers carry exact row counts, so sizing a 1,100-cell store is
+    * ~4k footer reads (parallelized on a small driver pool) and zero
+    * data I/O — at 100 TB this is the difference between "maintenance
+    * tick reads the corpus twice to decide it's in band" and a metadata
+    * round-trip (the role a cluster metastore plays; here the footers
+    * ARE the metadata). */
+  def cellSizes(spark: SparkSession, path: String): Map[Long, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val cellDirs = fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, cellDirs.length)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = cellDirs.toSeq.map { dir =>
+        new java.util.concurrent.Callable[(Long, Long)] {
+          def call(): (Long, Long) = {
+            val cid = dir.getPath.getName.stripPrefix("cid=").toLong
+            val n = fs.listStatus(dir.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(f.getPath, conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              }.sum
+            cid -> n
+          }
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+    } finally pool.shutdown()
+  }
+
   def optimizePartitions(
       spark: SparkSession, path: String, minRows: Long, maxRows: Long,
       nBuckets: Int, maxPasses: Int = 8,
@@ -1032,9 +1072,7 @@ object CollectionStore {
       : DataFrame = {
     require(minRows >= 1 && minRows * 2 <= maxRows,
       s"need minRows >= 1 and minRows*2 <= maxRows, got [$minRows, $maxRows]")
-    def sizesOf(): Map[Long, Long] =
-      load(spark, path).groupBy(col("cid").cast("long")).count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sizesOf(): Map[Long, Long] = cellSizes(spark, path)
     var pass = 0
     var prev = sizesOf()
     var done = prev.values.forall(s => s >= minRows && s <= maxRows)

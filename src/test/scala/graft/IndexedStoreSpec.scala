@@ -706,6 +706,15 @@ class IndexedStoreSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("cellSizes: footer-metadata counts equal the data-scan counts") {
+    val (store, _) = CollectionStore.loadIndexed(spark, storePath)
+    val scanned = store.groupBy($"cid".cast("long")).count()
+      .as[(Long, Long)].collect().toMap
+    val footers = CollectionStore.cellSizes(spark, storePath)
+    assert(footers == scanned,
+      "footer row counts must equal the groupBy(cid).count() data scan")
+  }
+
   test("maintainIndexed: one CDC+rebalance tick keeps store, sidecar, " +
       "centroids, and residual codes mutually consistent") {
     val path = "/tmp/graft_test_maintain_store"
