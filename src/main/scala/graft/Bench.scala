@@ -471,6 +471,18 @@ object Bench {
           println(s"crossproc_error: ${e.getClass.getName}: ${e.getMessage}")
           Map.empty
       }
+    // same fixture through INT8 workers (VERDICT r14 #6): byte slab
+    // RAM-pinned for phase 1, float slab mmapped for survivor rescore —
+    // core phases only (closed + paced) with the recall row and both
+    // slab sizes; keys crossproc_int8_*
+    val crossProcInt8: Map[String, Double] =
+      try CrossProc.measure(spark, bigPoints, qPool.map(_.toArray),
+        int8 = true)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"crossproc_int8_error: ${e.getClass.getName}: ${e.getMessage}")
+          Map.empty
+      }
     bigPoints.unpersist()
     // per-request floor via the serving template (VERDICT r7 #6): ONE
     // closed-loop client, each request a batch of 1 through the pinned
@@ -502,7 +514,9 @@ object Bench {
     // the int8 byte slab (8× smaller than the float slab — the
     // reference's always-RAM INT8 config, qdrant_client.py:129-138) with
     // exact float rescore of the k·3 survivors; output ≡ float replica
-    // (ApiSpec). Both slab sizes are reported as the memory note.
+    // ON THE FIXTURE (ApiSpec) — in general two-phase-approximate, with
+    // recall at scale measured by ScaleProbe `serving` (ADVICE r14).
+    // Both slab sizes are reported as the memory note.
     def driveServerInt8(threads: Int, perThread: Int): (Double, Array[Double]) =
       driveServerWith(() => Api.batchedServer(pointsPar, k = 10,
         scoreThreshold = Some(0.1), int8Replica = true),
@@ -602,7 +616,7 @@ object Bench {
       "replica_float_slab_mb" -> math.rint(i8FloatBytes / 1e5) / 10,
       "ingest_rows_per_sec" -> math.rint(ingested / isecs)) ++
       bQpsRuns ++ cP50Runs ++ pP50Runs ++ jP50Runs ++ rQpsRuns ++ i8QpsRuns ++
-      shcP50Runs ++ shpP50Runs ++ crossProc
+      shcP50Runs ++ shpP50Runs ++ crossProc ++ crossProcInt8
   }
 
   /** Grade measured serving numbers against the reference's recorded
@@ -617,6 +631,13 @@ object Bench {
     val refLatMs = 20.0
     def crossProcCorrect(m: Map[String, Double]): Boolean =
       m.getOrElse("crossproc_correct", 0.0) == 1.0
+    // int8 tier gate: kernel parity (router ≡ in-JVM int8 two-phase per
+    // shard) AND measured recall@k vs exact at the serving recall target
+    // — a fast quantized tier with degraded answers must not pass
+    def crossProcInt8Ok(m: Map[String, Double]): Boolean =
+      m.getOrElse("crossproc_int8_correct", 0.0) == 1.0 &&
+        m.getOrElse("crossproc_int8_recall_at_k", 0.0) >=
+          graft.operators.IndexMeta.DefaultRecallTarget
     def field(name: String, measured: Option[Double], pass: Option[Boolean],
         extra: Option[String] = None) =
       measured.zip(pass).map { case (m, p) =>
@@ -737,7 +758,26 @@ object Bench {
       field("cross_process_sharded_paced_p50_ms_vs_20",
         qps.get("crossproc_paced_p50_ms"),
         qps.get("crossproc_paced_p50_ms").map(v =>
-          v <= refLatMs && crossProcCorrect(qps)))
+          v <= refLatMs && crossProcCorrect(qps))) ++
+      // the INT8 cross-process tier (VERDICT r14 #6): same bars, gated
+      // on kernel parity AND measured recall@k ≥ the serving target;
+      // slab economics attached (the 8× RAM cut the tier exists for)
+      field("cross_process_int8_qps_vs_1000",
+        qps.get("crossproc_int8_closed_qps"),
+        qps.get("crossproc_int8_closed_qps").map(v =>
+          v >= refQps && crossProcInt8Ok(qps)),
+        extra = qps.get("crossproc_int8_recall_at_k").map(r =>
+          "\"recall_at_k\":" + r +
+            ",\"code_slab_mb\":" + qps.getOrElse("crossproc_int8_code_slab_mb", 0.0) +
+            ",\"float_slab_mb\":" + qps.getOrElse("crossproc_int8_float_slab_mb", 0.0))) ++
+      field("cross_process_int8_closed_p50_ms_vs_20",
+        qps.get("crossproc_int8_closed_p50_ms"),
+        qps.get("crossproc_int8_closed_p50_ms").map(v =>
+          v <= refLatMs && crossProcInt8Ok(qps))) ++
+      field("cross_process_int8_paced_p50_ms_vs_20",
+        qps.get("crossproc_int8_paced_p50_ms"),
+        qps.get("crossproc_int8_paced_p50_ms").map(v =>
+          v <= refLatMs && crossProcInt8Ok(qps)))
     (Seq("\"ref_qps_min\":" + refQps, "\"ref_search_ms_max\":" + refLatMs) ++ checks)
       .mkString("{", ",", "}")
   }

@@ -23,7 +23,8 @@ object CrossProc {
 
   def measure(spark: SparkSession, bigPoints: DataFrame,
       qPool: Array[Array[Double]], k: Int = 10, th: Double = 0.1,
-      forcedShards: Option[Int] = None): Map[String, Double] = {
+      forcedShards: Option[Int] = None,
+      int8: Boolean = false): Map[String, Double] = {
     val bigN = bigPoints.count()
     val shardMaxRows = BatchedServer.DefaultReplicaMaxRows
     // forcedShards: the shard-count SWEEP knob (VERDICT r12 #3) — same
@@ -31,9 +32,22 @@ object CrossProc {
     // p50 grows with gather width (all-shards-must-answer tail risk)
     val nShards = forcedShards.getOrElse(
       math.max(1, ((bigN + shardMaxRows - 1) / shardMaxRows).toInt))
+    // int8 mode (VERDICT r14 #6): each worker pins an INT8 code slab for
+    // phase 1 and mmaps the float slab only for survivor rescore — the
+    // reference's always-RAM INT8 on the tier where the 8× RAM cut
+    // decides how many shards a corpus needs. Keys get the
+    // `crossproc_int8_` prefix; slab sizes ride in the result.
+    val P = if (int8) "crossproc_int8" else "crossproc"
     val dir = java.nio.file.Files.createTempDirectory("graft_xproc").toString
     // shard handoff: one slab file per hash shard (what a cluster would
-    // read from the bucketed store)
+    // read from the bucketed store); in int8 mode a code slab rides next
+    // to each float slab, fingerprinted by the float file's size
+    var floatSlabBytes = 0L
+    var codeSlabBytes = 0L
+    // int8 mode keeps each shard's rows for the parity gate below (the
+    // cross-proc int8 path must equal the in-JVM int8 kernel per shard)
+    val shardRowsKept =
+      scala.collection.mutable.ArrayBuffer[Array[(Long, Array[Double], Int)]]()
     val slabs = (0 until nShards).map { s =>
       val rows = bigPoints
         .filter(pmod(col("id"), lit(nShards.toLong)) === s.toLong)
@@ -41,6 +55,14 @@ object CrossProc {
           r.getSeq[Double](1).toArray, r.getInt(2)))
       val p = s"$dir/shard_$s.slab"
       SlabIO.write(p, rows)
+      floatSlabBytes += java.nio.file.Files.size(java.nio.file.Paths.get(p))
+      if (int8) {
+        SlabIO.writeInt8(s"$p.i8", rows,
+          java.nio.file.Files.size(java.nio.file.Paths.get(p)))
+        codeSlabBytes += java.nio.file.Files.size(
+          java.nio.file.Paths.get(s"$p.i8"))
+        shardRowsKept += rows
+      }
       p
     }
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -54,10 +76,13 @@ object CrossProc {
     val stallMs = sys.env.getOrElse("GRAFT_XPROC_STALL_MS", "0").toLong
     val procs = slabs.zipWithIndex.map { case (slab, i) =>
       val stall = if (i == slabs.length - 1) stallMs else 0L
-      new ProcessBuilder(javaBin, "--add-modules=jdk.incubator.vector",
+      val args = Seq(javaBin, "--add-modules=jdk.incubator.vector",
         "-Xmx2g", "-cp", cp, "graft.ShardWorker", slab,
         (basePort + i).toString, k.toString, th.toString,
-        workerThreads.toString, stall.toString)
+        workerThreads.toString, stall.toString) ++
+        (if (int8) Seq("20", s"$slab.i8") else Seq.empty)
+      import scala.jdk.CollectionConverters._
+      new ProcessBuilder(args.asJava)
         .redirectOutput(new java.io.File(s"$dir/worker_$i.log"))
         .redirectErrorStream(true)
         .start()
@@ -82,17 +107,52 @@ object CrossProc {
       try {
         router.ping()
         val nQ = qPool.length
-        // correctness: router ≡ solo exact knn on 3 spread queries
-        val okAll = Seq(0, nQ / 2, nQ - 1).forall { qi =>
-          val got = router.search(qPool(qi)).map(h => (h._1, h._2)).toSeq
+        def exactIds(qi: Int): Seq[(Long, Double)] = {
           val q = {
             import spark.implicits._
             Seq(qPool(qi).toSeq).toDF("qemb")
           }
-          val want = graft.operators.Search.knn(bigPoints, q, k, th)
+          graft.operators.Search.knn(bigPoints, q, k, th)
             .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-          got == want
         }
+        // correctness: float router ≡ solo exact knn on 3 spread queries;
+        // int8 router ≡ the in-JVM int8 kernel per shard + top-k merge
+        // (the tier's own contract — the approximation vs exact is the
+        // separate recall row below, measured not gated)
+        val okAll =
+          if (!int8)
+            Seq(0, nQ / 2, nQ - 1).forall { qi =>
+              router.search(qPool(qi)).map(h => (h._1, h._2)).toSeq == exactIds(qi)
+            }
+          else {
+            val reps = shardRowsKept.map { rows =>
+              val rep = BatchedServer.FlatReplica(rows)
+              (rep, BatchedServer.quantizeSlab(rep.embs))
+            }
+            Seq(0, nQ / 2, nQ - 1).forall { qi =>
+              val got = router.search(qPool(qi)).toSeq
+              val want = reps.flatMap { case (rep, codes) =>
+                BatchedServer.int8TwoPhase(rep, codes, Array(qPool(qi)),
+                  k, th, math.max(k, k * 3), null, 1)
+                  .map { case (_, id, s, u) => (id, s, u) }
+              }.sortBy { case (id, s, _) => (-s, id) }.take(k)
+              got == want
+            }
+          }
+        // int8 mode: the oversample=3 approximation MEASURED, not assumed
+        // (ADVICE r14) — recall@k of the int8 router vs exact over 32
+        // spread queries; the bench gates the int8 bars on this row
+        val recallAtK =
+          if (!int8) 1.0
+          else {
+            val qis = (0 until 32).map(i => i * math.max(1, nQ / 32) % nQ)
+            val per = qis.map { qi =>
+              val got = router.search(qPool(qi)).map(_._1).toSet
+              val want = exactIds(qi).map(_._1).toSet
+              if (want.isEmpty) 1.0 else (got & want).size.toDouble / want.size
+            }
+            math.rint(per.sum / per.length * 10000) / 10000
+          }
         // IPC floor
         (0 until 200).foreach(_ => router.ping())
         val pings = (0 until 1000).map { _ =>
@@ -145,71 +205,107 @@ object CrossProc {
         ppool.shutdown()
         ppool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
         val pl = pLats.asScala.toIndexedSeq.sorted
-        // DEADLINE path (searchPartial, PLANS_r13 §3): the same paced
-        // drive with a 20 ms per-request gather deadline — the tail is
-        // bounded by construction at the cost of (1 − complete_rate)
-        // degraded-but-exact-subset answers; both shipped so the
-        // trade is visible next to the blocking path's p99.
-        val deadlineMs = 20L
-        val dLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
-        val dIncomplete = new java.util.concurrent.atomic.AtomicLong(0)
-        val dpool = java.util.concurrent.Executors.newFixedThreadPool(64)
-        val dstart = System.nanoTime()
-        (0 until paceN).foreach { i =>
-          val due = dstart + i * (1000000000L / paceQps)
-          var now = System.nanoTime()
-          while (now < due) {
-            val ns = due - now
-            if (ns > 2000000) Thread.sleep(ns / 2000000) else Thread.onSpinWait()
-            now = System.nanoTime()
+        // deadline + hedged phases: the straggler-policy arcs — run on
+        // the float tier only (the int8 probe grades the quantized
+        // kernel + slab economics; policy arcs are tier-independent)
+        val tailPhases: Map[String, Double] = if (int8) Map.empty else {
+          // DEADLINE path (searchPartial, PLANS_r13 §3): the same paced
+          // drive with a 20 ms per-request gather deadline — the tail is
+          // bounded by construction at the cost of (1 − complete_rate)
+          // degraded-but-exact-subset answers; both shipped so the
+          // trade is visible next to the blocking path's p99.
+          val deadlineMs = 20L
+          val dLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          val dIncomplete = new java.util.concurrent.atomic.AtomicLong(0)
+          val dpool = java.util.concurrent.Executors.newFixedThreadPool(64)
+          val dstart = System.nanoTime()
+          (0 until paceN).foreach { i =>
+            val due = dstart + i * (1000000000L / paceQps)
+            var now = System.nanoTime()
+            while (now < due) {
+              val ns = due - now
+              if (ns > 2000000) Thread.sleep(ns / 2000000) else Thread.onSpinWait()
+              now = System.nanoTime()
+            }
+            dpool.submit(new Runnable { def run(): Unit = {
+              val r = router.searchPartial(qPool(i % nQ), deadlineMs)
+              if (!r.complete) dIncomplete.incrementAndGet()
+              dLats.add((System.nanoTime() - due) / 1e6)
+            }})
           }
-          dpool.submit(new Runnable { def run(): Unit = {
-            val r = router.searchPartial(qPool(i % nQ), deadlineMs)
-            if (!r.complete) dIncomplete.incrementAndGet()
-            dLats.add((System.nanoTime() - due) / 1e6)
-          }})
-        }
-        dpool.shutdown()
-        dpool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
-        val dl = dLats.asScala.toIndexedSeq.sorted
-        // HEDGED path (searchHedged, VERDICT r13 #4): the same paced
-        // drive with a duplicate send to any shard still silent after
-        // `hedgeMs` (default: a p95-ish fraction of the 20 ms deadline —
-        // Dean–Barroso's "after the 95th-percentile expected latency"
-        // rule), full 100 ms budget so nothing is dropped. Cuts the
-        // gather tail WITHOUT the (1 − complete_rate) recall loss the
-        // drop-based deadline path pays; the hedge rate is reported so
-        // the extra-load budget is in the artifact.
-        val hedgeMs = sys.env.getOrElse("GRAFT_XPROC_HEDGE_MS", "5").toLong
-        val hedgeBudget = sys.env.getOrElse("GRAFT_XPROC_HEDGE_BUDGET",
-          RemoteShardedRouter.HedgeBudgetFraction.toString).toDouble
-        val hLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
-        val hIncomplete = new java.util.concurrent.atomic.AtomicLong(0)
-        val hSent = new java.util.concurrent.atomic.AtomicLong(0)
-        val hWins = new java.util.concurrent.atomic.AtomicLong(0)
-        val hpool = java.util.concurrent.Executors.newFixedThreadPool(64)
-        val hstart = System.nanoTime()
-        (0 until paceN).foreach { i =>
-          val due = hstart + i * (1000000000L / paceQps)
-          var now = System.nanoTime()
-          while (now < due) {
-            val ns = due - now
-            if (ns > 2000000) Thread.sleep(ns / 2000000) else Thread.onSpinWait()
-            now = System.nanoTime()
+          dpool.shutdown()
+          dpool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+          val dl = dLats.asScala.toIndexedSeq.sorted
+          // HEDGE-THEN-DEGRADE path (searchHedged, VERDICT r13 #4 + r14
+          // #8): the same paced drive with a duplicate send to any shard
+          // still silent after `hedgeMs` (a p95-ish fraction of the
+          // deadline — Dean–Barroso's "after the 95th-percentile
+          // expected latency" rule), COMPOSED with the drop path's 20 ms
+          // gather deadline as the last resort: the hedge's second
+          // latency draw rescues the common intermittent stall (complete
+          // rate stays ~1), and the ~1% whose stall outruns BOTH
+          // attempts is dropped at the deadline instead of dragging p99
+          // to the old 100 ms hedge budget (r14 measured 103.6 ms p99 as
+          // exactly that budget surfacing). Hedge rate and the deadline
+          // both ship in the artifact.
+          val hedgeMs = sys.env.getOrElse("GRAFT_XPROC_HEDGE_MS", "5").toLong
+          val hedgeDeadlineMs = sys.env.getOrElse(
+            "GRAFT_XPROC_HEDGE_DEADLINE_MS", "20").toLong
+          val hedgeBudget = sys.env.getOrElse("GRAFT_XPROC_HEDGE_BUDGET",
+            RemoteShardedRouter.HedgeBudgetFraction.toString).toDouble
+          val hLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          val hIncomplete = new java.util.concurrent.atomic.AtomicLong(0)
+          val hSent = new java.util.concurrent.atomic.AtomicLong(0)
+          val hWins = new java.util.concurrent.atomic.AtomicLong(0)
+          val hpool = java.util.concurrent.Executors.newFixedThreadPool(64)
+          val hstart = System.nanoTime()
+          (0 until paceN).foreach { i =>
+            val due = hstart + i * (1000000000L / paceQps)
+            var now = System.nanoTime()
+            while (now < due) {
+              val ns = due - now
+              if (ns > 2000000) Thread.sleep(ns / 2000000) else Thread.onSpinWait()
+              now = System.nanoTime()
+            }
+            hpool.submit(new Runnable { def run(): Unit = {
+              val r = router.searchHedged(qPool(i % nQ), hedgeMs,
+                hedgeDeadlineMs, budgetFraction = hedgeBudget)
+              if (!r.complete) hIncomplete.incrementAndGet()
+              hSent.addAndGet(r.hedgesSent)
+              hWins.addAndGet(r.hedgeWins)
+              hLats.add((System.nanoTime() - due) / 1e6)
+            }})
           }
-          hpool.submit(new Runnable { def run(): Unit = {
-            val r = router.searchHedged(qPool(i % nQ), hedgeMs, 100L,
-              budgetFraction = hedgeBudget)
-            if (!r.complete) hIncomplete.incrementAndGet()
-            hSent.addAndGet(r.hedgesSent)
-            hWins.addAndGet(r.hedgeWins)
-            hLats.add((System.nanoTime() - due) / 1e6)
-          }})
+          hpool.shutdown()
+          hpool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+          val hl = hLats.asScala.toIndexedSeq.sorted
+  Map(
+          "crossproc_deadline_ms" -> deadlineMs.toDouble,
+          "crossproc_deadline_paced_p50_ms" -> pct(dl, 0.5),
+          "crossproc_deadline_paced_p99_ms" -> pct(dl, 0.99),
+          "crossproc_deadline_complete_rate" ->
+            math.rint((1.0 - dIncomplete.get().toDouble / paceN) * 10000) / 10000,
+          "crossproc_hedge_after_ms" -> hedgeMs.toDouble,
+          "crossproc_hedge_deadline_ms" -> hedgeDeadlineMs.toDouble,
+          "crossproc_hedge_budget" -> hedgeBudget,
+          "crossproc_hedged_paced_p50_ms" -> pct(hl, 0.5),
+          "crossproc_hedged_paced_p99_ms" -> pct(hl, 0.99),
+          "crossproc_hedged_complete_rate" ->
+            math.rint((1.0 - hIncomplete.get().toDouble / paceN) * 10000) / 10000,
+          "crossproc_hedge_rate" ->
+            math.rint(hSent.get().toDouble / paceN * 10000) / 10000,
+          "crossproc_hedge_win_rate" -> (if (hSent.get() == 0) 0.0 else
+            math.rint(hWins.get().toDouble / hSent.get() * 10000) / 10000))
         }
-        hpool.shutdown()
-        hpool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
-        val hl = hLats.asScala.toIndexedSeq.sorted
-        val result = Map(
+        val int8Extras: Map[String, Double] =
+          if (!int8) Map.empty
+          else Map(
+            "crossproc_recall_at_k" -> recallAtK,
+            "crossproc_float_slab_mb" ->
+              math.rint(floatSlabBytes / 1e6 * 100) / 100,
+            "crossproc_code_slab_mb" ->
+              math.rint(codeSlabBytes / 1e6 * 100) / 100)
+        val result = (Map(
           "crossproc_rows" -> bigN.toDouble,
           "crossproc_shards" -> nShards.toDouble,
           "crossproc_worker_threads" -> workerThreads.toDouble,
@@ -224,22 +320,9 @@ object CrossProc {
           "crossproc_paced_rate_qps" -> paceQps.toDouble,
           "crossproc_paced_p50_ms" -> pct(pl, 0.5),
           "crossproc_paced_p99_ms" -> pct(pl, 0.99),
-          "crossproc_deadline_ms" -> deadlineMs.toDouble,
-          "crossproc_deadline_paced_p50_ms" -> pct(dl, 0.5),
-          "crossproc_deadline_paced_p99_ms" -> pct(dl, 0.99),
-          "crossproc_deadline_complete_rate" ->
-            math.rint((1.0 - dIncomplete.get().toDouble / paceN) * 10000) / 10000,
-          "crossproc_hedge_after_ms" -> hedgeMs.toDouble,
-          "crossproc_hedge_budget" -> hedgeBudget,
-          "crossproc_hedged_paced_p50_ms" -> pct(hl, 0.5),
-          "crossproc_hedged_paced_p99_ms" -> pct(hl, 0.99),
-          "crossproc_hedged_complete_rate" ->
-            math.rint((1.0 - hIncomplete.get().toDouble / paceN) * 10000) / 10000,
-          "crossproc_hedge_rate" ->
-            math.rint(hSent.get().toDouble / paceN * 10000) / 10000,
-          "crossproc_hedge_win_rate" -> (if (hSent.get() == 0) 0.0 else
-            math.rint(hWins.get().toDouble / hSent.get() * 10000) / 10000),
           "crossproc_stall_ms" -> stallMs.toDouble)
+          ++ tailPhases ++ int8Extras)
+          .map { case (key, v) => key.replaceFirst("crossproc", P) -> v }
         ok = Some(result)
         result
       } finally router.close()
@@ -303,7 +386,10 @@ object CrossProcProbe {
       .select("embedding").collect()
       .map(_.getSeq[Double](0).toArray)
     val forced = sys.env.get("GRAFT_XPROC_SHARDS").map(_.toInt)
-    val m = CrossProc.measure(spark, bigPoints, qPool, forcedShards = forced)
+    // GRAFT_XPROC_INT8=1: int8 worker fleet (code slab + mmap rescore)
+    val int8 = sys.env.get("GRAFT_XPROC_INT8").contains("1")
+    val m = CrossProc.measure(spark, bigPoints, qPool, forcedShards = forced,
+      int8 = int8)
     println(m.toSeq.sortBy(_._1)
       .map { case (key, v) => "\"" + key + "\":" + v }
       .mkString(s"""{"probe":"crossproc","sf":"$sfDir",""", ",", "}"))

@@ -244,6 +244,90 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "serving") {
+      // INT8 vs FLOAT serving replica AT THE REAL SLAB (VERDICT r14 #7 +
+      // ADVICE r14): the r14 int8 row was graded at 2k rows, where the
+      // whole float slab is cache-resident and the quantized tier's only
+      // effect is its extra phase-2 work — the "8× memory-bandwidth cut"
+      // claim only materializes when the slab outruns cache. This mode
+      // serves the SAME fixture through both replicas (float = exact
+      // full scan; int8 = byte-slab phase 1 + float rescore of k·3
+      // survivors), lone-client p50 and 8-client closed-loop QPS, plus
+      // the int8-vs-exact recall@k the parity claim defers to at scale
+      // (ApiSpec pins fixture equality; HERE the oversample=3
+      // approximation is measured, not assumed).
+      val k = 10
+      val th = 0.1
+      val qids = (0 until nQueries).map(i => (i * (n / nQueries)))
+      val qPool: Array[Array[Double]] = points
+        .filter(col("id").isin(qids.map(Long.box): _*))
+        .orderBy("id").select("embedding").collect()
+        .map(_.getSeq[Double](0).toArray)
+      def pct(xs: Array[Double], p: Double): Double =
+        if (xs.isEmpty) 0.0
+        else math.rint(xs.sorted.apply(((xs.length - 1) * p).toInt) * 100) / 100
+      // one server per variant; returns (soloQps, soloP50, stormQps,
+      // stormP50, per-query top-k id sets, float/int8 slab bytes)
+      def drive(int8: Boolean)
+          : (Double, Double, Double, Double, Array[Set[Long]], (Long, Long)) = {
+        val srv = new BatchedServer(points, k, th,
+          localReplicaMaxRows = n + 1, int8Replica = int8)
+        try {
+          import scala.concurrent.Await
+          import scala.concurrent.duration._
+          def one(q: Array[Double]): Array[org.apache.spark.sql.Row] =
+            Await.result(srv.submit(q.toSeq), 120.seconds)
+          (0 until 20).foreach(i => one(qPool(i % qPool.length))) // JIT warm
+          // solo closed loop over the query pool
+          val lats = qPool.map { q =>
+            val t0 = System.nanoTime(); one(q); (System.nanoTime() - t0) / 1e6
+          }
+          val soloQps = qPool.length / (lats.sum / 1e3)
+          // 8-client closed-loop storm (each thread walks the pool)
+          val clients = 8
+          val perClient = math.max(25, qPool.length / 2)
+          val stormLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+          val t0 = System.nanoTime()
+          (0 until clients).map { c =>
+            pool.submit(new Runnable { def run(): Unit = {
+              var i = 0
+              while (i < perClient) {
+                val s0 = System.nanoTime()
+                one(qPool((c * perClient + i) % qPool.length))
+                stormLats.add((System.nanoTime() - s0) / 1e6)
+                i += 1
+              }
+            }})
+          }.foreach(_.get())
+          val stormSecs = (System.nanoTime() - t0) / 1e9
+          pool.shutdown()
+          val stormQps = clients * perClient / stormSecs
+          import scala.jdk.CollectionConverters._
+          // per-query result ids (for the int8-vs-exact recall row)
+          val hits = qPool.map(q => one(q).map(_.getLong(0)).toSet)
+          (soloQps, pct(lats, 0.5), stormQps,
+            pct(stormLats.asScala.toArray, 0.5), hits, srv.replicaSlabBytes)
+        } finally srv.close()
+      }
+      val (fQps, fP50, fsQps, fsP50, fHits, _) = drive(int8 = false)
+      val (iQps, iP50, isQps, isP50, iHits, slabs) = drive(int8 = true)
+      val recall = math.rint(fHits.zip(iHits).map { case (f, i) =>
+        if (f.isEmpty) 1.0 else (f & i).size.toDouble / f.size
+      }.sum / fHits.length * 1000) / 1000
+      def r2(x: Double): Double = math.rint(x * 100) / 100
+      println(s"""{"probe":"serving","sf":"$sfDir","n":$n,""" +
+        s""""queries":${qPool.length},"k":$k,""" +
+        s""""float_solo_qps":${r2(fQps)},"float_solo_p50_ms":$fP50,""" +
+        s""""float_storm_qps":${r2(fsQps)},"float_storm_p50_ms":$fsP50,""" +
+        s""""int8_solo_qps":${r2(iQps)},"int8_solo_p50_ms":$iP50,""" +
+        s""""int8_storm_qps":${r2(isQps)},"int8_storm_p50_ms":$isP50,""" +
+        s""""int8_recall_at_$k":$recall,"int8_oversample":3.0,""" +
+        s""""float_slab_mb":${r2(slabs._1 / 1e6)},""" +
+        s""""int8_slab_mb":${r2(slabs._2 / 1e6)}}""")
+      spark.stop()
+      return
+    }
     if (mode == "quantrecall") {
       // Quantization recall at the scale fixture (VERDICT r12 #8): the
       // graded recall report runs at sf0.1; this re-grades the
@@ -334,6 +418,112 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "massign") {
+      // COARSE-QUANTIZER CEILING vs MULTI-ASSIGNMENT (VERDICT r14 #5):
+      // the sf100c campaign measured that at C∝N on clustered data the
+      // coarse quantizer binds recall (ceiling 0.32/0.47/0.65 at nprobe
+      // 4/8/16 — natural clusters span ~70 cells), independent of any
+      // code budget. Candidate mitigation: store each point in its TOP-2
+      // cells (the spilled analogue of HNSW's edge redundancy; FAISS's
+      // IVF multi-assignment). This probe computes the EXACT ceiling
+      // curves analytically — a true top-k neighbor is recallable at
+      // probe width p iff (one of) its assigned cell(s) ranks < p in the
+      // query's cell order — plus the rows-scanned cost of each curve,
+      // so the two variants compare at EQUAL BYTES, not equal nprobe
+      // (multi-assignment doubles cell occupancy; its win must survive
+      // the cost normalization or it's a wash).
+      import graft.sources.CollectionStore
+      import graft.operators.Search
+      val san = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_probe_cn_$san"
+      val marker = java.nio.file.Paths.get(path + "_fixture_sig")
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker)).trim == n.toString
+      if (!fresh) {
+        CollectionStore.saveIndexed(points, path,
+          Ann.seedCentroids(points, 16), idSidecarBuckets = Some(64))
+        val (minR, maxR) = CollectionStore.cnBand(n)
+        CollectionStore.optimizePartitions(
+          spark, path, minRows = minR, maxRows = maxR, nBuckets = 64)
+        java.nio.file.Files.write(marker, n.toString.getBytes)
+      }
+      val centRows = spark.read.parquet(path + "_centroids")
+        .select(col("cid").cast("long"), col("ce")).orderBy("cid").collect()
+      val cids = centRows.map(_.getLong(0)).toSeq
+      val ces = centRows.map(_.getSeq[Double](1).toSeq).toSeq
+      val nC = cids.length
+      // top-2 cell assignment for every point (ONE pass; the multi-assign
+      // store would persist exactly these rows, doubled)
+      val asg = points.select(col("id"),
+        graft.plans.VectorExpressions.topCentroids(
+          col("embedding"), cids, ces, 2).as("cs"))
+        .select(col("id"), col("cs").getItem(0).as("c1"),
+          col("cs").getItem(1).as("c2"))
+        .cache()
+      val size1 = asg.groupBy("c1").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val size2 = asg.groupBy("c2").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // exact top-k truth for the query sample, one batched job
+      val k = 10
+      val qids = (0 until nQueries).map(i => (i * (n / nQueries)))
+      val sparkI = spark
+      import sparkI.implicits._
+      val qdf = points.filter(col("id").isin(qids.map(Long.box): _*))
+        .select(col("id").as("query_id"), col("embedding").as("qemb"))
+      val topByQ = Search.knnBatch(points, qdf, k, -1.0)
+        .select(col("query_id"), col("id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val qEmbOf = points.filter(col("id").isin(qids.map(Long.box): _*))
+        .select(col("id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val allNb = topByQ.values.flatten.toSeq.distinct
+      val cellsOf = asg.filter(col("id").isin(allNb.map(Long.box): _*))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def dot(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val probeWidths = Seq(1, 2, 4, 8, 16, 32, 64).filter(_ <= nC)
+      // per query: the cell ranking, then both ceilings + both costs at
+      // every width — all driver arithmetic over collected index state
+      val perQ = qids.flatMap { qid =>
+        topByQ.get(qid).map { nbs =>
+          val qe = qEmbOf(qid)
+          val order = cids.indices
+            .map(i => (math.rint(dot(qe, ces(i)) * 1e6) / 1e6, cids(i)))
+            .sortBy { case (s, c) => (-s, c) }.map(_._2)
+          val rankOf = order.zipWithIndex.toMap
+          probeWidths.map { p =>
+            val probed = order.take(p)
+            val sCeil = nbs.count(nb => rankOf(cellsOf(nb)._1) < p)
+              .toDouble / nbs.length
+            val mCeil = nbs.count { nb =>
+              val (c1, c2) = cellsOf(nb)
+              rankOf(c1) < p || rankOf(c2) < p
+            }.toDouble / nbs.length
+            val sRows = probed.map(c => size1.getOrElse(c, 0L)).sum
+            val mRows = probed.map(c =>
+              size1.getOrElse(c, 0L) + size2.getOrElse(c, 0L)).sum
+            (p, sCeil, mCeil, sRows, mRows)
+          }
+        }
+      }
+      val rows = probeWidths.map { p =>
+        val at = perQ.map(_.find(_._1 == p).get)
+        def m3(x: Double) = math.rint(x * 1000) / 1000
+        s""""p$p":{"single_ceiling":${m3(at.map(_._2).sum / at.length)},""" +
+          s""""multi_ceiling":${m3(at.map(_._3).sum / at.length)},""" +
+          s""""single_rows":${at.map(_._4).sum / at.length},""" +
+          s""""multi_rows":${at.map(_._5).sum / at.length}}"""
+      }
+      asg.unpersist()
+      println(s"""{"probe":"massign","sf":"$sfDir","n":$n,"cells":$nC,""" +
+        s""""queries":${qids.length},"k":$k,""" + rows.mkString(",") + "}")
+      spark.stop()
+      return
+    }
     if (mode == "ivfpqrecall") {
       // IVF-PQ at scale (round 13 follow-through on the quantrecall
       // finding): flat pq_adc at the 32-bit budget collapses at 2M rows
@@ -419,9 +609,15 @@ object ScaleProbe {
         (rec(ids(Ann.ivfSearch(store, cents, q, nprobe, k))),
           rec(ids(Ann.ivfPqSearch(store, cents, pqCb, q, nprobe, k, pqOver))),
           rec(ids(Ann.ivfPqResidualSearch(store, cents, pqResCb, q, nprobe,
-            k, pqOver))))
+            k, pqOver))),
+          // the candidate-proportional rescore budget (VERDICT r14 #3):
+          // fetchK = max(k·32, candidates/16) — the row that must hold
+          // residual/ceiling ≥ 0.9 as nprobe widens where the fixed-320
+          // budget diluted to 0.83
+          rec(ids(Ann.ivfPqResidualSearchAdaptive(store, cents, pqResCb, q,
+            nprobe, k, minOversample = pqOver))))
       }
-      def mean(f: ((Double, Double, Double)) => Double): Double =
+      def mean(f: ((Double, Double, Double, Double)) => Double): Double =
         math.rint(per.map(f).sum / per.length * 1000) / 1000
       println(s"""{"probe":"ivfpqrecall","sf":"$sfDir","n":$n,""" +
         s""""cells":${cents.count()},"nprobe":$nprobe,""" +
@@ -430,7 +626,8 @@ object ScaleProbe {
         s""""pq_train_secs":${math.rint(pqSecs * 100) / 100},""" +
         s""""pqres_train_secs":${math.rint(pqResSecs * 100) / 100},""" +
         s""""ivf_exact_ceiling":${mean(_._1)},"ivfpq_adc":${mean(_._2)},""" +
-        s""""ivfpq_res_adc":${mean(_._3)}}""")
+        s""""ivfpq_res_adc":${mean(_._3)},""" +
+        s""""ivfpq_res_adaptive":${mean(_._4)}}""")
       spark.stop()
       return
     }

@@ -180,8 +180,13 @@ final class BatchedServer(
     * ≥1/16129 ≈ 6.2e-5 > 1e-6, so 6dp rounding never collapses two
     * distinct codes' scores — the int8 tier is deterministic and
     * two-phase-identical to [[graft.operators.Quantization.twoPhaseSearch]]'s
-    * phase ordering (ApiSpec pins int8 ≡ float replica output on the
-    * fixture). */
+    * phase ordering. Like every two-phase path it is APPROXIMATE in
+    * general: phase 1 keeps k·oversample survivors by quantized dot, so
+    * a true top-k row whose int8 rank falls below that cut is lost.
+    * ApiSpec pins int8 ≡ float output on the test fixture; at scale the
+    * approximation is MEASURED, not assumed — ScaleProbe `serving` mode
+    * reports int8-vs-float recall@k at the 2M-row slab next to the
+    * QPS/latency rows (ADVICE r14). */
   @volatile private var int8Codes: Array[Byte] = null
   @volatile private var replicaDecided = false
   private val replicaInitLock = new Object

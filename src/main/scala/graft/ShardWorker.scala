@@ -65,6 +65,96 @@ object SlabIO {
     } finally ch.close()
   }
 
+  /** INT8 code-slab twin of [[write]] (VERDICT r14 #6 — the reference's
+    * always-RAM INT8 at the storage layer, src/core/qdrant_client.py:129-138,
+    * extended to the sharded tier where the 8× RAM cut decides how many
+    * shards a corpus needs): same ids/users/offs header, then ONE byte
+    * per cell (code = clamp(HALF_UP(x·127)) — [[BatchedServer.quantizeCode]],
+    * the same fixed-range code as the in-JVM int8 replica). No codebook
+    * rides with it because the code is a pure function of the float —
+    * but the file still carries the float slab's byte SIZE as a
+    * fingerprint, so a code slab paired with the wrong float slab (row
+    * drift between the two handoffs) fails loud at load. */
+  def writeInt8(path: String, rows: Array[(Long, Array[Double], Int)],
+      floatSlabBytes: Long): Unit = {
+    val n = rows.length
+    var cells = 0L
+    rows.foreach(r => cells += r._2.length)
+    require(cells <= Int.MaxValue, s"slab too large: $cells cells")
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val buf = ByteBuffer.allocateDirect(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+      def flush(): Unit = { buf.flip(); while (buf.hasRemaining) ch.write(buf); buf.clear() }
+      def ensure(k: Int): Unit = if (buf.remaining < k) flush()
+      ensure(16); buf.putInt(0x534C4238); buf.putInt(n) // "SLB8"
+      buf.putLong(floatSlabBytes)
+      rows.foreach { r => ensure(8); buf.putLong(r._1) }
+      rows.foreach { r => ensure(4); buf.putInt(r._3) }
+      var off = 0
+      ensure(4); buf.putInt(0)
+      rows.foreach { r => off += r._2.length; ensure(4); buf.putInt(off) }
+      rows.foreach { r =>
+        val e = r._2; var i = 0
+        while (i < e.length) {
+          ensure(1); buf.put(BatchedServer.quantizeCode(e(i))); i += 1
+        }
+      }
+      flush()
+    } finally ch.close()
+  }
+
+  /** Parsed int8 code slab: parallel id/user arrays, row offsets into the
+    * contiguous code slab — the RAM-pinned phase-1 state of an int8
+    * shard worker (8× smaller than the float slab it fingerprints). */
+  final case class Int8Slab(ids: Array[Long], users: Array[Int],
+      offs: Array[Int], codes: Array[Byte], floatSlabBytes: Long) {
+    def n: Int = ids.length
+  }
+
+  def readInt8(path: String): Int8Slab = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+        .order(ByteOrder.LITTLE_ENDIAN)
+      require(buf.getInt() == 0x534C4238, s"bad int8 slab magic in $path")
+      val n = buf.getInt()
+      val floatBytes = buf.getLong()
+      val ids = new Array[Long](n)
+      var i = 0
+      while (i < n) { ids(i) = buf.getLong(); i += 1 }
+      val users = new Array[Int](n)
+      i = 0
+      while (i < n) { users(i) = buf.getInt(); i += 1 }
+      val offs = new Array[Int](n + 1)
+      i = 0
+      while (i <= n) { offs(i) = buf.getInt(); i += 1 }
+      val codes = new Array[Byte](offs(n))
+      buf.get(codes)
+      Int8Slab(ids, users, offs, codes, floatBytes)
+    } finally ch.close()
+  }
+
+  /** mmap the FLOAT slab for survivor rescore — the int8 worker's phase-2
+    * source. The float column never loads to heap: survivors' doubles are
+    * absolute-read from the OS page cache (at cluster scale: the disk/
+    * mmap tier the reference leaves originals on when INT8 is always-RAM,
+    * settings.py:48-51). Returns the mapped buffer and the byte offset
+    * where the doubles region starts (header layout from [[write]]). */
+  def mapFloatForRescore(path: String): (ByteBuffer, Long) = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      require(ch.size() <= Int.MaxValue,
+        s"float slab too large to map in one buffer: ${ch.size()} bytes")
+      val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+        .order(ByteOrder.LITTLE_ENDIAN)
+      require(buf.getInt() == 0x534C4142, s"bad slab magic in $path")
+      val n = buf.getInt()
+      val dataStart = 8L + 8L * n + 4L * n + 4L * (n + 1)
+      (buf, dataStart)
+    } finally ch.close() // the mapping outlives the channel by spec
+  }
+
   /** Read a slab file back into the row array [[BatchedServer.FlatReplica]]
     * builds from (layout decisions — SIMD transpose included — are the
     * replica code's, not the file's). */
@@ -127,6 +217,92 @@ object ShardWorker {
     out
   }
 
+  /** INT8 two-phase top-k for the worker (VERDICT r14 #6): phase 1 scans
+    * the RAM-pinned byte slab ranking every row by the raw integer dot
+    * against the quantized query (the same deterministic order as the
+    * in-JVM [[BatchedServer.int8TwoPhase]] — see its 6dp argument), keeps
+    * k·oversample per slice under (dot desc, id asc); phase 2 rescores
+    * the merged survivors with the exact float dot ABSOLUTE-READ from the
+    * mmapped float slab — the float column never loads to worker heap.
+    * Same (score desc, id asc) merge contract as [[topK]], so the router
+    * is oblivious to which kernel a shard runs. */
+  private[graft] def topKInt8(slab: SlabIO.Int8Slab,
+      floatBuf: ByteBuffer, dataStart: Long,
+      pool: java.util.concurrent.ExecutorService, threads: Int,
+      queries: Array[Array[Double]], k: Int, th: Double,
+      oversample: Double = 3.0): Array[Array[(Long, Double, Int)]] = {
+    val nq = queries.length
+    val n = slab.n
+    val fetchK = math.max(k, (k * oversample).toInt)
+    val q8: Array[Array[Int]] = queries.map { q =>
+      val a = new Array[Int](q.length)
+      var i = 0
+      while (i < q.length) {
+        a(i) = BatchedServer.quantizeCode(q(i)).toInt; i += 1
+      }
+      a
+    }
+    def phase1(lo: Int, hi: Int): Array[(Int, Long, Double, Int)] = {
+      val tops = Array.fill(nq)(new BatchedServer.TopK(fetchK))
+      var i = lo
+      while (i < hi) {
+        val b0 = slab.offs(i)
+        val len = slab.offs(i + 1) - b0
+        val id = slab.ids(i)
+        var qi = 0
+        while (qi < nq) {
+          val q = q8(qi)
+          val nd = math.min(len, q.length)
+          var s = 0L
+          var d = 0
+          while (d < nd) { s += slab.codes(b0 + d).toLong * q(d); d += 1 }
+          tops(qi).offer(s.toDouble, id, i)
+          qi += 1
+        }
+        i += 1
+      }
+      val out = Array.newBuilder[(Int, Long, Double, Int)]
+      var qi = 0
+      while (qi < nq) {
+        tops(qi).drain().foreach { case (s, id, row) => out += ((qi, id, s, row)) }
+        qi += 1
+      }
+      out.result()
+    }
+    val slices = math.max(1, math.min(threads, n))
+    val step = (n + slices - 1) / math.max(slices, 1)
+    val tasks = (0 until slices).map { s =>
+      val lo = s * step
+      val hi = math.min(n, lo + step)
+      pool.submit(new java.util.concurrent.Callable[Array[(Int, Long, Double, Int)]] {
+        def call(): Array[(Int, Long, Double, Int)] =
+          if (lo >= hi) Array.empty else phase1(lo, hi)
+      })
+    }
+    val cands = tasks.flatMap(_.get())
+    val out = Array.fill(queries.length)(Array.empty[(Long, Double, Int)])
+    cands.groupBy(_._1).foreach { case (qi, heap) =>
+      val survivors = heap
+        .sortBy { case (_, id, s, _) => (-s, id) }.take(fetchK)
+      val q = queries(qi)
+      val rescored = survivors.map { case (_, id, _, row) =>
+        val b0 = slab.offs(row)
+        val len = slab.offs(row + 1) - b0
+        val nd = math.min(len, q.length)
+        var s = 0.0d
+        var d = 0
+        while (d < nd) {
+          s += floatBuf.getDouble((dataStart + (b0 + d) * 8L).toInt) * q(d)
+          d += 1
+        }
+        // Num.round6: the SAME rounding gate as the in-JVM rescore
+        (id, graft.plans.Num.round6(s), slab.users(row))
+      }.filter(_._2 >= th)
+      out(qi) = rescored.sortBy { case (id, s, _) => (-s, id) }.take(k).toArray
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val slabPath = args(0)
     val port = args(1).toInt
@@ -144,8 +320,27 @@ object ShardWorker {
     // manager layer), not a deadline.
     val stallMs = if (args.length > 5) args(5).toLong else 0L
     val stallEvery = if (args.length > 6) args(6).toInt else 20
+    // optional 8th arg: an INT8 code-slab path — the worker then pins the
+    // byte slab in RAM for phase 1 and mmaps the float slab only for
+    // survivor rescore (VERDICT r14 #6: the 8× RAM cut where it decides
+    // shard count). Empty string = float mode (unchanged).
+    val int8Path = if (args.length > 7) args(7) else ""
     val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
-    val rep = BatchedServer.FlatReplica(SlabIO.read(slabPath))
+    val int8 = int8Path.nonEmpty
+    val (rep, i8slab, floatBuf, floatDataStart) =
+      if (!int8)
+        (BatchedServer.FlatReplica(SlabIO.read(slabPath)), null, null, 0L)
+      else {
+        val slab = SlabIO.readInt8(int8Path)
+        // fingerprint: the code slab must have been cut from THIS float
+        // slab (same row set/order) — mismatched handoffs fail loud
+        val floatSize = java.nio.file.Files.size(Paths.get(slabPath))
+        require(slab.floatSlabBytes == floatSize,
+          s"int8 slab fingerprint mismatch: codes were cut from a " +
+            s"${slab.floatSlabBytes}-byte float slab, $slabPath is $floatSize")
+        val (buf, ds) = SlabIO.mapFloatForRescore(slabPath)
+        (null, slab, buf, ds)
+      }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val srv = new ServerSocket()
     srv.bind(new InetSocketAddress("127.0.0.1", port))
@@ -170,7 +365,10 @@ object ShardWorker {
             if (stallMs > 0 &&
               reqCounter.incrementAndGet() % stallEvery == 0)
               Thread.sleep(stallMs)
-            val res = topK(rep, pool, threads, queries, k, th)
+            val res =
+              if (int8) topKInt8(i8slab, floatBuf, floatDataStart,
+                pool, threads, queries, k, th)
+              else topK(rep, pool, threads, queries, k, th)
             var i = 0
             while (i < nq) {
               out.writeInt(res(i).length)
@@ -188,7 +386,10 @@ object ShardWorker {
 
     // readiness marker AFTER the slab is resident (the router also
     // handshakes with a ping before grading anything)
-    println(s"READY $port n=${rep.n} simdRows=${rep.simdRows}")
+    if (int8)
+      println(s"READY $port n=${i8slab.n} int8=1 codeBytes=${i8slab.codes.length}")
+    else
+      println(s"READY $port n=${rep.n} simdRows=${rep.simdRows}")
     while (true) {
       val sock = srv.accept()
       sock.setTcpNoDelay(true)
@@ -269,8 +470,14 @@ final class RemoteShardedRouter(
     math.max(8, addrs.length * connsPerShard))
 
   private def roundTrip(shard: Int, qemb: Array[Double])
+      : Array[(Long, Double, Int)] =
+    roundTripOn(pools(shard).take(), shard, qemb)
+
+  /** Round-trip over a connection the CALLER already holds (the hedge
+    * path reserves its socket at decision time — see searchHedged);
+    * always re-pools it, success or error. */
+  private def roundTripOn(sock: Socket, shard: Int, qemb: Array[Double])
       : Array[(Long, Double, Int)] = {
-    val sock = pools(shard).take()
     try {
       val (in, out) = io(sock)
       out.writeInt(1); out.writeInt(qemb.length)
@@ -354,8 +561,29 @@ final class RemoteShardedRouter(
   // the offered load, which deepens the backlog — measured congestion
   // collapse at 8 shards × paced 1000 QPS (hedge rate 8.0/request,
   // p50 ~1 s) before the budget landed.
-  private val hedgedRequests = new java.util.concurrent.atomic.LongAdder
-  private val hedgesIssued = new java.util.concurrent.atomic.LongAdder
+  //
+  // AtomicLongs, not LongAdders: the budget check is a RESERVATION
+  // (CAS-increment under the cap in [[tryReserveHedge]]), so concurrent
+  // requests cannot all pass a check-then-act race and overshoot the 5%
+  // extra-load cap by the concurrency level (ADVICE r14). Requests are
+  // counted at SUBMIT time, not completion, so in-flight requests are
+  // part of the denominator the cap is taken against.
+  private val hedgedRequests = new java.util.concurrent.atomic.AtomicLong
+  private val hedgesIssued = new java.util.concurrent.atomic.AtomicLong
+
+  /** Atomically reserve one hedge token: succeeds iff, at the moment of
+    * the CAS, total hedges would stay ≤ fraction·requests + 1 (the +1 is
+    * the one-token burst so a fresh router can hedge its first
+    * straggler). A failed CAS retries against the fresh count — two
+    * concurrent reservations can never both win the same token. */
+  private[graft] def tryReserveHedge(budgetFraction: Double): Boolean = {
+    while (true) {
+      val cur = hedgesIssued.get()
+      if (cur + 1 > budgetFraction * hedgedRequests.get() + 1.0) return false
+      if (hedgesIssued.compareAndSet(cur, cur + 1)) return true
+    }
+    false // unreachable
+  }
 
   /** HEDGED request (Dean & Barroso "The Tail at Scale", CACM 2013 —
     * the send-to-two-after-a-delay hedge): scatter to every shard; when
@@ -371,9 +599,16 @@ final class RemoteShardedRouter(
     * The three guards are what make hedging SAFE, not just helpful:
     *  - budget: a queueing client sees every shard as "silent"; without
     *    the cap the duplicates double offered load and collapse the
-    *    router (measured — see the budget fields above);
-    *  - free-socket check: a duplicate aimed at an exhausted pool can
-    *    only queue BEHIND the very request it is trying to beat;
+    *    router (measured — see the budget fields above). The budget is
+    *    RESERVED atomically ([[tryReserveHedge]]) and requests count at
+    *    submit time, so a burst of concurrent requests cannot all pass
+    *    the check before any increments (ADVICE r14);
+    *  - socket RESERVATION: the duplicate's connection is taken from the
+    *    pool with a non-blocking poll() at decision time and handed to
+    *    the hedge attempt — a duplicate aimed at an exhausted pool would
+    *    otherwise queue BEHIND the very request it is trying to beat,
+    *    and an advisory size() check could be invalidated before the
+    *    attempt runs (ADVICE r14);
     *  - one hedge per request: the Dean–Barroso shape — the win comes
     *    from the second independent latency draw on the slowest shard,
     *    not from spraying every shard.
@@ -392,6 +627,7 @@ final class RemoteShardedRouter(
       budgetFraction: Double = RemoteShardedRouter.HedgeBudgetFraction)
       : RemoteShardedRouter.HedgedResult = {
     val nShards = addrs.length
+    hedgedRequests.incrementAndGet() // denominator counts in-flight work
     // per-request reply channel: each attempt reports (shard, hits,
     // wasHedge) when it completes; late/duplicate replies are simply
     // ignored by the drain below (the channel is request-local garbage)
@@ -402,6 +638,14 @@ final class RemoteShardedRouter(
       exec.submit(new Runnable {
         def run(): Unit =
           try replies.offer((shard, roundTrip(shard, qemb), isHedge))
+          catch { case _: Throwable => () } // socket error: shard silent
+      })
+    // hedge attempt over a connection reserved at DECISION time: runs to
+    // completion (never cancelled) so the socket always re-pools
+    def hedgeAttempt(shard: Int, sock: Socket): Unit =
+      exec.submit(new Runnable {
+        def run(): Unit =
+          try replies.offer((shard, roundTripOn(sock, shard, qemb), true))
           catch { case _: Throwable => () } // socket error: shard silent
       })
     val attempts = scala.collection.mutable.ArrayBuffer[
@@ -431,27 +675,29 @@ final class RemoteShardedRouter(
       }
       if (!hedged && System.nanoTime() >= hedgeAt) {
         hedged = true
-        // budget + free-socket + per-request cap (see scaladoc): pick at
-        // most `maxHedges` silent shards whose pools have an idle
-        // connection, while the router-wide hedge ratio stays inside
-        // `budgetFraction`
+        // budget + socket reservation + per-request cap (see scaladoc):
+        // pick at most `maxHedges` silent shards. Order of reservations
+        // matters: take the socket FIRST (cheap to return), then the
+        // budget token (never returned once issued — the hedge WILL be
+        // sent), then submit with the socket in hand.
         var s = 0
         while (s < nShards && hedgesSent < maxHedges) {
-          // rate + one-token burst: hedges ≤ fraction·requests + 1, so a
-          // fresh router can hedge its first straggler while the
-          // long-run ratio converges to `budgetFraction`
-          if (!answered(s) && pools(s).size() > 0 &&
-              hedgesIssued.sum <
-                budgetFraction * hedgedRequests.sum + 1.0) {
-            attempts += attempt(s, isHedge = true)
-            hedgesSent += 1
-            hedgesIssued.increment()
+          if (!answered(s)) {
+            val sock = pools(s).poll() // reserve, never block
+            if (sock != null) {
+              if (tryReserveHedge(budgetFraction)) {
+                hedgeAttempt(s, sock)
+                hedgesSent += 1
+              } else {
+                pools(s).put(sock) // budget exhausted: hand the socket back
+                s = nShards // and stop scanning — no token will appear mid-request
+              }
+            }
           }
           s += 1
         }
       }
     }
-    hedgedRequests.increment()
     // drop not-yet-started attempts from the executor queue (same
     // unbounded-accumulation guard as searchPartial); started ones
     // drain and re-pool on their own

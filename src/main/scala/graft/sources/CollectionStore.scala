@@ -146,8 +146,8 @@ object CollectionStore {
       pqResidualCodebook: Option[graft.operators.Quantization.PqCodebook] = None)
       : Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration) // path-scoped FS (ADVICE r14)
     // residual codes for the batch: assigned cell's centroid from the
     // caller's literal set (same codes saveIndexed would write — codes
     // are a function of (x, c(cid), codebook) only)
@@ -310,8 +310,8 @@ object CollectionStore {
       spark: SparkSession, path: String, deleteIds: DataFrame,
       nBuckets: Int): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration) // path-scoped FS (ADVICE r14)
     require(fs.exists(new Path(path + "_ids")),
       s"deleteIndexed: no id sidecar at ${path}_ids — the store must be " +
         "written via saveIndexed(..., idSidecarBuckets = Some(n))")
@@ -443,8 +443,8 @@ object CollectionStore {
       s"mergeGraphIndexed: graphK ($graphK) must be <= maxDegree " +
         s"($maxDegree) — a new id would link more neighbors than its own " +
         "degree cap keeps")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration) // path-scoped FS (ADVICE r14)
     val graphPath = path + "_graph"
     val revPath = path + "_graph_rev"
     require(fs.exists(new Path(graphPath)),
@@ -727,8 +727,8 @@ object CollectionStore {
     require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
     require(maxSubK >= 2, s"maxSubK must be >= 2, got $maxSubK")
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration) // path-scoped FS (ADVICE r14)
     require(fs.exists(new Path(path + "_ids")),
       s"splitOversizedCells: no id sidecar at ${path}_ids — the store must " +
         "be written via saveIndexed(..., idSidecarBuckets = Some(n))")
@@ -912,8 +912,8 @@ object CollectionStore {
       : DataFrame = {
     require(minRows >= 1, s"minRows must be >= 1, got $minRows")
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration) // path-scoped FS (ADVICE r14)
     require(fs.exists(new Path(path + "_ids")),
       s"mergeSmallCells: no id sidecar at ${path}_ids — the store must " +
         "be written via saveIndexed(..., idSidecarBuckets = Some(n))")
@@ -1037,8 +1037,11 @@ object CollectionStore {
     * ARE the metadata). */
   def cellSizes(spark: SparkSession, path: String): Map[Long, Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    // path-scoped resolver (ADVICE r14): a store on a non-default
+    // filesystem (s3a:// with a local default FS) must list ITS scheme's
+    // tree, as HadoopInputFile.fromPath already does for the footers
     val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
     val cellDirs = fs.listStatus(base)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -1193,8 +1196,8 @@ object CollectionStore {
       nBuckets: Int): Unit = {
     val withBucket = adds
       .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration) // path-scoped FS (ADVICE r14)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
     val merged =
       if (!exists) withBucket
@@ -1281,8 +1284,8 @@ object CollectionStore {
     val kept = current.filter(not(coalesce(deletePred, lit(false))))
     val tmp = path + "_compacting"
     save(kept, tmp, numFiles)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration) // path-scoped FS (ADVICE r14)
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)

@@ -801,5 +801,12 @@ class IndexedStoreSpec extends SparkSpec {
       rows(Ann.ivfPqResidualSearch(store.drop("pqrc"), centsTable, cbRes,
         q, 4, 10)))
     assert(centsById.keySet == tableCids) // the collected map is the table
+    // 6. the O(C) footer-metadata sizing stays consistent through the
+    // whole split/merge/tombstone arc (VERDICT r14 #4): what the next
+    // maintenance tick would READ as cell sizes equals what the store
+    // actually holds — the sizing pass can stay metadata-only at 100 TB
+    val footerSizes = CollectionStore.cellSizes(spark, path)
+    assert(footerSizes == storeCellSizes.map { case (c, n) => c -> n.toLong },
+      "footer counts must track the store through split/merge/tombstone")
   }
 }

@@ -112,6 +112,93 @@ class PqSpec extends SparkSpec {
     assert(got.forall(r => r.getInt(3) == cb.m && r.getInt(4) == cb.ksub))
   }
 
+  test("calibration decision: targetMet/sampleRecall are the walk's own " +
+      "measurement, and a topped-out ladder is flagged, not silent") {
+    val sample = Quantization.DefaultPqCalibrationSample
+    // trivially-met target: met on tier 0, recall in [0,1]
+    val met = Quantization.pqCalibrateBudgetFull(
+      points, 10, 0.0, sample, Seq(() => cb))
+    assert(met.tier == 0 && met.targetMet &&
+      met.sampleRecall >= 0.0 && met.sampleRecall <= 1.0)
+    // unreachable target: last tier served best-effort, targetMet FALSE
+    // (VERDICT r14 — the silent-under-delivery fix), recall is the last
+    // tier's measured value
+    val topped = Quantization.pqCalibrateBudgetFull(
+      points, 10, 1.01, sample, Seq(() => cb))
+    assert(topped.tier == 0 && !topped.targetMet && topped.sampleRecall <= 1.0)
+    // the calibrated search ships the decision as columns
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val rows = Quantization.pqAdcSearchCalibrated(points, q, Seq(() => cb),
+      10, 1.01, sample).collect()
+    assert(rows.forall(r => !r.getAs[Boolean]("target_met")))
+    assert(rows.forall(r =>
+      r.getAs[Double]("sample_recall") == topped.sampleRecall))
+  }
+
+  test("family handoff: a cleared ladder serves flat PQ; a topped-out one " +
+      "routes to residual IVF-PQ at the curve-inverted nprobe") {
+    import graft.operators.{Ann, IndexMeta}
+    val cents = Ann.kmeansCentroids(points, k = 8, maxIter = 3)
+    val store = Ann.ivfAssign(points,
+      cents.orderBy("cid").collect().map(_.getLong(0)).toSeq,
+      cents.orderBy("cid").collect().map(_.getSeq[Double](1)).toSeq)
+    val cbRes = Quantization.pqCodebookOf(
+      Quantization.pqTrainResiduals(store, cents,
+        dim = 64, m = 8, ksub = 16, maxIter = 3))
+    val meta = IndexMeta.build(points, cents, hyperplanes = Nil, k = 10)
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    val sample = Quantization.DefaultPqCalibrationSample
+    // side A: target 0 always clears → flat family, budget columns = cb
+    val flat = Ann.familyCalibratedSearch(points, store, cents, cbRes, meta,
+      Seq(() => cb), q, 10, targetRecall = 0.0, sample).collect()
+    assert(flat.forall(_.getAs[String]("family") == "pq_flat"))
+    assert(flat.forall(r => r.getAs[Int]("m_used") == cb.m &&
+      r.getAs[Int]("ksub_used") == cb.ksub &&
+      r.getAs[Int]("nprobe_used") == 0 && r.getAs[Boolean]("target_met")))
+    // flat branch body ≡ plain ADC search under the chosen codebook
+    val flatWant = Quantization.pqAdcSearch(points, q, cb, 10).collect()
+    assert(flat.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      flatWant.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // side B: unreachable target tops the ladder out → residual family
+    // at nprobeFor(target) (unreachable → every cell), decision shipped
+    val res = Ann.familyCalibratedSearch(points, store, cents, cbRes, meta,
+      Seq(() => cb), q, 10, targetRecall = 1.01, sample).collect()
+    assert(res.forall(_.getAs[String]("family") == "ivf_pq_residual"))
+    val np = meta.nprobeFor(1.01)
+    assert(res.forall(r => r.getAs[Int]("nprobe_used") == np &&
+      !r.getAs[Boolean]("target_met")))
+    val resWant = Ann.ivfPqResidualSearch(store, cents, cbRes, q,
+      np, 10).collect()
+    assert(res.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      resWant.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("adaptive rescore budget: the k*32 floor binds on small probes and " +
+      "the candidate-proportional budget takes over past it") {
+    import graft.operators.Ann
+    val cents = Ann.kmeansCentroids(points, k = 8, maxIter = 3)
+    val cids = cents.orderBy("cid").collect().map(_.getLong(0)).toSeq
+    val ces = cents.orderBy("cid").collect().map(_.getSeq[Double](1)).toSeq
+    val store = Ann.ivfAssign(points, cids, ces)
+    val cbRes = Quantization.pqCodebookOf(
+      Quantization.pqTrainResiduals(store, cents,
+        dim = 64, m = 8, ksub = 16, maxIter = 3))
+    val q = points.filter($"id" === 0).select($"embedding".as("qemb"))
+    // at fixture scale candidates/16 << k*32, so the adaptive search must
+    // equal the fixed-oversample one exactly (the floor binds)
+    val a = Ann.ivfPqResidualSearchAdaptive(store, cents, cbRes, q,
+      nprobe = 4, k = 10).collect()
+    val b = Ann.ivfPqResidualSearch(store, cents, cbRes, q,
+      nprobe = 4, k = 10).collect()
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // formula: the budget grows linearly with candidates once past the
+    // floor — pure arithmetic pinned here, measured at scale (SCALING)
+    val floor = (10 * 32.0).toLong
+    assert(math.max(floor, (100000L * (1.0 / 16)).toLong) == 6250L)
+    assert(math.max(floor, (1000L * (1.0 / 16)).toLong) == floor)
+  }
+
   test("fingerprint: stored codes written under one codebook refuse a " +
       "mismatched codebook at search time") {
     val cb2 = Quantization.pqCodebookOf(

@@ -170,11 +170,145 @@ class ShardWorkerSpec extends AnyFunSuite {
       val calm = router.searchHedged(q, hedgeAfterMs = 2000, timeoutMs = 10000)
       assert(calm.complete && calm.hedgesSent == 0 &&
         calm.hits.toSeq == brute(rows))
+      // 4c. HEDGE-THEN-DEGRADE (VERDICT r14 #8): a PERSISTENT straggler
+      // outruns both attempts — the gather deadline then drops it (the
+      // searchPartial semantics as last resort) instead of the request
+      // dragging to the old 100 ms hedge budget: latency is bounded by
+      // `timeoutMs`, the answer is the exact top-k over the answering
+      // shard, and the degradation is flagged
+      delayMs.set(5000L)
+      val t0 = System.nanoTime()
+      val deg = router.searchHedged(q, hedgeAfterMs = 50, timeoutMs = 500)
+      val degMs = (System.nanoTime() - t0) / 1e6
+      assert(!deg.complete && deg.shardsAnswered == 1,
+        "persistent straggler must be dropped at the deadline")
+      assert(deg.hits.toSeq == brute(fastRows),
+        "degraded answer must be the exact top-k over the answering shard")
+      assert(degMs < 3000,
+        s"deadline must bound the degrade wait, took $degMs ms")
+      delayMs.set(0L)
+      Thread.sleep(5500L) // drain the abandoned attempts; re-pool sockets
     } finally {
       router.close()
       slowSrv.close()
       slowPool.shutdownNow()
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(slabPath))
+    }
+  }
+
+  test("int8 slab: round-trip, worker parity with the float worker and " +
+      "the in-JVM int8 kernel, fingerprint mismatch fails loud") {
+    val rows = mkRows(500, 32)
+    val k = 10
+    val dir = java.nio.file.Files.createTempDirectory("slab_i8").toString
+    val floatPath = s"$dir/shard.slab"
+    SlabIO.write(floatPath, rows)
+    val floatBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(floatPath))
+    SlabIO.writeInt8(s"$floatPath.i8", rows, floatBytes)
+    // round-trip: ids/users/offs exact; codes = quantizeCode of each cell
+    val slab = SlabIO.readInt8(s"$floatPath.i8")
+    assert(slab.n == rows.length && slab.floatSlabBytes == floatBytes)
+    rows.zipWithIndex.foreach { case ((id, e, u), i) =>
+      assert(slab.ids(i) == id && slab.users(i) == u)
+      e.zipWithIndex.foreach { case (x, d) =>
+        assert(slab.codes(slab.offs(i) + d) == BatchedServer.quantizeCode(x))
+      }
+    }
+    // kernel parity: topKInt8 over the mmapped float slab ≡ the in-JVM
+    // int8TwoPhase over the same rows (same phase-1 order, same rescore)
+    val (fbuf, ds) = SlabIO.mapFloatForRescore(floatPath)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val rep = BatchedServer.FlatReplica(rows)
+    val codes = BatchedServer.quantizeSlab(rep.embs)
+    val rnd = new scala.util.Random(23)
+    val queries = Array.fill(5) {
+      val q = Array.fill(32)(rnd.nextDouble() * 2 - 1)
+      val n = math.sqrt(q.map(x => x * x).sum); q.map(_ / n)
+    }
+    try {
+      val got = ShardWorker.topKInt8(slab, fbuf, ds, pool, 4, queries, k, 0.0)
+      val want = BatchedServer.int8TwoPhase(rep, codes, queries, k, 0.0,
+        math.max(k, k * 3), null, 1)
+      queries.indices.foreach { qi =>
+        val w = want.filter(_._1 == qi).map { case (_, id, s, u) => (id, s, u) }
+          .sortBy { case (id, s, _) => (-s, id) }.toSeq
+        assert(got(qi).toSeq == w, s"query $qi")
+      }
+      // end-to-end over a socket: an int8 worker serves row-for-row what
+      // a float worker serves on this fixture (the ApiSpec parity claim,
+      // cross-process) — oversample 3 covers the small store
+      def freePort(): Int = {
+        val s = new java.net.ServerSocket(0)
+        try s.getLocalPort finally s.close()
+      }
+      val i8Port = freePort()
+      val i8Thread = new Thread(new Runnable {
+        def run(): Unit = ShardWorker.main(Array(floatPath,
+          i8Port.toString, k.toString, "0.0", "2", "0", "20",
+          s"$floatPath.i8"))
+      })
+      i8Thread.setDaemon(true); i8Thread.start()
+      var router: RemoteShardedRouter = null
+      var tries = 0
+      while (router == null) {
+        try router = new RemoteShardedRouter(
+          Seq(("127.0.0.1", i8Port)), k, connsPerShard = 2)
+        catch { case e: java.io.IOException =>
+          tries += 1; if (tries > 60) throw e; Thread.sleep(250) }
+      }
+      try {
+        queries.zipWithIndex.foreach { case (q, qi) =>
+          val viaSocket = router.search(q).toSeq
+          assert(viaSocket == got(qi).toSeq, s"socket parity, query $qi")
+          // float-worker equivalence on the fixture: the int8 tier's
+          // answer matches exact scoring here (oversample covers)
+          val exact = rows.map { case (id, e, u) =>
+            var s = 0.0; var i = 0
+            while (i < e.length) { s += e(i) * q(i); i += 1 }
+            (id, graft.plans.Num.round6(s), u)
+          }.sortBy { case (id, s, _) => (-s, id) }.take(k).toSeq
+          assert(viaSocket == exact, s"fixture exactness, query $qi")
+        }
+        // hedge-budget RESERVATION (ADVICE r14): a fresh router has ONE
+        // burst token (fraction·0 requests + 1); 32 concurrent reserves
+        // must grant exactly one — the old check-then-act LongAdder race
+        // could grant up to the concurrency level
+        val granted = new java.util.concurrent.atomic.AtomicInteger(0)
+        val burst = java.util.concurrent.Executors.newFixedThreadPool(32)
+        val startGate = new java.util.concurrent.CountDownLatch(1)
+        val done = new java.util.concurrent.CountDownLatch(32)
+        (0 until 32).foreach { _ =>
+          burst.submit(new Runnable { def run(): Unit = {
+            startGate.await()
+            if (router.tryReserveHedge(0.05)) granted.incrementAndGet()
+            done.countDown()
+          }})
+        }
+        startGate.countDown()
+        done.await()
+        burst.shutdownNow()
+        assert(granted.get() == 1,
+          s"budget must grant exactly the one burst token, got ${granted.get()}")
+      } finally router.close()
+      // fingerprint: a code slab cut from a DIFFERENT float slab (row
+      // drift) must fail the worker loud at load, before it ever binds —
+      // not mis-rescore survivors silently
+      val otherPath = s"$dir/other.slab"
+      SlabIO.write(otherPath, mkRows(501, 32))
+      val ex = intercept[IllegalArgumentException] {
+        ShardWorker.main(Array(otherPath, freePort().toString, k.toString,
+          "0.0", "2", "0", "20", s"$floatPath.i8"))
+      }
+      assert(ex.getMessage.contains("fingerprint mismatch"))
+    } finally {
+      pool.shutdownNow()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
     }
   }
 
