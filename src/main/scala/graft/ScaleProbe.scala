@@ -207,21 +207,84 @@ object ScaleProbe {
         (0 until nQueries).map(i => 3000L + i).toDF("id")
       }
       val bytesAcc = new java.util.concurrent.atomic.AtomicLong
+      // GRAFT_LC_TRACE=1: per-stage byte attribution (stage name carries
+      // the call site) — the maintenance-reader diagnosis tool (r15)
+      val trace = sys.env.get("GRAFT_LC_TRACE").contains("1")
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (t.taskMetrics != null)
             bytesAcc.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (trace) {
+            val mb = s.stageInfo.taskMetrics.inputMetrics.bytesRead / 1e6
+            if (mb > 20) {
+              // the stage NAME for exchange/broadcast stages is a generic
+              // thread-pool frame; look for any non-spark frame in the
+              // creation-site stack, else dump the head of the stack
+              val lines = s.stageInfo.details.split("\n").map(_.trim)
+              val site = lines.find(l => l.contains("graft."))
+                .getOrElse(lines.filterNot(l =>
+                  l.contains("java.") || l.contains("scala.concurrent"))
+                  .take(4).mkString(" <- "))
+              println(f"[lcstage] ${s.stageInfo.stageId}%4d ${mb}%8.1f MB  " +
+                site.take(300))
+            }
+          }
       }
+      // FILESYSTEM-level bytes read (Hadoop FS statistics for the store's
+      // scheme, JVM-wide — valid in local mode where executors are
+      // in-process): the 100 TB-relevant number. The task-metrics
+      // `tick_mb` above ALSO counts block-manager re-reads of
+      // localCheckpoint/cached frames as "input" (the r15 trace showed
+      // the big merge stages are checkpoint-block reads, not parquet),
+      // so it OVERSTATES remote-storage I/O; both ship so the artifact
+      // carries the distinction.
+      def fsBytesRead(): Long = {
+        import scala.jdk.CollectionConverters._
+        org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+          .map(_.getBytesRead).sum
+      }
+      val fs0 = fsBytesRead()
       spark.sparkContext.addSparkListener(listener)
       bytesAcc.set(0L)
-      val (centsAfter, tickSecs) = timed(CollectionStore.maintainIndexed(
-        spark, path, adds, Some(dels), nBuckets = 64,
-        minRows = minR, maxRows = maxR,
-        pqResidualCodebook = Some(cbRes)))
+      // GRAFT_LC_DECOMPOSE=1: run the tick as its two phases (the exact
+      // maintainIndexed body) with separate byte counts — the attribution
+      // knob for "what reads the store during maintenance" (r15: the r14
+      // guess that the band-check sizing pass dominated was WRONG; the
+      // footer-based cellSizes barely moved the total)
+      val decompose = sys.env.get("GRAFT_LC_DECOMPOSE").contains("1")
+      var mergeBytes = -1L
+      var optBytes = -1L
+      val (centsAfter, tickSecs) =
+        if (!decompose)
+          timed(CollectionStore.maintainIndexed(
+            spark, path, adds, Some(dels), nBuckets = 64,
+            minRows = minR, maxRows = maxR,
+            pqResidualCodebook = Some(cbRes)))
+        else timed {
+          val centRows = spark.read.parquet(path + "_centroids")
+            .select(col("cid").cast("long").as("cid"), col("ce"))
+            .orderBy("cid").collect()
+          CollectionStore.mergeIndexed(spark, path, adds,
+            centRows.map(_.getLong(0)).toSeq,
+            centRows.map(_.getSeq[Double](1).toSeq).toSeq,
+            nBuckets = 64, pqCodebook = None, deletes = Some(dels),
+            pqResidualCodebook = Some(cbRes))
+          Thread.sleep(2000)
+          mergeBytes = bytesAcc.get()
+          val r = CollectionStore.optimizePartitions(spark, path,
+            minRows = minR, maxRows = maxR, nBuckets = 64,
+            pqResidualCodebook = Some(cbRes))
+          Thread.sleep(2000)
+          optBytes = bytesAcc.get() - mergeBytes
+          r
+        }
       Thread.sleep(2000) // listener events drain async
       spark.sparkContext.removeSparkListener(listener)
       val tickBytes = bytesAcc.get()
+      val tickFsBytes = fsBytesRead() - fs0
       val c = centsAfter.count()
       // consistency closure: recompute every row's residual codes vs the
       // final centroid table — stale count must be 0 (one full scan,
@@ -240,6 +303,11 @@ object ScaleProbe {
         s""""batch_adds":${2 * nQueries},"batch_dels":$nQueries,""" +
         s""""tick_secs":${math.rint(tickSecs * 100) / 100},""" +
         s""""tick_mb":${math.rint(tickBytes / 1e5) / 10},""" +
+        s""""tick_fs_mb":${math.rint(tickFsBytes / 1e5) / 10},""" +
+        (if (decompose)
+          s""""merge_mb":${math.rint(mergeBytes / 1e5) / 10},""" +
+            s""""optimize_mb":${math.rint(optBytes / 1e5) / 10},"""
+        else "") +
         s""""stale_codes":$stale}""")
       spark.stop()
       return
