@@ -37,6 +37,10 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // serving mode collects a 2M-row replica template (~1 GB of rows)
+      // to the driver — the deliberate replica-tier shape; the default
+      // 1 GB maxResultSize caps it mid-collect
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -344,7 +348,9 @@ object ScaleProbe {
           import scala.concurrent.Await
           import scala.concurrent.duration._
           def one(q: Array[Double]): Array[org.apache.spark.sql.Row] =
-            Await.result(srv.submit(q.toSeq), 120.seconds)
+            // 20 min: the FIRST request pays the whole replica build
+            // (2M-row template collect + flat slab + int8 quantize)
+            Await.result(srv.submit(q.toSeq), 1200.seconds)
           (0 until 20).foreach(i => one(qPool(i % qPool.length))) // JIT warm
           // solo closed loop over the query pool
           val lats = qPool.map { q =>
