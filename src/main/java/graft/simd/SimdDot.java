@@ -1,6 +1,10 @@
 package graft.simd;
 
+import jdk.incubator.vector.ByteVector;
 import jdk.incubator.vector.DoubleVector;
+import jdk.incubator.vector.IntVector;
+import jdk.incubator.vector.VectorOperators;
+import jdk.incubator.vector.VectorShape;
 import jdk.incubator.vector.VectorSpecies;
 
 /**
@@ -77,5 +81,51 @@ public final class SimdDot {
       s0 = s0.add(e.mul(q0[d]));
     }
     s0.intoArray(out, 0);
+  }
+
+  // ------------------------------------------------------------------
+  // INT8 phase-1 kernel (r15): the quantized tiers' byte-slab scan was a
+  // scalar multiply-add loop while the float tier ran the vector kernel
+  // — the measured compute-vs-bandwidth crossover penalized int8 in the
+  // compute-bound regimes. Integer arithmetic is EXACT, so unlike the
+  // float kernels there is no rounding contract to preserve: any
+  // evaluation order gives the bit-identical sum.
+  // ------------------------------------------------------------------
+
+  private static final VectorSpecies<Integer> SPI =
+      IntVector.SPECIES_PREFERRED;
+  // byte species with exactly SPI.length() lanes, so one byte load
+  // widens (B2I) into one full int vector. Needs >= 256-bit int vectors
+  // (a 128-bit platform would want a 32-bit byte shape, which the API
+  // does not define) — INT8_OK gates the dispatch, scalar otherwise.
+  public static final boolean INT8_OK = SPI.vectorBitSize() >= 256;
+  private static final VectorSpecies<Byte> SPB = INT8_OK
+      ? VectorSpecies.of(byte.class,
+          VectorShape.forBitSize(SPI.vectorBitSize() / 4))
+      : ByteVector.SPECIES_64;
+
+  /** Exact integer dot of {@code len} int8 codes against a quantized
+   *  query, both sign-extended to 32-bit lanes (widen, multiply,
+   *  accumulate). Per-lane partial sums stay far inside int range for
+   *  any realistic dim (|code·q| ≤ 127² = 16,129; at dim 2,048 a lane
+   *  accumulates ≤ 256 products ≈ 4.1M). Callers must ensure
+   *  {@code q.length >= len}. */
+  public static long dotBytes(byte[] codes, int off, int len, byte[] q) {
+    int d = 0;
+    long s = 0;
+    if (INT8_OK) {
+      IntVector acc = IntVector.zero(SPI);
+      int L = SPI.length();
+      for (; d + L <= len; d += L) {
+        IntVector c = (IntVector) ByteVector.fromArray(SPB, codes, off + d)
+            .convertShape(VectorOperators.B2I, SPI, 0);
+        IntVector qq = (IntVector) ByteVector.fromArray(SPB, q, d)
+            .convertShape(VectorOperators.B2I, SPI, 0);
+        acc = acc.add(c.mul(qq));
+      }
+      s = acc.reduceLanes(VectorOperators.ADD);
+    }
+    for (; d < len; d++) s += codes[off + d] * q[d];
+    return s;
   }
 }

@@ -578,6 +578,13 @@ object BatchedServer {
         try graft.simd.SimdDot.LANES
         catch { case _: Throwable => 0 }
     def enabled: Boolean = lanes > 0
+    /** INT8 widening kernel availability (needs ≥256-bit int vectors —
+      * [[graft.simd.SimdDot.INT8_OK]] — on top of the module guard).
+      * Integer math is exact, so scalar and SIMD paths are
+      * bit-identical by construction (spec-asserted anyway). */
+    val int8: Boolean =
+      enabled && (try graft.simd.SimdDot.INT8_OK
+      catch { case _: Throwable => false })
   }
 
   /** The replica's in-memory layout: parallel primitive arrays with one
@@ -1007,15 +1014,19 @@ object BatchedServer {
       pool: java.util.concurrent.ExecutorService, slices: Int)
       : Array[(Int, Long, Double, Int)] = {
     val nq = queries.length
-    val q8: Array[Array[Int]] = queries.map { q =>
-      val a = new Array[Int](q.length)
+    val q8: Array[Array[Byte]] = queries.map { q =>
+      val a = new Array[Byte](q.length)
       var i = 0
-      while (i < q.length) { a(i) = quantizeCode(q(i)).toInt; i += 1 }
+      while (i < q.length) { a(i) = quantizeCode(q(i)); i += 1 }
       a
     }
     // phase 1: per-slice bounded heaps on (intdot, id); intdot ≤ 127²·d
     // fits a Double exactly (< 2^53), so TopK is reused as-is with the
-    // row index riding in the user slot
+    // row index riding in the user slot. The byte dot dispatches to the
+    // widening SIMD kernel when available (integer math — scalar and
+    // vector paths are bit-identical, unlike the float kernels' ordering
+    // contract).
+    val useSimd = SimdSupport.int8
     def phase1(lo: Int, hi: Int): Array[(Int, Long, Double, Int)] = {
       val tops = Array.fill(nq)(new TopK(fetchK))
       var i = lo
@@ -1027,9 +1038,14 @@ object BatchedServer {
         while (qi < nq) {
           val q = q8(qi)
           val nd = math.min(len, q.length)
-          var s = 0L
-          var d = 0
-          while (d < nd) { s += codes(b0 + d).toLong * q(d); d += 1 }
+          val s: Long =
+            if (useSimd) graft.simd.SimdDot.dotBytes(codes, b0, nd, q)
+            else {
+              var t = 0L
+              var d = 0
+              while (d < nd) { t += codes(b0 + d) * q(d); d += 1 }
+              t
+            }
           tops(qi).offer(s.toDouble, id, i)
           qi += 1
         }

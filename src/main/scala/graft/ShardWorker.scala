@@ -234,14 +234,17 @@ object ShardWorker {
     val nq = queries.length
     val n = slab.n
     val fetchK = math.max(k, (k * oversample).toInt)
-    val q8: Array[Array[Int]] = queries.map { q =>
-      val a = new Array[Int](q.length)
+    val q8: Array[Array[Byte]] = queries.map { q =>
+      val a = new Array[Byte](q.length)
       var i = 0
       while (i < q.length) {
-        a(i) = BatchedServer.quantizeCode(q(i)).toInt; i += 1
+        a(i) = BatchedServer.quantizeCode(q(i)); i += 1
       }
       a
     }
+    // same SIMD dispatch as the in-JVM kernel (integer math — scalar
+    // and vector paths bit-identical)
+    val useSimd = BatchedServer.SimdSupport.int8
     def phase1(lo: Int, hi: Int): Array[(Int, Long, Double, Int)] = {
       val tops = Array.fill(nq)(new BatchedServer.TopK(fetchK))
       var i = lo
@@ -253,9 +256,14 @@ object ShardWorker {
         while (qi < nq) {
           val q = q8(qi)
           val nd = math.min(len, q.length)
-          var s = 0L
-          var d = 0
-          while (d < nd) { s += slab.codes(b0 + d).toLong * q(d); d += 1 }
+          val s: Long =
+            if (useSimd) graft.simd.SimdDot.dotBytes(slab.codes, b0, nd, q)
+            else {
+              var t = 0L
+              var d = 0
+              while (d < nd) { t += slab.codes(b0 + d) * q(d); d += 1 }
+              t
+            }
           tops(qi).offer(s.toDouble, id, i)
           qi += 1
         }

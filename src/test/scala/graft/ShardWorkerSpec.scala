@@ -312,6 +312,22 @@ class ShardWorkerSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 SIMD dot == scalar dot on every length/offset (exact integer math)") {
+    // integer arithmetic is order-independent, so the widening SIMD
+    // kernel must be BIT-identical to the scalar loop — including tails
+    // shorter than a vector and unaligned slab offsets
+    val rnd = new scala.util.Random(41)
+    val codes = Array.fill(1024)((rnd.nextInt(255) - 127).toByte)
+    for (len <- Seq(0, 1, 7, 8, 15, 16, 63, 64, 100); off <- Seq(0, 3, 64, 129)) {
+      val q = Array.fill(len)((rnd.nextInt(255) - 127).toByte)
+      var want = 0L
+      var d = 0
+      while (d < len) { want += codes(off + d) * q(d); d += 1 }
+      val got = graft.simd.SimdDot.dotBytes(codes, off, len, q)
+      assert(got == want, s"len=$len off=$off")
+    }
+  }
+
   test("worker topK over slices == brute-force top-k with the global tie order") {
     val rows = mkRows(1003, 32)
     val rep = BatchedServer.FlatReplica(rows)
