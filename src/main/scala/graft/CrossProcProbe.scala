@@ -21,10 +21,115 @@ import org.apache.spark.sql.functions._
   *     the same two load shapes the in-JVM sharded tier is graded at. */
 object CrossProc {
 
+  /** Deterministic driver-side Lloyd k-means over a sample — the IVF
+    * worker tier's centroid trainer. Init = evenly spaced sample rows
+    * (deterministic), fixed iteration count, parallel assignment over a
+    * local pool. This trains the SLAB layout's cell directory; the probe
+    * measures the recall the resulting cells actually deliver, so a
+    * mediocre clustering costs nprobe, never correctness. */
+  private[graft] def localKMeans(sample: Array[Array[Double]], c: Int,
+      iters: Int, threads: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty && c >= 1)
+    val d = sample(0).length
+    var cents = Array.tabulate(math.min(c, sample.length))(j =>
+      sample(j * (sample.length / math.min(c, sample.length))).clone())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      (0 until iters).foreach { _ =>
+        val cc = cents
+        val parts = (0 until threads).map { t =>
+          pool.submit(new java.util.concurrent.Callable[
+              (Array[Array[Double]], Array[Long])] {
+            def call(): (Array[Array[Double]], Array[Long]) = {
+              val sums = Array.fill(cc.length)(new Array[Double](d))
+              val counts = new Array[Long](cc.length)
+              var i = t
+              while (i < sample.length) {
+                val e = sample(i)
+                var best = 0; var bestS = Double.NegativeInfinity
+                var j = 0
+                while (j < cc.length) {
+                  var s = 0.0; var x = 0
+                  while (x < d) { s += e(x) * cc(j)(x); x += 1 }
+                  if (s > bestS) { bestS = s; best = j }
+                  j += 1
+                }
+                var x = 0
+                while (x < d) { sums(best)(x) += e(x); x += 1 }
+                counts(best) += 1
+                i += threads
+              }
+              (sums, counts)
+            }
+          })
+        }.map(_.get())
+        cents = cents.indices.map { j =>
+          val sum = new Array[Double](d)
+          var n = 0L
+          parts.foreach { case (sums, counts) =>
+            var x = 0
+            while (x < d) { sum(x) += sums(j)(x); x += 1 }
+            n += counts(j)
+          }
+          if (n == 0) cents(j) // empty cell keeps its centroid
+          else {
+            // spherical k-means: normalize so ranking by dot == nearest
+            var norm = 0.0
+            var x = 0
+            while (x < d) { norm += sum(x) * sum(x); x += 1 }
+            norm = math.sqrt(norm)
+            if (norm == 0) cents(j) else sum.map(_ / norm)
+          }
+        }.toArray
+      }
+      cents
+    } finally pool.shutdownNow()
+  }
+
+  /** Nearest-cell index per row (round6 dot desc, cid asc — the
+    * store-side ivfAssign tie rule), parallel over a local pool. */
+  private[graft] def assignCells(rows: Array[(Long, Array[Double], Int)],
+      cents: Array[Array[Double]], threads: Int): Array[Int] = {
+    val out = new Array[Int](rows.length)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var i = t
+            while (i < rows.length) {
+              val e = rows(i)._2
+              var best = 0
+              var bestS = Double.NegativeInfinity
+              var j = 0
+              while (j < cents.length) {
+                val ce = cents(j)
+                val nd = math.min(ce.length, e.length)
+                var s = 0.0; var x = 0
+                while (x < nd) { s += e(x) * ce(x); x += 1 }
+                val r = graft.plans.Num.round6(s)
+                if (r > bestS || (r == bestS && j < best)) {
+                  // j ascends, so r > bestS is the only live branch; the
+                  // tie arm documents the (round6 desc, cid asc) rule
+                  bestS = r; best = j
+                }
+                j += 1
+              }
+              out(i) = best
+              i += threads
+            }
+          }
+        })
+      }.foreach(_.get())
+      out
+    } finally pool.shutdownNow()
+  }
+
   def measure(spark: SparkSession, bigPoints: DataFrame,
       qPool: Array[Array[Double]], k: Int = 10, th: Double = 0.1,
       forcedShards: Option[Int] = None,
-      int8: Boolean = false): Map[String, Double] = {
+      int8: Boolean = false, ivf: Boolean = false,
+      int8Oversample: Double = 3.0): Map[String, Double] = {
     val bigN = bigPoints.count()
     val shardMaxRows = BatchedServer.DefaultReplicaMaxRows
     // forcedShards: the shard-count SWEEP knob (VERDICT r12 #3) — same
@@ -41,13 +146,15 @@ object CrossProc {
     val dir = java.nio.file.Files.createTempDirectory("graft_xproc").toString
     // shard handoff: one slab file per hash shard (what a cluster would
     // read from the bucketed store); in int8 mode a code slab rides next
-    // to each float slab, fingerprinted by the float file's size
+    // to each float slab, fingerprinted by the float file's size AND
+    // content checksum (ADVICE r15). Rows are collected ONE SHARD AT A
+    // TIME and released after the slab is on disk — the parity gate
+    // below re-reads slabs from disk the same way, so the driver never
+    // holds more than one shard's rows (ADVICE r15: keeping every
+    // shard's rows roughly tripled driver-resident memory in a probe
+    // whose point is slab economics).
     var floatSlabBytes = 0L
     var codeSlabBytes = 0L
-    // int8 mode keeps each shard's rows for the parity gate below (the
-    // cross-proc int8 path must equal the in-JVM int8 kernel per shard)
-    val shardRowsKept =
-      scala.collection.mutable.ArrayBuffer[Array[(Long, Array[Double], Int)]]()
     val slabs = (0 until nShards).map { s =>
       val rows = bigPoints
         .filter(pmod(col("id"), lit(nShards.toLong)) === s.toLong)
@@ -57,11 +164,9 @@ object CrossProc {
       SlabIO.write(p, rows)
       floatSlabBytes += java.nio.file.Files.size(java.nio.file.Paths.get(p))
       if (int8) {
-        SlabIO.writeInt8(s"$p.i8", rows,
-          java.nio.file.Files.size(java.nio.file.Paths.get(p)))
+        SlabIO.writeInt8(s"$p.i8", rows, p)
         codeSlabBytes += java.nio.file.Files.size(
           java.nio.file.Paths.get(s"$p.i8"))
-        shardRowsKept += rows
       }
       p
     }
@@ -125,17 +230,29 @@ object CrossProc {
               router.search(qPool(qi)).map(h => (h._1, h._2)).toSeq == exactIds(qi)
             }
           else {
-            val reps = shardRowsKept.map { rows =>
-              val rep = BatchedServer.FlatReplica(rows)
-              (rep, BatchedServer.quantizeSlab(rep.embs))
+            // per-shard oracle built ONE SHARD AT A TIME from the slab
+            // files (SlabIO.read) and released before the next — all
+            // three test queries batch through each shard so the slab
+            // is read once (ADVICE r15 driver-memory fix)
+            val qis = Seq(0, nQ / 2, nQ - 1)
+            val wantByQ = scala.collection.mutable.Map[Int,
+              scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]]()
+            qis.foreach(qi => wantByQ(qi) =
+              scala.collection.mutable.ArrayBuffer.empty)
+            slabs.foreach { slabPath =>
+              val rep = BatchedServer.FlatReplica(SlabIO.read(slabPath))
+              val codes = BatchedServer.quantizeSlab(rep.embs)
+              val qArr = qis.map(qPool(_)).toArray
+              val hits = BatchedServer.int8TwoPhase(rep, codes, qArr,
+                k, th, math.max(k, k * 3), null, 1)
+              hits.foreach { case (bi, id, s, u) =>
+                wantByQ(qis(bi)) += ((id, s, u))
+              }
             }
-            Seq(0, nQ / 2, nQ - 1).forall { qi =>
+            qis.forall { qi =>
               val got = router.search(qPool(qi)).toSeq
-              val want = reps.flatMap { case (rep, codes) =>
-                BatchedServer.int8TwoPhase(rep, codes, Array(qPool(qi)),
-                  k, th, math.max(k, k * 3), null, 1)
-                  .map { case (_, id, s, u) => (id, s, u) }
-              }.sortBy { case (id, s, _) => (-s, id) }.take(k)
+              val want = wantByQ(qi)
+                .sortBy { case (id, s, _) => (-s, id) }.take(k).toSeq
               got == want
             }
           }

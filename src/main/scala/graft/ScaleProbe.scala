@@ -267,23 +267,29 @@ object ScaleProbe {
             spark, path, adds, Some(dels), nBuckets = 64,
             minRows = minR, maxRows = maxR,
             pqResidualCodebook = Some(cbRes)))
-        else timed {
+        else {
+          // the listener-drain sleeps live OUTSIDE the timers (ADVICE
+          // r15: with them inside, decompose-mode tick_secs was ~4 s
+          // overstated vs the normal path and the two rows were not
+          // comparable) — each phase is timed alone, the drain waits
+          // between the stopwatches
           val centRows = spark.read.parquet(path + "_centroids")
             .select(col("cid").cast("long").as("cid"), col("ce"))
             .orderBy("cid").collect()
-          CollectionStore.mergeIndexed(spark, path, adds,
+          val (_, mergeSecs) = timed(CollectionStore.mergeIndexed(
+            spark, path, adds,
             centRows.map(_.getLong(0)).toSeq,
             centRows.map(_.getSeq[Double](1).toSeq).toSeq,
             nBuckets = 64, pqCodebook = None, deletes = Some(dels),
-            pqResidualCodebook = Some(cbRes))
+            pqResidualCodebook = Some(cbRes)))
           Thread.sleep(2000)
           mergeBytes = bytesAcc.get()
-          val r = CollectionStore.optimizePartitions(spark, path,
-            minRows = minR, maxRows = maxR, nBuckets = 64,
-            pqResidualCodebook = Some(cbRes))
+          val (r, optTickSecs) = timed(CollectionStore.optimizePartitions(
+            spark, path, minRows = minR, maxRows = maxR, nBuckets = 64,
+            pqResidualCodebook = Some(cbRes)))
           Thread.sleep(2000)
           optBytes = bytesAcc.get() - mergeBytes
-          r
+          (r, mergeSecs + optTickSecs)
         }
       Thread.sleep(2000) // listener events drain async
       spark.sparkContext.removeSparkListener(listener)

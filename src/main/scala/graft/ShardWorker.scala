@@ -65,6 +65,47 @@ object SlabIO {
     } finally ch.close()
   }
 
+  /** Content fingerprint of a FLOAT slab file: XOR-fold of the header,
+    * the full ids region, and the first and last 4 KiB of the doubles
+    * region (position-mixed so reorderings change it). A size-only
+    * fingerprint accepts a float slab REGENERATED with the same row
+    * count but different embedding values — phase 1 would then rank on
+    * stale codes while phase 2 rescores fresh floats, silently degrading
+    * recall (ADVICE r15); sampling real embedding content catches that
+    * while reading ≤ ids-region + 8 KiB. Writer and loader call THIS
+    * function on the same file, so the two sides cannot drift. */
+  def floatSlabChecksum(path: String): Long = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, size)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      require(buf.getInt() == 0x534C4142, s"bad slab magic in $path")
+      val n = buf.getInt()
+      var h = 0x9E3779B97F4A7C15L * (n + 1)
+      var i = 0
+      while (i < n) { // ids region: catches row drift / reorder
+        h = java.lang.Long.rotateLeft(h ^ buf.getLong(8 + 8 * i), 7) *
+          0x100000001B3L
+        i += 1
+      }
+      val dataStart = 8L + 8L * n + 4L * n + 4L * (n + 1)
+      def foldRegion(from: Long, until: Long): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          h = java.lang.Long.rotateLeft(h ^ buf.getLong(p.toInt), 11) *
+            0x100000001B3L
+          p += 8
+        }
+      }
+      // first + last 4 KiB of embedding content: catches same-shape
+      // regenerated values
+      foldRegion(dataStart, math.min(size, dataStart + 4096))
+      foldRegion(math.max(dataStart, size - 4096), size)
+      h
+    } finally ch.close()
+  }
+
   /** INT8 code-slab twin of [[write]] (VERDICT r14 #6 — the reference's
     * always-RAM INT8 at the storage layer, src/core/qdrant_client.py:129-138,
     * extended to the sharded tier where the 8× RAM cut decides how many
@@ -72,23 +113,27 @@ object SlabIO {
     * per cell (code = clamp(HALF_UP(x·127)) — [[BatchedServer.quantizeCode]],
     * the same fixed-range code as the in-JVM int8 replica). No codebook
     * rides with it because the code is a pure function of the float —
-    * but the file still carries the float slab's byte SIZE as a
-    * fingerprint, so a code slab paired with the wrong float slab (row
-    * drift between the two handoffs) fails loud at load. */
+    * but the file still carries the float slab's byte size AND content
+    * checksum ([[floatSlabChecksum]]) as a pairing fingerprint, so a
+    * code slab paired with the wrong float slab (row drift OR a
+    * regenerated same-shape slab — ADVICE r15) fails loud at load. */
   def writeInt8(path: String, rows: Array[(Long, Array[Double], Int)],
-      floatSlabBytes: Long): Unit = {
+      floatSlabPath: String): Unit = {
     val n = rows.length
     var cells = 0L
     rows.foreach(r => cells += r._2.length)
     require(cells <= Int.MaxValue, s"slab too large: $cells cells")
+    val floatSlabBytes = java.nio.file.Files.size(Paths.get(floatSlabPath))
+    val floatChecksum = floatSlabChecksum(floatSlabPath)
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
       val buf = ByteBuffer.allocateDirect(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
       def flush(): Unit = { buf.flip(); while (buf.hasRemaining) ch.write(buf); buf.clear() }
       def ensure(k: Int): Unit = if (buf.remaining < k) flush()
-      ensure(16); buf.putInt(0x534C4238); buf.putInt(n) // "SLB8"
+      ensure(24); buf.putInt(0x534C4238); buf.putInt(n) // "SLB8"
       buf.putLong(floatSlabBytes)
+      buf.putLong(floatChecksum)
       rows.foreach { r => ensure(8); buf.putLong(r._1) }
       rows.foreach { r => ensure(4); buf.putInt(r._3) }
       var off = 0
@@ -108,8 +153,25 @@ object SlabIO {
     * contiguous code slab — the RAM-pinned phase-1 state of an int8
     * shard worker (8× smaller than the float slab it fingerprints). */
   final case class Int8Slab(ids: Array[Long], users: Array[Int],
-      offs: Array[Int], codes: Array[Byte], floatSlabBytes: Long) {
+      offs: Array[Int], codes: Array[Byte], floatSlabBytes: Long,
+      floatChecksum: Long) {
     def n: Int = ids.length
+
+    /** Fail-loud pairing gate: THIS code slab must have been cut from
+      * the float slab at `floatSlabPath` — same byte size AND the same
+      * content checksum (ADVICE r15: size alone accepts a regenerated
+      * same-shape slab and silently degrades recall). */
+    def requirePairedWith(floatSlabPath: String): Unit = {
+      val size = java.nio.file.Files.size(Paths.get(floatSlabPath))
+      require(floatSlabBytes == size,
+        s"int8 slab fingerprint mismatch: codes were cut from a " +
+          s"$floatSlabBytes-byte float slab, $floatSlabPath is $size")
+      val sum = floatSlabChecksum(floatSlabPath)
+      require(floatChecksum == sum,
+        s"int8 slab content-fingerprint mismatch: codes were cut from a " +
+          s"float slab with checksum $floatChecksum, $floatSlabPath " +
+          s"has $sum (same size, different content — regenerated slab?)")
+    }
   }
 
   def readInt8(path: String): Int8Slab = {
@@ -120,6 +182,7 @@ object SlabIO {
       require(buf.getInt() == 0x534C4238, s"bad int8 slab magic in $path")
       val n = buf.getInt()
       val floatBytes = buf.getLong()
+      val floatSum = buf.getLong()
       val ids = new Array[Long](n)
       var i = 0
       while (i < n) { ids(i) = buf.getLong(); i += 1 }
@@ -131,7 +194,86 @@ object SlabIO {
       while (i <= n) { offs(i) = buf.getInt(); i += 1 }
       val codes = new Array[Byte](offs(n))
       buf.get(codes)
-      Int8Slab(ids, users, offs, codes, floatBytes)
+      Int8Slab(ids, users, offs, codes, floatBytes, floatSum)
+    } finally ch.close()
+  }
+
+  /** IVF sidecar of a CELL-ORDERED slab (VERDICT r15 #1 — sub-linear
+    * phase-1 inside the shard worker): the float slab's rows must be
+    * written grouped by IVF cell; this file carries the per-shard cell
+    * directory — global cell ids, the centroid table, and row offsets
+    * `offs(j)..offs(j+1)` delimiting cell j's rows in slab row order —
+    * plus the float slab's (size, content-checksum) pairing fingerprint
+    * so a sidecar from a different or regenerated slab fails loud at
+    * load (same gate as the int8 slab). With it the worker scans only
+    * the `nprobe` cells nearest the query instead of the whole slab:
+    * per-query work stops scaling with shard size — the reference's
+    * core premise (sub-linear per-query work via its HNSW index,
+    * src/core/qdrant_client.py:100-151) on the executor-resident tier.
+    * Scoring within probed cells is EXACT (the same float kernel), so
+    * recall is exactly cell coverage and the store-side LCB calibration
+    * ([[graft.operators.IndexMeta]]) transfers unchanged. */
+  final case class IvfSidecar(cids: Array[Long], cents: Array[Array[Double]],
+      offs: Array[Int], floatSlabBytes: Long, floatChecksum: Long) {
+    def c: Int = cids.length
+
+    /** Same fail-loud pairing gate as [[Int8Slab.requirePairedWith]]:
+      * the sidecar's cell offsets are meaningful only against the exact
+      * cell-ordered slab they were cut from. */
+    def requirePairedWith(floatSlabPath: String): Unit = {
+      val size = java.nio.file.Files.size(Paths.get(floatSlabPath))
+      require(floatSlabBytes == size,
+        s"ivf sidecar fingerprint mismatch: cell offsets were cut from a " +
+          s"$floatSlabBytes-byte float slab, $floatSlabPath is $size")
+      val sum = floatSlabChecksum(floatSlabPath)
+      require(floatChecksum == sum,
+        s"ivf sidecar content-fingerprint mismatch: cell offsets were " +
+          s"cut from a float slab with checksum $floatChecksum, " +
+          s"$floatSlabPath has $sum")
+    }
+  }
+
+  def writeIvf(path: String, cids: Array[Long],
+      cents: Array[Array[Double]], offs: Array[Int],
+      floatSlabPath: String): Unit = {
+    val c = cids.length
+    require(cents.length == c && offs.length == c + 1,
+      s"ivf sidecar shape: $c cells, ${cents.length} cents, ${offs.length} offs")
+    val d = if (c == 0) 0 else cents(0).length
+    require(cents.forall(_.length == d), "ragged centroid table")
+    val floatBytes = java.nio.file.Files.size(Paths.get(floatSlabPath))
+    val floatSum = floatSlabChecksum(floatSlabPath)
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val bytes = 4 + 4 + 4 + 8 + 8 + 8L * c + 4L * (c + 1) + 8L * c * d
+      require(bytes <= Int.MaxValue, s"ivf sidecar too large: $bytes")
+      val buf = ByteBuffer.allocateDirect(bytes.toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(0x49564653).putInt(c).putInt(d) // "IVFS"
+      buf.putLong(floatBytes).putLong(floatSum)
+      cids.foreach(buf.putLong)
+      offs.foreach(buf.putInt)
+      cents.foreach(_.foreach(buf.putDouble))
+      buf.flip()
+      while (buf.hasRemaining) ch.write(buf)
+    } finally ch.close()
+  }
+
+  def readIvf(path: String): IvfSidecar = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+        .order(ByteOrder.LITTLE_ENDIAN)
+      require(buf.getInt() == 0x49564653, s"bad ivf sidecar magic in $path")
+      val c = buf.getInt()
+      val d = buf.getInt()
+      val floatBytes = buf.getLong()
+      val floatSum = buf.getLong()
+      val cids = Array.fill(c)(buf.getLong())
+      val offs = Array.fill(c + 1)(buf.getInt())
+      val cents = Array.fill(c)(Array.fill(d)(buf.getDouble()))
+      IvfSidecar(cids, cents, offs, floatBytes, floatSum)
     } finally ch.close()
   }
 
@@ -190,22 +332,80 @@ object SlabIO {
 
 object ShardWorker {
 
+  /** Split `ranges` (half-open row intervals) into ≤`slices` work chunks
+    * of near-equal total row count — the pruned-scan analogue of the
+    * full scan's uniform slicing. Each chunk is a list of sub-intervals
+    * so one oversized cell still parallelizes. */
+  private[graft] def chunkRanges(ranges: Array[(Int, Int)], slices: Int)
+      : Array[Array[(Int, Int)]] = {
+    val total = ranges.map { case (lo, hi) => math.max(hi - lo, 0) }.sum
+    if (total == 0) return Array.empty
+    val step = math.max(1, (total + slices - 1) / math.max(slices, 1))
+    val chunks = Array.newBuilder[Array[(Int, Int)]]
+    val cur = Array.newBuilder[(Int, Int)]
+    var curRows = 0
+    ranges.foreach { case (lo0, hi) =>
+      var lo = lo0
+      while (lo < hi) {
+        val take = math.min(hi - lo, step - curRows)
+        cur += ((lo, lo + take))
+        lo += take
+        curRows += take
+        if (curRows >= step) {
+          chunks += cur.result(); cur.clear(); curRows = 0
+        }
+      }
+    }
+    val tail = cur.result()
+    if (tail.nonEmpty) chunks += tail
+    chunks.result()
+  }
+
+  /** Rank the sidecar's cells by round6(q·centroid) desc, cell id asc —
+    * the SAME probe order as the store-side [[graft.operators.Ann.probeCids]]
+    * / TopCentroids, so the store's calibrated nprobe transfers — and
+    * return the top `nprobe` cells' row ranges in slab order. */
+  private[graft] def probeRanges(ivf: SlabIO.IvfSidecar,
+      q: Array[Double], nprobe: Int): Array[(Int, Int)] = {
+    val c = ivf.c
+    val scored = new Array[(Double, Long, Int)](c)
+    var j = 0
+    while (j < c) {
+      val ce = ivf.cents(j)
+      val nd = math.min(ce.length, q.length)
+      var s = 0.0
+      var d = 0
+      while (d < nd) { s += ce(d) * q(d); d += 1 }
+      scored(j) = (graft.plans.Num.round6(s), ivf.cids(j), j)
+      j += 1
+    }
+    scored.sortBy { case (s, cid, _) => (-s, cid) }
+      .take(math.min(nprobe, c))
+      .map { case (_, _, idx) => (ivf.offs(idx), ivf.offs(idx + 1)) }
+      .sortBy(_._1) // scan in slab order: sequential memory walk
+  }
+
   /** Score `queries` over the replica on `threads` slices and merge the
     * per-slice top-k under (score desc, id asc) — identical merge rule
-    * to the in-JVM flush-slice merge. */
+    * to the in-JVM flush-slice merge. `ranges` (null = the whole slab)
+    * restricts the scan to the given row intervals — the IVF-pruned
+    * phase 1; scoring within them is the same exact kernel, so pruned
+    * output ≡ full-scan output whenever the intervals cover the
+    * queries' true top-k rows (spec-pinned at full probe). */
   private[graft] def topK(rep: BatchedServer.FlatReplica,
       pool: java.util.concurrent.ExecutorService, threads: Int,
-      queries: Array[Array[Double]], k: Int, th: Double)
+      queries: Array[Array[Double]], k: Int, th: Double,
+      ranges: Array[(Int, Int)] = null)
       : Array[Array[(Long, Double, Int)]] = {
-    val slices = math.max(1, math.min(threads, rep.n))
-    val step = (rep.n + slices - 1) / math.max(slices, 1)
-    val tasks = (0 until slices).map { s =>
-      val lo = s * step
-      val hi = math.min(rep.n, lo + step)
+    val rs = if (ranges != null) ranges else Array((0, rep.n))
+    val chunks = chunkRanges(rs, math.max(1, threads))
+    val tasks = chunks.map { chunk =>
       pool.submit(new java.util.concurrent.Callable[Array[(Int, Long, Double, Int)]] {
         def call(): Array[(Int, Long, Double, Int)] =
-          if (lo >= hi) Array.empty
-          else BatchedServer.scoreRange(rep, lo, hi, queries, k, th)
+          chunk.flatMap { case (lo, hi) =>
+            if (lo >= hi) Array.empty[(Int, Long, Double, Int)]
+            else BatchedServer.scoreRange(rep, lo, hi, queries, k, th)
+          }
       })
     }
     val all = tasks.flatMap(_.get())
@@ -230,7 +430,8 @@ object ShardWorker {
       floatBuf: ByteBuffer, dataStart: Long,
       pool: java.util.concurrent.ExecutorService, threads: Int,
       queries: Array[Array[Double]], k: Int, th: Double,
-      oversample: Double = 3.0): Array[Array[(Long, Double, Int)]] = {
+      oversample: Double = 3.0,
+      ranges: Array[(Int, Int)] = null): Array[Array[(Long, Double, Int)]] = {
     val nq = queries.length
     val n = slab.n
     val fetchK = math.max(k, (k * oversample).toInt)
@@ -277,14 +478,15 @@ object ShardWorker {
       }
       out.result()
     }
-    val slices = math.max(1, math.min(threads, n))
-    val step = (n + slices - 1) / math.max(slices, 1)
-    val tasks = (0 until slices).map { s =>
-      val lo = s * step
-      val hi = math.min(n, lo + step)
+    val rs = if (ranges != null) ranges else Array((0, n))
+    val chunks = chunkRanges(rs, math.max(1, threads))
+    val tasks = chunks.map { chunk =>
       pool.submit(new java.util.concurrent.Callable[Array[(Int, Long, Double, Int)]] {
         def call(): Array[(Int, Long, Double, Int)] =
-          if (lo >= hi) Array.empty else phase1(lo, hi)
+          chunk.flatMap { case (lo, hi) =>
+            if (lo >= hi) Array.empty[(Int, Long, Double, Int)]
+            else phase1(lo, hi)
+          }
       })
     }
     val cands = tasks.flatMap(_.get())
@@ -333,19 +535,34 @@ object ShardWorker {
     // survivor rescore (VERDICT r14 #6: the 8× RAM cut where it decides
     // shard count). Empty string = float mode (unchanged).
     val int8Path = if (args.length > 7) args(7) else ""
+    // optional 9th/10th args: an IVF sidecar path + nprobe (VERDICT r15
+    // #1 — sub-linear phase 1): the slab must be CELL-ORDERED and the
+    // sidecar cut from it (fail-loud fingerprint); each request then
+    // scans only the nprobe cells nearest each query instead of the
+    // whole slab. Composes with int8 (pruned byte-slab phase 1 + mmap
+    // float rescore) and with the float kernel (exact within probed
+    // cells). Empty string = full-scan mode (unchanged).
+    val ivfPath = if (args.length > 8) args(8) else ""
+    val nprobe = if (args.length > 9) args(9).toInt else 0
     val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
     val int8 = int8Path.nonEmpty
+    val ivf: SlabIO.IvfSidecar =
+      if (ivfPath.isEmpty) null
+      else {
+        require(nprobe >= 1, s"ivf mode needs nprobe >= 1, got $nprobe")
+        val sc = SlabIO.readIvf(ivfPath)
+        sc.requirePairedWith(slabPath)
+        sc
+      }
     val (rep, i8slab, floatBuf, floatDataStart) =
       if (!int8)
         (BatchedServer.FlatReplica(SlabIO.read(slabPath)), null, null, 0L)
       else {
         val slab = SlabIO.readInt8(int8Path)
         // fingerprint: the code slab must have been cut from THIS float
-        // slab (same row set/order) — mismatched handoffs fail loud
-        val floatSize = java.nio.file.Files.size(Paths.get(slabPath))
-        require(slab.floatSlabBytes == floatSize,
-          s"int8 slab fingerprint mismatch: codes were cut from a " +
-            s"${slab.floatSlabBytes}-byte float slab, $slabPath is $floatSize")
+        // slab (same row set/order AND same content — ADVICE r15):
+        // mismatched or regenerated handoffs fail loud
+        slab.requirePairedWith(slabPath)
         val (buf, ds) = SlabIO.mapFloatForRescore(slabPath)
         (null, slab, buf, ds)
       }
@@ -374,7 +591,18 @@ object ShardWorker {
               reqCounter.incrementAndGet() % stallEvery == 0)
               Thread.sleep(stallMs)
             val res =
-              if (int8) topKInt8(i8slab, floatBuf, floatDataStart,
+              if (ivf != null)
+                // pruned phase 1: per-query probe ranges (queries in a
+                // batch may probe different cells — usually nq=1 from
+                // the router, so the per-query dispatch costs nothing)
+                queries.map { q =>
+                  val rs = probeRanges(ivf, q, nprobe)
+                  if (int8)
+                    topKInt8(i8slab, floatBuf, floatDataStart, pool,
+                      threads, Array(q), k, th, ranges = rs)(0)
+                  else topK(rep, pool, threads, Array(q), k, th, rs)(0)
+                }
+              else if (int8) topKInt8(i8slab, floatBuf, floatDataStart,
                 pool, threads, queries, k, th)
               else topK(rep, pool, threads, queries, k, th)
             var i = 0
@@ -394,10 +622,12 @@ object ShardWorker {
 
     // readiness marker AFTER the slab is resident (the router also
     // handshakes with a ping before grading anything)
+    val ivfNote = if (ivf == null) "" else s" ivfCells=${ivf.c} nprobe=$nprobe"
     if (int8)
-      println(s"READY $port n=${i8slab.n} int8=1 codeBytes=${i8slab.codes.length}")
+      println(s"READY $port n=${i8slab.n} int8=1 " +
+        s"codeBytes=${i8slab.codes.length}$ivfNote")
     else
-      println(s"READY $port n=${rep.n} simdRows=${rep.simdRows}")
+      println(s"READY $port n=${rep.n} simdRows=${rep.simdRows}$ivfNote")
     while (true) {
       val sock = srv.accept()
       sock.setTcpNoDelay(true)

@@ -556,9 +556,17 @@ object Ann {
   def ivfPqResidualSearch(
       store: DataFrame, centroids: DataFrame,
       cbRes: Quantization.PqCodebook, queryDf: DataFrame,
-      nprobe: Int, k: Int, oversample: Double = 32.0): DataFrame = {
+      nprobe: Int, k: Int, oversample: Double = 32.0,
+      fetchKOverride: Long = -1L): DataFrame = {
     val probes = probeCids(centroids, queryDf, nprobe)
-    val fetchK = math.max(k, (k * oversample).toInt)
+    // fetchKOverride: the adaptive wrapper's budget passes through
+    // UNROUNDED (ADVICE r15 — round-tripping fetchK through a double
+    // oversample truncated e.g. 813 → (10 · 81.3).toInt = 812, diverging
+    // from the documented greatest(k·32, candidates/16) at probe sizes
+    // where the quotient is an inexact double)
+    val fetchK =
+      if (fetchKOverride > 0) fetchKOverride.toInt
+      else math.max(k, (k * oversample).toInt)
     // phase 1 reads the precomputed residual-code column when the store
     // carries one (saveIndexed pqResidualCodebook — m bytes/point over
     // the probed cells only: cell pruning × code compression, the
@@ -624,7 +632,7 @@ object Ann {
     val fetchK = math.max((k * minOversample).toLong,
       (candidates * rescoreFraction).toLong)
     ivfPqResidualSearch(store, centroids, cbRes, queryDf, nprobe, k,
-      oversample = fetchK.toDouble / k)
+      fetchKOverride = fetchK)
   }
 
   /** Sign-LSH bucket signature as a bit string. `hyperplanes` are plain

@@ -205,7 +205,7 @@ class ShardWorkerSpec extends AnyFunSuite {
     SlabIO.write(floatPath, rows)
     val floatBytes = java.nio.file.Files.size(
       java.nio.file.Paths.get(floatPath))
-    SlabIO.writeInt8(s"$floatPath.i8", rows, floatBytes)
+    SlabIO.writeInt8(s"$floatPath.i8", rows, floatPath)
     // round-trip: ids/users/offs exact; codes = quantizeCode of each cell
     val slab = SlabIO.readInt8(s"$floatPath.i8")
     assert(slab.n == rows.length && slab.floatSlabBytes == floatBytes)
@@ -301,6 +301,20 @@ class ShardWorkerSpec extends AnyFunSuite {
           "0.0", "2", "0", "20", s"$floatPath.i8"))
       }
       assert(ex.getMessage.contains("fingerprint mismatch"))
+      // content fingerprint (ADVICE r15): a float slab REGENERATED with
+      // the same row count/ids/dims but different embedding values has
+      // an identical byte size — the size gate passes, the content
+      // checksum must still fail loud (the silent-stale-codes hazard)
+      val regenPath = s"$dir/regen.slab"
+      SlabIO.write(regenPath, rows.map { case (id, e, u) =>
+        (id, e.map(x => -x), u) })
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(regenPath))
+        == floatBytes, "regenerated slab must be size-identical")
+      val ex2 = intercept[IllegalArgumentException] {
+        ShardWorker.main(Array(regenPath, freePort().toString, k.toString,
+          "0.0", "2", "0", "20", s"$floatPath.i8"))
+      }
+      assert(ex2.getMessage.contains("content-fingerprint mismatch"))
     } finally {
       pool.shutdownNow()
       import scala.jdk.CollectionConverters._
@@ -352,5 +366,158 @@ class ShardWorkerSpec extends AnyFunSuite {
         assert(got(qi).toSeq == want, s"query $qi")
       }
     } finally pool.shutdownNow()
+  }
+
+  /** Clustered fixture for the IVF-pruned worker: `c` unit centroids,
+    * `perCell` noisy unit rows around each; rows come back CELL-ORDERED
+    * (the slab layout the sidecar indexes) with the cell offsets. */
+  private def mkClustered(c: Int, perCell: Int, d: Int)
+      : (Array[(Long, Array[Double], Int)], Array[Long],
+         Array[Array[Double]], Array[Int]) = {
+    val rnd = new scala.util.Random(99)
+    def unit(): Array[Double] = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cents = Array.fill(c)(unit())
+    val all = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Int)]()
+    var id = 0L
+    (0 until c).foreach { j =>
+      (0 until perCell).foreach { _ =>
+        val e = cents(j).zip(unit()).map { case (a, b) => a + 0.15 * b }
+        val n = math.sqrt(e.map(x => x * x).sum)
+        all += ((id, e.map(_ / n), (id % 10).toInt))
+        id += 1
+      }
+    }
+    // assign each row to its NEAREST centroid (round6 dot desc, cid asc
+    // — the store-side ivfAssign rule), then order rows by (cell, id)
+    def cellOf(e: Array[Double]): Int =
+      (0 until c).map { j =>
+        var s = 0.0; var i = 0
+        while (i < d) { s += e(i) * cents(j)(i); i += 1 }
+        (graft.plans.Num.round6(s), j)
+      }.minBy { case (s, j) => (-s, j) }._2
+    val byCell = all.toArray.map(r => (cellOf(r._2), r))
+      .sortBy { case (cell, (rid, _, _)) => (cell, rid) }
+    val offs = new Array[Int](c + 1)
+    byCell.foreach { case (cell, _) => offs(cell + 1) += 1 }
+    (1 to c).foreach(j => offs(j) += offs(j - 1))
+    (byCell.map(_._2), (0 until c).map(_.toLong).toArray, cents, offs)
+  }
+
+  test("ivf sidecar: round-trip, pruned scan at full probe == full scan " +
+      "(float AND int8), partial probe stays exact-within-cells, " +
+      "pairing fingerprint fails loud") {
+    val d = 32
+    val (rows, cids, cents, offs) = mkClustered(c = 8, perCell = 60, d = d)
+    val k = 10
+    val dir = java.nio.file.Files.createTempDirectory("slab_ivf").toString
+    val floatPath = s"$dir/shard.slab"
+    SlabIO.write(floatPath, rows)
+    SlabIO.writeIvf(s"$floatPath.ivf", cids, cents, offs, floatPath)
+    SlabIO.writeInt8(s"$floatPath.i8", rows, floatPath)
+    val ivf = SlabIO.readIvf(s"$floatPath.ivf")
+    assert(ivf.c == 8 && ivf.cids.toSeq == cids.toSeq &&
+      ivf.offs.toSeq == offs.toSeq)
+    ivf.cents.zip(cents).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    ivf.requirePairedWith(floatPath) // must not throw
+    val rep = BatchedServer.FlatReplica(rows)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val rnd = new scala.util.Random(7)
+    // queries near cluster centers (the serving regime) + one random
+    val queries = cents.take(3).map { ce =>
+      val e = ce.zipWithIndex.map { case (x, i) =>
+        x + 0.05 * math.sin(i.toDouble) }
+      val n = math.sqrt(e.map(x => x * x).sum); e.map(_ / n)
+    } :+ {
+      val e = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(e.map(x => x * x).sum); e.map(_ / n)
+    }
+    try {
+      // FULL PROBE parity: nprobe = C covers every row, so the pruned
+      // scan must be row-for-row identical to the full scan — float...
+      val full = ShardWorker.topK(rep, pool, 4, queries, k, 0.0)
+      queries.zipWithIndex.foreach { case (q, qi) =>
+        val rs = ShardWorker.probeRanges(ivf, q, nprobe = ivf.c)
+        assert(rs.map { case (lo, hi) => hi - lo }.sum == rows.length,
+          "full probe must cover the whole slab")
+        val pruned = ShardWorker.topK(rep, pool, 4, Array(q), k, 0.0, rs)
+        assert(pruned(0).toSeq == full(qi).toSeq, s"float full-probe, q$qi")
+      }
+      // ...and int8 (pruned byte-slab phase 1 + mmap rescore)
+      val slab = SlabIO.readInt8(s"$floatPath.i8")
+      val (fbuf, ds) = SlabIO.mapFloatForRescore(floatPath)
+      val i8full = ShardWorker.topKInt8(slab, fbuf, ds, pool, 4, queries, k, 0.0)
+      queries.zipWithIndex.foreach { case (q, qi) =>
+        val rs = ShardWorker.probeRanges(ivf, q, nprobe = ivf.c)
+        val pruned = ShardWorker.topKInt8(slab, fbuf, ds, pool, 4,
+          Array(q), k, 0.0, ranges = rs)
+        assert(pruned(0).toSeq == i8full(qi).toSeq, s"int8 full-probe, q$qi")
+      }
+      // PARTIAL probe (nprobe=2): every returned hit's score must be the
+      // row's true exact score (pruning drops candidates, never corrupts
+      // survivors) and the ranking/tie order must hold
+      queries.indices.foreach { qi =>
+        val q = queries(qi)
+        val rs = ShardWorker.probeRanges(ivf, q, nprobe = 2)
+        val pruned = ShardWorker.topK(rep, pool, 4, Array(q), k, 0.0, rs)(0)
+        val exactScore = rows.map { case (id, e, u) =>
+          var s = 0.0; var i = 0
+          while (i < d) { s += e(i) * q(i); i += 1 }
+          id -> graft.plans.Num.round6(s)
+        }.toMap
+        pruned.foreach { case (id, s, _) =>
+          assert(s == exactScore(id), s"pruned score must be exact, q$qi id$id")
+        }
+        assert(pruned.sortBy { case (id, s, _) => (-s, id) }.toSeq
+          == pruned.toSeq, s"pruned order, q$qi")
+        // near-center queries: the top-k lives in the probed cells, so
+        // nprobe=2 already reproduces the full answer on this fixture
+        if (qi < 3) assert(pruned.toSeq == full(qi).toSeq,
+          s"clustered query q$qi must recall its cell's top-k at nprobe=2")
+      }
+      // end-to-end over a socket at full probe: ivf worker ≡ exact
+      def freePort(): Int = {
+        val s = new java.net.ServerSocket(0)
+        try s.getLocalPort finally s.close()
+      }
+      val port = freePort()
+      val t = new Thread(new Runnable {
+        def run(): Unit = ShardWorker.main(Array(floatPath, port.toString,
+          k.toString, "0.0", "2", "0", "20", "", s"$floatPath.ivf",
+          ivf.c.toString))
+      })
+      t.setDaemon(true); t.start()
+      var router: RemoteShardedRouter = null
+      var tries = 0
+      while (router == null) {
+        try router = new RemoteShardedRouter(
+          Seq(("127.0.0.1", port)), k, connsPerShard = 2)
+        catch { case e: java.io.IOException =>
+          tries += 1; if (tries > 60) throw e; Thread.sleep(250) }
+      }
+      try queries.zipWithIndex.foreach { case (q, qi) =>
+        assert(router.search(q).toSeq == full(qi).toSeq, s"socket ivf, q$qi")
+      } finally router.close()
+      // pairing: a sidecar against a REGENERATED same-shape slab must
+      // fail loud (its cell offsets would silently mis-slice the rows)
+      val regen = s"$dir/regen.slab"
+      SlabIO.write(regen, rows.map { case (id, e, u) => (id, e.map(-_), u) })
+      val ex = intercept[IllegalArgumentException](
+        ivf.requirePairedWith(regen))
+      assert(ex.getMessage.contains("content-fingerprint mismatch"))
+    } finally {
+      pool.shutdownNow()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    }
   }
 }
