@@ -80,13 +80,15 @@ object Api {
       maxBatch: Int = 1024, maxWaitMs: Long = 0L,
       pipelineDepth: Int = 2,
       localReplicaMaxRows: Long = BatchedServer.DefaultReplicaMaxRows,
-      int8Replica: Boolean = false)
+      int8Replica: Boolean = false,
+      recallTarget: Option[Double] = None)
       : BatchedServer = {
     validateK(k)
     val t = scoreThreshold.getOrElse(DefaultThreshold)
     validateThreshold(t)
     new BatchedServer(points, k, t, maxBatch, maxWaitMs, pipelineDepth,
-      localReplicaMaxRows, int8Replica = int8Replica)
+      localReplicaMaxRows, int8Replica = int8Replica,
+      recallTarget = recallTarget)
   }
 
   /** Validated sharded serving router — the replica-TOO-BIG tier (see
@@ -98,12 +100,13 @@ object Api {
       scoreThreshold: Option[Double] = None,
       shardMaxRows: Long = BatchedServer.DefaultReplicaMaxRows,
       maxBatch: Int = 1024, maxWaitMs: Long = 0L,
-      pipelineDepth: Int = 2): ShardedServer = {
+      pipelineDepth: Int = 2,
+      recallTarget: Option[Double] = None): ShardedServer = {
     validateK(k)
     val t = scoreThreshold.getOrElse(DefaultThreshold)
     validateThreshold(t)
     ShardedServer(points, k, t, shardMaxRows, maxBatch, maxWaitMs,
-      pipelineDepth)
+      pipelineDepth, recallTarget = recallTarget)
   }
 
   /** One-call convenience over a whole request queue: push every request

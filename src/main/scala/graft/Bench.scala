@@ -456,31 +456,27 @@ object Bench {
       (shpMedianRun._3, math.rint(adj * 1000) / 1000,
         math.rint(worstIdx.toDouble / math.max(trace.length - 1, 1) * 1000) / 1000)
     }
-    // ---- CROSS-PROCESS sharded tier (VERDICT r11 #8): same fixture,
-    // shards handed to worker JVMs (plain processes, bit-exact replica
-    // kernel, no Spark at runtime), scatter-gather over real sockets —
-    // the executor-resident deployment shape, measured. Guarded: a
-    // spawn failure degrades to absent keys, not a broken bench.
-    val crossProc: Map[String, Double] =
-      try CrossProc.measure(spark, bigPoints, qPool.map(_.toArray))
+    // ---- CROSS-PROCESS sharded tiers (VERDICT r11 #8 / r14 #6 / r15
+    // #1): shards handed to worker JVMs (plain processes, bit-exact
+    // replica kernel, no Spark at runtime), scatter-gather over real
+    // sockets — the executor-resident deployment shape, measured. ALL
+    // cross-proc phases (float + int8 + ivf) now run in ONE SMALL-HEAP
+    // SUBPROCESS (VERDICT r15 #4): the r15 in-suite paced rows spread
+    // 48.8–387.7 ms across same-code runs because this bench JVM's
+    // big-heap GC pauses landed on the fixed arrival clock — no policy
+    // number is graded from a big-heap JVM anymore. The subprocess
+    // rebuilds the same replica-too-big fixture from sfDir (identical
+    // construction) and ships every tier's keys in one JSON line.
+    // Guarded: a spawn failure degrades to absent keys, not a broken
+    // bench.
+    val crossProcAll: Map[String, Double] =
+      try CrossProcProbe.viaSubprocess(sfDir, modes = "float,int8,ivf")
       catch {
         // NonFatal only (an OOM should kill the bench, not silently
         // drop rows); the one-line note makes an absent-keys artifact
         // diagnosable instead of mute (ADVICE r12)
         case scala.util.control.NonFatal(e) =>
           println(s"crossproc_error: ${e.getClass.getName}: ${e.getMessage}")
-          Map.empty
-      }
-    // same fixture through INT8 workers (VERDICT r14 #6): byte slab
-    // RAM-pinned for phase 1, float slab mmapped for survivor rescore —
-    // core phases only (closed + paced) with the recall row and both
-    // slab sizes; keys crossproc_int8_*
-    val crossProcInt8: Map[String, Double] =
-      try CrossProc.measure(spark, bigPoints, qPool.map(_.toArray),
-        int8 = true)
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          println(s"crossproc_int8_error: ${e.getClass.getName}: ${e.getMessage}")
           Map.empty
       }
     bigPoints.unpersist()
@@ -517,9 +513,16 @@ object Bench {
     // ON THE FIXTURE (ApiSpec) — in general two-phase-approximate, with
     // recall at scale measured by ScaleProbe `serving` (ADVICE r14).
     // Both slab sizes are reported as the memory note.
+    // the server now CONSUMES the calibrated decision (VERDICT r15 #2/
+    // #3): recallTarget drives ServingCalibration — family (int8 vs
+    // exact) and the oversample come from the stated target instead of
+    // the fixed int8Replica/oversample-3 knobs; the decision columns
+    // ride the qps map (replica_decided_*) so the served plan is in the
+    // artifact next to its numbers.
+    val servingTarget = graft.operators.IndexMeta.DefaultRecallTarget
     def driveServerInt8(threads: Int, perThread: Int): (Double, Array[Double]) =
       driveServerWith(() => Api.batchedServer(pointsPar, k = 10,
-        scoreThreshold = Some(0.1), int8Replica = true),
+        scoreThreshold = Some(0.1), recallTarget = Some(servingTarget)),
         threads, perThread, closedLoop = true)
     driveServerInt8(1, 100) // discarded JIT warm pass
     val i8Runs = (1 to rSamples).map(_ => driveServerInt8(1, rReqs))
@@ -527,10 +530,13 @@ object Bench {
     val i8QpsRuns = runKeys("replica_int8_qps", i8Runs.map(r => rReqs / r._1))
     def i8Pct(p: Double): Double =
       math.rint(i8LatSorted(((i8LatSorted.length - 1) * p).toInt) * 10) / 10
-    val (i8FloatBytes, i8CodeBytes) = {
+    val (i8FloatBytes, i8CodeBytes, i8Decision) = {
       val srv = Api.batchedServer(pointsPar, k = 10,
-        scoreThreshold = Some(0.1), int8Replica = true)
-      try srv.replicaSlabBytes finally srv.close()
+        scoreThreshold = Some(0.1), recallTarget = Some(servingTarget))
+      try {
+        val (f, c) = srv.replicaSlabBytes
+        (f, c, srv.servingDecision)
+      } finally srv.close()
     }
     // insertion throughput (reference BenchmarkSuite insertion phase):
     // normalize + LWW-merge a batch into the bucketed store, rows/sec
@@ -614,9 +620,15 @@ object Bench {
       "replica_int8_p99_ms" -> i8Pct(0.99),
       "replica_int8_slab_mb" -> math.rint(i8CodeBytes / 1e5) / 10,
       "replica_float_slab_mb" -> math.rint(i8FloatBytes / 1e5) / 10,
+      // the calibrated serving decision the rows above were served under
+      "replica_decided_family_int8" ->
+        (if (i8Decision.family == "int8") 1.0 else 0.0),
+      "replica_decided_oversample" -> i8Decision.oversample.toDouble,
+      "replica_decided_target" -> i8Decision.targetRecall,
+      "replica_decided_sample_recall" -> i8Decision.sampleRecall,
       "ingest_rows_per_sec" -> math.rint(ingested / isecs)) ++
       bQpsRuns ++ cP50Runs ++ pP50Runs ++ jP50Runs ++ rQpsRuns ++ i8QpsRuns ++
-      shcP50Runs ++ shpP50Runs ++ crossProc ++ crossProcInt8
+      shcP50Runs ++ shpP50Runs ++ crossProcAll
   }
 
   /** Grade measured serving numbers against the reference's recorded
@@ -638,6 +650,12 @@ object Bench {
       m.getOrElse("crossproc_int8_correct", 0.0) == 1.0 &&
         m.getOrElse("crossproc_int8_recall_at_k", 0.0) >=
           graft.operators.IndexMeta.DefaultRecallTarget
+    // ivf tier gate: pruned-scan integrity (returned hits carry true
+    // exact scores, in order) AND held-out recall@k ≥ the stated target
+    def crossProcIvfOk(m: Map[String, Double]): Boolean =
+      m.getOrElse("crossproc_ivf_correct", 0.0) == 1.0 &&
+        m.getOrElse("crossproc_ivf_recall_at_k", 0.0) >=
+          m.getOrElse("crossproc_ivf_recall_target", 1.0)
     def field(name: String, measured: Option[Double], pass: Option[Boolean],
         extra: Option[String] = None) =
       measured.zip(pass).map { case (m, p) =>
@@ -718,9 +736,17 @@ object Bench {
       // omission-correct p50 from scheduled arrival) and the 64-client
       // closed loop. This is the deployable too-big path; at cluster
       // scale each shard is one executor-resident replica.
+      // NOTE (VERDICT r15 #4): the in-JVM paced row below is measured
+      // in THIS big-heap bench JVM, where GC pauses land on the fixed
+      // arrival clock (r15 same-code spread 48.8–387.7 ms). It stays
+      // for cross-round continuity but is SUPERSEDED as a policy number
+      // by the cross-process paced rows, which run in a small-heap
+      // subprocess; the annotation rides in the artifact.
       field("replica_too_big_sharded_paced_p50_ms_vs_20",
         qps.get("sharded_paced_p50_ms"),
-        qps.get("sharded_paced_p50_ms").map(_ <= refLatMs)) ++
+        qps.get("sharded_paced_p50_ms").map(_ <= refLatMs),
+        extra = Some("\"superseded_by\":\"cross_process_sharded_paced_" +
+          "p50_ms_vs_20 (small-heap subprocess; big-heap GC noise)\"")) ++
       field("replica_too_big_sharded_closed_p50_ms_vs_20",
         qps.get("sharded_closed_p50_ms"),
         qps.get("sharded_closed_p50_ms").map(_ <= refLatMs)) ++
@@ -777,7 +803,33 @@ object Bench {
       field("cross_process_int8_paced_p50_ms_vs_20",
         qps.get("crossproc_int8_paced_p50_ms"),
         qps.get("crossproc_int8_paced_p50_ms").map(v =>
-          v <= refLatMs && crossProcInt8Ok(qps)))
+          v <= refLatMs && crossProcInt8Ok(qps))) ++
+      // the IVF-PRUNED cross-process tier (VERDICT r15 #1): the worker
+      // scans only the LCB-calibrated nprobe cells nearest each query —
+      // per-query work stops scaling with shard size (the reference's
+      // sub-linear-index premise on the executor-resident tier). Gated
+      // on the pruned-scan integrity check (every returned hit carries
+      // its true exact score in order) AND measured held-out recall@k ≥
+      // the stated target; nprobe/cells/scanned fraction attached so
+      // the number can't be bought by quietly probing everything.
+      field("cross_process_ivf_qps_vs_1000",
+        qps.get("crossproc_ivf_closed_qps"),
+        qps.get("crossproc_ivf_closed_qps").map(v =>
+          v >= refQps && crossProcIvfOk(qps)),
+        extra = qps.get("crossproc_ivf_recall_at_k").map(r =>
+          "\"recall_at_k\":" + r +
+            ",\"recall_target\":" + qps.getOrElse("crossproc_ivf_recall_target", 0.0) +
+            ",\"nprobe\":" + qps.getOrElse("crossproc_ivf_nprobe", 0.0) +
+            ",\"cells\":" + qps.getOrElse("crossproc_ivf_cells", 0.0) +
+            ",\"scanned_frac\":" + qps.getOrElse("crossproc_ivf_scanned_frac", 1.0))) ++
+      field("cross_process_ivf_closed_p50_ms_vs_20",
+        qps.get("crossproc_ivf_closed_p50_ms"),
+        qps.get("crossproc_ivf_closed_p50_ms").map(v =>
+          v <= refLatMs && crossProcIvfOk(qps))) ++
+      field("cross_process_ivf_paced_p50_ms_vs_20",
+        qps.get("crossproc_ivf_paced_p50_ms"),
+        qps.get("crossproc_ivf_paced_p50_ms").map(v =>
+          v <= refLatMs && crossProcIvfOk(qps)))
     (Seq("\"ref_qps_min\":" + refQps, "\"ref_search_ms_max\":" + refLatMs) ++ checks)
       .mkString("{", ",", "}")
   }

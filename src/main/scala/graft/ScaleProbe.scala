@@ -51,6 +51,72 @@ object ScaleProbe {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
+    if (mode == "graphchurn") {
+      // Graph recall under SUSTAINED churn (VERDICT r15 #6): the one-tick
+      // graph_after_cdc row (0.962 at sf0.1) answers "does one
+      // delete+reinsert degrade the graph"; this mode answers "does it
+      // COMPOUND". 10 consecutive CDC ticks, each the exact maintenance
+      // composition the streaming path runs (graphDelete + beam-descent
+      // graphInsert), over ROTATING 10% slices (pmod(id,10) == tick), so
+      // across the 10 ticks every non-seed node is torn out and re-linked
+      // by the insert machinery exactly once — by tick 10 the graph has
+      // NO build edges left outside the entry tier, the worst case for
+      // edge-quality drift. The collection itself is unchanged
+      // (delete+reinsert of identical points), so the exact top-k sets
+      // are computed once and recall per tick is directly comparable.
+      import graft.operators.Ann
+      val k = 10
+      val nQ = 8
+      val qids = (0 until nQ).map(i => i * (n / nQ))
+      val (ecids, ecents) = SparkEntry.graphEntrySeeds(spark, sfDir)
+      val batchQ = points.filter(col("id").isin(qids.map(Long.box): _*))
+        .select(col("id").as("qid"), col("embedding").as("qemb"))
+        .localCheckpoint(true)
+      def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("qid", "id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+      val exact = ids(graft.operators.Search.knnBatch(points,
+        batchQ.select(col("qid").as("query_id"), col("qemb")), k, -1.0)
+        .select(col("query_id").as("qid"), col("id")))
+      def recallOf(g: org.apache.spark.sql.DataFrame): Double = {
+        val got = ids(Ann.graphBeamSearch(points, g, batchQ, k = k,
+          beam = 24, hops = 8, entryCids = ecids, entryCents = ecents))
+        val per = qids.map { q =>
+          val want = exact.getOrElse(q.toLong, Set.empty)
+          if (want.isEmpty) 1.0
+          else (got.getOrElse(q.toLong, Set.empty[Long]) & want).size.toDouble / want.size
+        }
+        math.rint(per.sum / per.size * 10000) / 10000
+      }
+      var g = SparkEntry.graphTable(spark, sfDir).localCheckpoint(true)
+      val fresh = recallOf(g)
+      val perTick = (1 to 10).map { t =>
+        val slice = (t % 10).toLong
+        val churn = points
+          .filter(pmod(col("id"), lit(10L)) === slice && col("id") >= 32)
+          .select(col("id"), col("embedding"), col("user_id"))
+          .localCheckpoint(true)
+        val surv = points.join(churn.select("id"), Seq("id"), "left_anti")
+        val (g2, secs) = timed {
+          Ann.graphInsert(surv, Ann.graphDelete(g, churn.select("id")),
+            churn, graphK = 12, maxDegree = 16, beam = 24, hops = 8,
+            entryCids = ecids, entryCents = ecents)
+            .localCheckpoint(true) // bound lineage across ticks
+        }
+        g = g2
+        val r = recallOf(g)
+        println(s"""{"probe":"graphchurn_tick","tick":$t,"recall":$r,""" +
+          s""""tick_secs":${math.rint(secs * 100) / 100}}""")
+        r
+      }
+      println(s"""{"probe":"graphchurn","sf":"$sfDir","n":$n,""" +
+        s""""fresh_recall":$fresh,""" +
+        s""""recall_per_tick":[${perTick.mkString(",")}],""" +
+        s""""min_recall":${perTick.min},"last_recall":${perTick.last}}""")
+      spark.stop()
+      return
+    }
     if (mode == "diag") {
       // one-pass corpus diagnostics: each is a single hash-agg/agg plan
       // over the scan — flat driver memory at any N

@@ -544,6 +544,10 @@ object ShardWorker {
     // cells). Empty string = full-scan mode (unchanged).
     val ivfPath = if (args.length > 8) args(8) else ""
     val nprobe = if (args.length > 9) args(9).toInt else 0
+    // optional 11th arg: int8 phase-1 oversample — the serving knob the
+    // LCB calibration chooses (VERDICT r15 #3); default keeps the
+    // historical fixed 3.
+    val oversample = if (args.length > 10) args(10).toDouble else 3.0
     val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
     val int8 = int8Path.nonEmpty
     val ivf: SlabIO.IvfSidecar =
@@ -599,11 +603,11 @@ object ShardWorker {
                   val rs = probeRanges(ivf, q, nprobe)
                   if (int8)
                     topKInt8(i8slab, floatBuf, floatDataStart, pool,
-                      threads, Array(q), k, th, ranges = rs)(0)
+                      threads, Array(q), k, th, oversample, ranges = rs)(0)
                   else topK(rep, pool, threads, Array(q), k, th, rs)(0)
                 }
               else if (int8) topKInt8(i8slab, floatBuf, floatDataStart,
-                pool, threads, queries, k, th)
+                pool, threads, queries, k, th, oversample)
               else topK(rep, pool, threads, queries, k, th)
             var i = 0
             while (i < nq) {

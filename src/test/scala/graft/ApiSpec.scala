@@ -326,6 +326,85 @@ class ApiSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("calibrated serving decision: the stated recall target picks the " +
+      "served family/oversample, the decision rides the metrics, and " +
+      "the served plan actually changes") {
+    // Fixture with a STRUCTURAL int8 failure mode (VERDICT r15 #2/#3):
+    // 150 rows share one int8 code block (component deltas below the
+    // quantization bin width) while their float scores strictly increase
+    // with id — int8 phase 1 sees identical dots, tie-keeps the LOWEST
+    // ids, and misses the true (highest-id) top-k at EVERY ladder rung
+    // (150 > k·8). 350 normal rows keep the easy regime the int8 family
+    // wins. So a low stated target calibrates to int8; a high one must
+    // degrade to the exact float family.
+    val d = 8
+    val rnd = new scala.util.Random(61)
+    val normal = (0 until 350).map { j =>
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (j.toLong, v.map(_ / n).toSeq, j % 10)
+    }
+    val group = (0 until 150).map { i =>
+      val v = Array.fill(d)(0.3)
+      v(0) = 0.3 + i * 2e-5 // same int8 code (0.3·127=38.1 .. 38.48)
+      ((350 + i).toLong, v.toSeq, i % 10)
+    }
+    val fixture = (normal ++ group).toDF("id", "embedding", "user_id")
+    def exactTopK(q: Seq[Double], k: Int): Seq[(Long, Double)] =
+      (normal ++ group).map { case (id, e, _) =>
+        val s = e.zip(q).map { case (a, b) => a * b }.sum
+        (id, graft.plans.Num.round6(s))
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val qGroup = group(145)._2 // true top-k = the highest-id group rows
+    // LOW target: int8 clears it — family int8, a ladder oversample,
+    // and the plan is REAL: the structural group query now misses the
+    // highest-id rows (the documented approximation, not a label)
+    val srvLow = Api.batchedServer(fixture, k = 10,
+      scoreThreshold = Some(0.0), recallTarget = Some(0.4))
+    try {
+      val dec = srvLow.servingDecision
+      assert(dec.family == "int8", s"low target must calibrate to int8: $dec")
+      assert(ServingCalibration.OversampleLadder.contains(dec.oversample))
+      assert(dec.sampleRecall >= 0.4 && dec.targetRecall == 0.4)
+      val snap = srvLow.metricsSnapshot
+      assert(snap("serving_family_int8") == 1.0 &&
+        snap("serving_oversample") == dec.oversample.toDouble &&
+        snap("serving_recall_target") == 0.4 &&
+        snap("serving_sample_recall") == dec.sampleRecall,
+        s"decision columns must ride the metrics surface: $snap")
+      val got = Await.result(srvLow.submit(qGroup), 2.minutes)
+      val exact = exactTopK(qGroup, 10)
+      assert(got.map(_.getLong(0)).toSeq != exact.map(_._1),
+        "int8 family must actually serve the quantized plan " +
+          "(the structural tie group exposes it)")
+    } finally srvLow.close()
+    // HIGH target: no rung's LCB clears it (the structural misses cap
+    // the sample mean) — family degrades to exact and answers match
+    // brute force row for row
+    val srvHigh = Api.batchedServer(fixture, k = 10,
+      scoreThreshold = Some(0.0), recallTarget = Some(0.95))
+    try {
+      val dec = srvHigh.servingDecision
+      assert(dec.family == "exact", s"high target must degrade to exact: $dec")
+      assert(dec.sampleRecall == 1.0 && dec.oversample == 0)
+      assert(srvHigh.metricsSnapshot("serving_family_int8") == 0.0)
+      val got = Await.result(srvHigh.submit(qGroup), 2.minutes)
+      assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        exactTopK(qGroup, 10),
+        "exact family must serve brute-force answers")
+    } finally srvHigh.close()
+    // sharded router: the same target threads through to every shard
+    val shSrv = Api.shardedServer(fixture, k = 10,
+      scoreThreshold = Some(0.0), shardMaxRows = 200,
+      recallTarget = Some(0.95))
+    try {
+      assert(shSrv.nShards > 1)
+      assert(shSrv.shardDecisions.forall(_.targetRecall == 0.95))
+    } finally shSrv.close()
+  }
+
   test("serving metrics: request/flush counters, cumulative latency " +
       "histogram, and the Prometheus text surface") {
     import scala.concurrent.Await
@@ -369,6 +448,47 @@ class ApiSpec extends SparkSpec {
         "# TYPE graft_serving_request_latency_ms histogram"))
       assert(text.contains("le=\"+Inf\"} 6"))
     } finally job.close()
+    // /metrics over HTTP (VERDICT r15 #5): scrape the mounted endpoint
+    // and PARSE the exposition — every non-comment line must be
+    // `name[{labels}] value`, the counters must match the snapshot, and
+    // the served-plan decision gauges must ride along; non-/metrics
+    // paths 404
+    val srv = Api.batchedServer(points, k = 5, scoreThreshold = Some(0.1),
+      recallTarget = Some(0.9))
+    val http = srv.serveMetricsHttp()
+    try {
+      embs.foreach(e => Await.result(srv.submit(e), 2.minutes))
+      def get(path: String): (Int, String) = {
+        val url = java.net.URI
+          .create(s"http://127.0.0.1:${http.boundPort}$path").toURL
+        val conn = url.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          val code = conn.getResponseCode
+          val is = if (code == 200) conn.getInputStream else conn.getErrorStream
+          val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+          (code, body)
+        } finally conn.disconnect()
+      }
+      val (code, body) = get("/metrics")
+      assert(code == 200)
+      val lines = body.linesIterator.toSeq
+      val metricLine = "^([a-zA-Z_:][a-zA-Z0-9_:]*(\\{[^}]*\\})?) (-?[0-9.eE+-]+|NaN)$".r
+      lines.filterNot(_.startsWith("#")).filter(_.nonEmpty).foreach { l =>
+        assert(metricLine.findFirstIn(l).isDefined,
+          s"unparseable exposition line: $l")
+      }
+      assert(lines.contains("graft_serving_requests_total 6"),
+        s"request counter must be live in the scrape")
+      val snap = srv.metricsSnapshot
+      val fam = if (snap("serving_family_int8") == 1.0) 1 else 0
+      assert(lines.contains(s"graft_serving_family_int8 $fam"),
+        "served-plan decision gauge must ride the exposition")
+      assert(get("/other")._1 == 404)
+    } finally {
+      http.close()
+      srv.close()
+    }
   }
 
   test("batchedServer job tier ≡ replica tier at extreme magnitudes (gate slack scales)") {
