@@ -470,7 +470,7 @@ object Bench {
     // Guarded: a spawn failure degrades to absent keys, not a broken
     // bench.
     val crossProcAll: Map[String, Double] =
-      try CrossProcProbe.viaSubprocess(sfDir, modes = "float,int8,ivf")
+      try CrossProcProbe.viaSubprocess(sfDir, modes = "float,int8,ivf,ivf8")
       catch {
         // NonFatal only (an OOM should kill the bench, not silently
         // drop rows); the one-line note makes an absent-keys artifact
@@ -656,6 +656,10 @@ object Bench {
       m.getOrElse("crossproc_ivf_correct", 0.0) == 1.0 &&
         m.getOrElse("crossproc_ivf_recall_at_k", 0.0) >=
           m.getOrElse("crossproc_ivf_recall_target", 1.0)
+    def crossProcIvf8Ok(m: Map[String, Double]): Boolean =
+      m.getOrElse("crossproc_ivf8_correct", 0.0) == 1.0 &&
+        m.getOrElse("crossproc_ivf8_recall_at_k", 0.0) >=
+          m.getOrElse("crossproc_ivf8_recall_target", 1.0)
     def field(name: String, measured: Option[Double], pass: Option[Boolean],
         extra: Option[String] = None) =
       measured.zip(pass).map { case (m, p) =>
@@ -829,7 +833,24 @@ object Bench {
       field("cross_process_ivf_paced_p50_ms_vs_20",
         qps.get("crossproc_ivf_paced_p50_ms"),
         qps.get("crossproc_ivf_paced_p50_ms").map(v =>
-          v <= refLatMs && crossProcIvfOk(qps)))
+          v <= refLatMs && crossProcIvfOk(qps))) ++
+      // the COMPOSED tier — IVF cell pruning over the int8 code slab
+      // with mmap float rescore: constant-ish per-query work AND the
+      // 16× smaller hot slab in one worker (the full 100 TB shape).
+      // Same gates as ivf (integrity + held-out recall ≥ target).
+      field("cross_process_ivf8_qps_vs_1000",
+        qps.get("crossproc_ivf8_closed_qps"),
+        qps.get("crossproc_ivf8_closed_qps").map(v =>
+          v >= refQps && crossProcIvf8Ok(qps)),
+        extra = qps.get("crossproc_ivf8_recall_at_k").map(r =>
+          "\"recall_at_k\":" + r +
+            ",\"nprobe\":" + qps.getOrElse("crossproc_ivf8_nprobe", 0.0) +
+            ",\"oversample\":" + qps.getOrElse("crossproc_ivf8_oversample", 0.0) +
+            ",\"code_slab_mb\":" + qps.getOrElse("crossproc_ivf8_code_slab_mb", 0.0))) ++
+      field("cross_process_ivf8_closed_p50_ms_vs_20",
+        qps.get("crossproc_ivf8_closed_p50_ms"),
+        qps.get("crossproc_ivf8_closed_p50_ms").map(v =>
+          v <= refLatMs && crossProcIvf8Ok(qps)))
     (Seq("\"ref_qps_min\":" + refQps, "\"ref_search_ms_max\":" + refLatMs) ++ checks)
       .mkString("{", ",", "}")
   }

@@ -324,6 +324,14 @@ object CrossProc {
     // shard sleeps stallMs per request, so the deadline path is graded
     // under an actual straggler instead of only where it never fires
     val stallMs = sys.env.getOrElse("GRAFT_XPROC_STALL_MS", "0").toLong
+    // worker heap sized from the slab: the float replica needs the slab
+    // + its SIMD transpose + the transient row array at load (~3.5× the
+    // file) — a fixed 2g OOM'd silently at the ivf-scale sweep's 8×
+    // point (2.1M rows, 1.08 GB slab)
+    val maxSlabBytes = slabs.map(p =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(p))).max
+    val workerXmx =
+      math.max(2L, (maxSlabBytes * 4.0 / (1L << 30)).ceil.toLong) + "g"
     val procs = slabs.zipWithIndex.map { case (slab, i) =>
       val stall = if (i == slabs.length - 1) stallMs else 0L
       val tailArgs =
@@ -333,7 +341,7 @@ object CrossProc {
           effOversample.toString)
         else Seq.empty
       val args = Seq(javaBin, "--add-modules=jdk.incubator.vector",
-        "-Xmx2g", "-cp", cp, "graft.ShardWorker", slab,
+        s"-Xmx$workerXmx", "-cp", cp, "graft.ShardWorker", slab,
         (basePort + i).toString, k.toString, th.toString,
         workerThreads.toString, stall.toString) ++ tailArgs
       import scala.jdk.CollectionConverters._
@@ -730,6 +738,11 @@ object CrossProcProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the slab handoff collects whole shards to the driver (the
+      // deliberate replica-tier shape); the ivf-scale sweep's 8× point
+      // is a 2.1M-row single shard ≈ 1.1 GB of task results — over the
+      // 1 GB default cap
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -758,7 +771,9 @@ object CrossProcProbe {
     // Each size prints one JSON line with both tiers' numbers.
     if (sys.env.get("GRAFT_XPROC_IVF_SCALE").contains("1")) {
       bigPoints.unpersist() // the sweep builds its own sized fixtures
-      Seq(1, 2, 4, 8).foreach { mult =>
+      val mults = sys.env.getOrElse("GRAFT_XPROC_SCALE_MULTS", "1,2,4,8")
+        .split(",").map(_.trim.toInt).toSeq
+      mults.foreach { mult =>
         val copies = nCopies * mult
         val big = {
           val cs = spark.range(copies).select(col("id").as("copy"))

@@ -213,8 +213,12 @@ object RecallReport {
         val rep = BatchedServer.FlatReplica(rows)
         val d = ServingCalibration.decide(rep, k, -1.0,
           IndexMeta.DefaultRecallTarget)
-        val calIds = (0 until 32).map(i =>
-          rows((i.toLong * rep.n / math.min(32, rep.n)).toInt)._1).toSet
+        // the exact row-index formula ServingCalibration.decide samples
+        // with, so the held-out filter excludes precisely the
+        // calibration rows
+        val nS = math.min(32, rep.n)
+        val calIds = (0 until nS).map(i =>
+          rows((i.toLong * rep.n / nS).toInt)._1).toSet
         val base = Map(
           "int8_serving_family_int8" ->
             (if (d.family == "int8") 1.0 else 0.0),

@@ -66,7 +66,10 @@ object ScaleProbe {
       // are computed once and recall per tick is directly comparable.
       import graft.operators.Ann
       val k = 10
-      val nQ = 8
+      // query-sample width from args(1): 8 matches RecallReport's graded
+      // row; 32 tightens the noise band (each neighbor is 1/(k·nQ) of
+      // the mean) when adjudicating flat-vs-compounding
+      val nQ = math.min(nQueries, 64)
       val qids = (0 until nQ).map(i => i * (n / nQ))
       val (ecids, ecents) = SparkEntry.graphEntrySeeds(spark, sfDir)
       val batchQ = points.filter(col("id").isin(qids.map(Long.box): _*))
@@ -89,7 +92,22 @@ object ScaleProbe {
         }
         math.rint(per.sum / per.size * 10000) / 10000
       }
-      var g = SparkEntry.graphTable(spark, sfDir).localCheckpoint(true)
+      // STATS SEVERING, not just lineage severing: `localCheckpoint`
+      // PRESERVES the source plan's estimated stats on the resulting
+      // LogicalRDD leaf, and join-size estimates MULTIPLY — so chaining
+      // checkpointed graphs across ticks compounds the size estimate
+      // exponentially (the exponent multiplies by the per-tick join
+      // count every tick), and by a few ticks the driver burns hours in
+      // million-digit BigInteger products INSIDE stats computation (hit
+      // live in this probe's first run, r16). Re-wrapping the
+      // checkpointed RDD via createDataFrame resets the leaf to the
+      // bounded default size estimate, so every tick starts from
+      // constant-size stats. One tick (RecallReport's graph_after_cdc)
+      // never sees this; ten chained ticks did.
+      def severed(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
+      var g = severed(SparkEntry.graphTable(spark, sfDir))
       val fresh = recallOf(g)
       val perTick = (1 to 10).map { t =>
         val slice = (t % 10).toLong
@@ -99,10 +117,10 @@ object ScaleProbe {
           .localCheckpoint(true)
         val surv = points.join(churn.select("id"), Seq("id"), "left_anti")
         val (g2, secs) = timed {
-          Ann.graphInsert(surv, Ann.graphDelete(g, churn.select("id")),
+          severed(Ann.graphInsert(surv,
+            Ann.graphDelete(g, churn.select("id")),
             churn, graphK = 12, maxDegree = 16, beam = 24, hops = 8,
-            entryCids = ecids, entryCents = ecents)
-            .localCheckpoint(true) // bound lineage across ticks
+            entryCids = ecids, entryCents = ecents))
         }
         g = g2
         val r = recallOf(g)

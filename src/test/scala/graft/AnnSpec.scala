@@ -262,14 +262,26 @@ class AnnSpec extends SparkSpec {
       "lsh_calibrated", "lsh_calibrated_l", "lsh_calibrated_target",
       // recall-calibrated PQ budget + its decision keys (r14)
       "pq_calibrated", "pq_calibrated_m", "pq_calibrated_ksub",
-      "pq_calibrated_target"))
+      "pq_calibrated_target",
+      // calibrated int8 SERVING decision, graded held-out (r16)
+      "int8_serving", "int8_serving_family_int8", "int8_serving_oversample",
+      "int8_serving_target", "int8_serving_cal_lcb"))
     assert(r("graph_beam") >= 0.6, s"graph beam recall ${r("graph_beam")}")
     // churned-then-repaired graph must stay within reach of fresh build
     assert(r("graph_after_cdc") >= 0.5,
       s"post-churn graph recall ${r("graph_after_cdc")}")
     assert((r - "ivf_nprobe" - "ivf_ref_nprobe" - "lsh_calibrated_l"
-        - "pq_calibrated_m" - "pq_calibrated_ksub")
+        - "pq_calibrated_m" - "pq_calibrated_ksub"
+        - "int8_serving_oversample")
       .values.forall(v => v >= 0.0 && v <= 1.0))
+    // the served int8 decision: a real ladder choice (or the exact
+    // fallback) whose held-out recall is reported next to its target
+    assert(r("int8_serving_target") ==
+      graft.operators.IndexMeta.DefaultRecallTarget)
+    if (r("int8_serving_family_int8") == 1.0)
+      assert(ServingCalibration.OversampleLadder
+        .contains(r("int8_serving_oversample").toInt))
+    assert(r("int8_serving") >= 0.5, s"int8 serving recall ${r("int8_serving")}")
     // the calibrated-LSH report grades the shared constants, held-out
     assert(r("lsh_calibrated_target") == Ann.DefaultLshRecallTarget)
     // the calibrated-PQ report grades its shared constants + a valid
