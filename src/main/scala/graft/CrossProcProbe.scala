@@ -266,14 +266,21 @@ object CrossProc {
         val stride = math.max(1, nQ / 32)
         val calQ = (0 until 32).map(i => (i * stride + stride / 2) % nQ)
           .distinct
+        val exactByQ = calQ.map(qi => qi -> exactIds(qi).map(_._1)).toMap
+        // ONE bounded collect + ONE batched assignment for every true
+        // neighbor across all calibration queries (per-neighbor
+        // single-row assignCells calls each spun up a thread pool)
+        val allNbs = exactByQ.values.flatten.toSeq.distinct
+        val nbRows = bigPoints
+          .filter(col("id").isin(allNbs.map(Long.box): _*))
+          .select(col("id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, 0))
+        val cellOfNb = nbRows.map(_._1).zip(
+          assignCells(nbRows, ivfCents,
+            Runtime.getRuntime.availableProcessors)).toMap
         val curves = calQ.map { qi =>
           val q = qPool(qi)
-          val exact = exactIds(qi).map(_._1)
-          // neighbor embeddings: one bounded collect
-          val embOf = bigPoints
-            .filter(col("id").isin(exact.map(Long.box): _*))
-            .select(col("id"), col("embedding")).collect()
-            .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+          val exact = exactByQ(qi)
           val order = (0 until c).map { j =>
             var s = 0.0; var x = 0
             val ce = ivfCents(j)
@@ -283,8 +290,7 @@ object CrossProc {
           val rankOf = order.zipWithIndex.toMap
           val cov = new Array[Double](c)
           exact.foreach { nb =>
-            val cell = assignCells(Array((nb, embOf(nb), 0)), ivfCents, 1)(0)
-            var p = rankOf(cell)
+            var p = rankOf(cellOfNb(nb))
             while (p < c) { cov(p) += 1.0; p += 1 }
           }
           cov.map(_ / math.max(exact.length, 1))

@@ -641,6 +641,9 @@ final class MetricsHttpServer(render: () => String, port: Int = 0) {
     def run(): Unit = try {
       while (true) {
         val sock = srv.accept()
+        // a client that connects and never sends a request line must not
+        // pin its handler thread forever — scrapes are sub-second
+        sock.setSoTimeout(5000)
         val t = new Thread(new Runnable { def run(): Unit = {
           try {
             val in = new java.io.BufferedReader(

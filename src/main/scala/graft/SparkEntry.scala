@@ -2060,6 +2060,22 @@ object SparkEntry {
       Ann.ivfPqResidualSearchAdaptive(store, cents, pqResMeta(s, dir), q,
         nprobe = 8, k = 10)
     }),
+    // The adaptive budget's NON-floor branch graded (ADVICE r15): at
+    // minOversample=2 / fraction=1/4 / nprobe=16 the candidate term wins
+    // even at fixture scale, so fetchK = candidates//4 — the regime where
+    // the old double round-trip (oversample = fetchK/k, then
+    // (k·oversample).toInt) truncated by one. The budget itself rides the
+    // output as `fetch_k` and the oracle recomputes greatest(k·2, c//4),
+    // so the exact long passthrough is hash-verified, not just
+    // output-observable. (1/4 is a dyadic fraction: candidates·0.25 is
+    // exact in binary, so Spark's toLong ≡ DuckDB's // 4.)
+    "ivf_pq_residual_adaptive_frac" -> ((s, dir) => {
+      val (store, cents) = indexedStore(s, dir)
+      val q = store.filter(col("id") === 0).select(col("embedding").as("qemb"))
+      Ann.ivfPqResidualSearchAdaptive(store, cents, pqResMeta(s, dir), q,
+        nprobe = 16, k = 10, minOversample = 2.0,
+        rescoreFraction = 1.0 / 4, emitBudget = true)
+    }),
     // PQ ADC on the persisted index: phase 1 reads the stored `pqc` codes
     // column (m bytes/point) — the float column is untouched until rescore.
     "indexed_pq_adc" -> ((s, dir) => {
@@ -4754,6 +4770,55 @@ object SparkEntry {
          |f AS (SELECT pp.id, round(list_dot_product(pp.ne, q.qe), 6) AS score, pp.user_id
          |  FROM pp JOIN p1 USING (id), q)
          |SELECT id, score, user_id FROM f ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // the NON-floor branch of the adaptive budget (ADVICE r15): nprobe=16,
+    // fetchK = greatest(10*2, candidates // 4) — the candidate term wins at
+    // fixture scale, and the chosen budget ships as a hash-verified column
+    "ivf_pq_residual_adaptive_frac" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($kmOracleGlob)),
+         |asgn AS (SELECT c.id, c.user_id, c.ne, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, user_id, ne, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |probes AS (SELECT cent.cid FROM cent, q
+         |  ORDER BY round(list_dot_product(cent.ce, q.qe), 6) DESC, cent.cid ASC LIMIT 16),
+         |pp AS MATERIALIZED (SELECT pts.*, cent.ce FROM pts JOIN cent USING (cid)
+         |  WHERE cid IN (SELECT cid FROM probes)),
+         |cut AS (SELECT greatest(20, count(*) // 4)::BIGINT AS fk FROM pp),
+         |cb AS (SELECT sub, code, cent,
+         |  cent || [-list_dot_product(cent, cent) / 2.0] AS caug
+         |  FROM read_parquet($pqResOracleGlob)),
+         |sv AS (SELECT pp.id, s.range::INT AS sub,
+         |  list_slice(pp.ne, s.range*8 + 1, s.range*8 + 8) AS xs,
+         |  list_slice(pp.ce, s.range*8 + 1, s.range*8 + 8) AS cs
+         |  FROM pp, range(8) s),
+         |rv AS (SELECT id, sub,
+         |  [xs[1]-cs[1], xs[2]-cs[2], xs[3]-cs[3], xs[4]-cs[4],
+         |   xs[5]-cs[5], xs[6]-cs[6], xs[7]-cs[7], xs[8]-cs[8]] AS rs
+         |  FROM sv),
+         |dist AS (SELECT rv.id, rv.sub, cb.code,
+         |  row_number() OVER (PARTITION BY rv.id, rv.sub
+         |    ORDER BY round(list_dot_product(rv.rs || [1.0], cb.caug), 6) DESC, cb.code ASC) AS rn
+         |  FROM rv JOIN cb USING (sub)),
+         |codes AS (SELECT id, sub, code FROM dist WHERE rn = 1),
+         |luts AS (SELECT codes.id, codes.sub,
+         |  list_dot_product(list_slice(q.qe, codes.sub*8 + 1, codes.sub*8 + 8), cb.cent) AS l
+         |  FROM codes JOIN cb USING (sub, code), q),
+         |radc AS (SELECT id,
+         |  round(list_reduce([0.0::DOUBLE] || list(l ORDER BY sub), (a, b) -> a + b), 6) AS adc6
+         |  FROM luts GROUP BY id),
+         |adc AS (SELECT pp.id,
+         |  round(list_dot_product(pp.ce, q.qe) + radc.adc6, 6) AS adc
+         |  FROM pp JOIN radc USING (id), q),
+         |p1 AS (SELECT id FROM (SELECT id,
+         |    row_number() OVER (ORDER BY adc DESC, id ASC) AS rn FROM adc), cut
+         |  WHERE rn <= cut.fk),
+         |f AS (SELECT pp.id, round(list_dot_product(pp.ne, q.qe), 6) AS score, pp.user_id
+         |  FROM pp JOIN p1 USING (id), q)
+         |SELECT f.id, f.score, f.user_id, cut.fk AS fetch_k
+         |FROM f, cut ORDER BY f.score DESC, f.id ASC LIMIT 10""".stripMargin,
     // tie-inclusive phase 1: every row scoring >= the 40th cheap score
     // survives (mirrors Quantization.twoPhase tieInclusive)
     "binary_quant_search" ->

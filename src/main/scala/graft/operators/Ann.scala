@@ -625,14 +625,21 @@ object Ann {
       store: DataFrame, centroids: DataFrame,
       cbRes: Quantization.PqCodebook, queryDf: DataFrame,
       nprobe: Int, k: Int, minOversample: Double = 32.0,
-      rescoreFraction: Double = 1.0 / 16): DataFrame = {
+      rescoreFraction: Double = 1.0 / 16,
+      emitBudget: Boolean = false): DataFrame = {
     val probes = probeCids(centroids, queryDf, nprobe)
     val candidates =
       store.join(broadcast(probes), Seq("cid"), "left_semi").count()
     val fetchK = math.max((k * minOversample).toLong,
       (candidates * rescoreFraction).toLong)
-    ivfPqResidualSearch(store, centroids, cbRes, queryDf, nprobe, k,
+    val out = ivfPqResidualSearch(store, centroids, cbRes, queryDf, nprobe, k,
       fetchKOverride = fetchK)
+    // emitBudget: the derived budget rides the output as a decision
+    // column (the familyCalibratedSearch convention), so the formula —
+    // including the exact long passthrough the ADVICE r15 fix restored —
+    // is hash-verified cross-engine, not only observable when a
+    // truncated budget happens to change the top-k
+    if (emitBudget) out.withColumn("fetch_k", lit(fetchK)) else out
   }
 
   /** Sign-LSH bucket signature as a bit string. `hyperplanes` are plain
