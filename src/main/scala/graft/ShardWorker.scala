@@ -277,6 +277,237 @@ object SlabIO {
     } finally ch.close()
   }
 
+  /** Incremental CELL-SPLICE patch of a cell-ordered slab pair (float +
+    * ivf sidecar, optionally the int8 code slab): given the FULL new
+    * contents of each DIRTY cell (`newRowsByCell`, keyed by sidecar cell
+    * index; an empty array drains the cell), produce the
+    * next-generation slab by byte-copying every CLEAN cell's ranges out
+    * of the old file and writing only the dirty cells' rows fresh.
+    *
+    * The output is BYTE-IDENTICAL to a from-scratch [[write]] /
+    * [[writeIvf]] / [[writeInt8]] over the full new row array
+    * (spec-pinned), so a patched generation is indistinguishable from a
+    * rebuilt one — same fingerprints discipline, same worker load path,
+    * same RELOAD swap.
+    *
+    * Why this matters at 100 TB: a slab refresh after a CDC batch is
+    * almost all CLEAN cells. A full rebuild pays assignment +
+    * quantization + cell-sort over every row, and — when the store and
+    * the worker host are different machines — ships every row over the
+    * network again. The patch pays compute only for dirty rows and
+    * reads clean bytes from the worker-local old generation at
+    * sequential-copy speed; the store only has to ship the dirty cells
+    * (exactly what [[graft.sources.CollectionStore.refreshManifest]]
+    * plans). Rows within a dirty cell must arrive sorted by id — the
+    * cell-ordered builder's (cell, id) convention — or the splice would
+    * break the slab's global order invariant (fail-loud require).
+    *
+    * Returns (newRowCount, cleanBytesCopied, dirtyBytesWritten) — the
+    * economics the refresh probe reports. */
+  def patchCellOrdered(
+      oldSlabPath: String, oldIvfPath: String,
+      newRowsByCell: Map[Int, Array[(Long, Array[Double], Int)]],
+      outSlabPath: String, outIvfPath: String,
+      oldInt8Path: String = "", outInt8Path: String = "")
+      : (Int, Long, Long) = {
+    val ivf = readIvf(oldIvfPath)
+    ivf.requirePairedWith(oldSlabPath)
+    newRowsByCell.keys.foreach(j => require(j >= 0 && j < ivf.c,
+      s"dirty cell index $j out of range 0..${ivf.c - 1}"))
+    newRowsByCell.foreach { case (j, rows) =>
+      var i = 1
+      while (i < rows.length) {
+        require(rows(i - 1)._1 < rows(i)._1,
+          s"dirty cell $j rows must be strictly id-sorted (cell-ordered " +
+            s"builder convention): ${rows(i - 1)._1} !< ${rows(i)._1}")
+        i += 1
+      }
+    }
+    val inCh = FileChannel.open(Paths.get(oldSlabPath), StandardOpenOption.READ)
+    try {
+      require(inCh.size() <= Int.MaxValue,
+        s"patch source slab too large to map: ${inCh.size()} bytes")
+      val old = inCh.map(FileChannel.MapMode.READ_ONLY, 0, inCh.size())
+        .order(ByteOrder.LITTLE_ENDIAN)
+      require(old.getInt(0) == 0x534C4142, s"bad slab magic in $oldSlabPath")
+      val oldN = old.getInt(4)
+      require(ivf.offs(ivf.c) == oldN,
+        s"sidecar covers ${ivf.offs(ivf.c)} rows, slab has $oldN")
+      val oldIdsStart = 8L
+      val oldUsersStart = oldIdsStart + 8L * oldN
+      val oldOffsStart = oldUsersStart + 4L * oldN
+      val oldDataStart = oldOffsStart + 4L * (oldN + 1)
+      def oldEmbOff(row: Int): Long =
+        old.getInt((oldOffsStart + 4L * row).toInt).toLong
+      // new shape: per-cell row counts and embedding-cell counts
+      val newCellRows = Array.tabulate(ivf.c) { j =>
+        newRowsByCell.get(j).map(_.length)
+          .getOrElse(ivf.offs(j + 1) - ivf.offs(j))
+      }
+      val n = newCellRows.sum
+      var cells = 0L
+      (0 until ivf.c).foreach { j =>
+        cells += (newRowsByCell.get(j) match {
+          case Some(rows) => rows.map(_._2.length.toLong).sum
+          case None => oldEmbOff(ivf.offs(j + 1)) - oldEmbOff(ivf.offs(j))
+        })
+      }
+      require(cells <= Int.MaxValue / 8, s"patched slab too large: $cells cells")
+      var cleanBytes = 0L
+      var dirtyBytes = 0L
+      val outCh = FileChannel.open(Paths.get(outSlabPath),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val buf = ByteBuffer.allocateDirect(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+        def flush(): Unit = { buf.flip(); while (buf.hasRemaining) outCh.write(buf); buf.clear() }
+        def ensure(k: Int): Unit = if (buf.remaining < k) flush()
+        // bulk-splice a clean byte range straight from the old mapping
+        def copyOld(from: Long, until: Long): Unit = if (until > from) {
+          flush()
+          val s = old.duplicate()
+          s.position(from.toInt).limit(until.toInt)
+          while (s.hasRemaining) outCh.write(s)
+          cleanBytes += until - from
+        }
+        ensure(8); buf.putInt(0x534C4142); buf.putInt(n)
+        // ids region
+        (0 until ivf.c).foreach { j =>
+          newRowsByCell.get(j) match {
+            case Some(rows) =>
+              rows.foreach { r => ensure(8); buf.putLong(r._1); dirtyBytes += 8 }
+            case None => copyOld(oldIdsStart + 8L * ivf.offs(j),
+              oldIdsStart + 8L * ivf.offs(j + 1))
+          }
+        }
+        // users region
+        (0 until ivf.c).foreach { j =>
+          newRowsByCell.get(j) match {
+            case Some(rows) =>
+              rows.foreach { r => ensure(4); buf.putInt(r._3); dirtyBytes += 4 }
+            case None => copyOld(oldUsersStart + 4L * ivf.offs(j),
+              oldUsersStart + 4L * ivf.offs(j + 1))
+          }
+        }
+        // offs region: cumulative embedding cells shift whenever an
+        // earlier cell changed size, so it is recomputed row by row
+        // (4 bytes/row of pure arithmetic — never the bottleneck)
+        var off = 0L
+        ensure(4); buf.putInt(0)
+        (0 until ivf.c).foreach { j =>
+          newRowsByCell.get(j) match {
+            case Some(rows) => rows.foreach { r =>
+              off += r._2.length; ensure(4); buf.putInt(off.toInt)
+            }
+            case None =>
+              var row = ivf.offs(j)
+              while (row < ivf.offs(j + 1)) {
+                off += oldEmbOff(row + 1) - oldEmbOff(row)
+                ensure(4); buf.putInt(off.toInt)
+                row += 1
+              }
+          }
+        }
+        // doubles region
+        (0 until ivf.c).foreach { j =>
+          newRowsByCell.get(j) match {
+            case Some(rows) => rows.foreach { r =>
+              val e = r._2; var i = 0
+              while (i < e.length) { ensure(8); buf.putDouble(e(i)); i += 1 }
+              dirtyBytes += 8L * e.length
+            }
+            case None => copyOld(oldDataStart + 8L * oldEmbOff(ivf.offs(j)),
+              oldDataStart + 8L * oldEmbOff(ivf.offs(j + 1)))
+          }
+        }
+        flush()
+        val want = 8L + 8L * n + 4L * n + 4L * (n + 1) + 8L * cells
+        require(outCh.position() == want,
+          s"patched slab drift: ${outCh.position()} != $want")
+      } finally outCh.close()
+      // next-generation sidecar: same cells/centroids, shifted offsets,
+      // fingerprinted against the PATCHED slab
+      val newOffs = new Array[Int](ivf.c + 1)
+      (0 until ivf.c).foreach(j => newOffs(j + 1) = newOffs(j) + newCellRows(j))
+      writeIvf(outIvfPath, ivf.cids, ivf.cents, newOffs, outSlabPath)
+      // int8 twin: splice the code region the same way (codes are a pure
+      // per-cell function of the floats, so clean cells' codes are
+      // bit-reusable), stamped with the PATCHED float slab's fingerprint
+      if (oldInt8Path.nonEmpty) {
+        require(outInt8Path.nonEmpty, "outInt8Path required with oldInt8Path")
+        val oldI8 = readInt8(oldInt8Path)
+        require(oldI8.n == oldN,
+          s"int8 slab rows ${oldI8.n} != float slab rows $oldN")
+        val floatSlabBytes = java.nio.file.Files.size(Paths.get(outSlabPath))
+        val floatChecksum = floatSlabChecksum(outSlabPath)
+        val i8Ch = FileChannel.open(Paths.get(outInt8Path),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+          StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          val buf = ByteBuffer.allocateDirect(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+          def flush(): Unit = { buf.flip(); while (buf.hasRemaining) i8Ch.write(buf); buf.clear() }
+          def ensure(k: Int): Unit = if (buf.remaining < k) flush()
+          ensure(24); buf.putInt(0x534C4238); buf.putInt(n)
+          buf.putLong(floatSlabBytes); buf.putLong(floatChecksum)
+          (0 until ivf.c).foreach { j =>
+            newRowsByCell.get(j) match {
+              case Some(rows) => rows.foreach { r => ensure(8); buf.putLong(r._1) }
+              case None =>
+                var row = ivf.offs(j)
+                while (row < ivf.offs(j + 1)) {
+                  ensure(8); buf.putLong(oldI8.ids(row)); row += 1
+                }
+            }
+          }
+          (0 until ivf.c).foreach { j =>
+            newRowsByCell.get(j) match {
+              case Some(rows) => rows.foreach { r => ensure(4); buf.putInt(r._3) }
+              case None =>
+                var row = ivf.offs(j)
+                while (row < ivf.offs(j + 1)) {
+                  ensure(4); buf.putInt(oldI8.users(row)); row += 1
+                }
+            }
+          }
+          var off = 0L
+          ensure(4); buf.putInt(0)
+          (0 until ivf.c).foreach { j =>
+            newRowsByCell.get(j) match {
+              case Some(rows) => rows.foreach { r =>
+                off += r._2.length; ensure(4); buf.putInt(off.toInt)
+              }
+              case None =>
+                var row = ivf.offs(j)
+                while (row < ivf.offs(j + 1)) {
+                  off += oldI8.offs(row + 1) - oldI8.offs(row)
+                  ensure(4); buf.putInt(off.toInt)
+                  row += 1
+                }
+            }
+          }
+          (0 until ivf.c).foreach { j =>
+            newRowsByCell.get(j) match {
+              case Some(rows) => rows.foreach { r =>
+                val e = r._2; var i = 0
+                while (i < e.length) {
+                  ensure(1); buf.put(BatchedServer.quantizeCode(e(i))); i += 1
+                }
+              }
+              case None =>
+                var b = oldI8.offs(ivf.offs(j))
+                val until = oldI8.offs(ivf.offs(j + 1))
+                while (b < until) {
+                  ensure(1); buf.put(oldI8.codes(b)); b += 1
+                }
+            }
+          }
+          flush()
+        } finally i8Ch.close()
+      }
+      (n, cleanBytes, dirtyBytes)
+    } finally inCh.close()
+  }
+
   /** mmap the FLOAT slab for survivor rescore — the int8 worker's phase-2
     * source. The float column never loads to heap: survivors' doubles are
     * absolute-read from the OS page cache (at cluster scale: the disk/
@@ -295,6 +526,63 @@ object SlabIO {
       val dataStart = 8L + 8L * n + 4L * n + 4L * (n + 1)
       (buf, dataStart)
     } finally ch.close() // the mapping outlives the channel by spec
+  }
+
+  /** The ids region alone (8 bytes/row, one streaming pass) — the
+    * cheapest id→slab-row scan; with the cell directory's row offsets it
+    * answers "which cells do these ids live in" without touching the
+    * doubles region. */
+  def readIds(path: String): Array[Long] = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      // header first (8 bytes), then remap just header+ids — the pass
+      // never faults in the doubles region's pages
+      val head = ch.map(FileChannel.MapMode.READ_ONLY, 0, 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      require(head.getInt(0) == 0x534C4142, s"bad slab magic in $path")
+      val n = head.getInt(4)
+      val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, 8L + 8L * n)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      val ids = new Array[Long](n)
+      var i = 0
+      while (i < n) { ids(i) = buf.getLong(8 + 8 * i); i += 1 }
+      ids
+    } finally ch.close()
+  }
+
+  /** Row-range read of a slab: rows [lo, hi) only — the incremental
+    * patch's survivor fetch, so reading a dirty CELL costs that cell's
+    * bytes, not a full-slab parse (at 1% dirty cells a full [[read]]
+    * would swamp the splice's entire saving). */
+  def readRows(path: String, lo: Int, hi: Int)
+      : Array[(Long, Array[Double], Int)] = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+        .order(ByteOrder.LITTLE_ENDIAN)
+      require(buf.getInt(0) == 0x534C4142, s"bad slab magic in $path")
+      val n = buf.getInt(4)
+      require(lo >= 0 && hi <= n && lo <= hi, s"range [$lo,$hi) of $n rows")
+      val idsStart = 8L
+      val usersStart = idsStart + 8L * n
+      val offsStart = usersStart + 4L * n
+      val dataStart = offsStart + 4L * (n + 1)
+      val rows = new Array[(Long, Array[Double], Int)](hi - lo)
+      var i = lo
+      while (i < hi) {
+        val e0 = buf.getInt((offsStart + 4L * i).toInt)
+        val e1 = buf.getInt((offsStart + 4L * (i + 1)).toInt)
+        val e = new Array[Double](e1 - e0)
+        var j = 0
+        while (j < e.length) {
+          e(j) = buf.getDouble((dataStart + 8L * (e0 + j)).toInt); j += 1
+        }
+        rows(i - lo) = (buf.getLong((idsStart + 8L * i).toInt), e,
+          buf.getInt((usersStart + 4L * i).toInt))
+        i += 1
+      }
+      rows
+    } finally ch.close()
   }
 
   /** Read a slab file back into the row array [[BatchedServer.FlatReplica]]
@@ -331,6 +619,61 @@ object SlabIO {
 }
 
 object ShardWorker {
+
+  /** Protocol command: a RELOAD frame (in place of a positive query
+    * count) asks the worker to swap its served slab generation in place —
+    * [[ReloadCmd]], then UTF slabPath / UTF int8Path ("" = float mode) /
+    * UTF ivfPath ("" = full scan) / int nprobe / double oversample.
+    * Reply: int 1, long newVersion, int n on success; int 0, UTF error
+    * on failure (the OLD generation keeps serving — a bad manifest must
+    * never take down a healthy worker). The reference upserts into a
+    * live collection (src/core/qdrant_client.py add_vector while
+    * serving); this is that liveness on the slab tier: refresh without a
+    * process restart or a dropped request. */
+  val ReloadCmd: Int = -2
+
+  /** One immutable slab GENERATION — everything a request needs to be
+    * served. Requests read a single volatile snapshot at arrival, so a
+    * reload swap is atomic per request: in-flight requests finish on the
+    * generation they started with (the arrays are immutable and the old
+    * mmap stays valid until GC), new requests see the new one. */
+  final case class ServingState(
+      version: Long,
+      rep: BatchedServer.FlatReplica,
+      i8: SlabIO.Int8Slab, floatBuf: ByteBuffer, floatDataStart: Long,
+      ivf: SlabIO.IvfSidecar, nprobe: Int, oversample: Double) {
+    def int8: Boolean = i8 != null
+    def n: Int = if (int8) i8.n else rep.n
+  }
+
+  /** Load one slab generation from disk, validating every pairing
+    * fingerprint BEFORE anything is served from it (fail-loud: a
+    * mismatched int8/ivf sidecar throws here and the caller keeps the
+    * previous generation). */
+  private[graft] def loadState(slabPath: String, int8Path: String,
+      ivfPath: String, nprobe: Int, oversample: Double, version: Long)
+      : ServingState = {
+    val ivf: SlabIO.IvfSidecar =
+      if (ivfPath.isEmpty) null
+      else {
+        require(nprobe >= 1, s"ivf mode needs nprobe >= 1, got $nprobe")
+        val sc = SlabIO.readIvf(ivfPath)
+        sc.requirePairedWith(slabPath)
+        sc
+      }
+    if (int8Path.isEmpty)
+      ServingState(version, BatchedServer.FlatReplica(SlabIO.read(slabPath)),
+        null, null, 0L, ivf, nprobe, oversample)
+    else {
+      val slab = SlabIO.readInt8(int8Path)
+      // fingerprint: the code slab must have been cut from THIS float
+      // slab (same row set/order AND same content — ADVICE r15):
+      // mismatched or regenerated handoffs fail loud
+      slab.requirePairedWith(slabPath)
+      val (buf, ds) = SlabIO.mapFloatForRescore(slabPath)
+      ServingState(version, null, slab, buf, ds, ivf, nprobe, oversample)
+    }
+  }
 
   /** Split `ranges` (half-open row intervals) into ≤`slices` work chunks
     * of near-equal total row count — the pruned-scan analogue of the
@@ -549,27 +892,13 @@ object ShardWorker {
     // historical fixed 3.
     val oversample = if (args.length > 10) args(10).toDouble else 3.0
     val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
-    val int8 = int8Path.nonEmpty
-    val ivf: SlabIO.IvfSidecar =
-      if (ivfPath.isEmpty) null
-      else {
-        require(nprobe >= 1, s"ivf mode needs nprobe >= 1, got $nprobe")
-        val sc = SlabIO.readIvf(ivfPath)
-        sc.requirePairedWith(slabPath)
-        sc
-      }
-    val (rep, i8slab, floatBuf, floatDataStart) =
-      if (!int8)
-        (BatchedServer.FlatReplica(SlabIO.read(slabPath)), null, null, 0L)
-      else {
-        val slab = SlabIO.readInt8(int8Path)
-        // fingerprint: the code slab must have been cut from THIS float
-        // slab (same row set/order AND same content — ADVICE r15):
-        // mismatched or regenerated handoffs fail loud
-        slab.requirePairedWith(slabPath)
-        val (buf, ds) = SlabIO.mapFloatForRescore(slabPath)
-        (null, slab, buf, ds)
-      }
+    // the served slab GENERATION: swapped atomically by RELOAD frames;
+    // a failed load keeps the old generation serving (fail-loud reply,
+    // no state change). reloadLock serializes concurrent reloads so
+    // versions are monotone.
+    val stateRef = new java.util.concurrent.atomic.AtomicReference(
+      loadState(slabPath, int8Path, ivfPath, nprobe, oversample, version = 1L))
+    val reloadLock = new Object
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val srv = new ServerSocket()
     srv.bind(new InetSocketAddress("127.0.0.1", port))
@@ -580,6 +909,30 @@ object ShardWorker {
         while (true) {
           val nq = in.readInt()
           if (nq == 0) { out.writeInt(0); out.flush() } // ping
+          else if (nq == ReloadCmd) {
+            val newSlab = in.readUTF()
+            val newI8 = in.readUTF()
+            val newIvf = in.readUTF()
+            val newNprobe = in.readInt()
+            val newOversample = in.readDouble()
+            try {
+              val swapped = reloadLock.synchronized {
+                val next = loadState(newSlab, newI8, newIvf, newNprobe,
+                  newOversample, stateRef.get().version + 1)
+                stateRef.set(next) // in-flight requests finish on the old gen
+                next
+              }
+              out.writeInt(1)
+              out.writeLong(swapped.version)
+              out.writeInt(swapped.n)
+            } catch {
+              case e: Throwable =>
+                out.writeInt(0)
+                out.writeUTF(Option(e.getMessage)
+                  .getOrElse(e.getClass.getName).take(500))
+            }
+            out.flush()
+          }
           else {
             val d = in.readInt()
             val queries = Array.ofDim[Array[Double]](nq)
@@ -594,21 +947,24 @@ object ShardWorker {
             if (stallMs > 0 &&
               reqCounter.incrementAndGet() % stallEvery == 0)
               Thread.sleep(stallMs)
+            // ONE volatile read per request: the whole request is served
+            // from a single generation even if a reload lands mid-flight
+            val st = stateRef.get()
             val res =
-              if (ivf != null)
+              if (st.ivf != null)
                 // pruned phase 1: per-query probe ranges (queries in a
                 // batch may probe different cells — usually nq=1 from
                 // the router, so the per-query dispatch costs nothing)
                 queries.map { q =>
-                  val rs = probeRanges(ivf, q, nprobe)
-                  if (int8)
-                    topKInt8(i8slab, floatBuf, floatDataStart, pool,
-                      threads, Array(q), k, th, oversample, ranges = rs)(0)
-                  else topK(rep, pool, threads, Array(q), k, th, rs)(0)
+                  val rs = probeRanges(st.ivf, q, st.nprobe)
+                  if (st.int8)
+                    topKInt8(st.i8, st.floatBuf, st.floatDataStart, pool,
+                      threads, Array(q), k, th, st.oversample, ranges = rs)(0)
+                  else topK(st.rep, pool, threads, Array(q), k, th, rs)(0)
                 }
-              else if (int8) topKInt8(i8slab, floatBuf, floatDataStart,
-                pool, threads, queries, k, th, oversample)
-              else topK(rep, pool, threads, queries, k, th)
+              else if (st.int8) topKInt8(st.i8, st.floatBuf, st.floatDataStart,
+                pool, threads, queries, k, th, st.oversample)
+              else topK(st.rep, pool, threads, queries, k, th)
             var i = 0
             while (i < nq) {
               out.writeInt(res(i).length)
@@ -626,12 +982,14 @@ object ShardWorker {
 
     // readiness marker AFTER the slab is resident (the router also
     // handshakes with a ping before grading anything)
-    val ivfNote = if (ivf == null) "" else s" ivfCells=${ivf.c} nprobe=$nprobe"
-    if (int8)
-      println(s"READY $port n=${i8slab.n} int8=1 " +
-        s"codeBytes=${i8slab.codes.length}$ivfNote")
+    val st0 = stateRef.get()
+    val ivfNote =
+      if (st0.ivf == null) "" else s" ivfCells=${st0.ivf.c} nprobe=${st0.nprobe}"
+    if (st0.int8)
+      println(s"READY $port n=${st0.n} int8=1 " +
+        s"codeBytes=${st0.i8.codes.length}$ivfNote")
     else
-      println(s"READY $port n=${rep.n} simdRows=${rep.simdRows}$ivfNote")
+      println(s"READY $port n=${st0.n} simdRows=${st0.rep.simdRows}$ivfNote")
     while (true) {
       val sock = srv.accept()
       sock.setTcpNoDelay(true)
@@ -662,10 +1020,22 @@ object ShardWorker {
   *     a poisoned connection (hedged-request semantics, Dean & Barroso
   *     "The Tail at Scale", CACM 2013). A shard that NEVER replies
   *     eventually pins `connsPerShard` executor threads + sockets on
-  *     reads that cannot finish; detecting a dead-vs-slow worker
-  *     (health checks, reconnect, replica failover) is the
-  *     cluster-manager layer, explicitly out of scope for this
-  *     measurement harness.
+  *     reads that cannot finish — that is a HANG, which only the
+  *     deadline path bounds; liveness probing stays with the
+  *     deployment's health checker.
+  *
+  * DEAD-WORKER SEMANTICS (r16): slow and dead are different failures —
+  * a dead worker (process crash; connection refused/reset) is handled
+  * at the conn layer, not by deadlines. Every pooled slot reconnects
+  * lazily, and reconnects walk the shard's endpoint list — primary
+  * first, then its `backups` — so a shard with a replica worker FAILS
+  * OVER instead of erroring (the reference's replication
+  * read-degradation, src/core/qdrant_client.py replication config). A
+  * request in flight on the dying socket is retried once per endpoint
+  * (search is idempotent and side-effect-free on the worker), so a
+  * crash costs the in-flight requests one reconnect each, not an error
+  * surfaced to the caller; a shard with NO live endpoint still surfaces
+  * the IOException — all-replicas-down is an outage, not a degradation.
   *
   * Reference anchor: Qdrant's distributed mode degrades reads gracefully
   * under partial shard availability (src/core/qdrant_client.py
@@ -690,50 +1060,179 @@ object RemoteShardedRouter {
 }
 
 final class RemoteShardedRouter(
-    addrs: Seq[(String, Int)], k: Int, connsPerShard: Int = 8) {
+    addrs: Seq[(String, Int)], k: Int, connsPerShard: Int = 8,
+    backups: Seq[Seq[(String, Int)]] = Seq.empty) {
 
-  private val pools: IndexedSeq[java.util.concurrent.ArrayBlockingQueue[Socket]] =
-    addrs.toIndexedSeq.map { case (host, port) =>
-      val q = new java.util.concurrent.ArrayBlockingQueue[Socket](connsPerShard)
+  /** Endpoint list per shard: the primary from `addrs`, then that
+    * shard's `backups` entries in failover order. A backup worker is a
+    * REPLICA — it must serve the same slab (the probe/spec hand both
+    * workers the same slab file); the router does not verify that, the
+    * slab fingerprints at worker load time do. */
+  private val endpoints: IndexedSeq[IndexedSeq[(String, Int)]] =
+    addrs.toIndexedSeq.zipWithIndex.map { case (p, s) =>
+      (p +: backups.lift(s).getOrElse(Seq.empty)).toIndexedSeq
+    }
+
+  /** Which endpoint a shard's NEW connections target. Failover is
+    * shard-wide: the first conn that fails to connect CASes the index
+    * forward, and every other conn follows on its next (re)connect —
+    * wrap-around means a restarted primary is picked back up once the
+    * backup dies, or on the next full cycle. */
+  private val activeEp: Array[java.util.concurrent.atomic.AtomicInteger] =
+    Array.fill(addrs.length)(new java.util.concurrent.atomic.AtomicInteger(0))
+
+  /** One pooled connection SLOT (VERDICT r15-era pools held raw sockets;
+    * a broken socket re-pooled broken and poisoned the slot forever).
+    * The socket is lazily (re)established against the shard's active
+    * endpoint: a failed round-trip re-pools the slot with sock=null and
+    * it self-heals on next take — the pool's SIZE is the invariant, its
+    * liveness is not. */
+  private final class Conn(val shard: Int) {
+    var sock: Socket = null
+    var in: DataInputStream = null
+    var out: DataOutputStream = null
+    def connected: Boolean = sock != null
+    def connect(ep: (String, Int)): Unit = {
+      val s = new Socket()
+      s.setTcpNoDelay(true)
+      s.connect(new InetSocketAddress(ep._1, ep._2), 10000)
+      sock = s
+      in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+      out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+    }
+    def disconnect(): Unit = {
+      if (sock != null) { try sock.close() catch { case _: Throwable => () } }
+      sock = null; in = null; out = null
+    }
+  }
+
+  // eager connect to the PRIMARY endpoint: constructor failure doubles
+  // as the readiness handshake the specs/probes retry on
+  private val pools: IndexedSeq[java.util.concurrent.ArrayBlockingQueue[Conn]] =
+    addrs.indices.map { s =>
+      val q = new java.util.concurrent.ArrayBlockingQueue[Conn](connsPerShard)
       (0 until connsPerShard).foreach { _ =>
-        val s = new Socket()
-        s.setTcpNoDelay(true)
-        s.connect(new InetSocketAddress(host, port), 10000)
-        q.put(s)
+        val c = new Conn(s)
+        c.connect(endpoints(s)(0))
+        q.put(c)
       }
       q
     }
-  private val streams = new java.util.concurrent.ConcurrentHashMap[
-    Socket, (DataInputStream, DataOutputStream)]()
-  private def io(s: Socket) = streams.computeIfAbsent(s, sock =>
-    (new DataInputStream(new BufferedInputStream(sock.getInputStream)),
-      new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))))
   private val exec = java.util.concurrent.Executors.newFixedThreadPool(
     math.max(8, addrs.length * connsPerShard))
 
+  // operational counters (the cluster-health numbers a deployment
+  // scrapes next to latency): lazy reconnects performed, shard-wide
+  // endpoint failovers, reload commands accepted
+  private val reconnectCount = new java.util.concurrent.atomic.AtomicLong
+  private val failoverCount = new java.util.concurrent.atomic.AtomicLong
+  private val reloadCount = new java.util.concurrent.atomic.AtomicLong
+  def reconnects: Long = reconnectCount.get()
+  def failovers: Long = failoverCount.get()
+  def reloads: Long = reloadCount.get()
+
+  /** (Re)establish `c` against its shard's active endpoint, advancing
+    * through the endpoint list on connect failure — the FAILOVER step: a
+    * dead primary moves the shard to its backup for every subsequent
+    * connection. Throws the last IOException when every endpoint
+    * refuses (the all-replicas-down case the caller surfaces). */
+  private def ensureConnected(c: Conn): Unit = {
+    if (c.connected) return
+    val eps = endpoints(c.shard)
+    var tries = 0
+    var lastErr: java.io.IOException = null
+    while (tries < eps.length) {
+      val epIdx = activeEp(c.shard).get()
+      try {
+        c.connect(eps(epIdx))
+        reconnectCount.incrementAndGet()
+        return
+      } catch {
+        case e: java.io.IOException =>
+          lastErr = e
+          // only the FIRST conn to see the dead endpoint advances (CAS);
+          // the rest read the already-advanced value
+          if (activeEp(c.shard).compareAndSet(epIdx, (epIdx + 1) % eps.length))
+            failoverCount.incrementAndGet()
+          tries += 1
+      }
+    }
+    throw lastErr
+  }
+
   private def roundTrip(shard: Int, qemb: Array[Double])
       : Array[(Long, Double, Int)] =
-    roundTripOn(pools(shard).take(), shard, qemb)
+    roundTripOn(pools(shard).take(), qemb)
 
-  /** Round-trip over a connection the CALLER already holds (the hedge
-    * path reserves its socket at decision time — see searchHedged);
-    * always re-pools it, success or error. */
-  private def roundTripOn(sock: Socket, shard: Int, qemb: Array[Double])
+  /** Round-trip over a conn the CALLER already holds (the hedge path
+    * reserves its conn at decision time — see searchHedged); always
+    * re-pools it, success or error. An IO failure mid-request closes the
+    * socket and RETRIES — once per endpoint plus one for a stale pooled
+    * socket — reconnecting through [[ensureConnected]]'s failover walk;
+    * search is idempotent and side-effect-free on the worker, so the
+    * retry can never double-apply anything. A worker crash therefore
+    * costs the in-flight requests one reconnect each, not an error. */
+  private def roundTripOn(c: Conn, qemb: Array[Double])
       : Array[(Long, Double, Int)] = {
     try {
-      val (in, out) = io(sock)
-      out.writeInt(1); out.writeInt(qemb.length)
-      var j = 0
-      while (j < qemb.length) { out.writeDouble(qemb(j)); j += 1 }
-      out.flush()
-      val m = in.readInt()
-      val hits = new Array[(Long, Double, Int)](m)
-      var i = 0
-      while (i < m) {
-        hits(i) = (in.readLong(), in.readDouble(), in.readInt()); i += 1
+      val maxAttempts = endpoints(c.shard).length + 1
+      var attempt = 0
+      while (true) {
+        try {
+          ensureConnected(c)
+          val in = c.in
+          val out = c.out
+          out.writeInt(1); out.writeInt(qemb.length)
+          var j = 0
+          while (j < qemb.length) { out.writeDouble(qemb(j)); j += 1 }
+          out.flush()
+          val m = in.readInt()
+          val hits = new Array[(Long, Double, Int)](m)
+          var i = 0
+          while (i < m) {
+            hits(i) = (in.readLong(), in.readDouble(), in.readInt()); i += 1
+          }
+          return hits
+        } catch {
+          case e: java.io.IOException =>
+            c.disconnect() // a mid-frame failure poisons the stream: drop it
+            attempt += 1
+            if (attempt >= maxAttempts) throw e
+        }
       }
-      hits
-    } finally pools(shard).put(sock)
+      throw new IllegalStateException("unreachable")
+    } finally pools(c.shard).put(c)
+  }
+
+  /** Ask shard `shard`'s worker to swap its served slab generation in
+    * place ([[ShardWorker.ReloadCmd]]): empty `int8Path`/`ivfPath` mean
+    * float mode / full scan, exactly like the launch args. Returns
+    * Right((newVersion, n)) on success; Left(error) when the worker
+    * REJECTED the manifest (fingerprint mismatch, unreadable file …) —
+    * in that case the worker keeps serving its old generation, so a bad
+    * refresh degrades to a stale-but-correct shard, never a down one. */
+  def reload(shard: Int, slabPath: String, int8Path: String = "",
+      ivfPath: String = "", nprobe: Int = 0, oversample: Double = 3.0)
+      : Either[String, (Long, Int)] = {
+    val c = pools(shard).take()
+    try {
+      ensureConnected(c)
+      c.out.writeInt(ShardWorker.ReloadCmd)
+      c.out.writeUTF(slabPath)
+      c.out.writeUTF(int8Path)
+      c.out.writeUTF(ivfPath)
+      c.out.writeInt(nprobe)
+      c.out.writeDouble(oversample)
+      c.out.flush()
+      if (c.in.readInt() == 1) {
+        reloadCount.incrementAndGet()
+        Right((c.in.readLong(), c.in.readInt()))
+      } else Left(c.in.readUTF())
+    } catch {
+      case e: java.io.IOException =>
+        c.disconnect()
+        Left(s"io: ${e.getMessage}")
+    } finally pools(c.shard).put(c)
   }
 
   private def scatter(qemb: Array[Double])
@@ -883,11 +1382,11 @@ final class RemoteShardedRouter(
           catch { case _: Throwable => () } // socket error: shard silent
       })
     // hedge attempt over a connection reserved at DECISION time: runs to
-    // completion (never cancelled) so the socket always re-pools
-    def hedgeAttempt(shard: Int, sock: Socket): Unit =
+    // completion (never cancelled) so the conn always re-pools
+    def hedgeAttempt(shard: Int, c: Conn): Unit =
       exec.submit(new Runnable {
         def run(): Unit =
-          try replies.offer((shard, roundTripOn(sock, shard, qemb), true))
+          try replies.offer((shard, roundTripOn(c, qemb), true))
           catch { case _: Throwable => () } // socket error: shard silent
       })
     val attempts = scala.collection.mutable.ArrayBuffer[
@@ -925,13 +1424,13 @@ final class RemoteShardedRouter(
         var s = 0
         while (s < nShards && hedgesSent < maxHedges) {
           if (!answered(s)) {
-            val sock = pools(s).poll() // reserve, never block
-            if (sock != null) {
+            val conn = pools(s).poll() // reserve, never block
+            if (conn != null) {
               if (tryReserveHedge(budgetFraction)) {
-                hedgeAttempt(s, sock)
+                hedgeAttempt(s, conn)
                 hedgesSent += 1
               } else {
-                pools(s).put(sock) // budget exhausted: hand the socket back
+                pools(s).put(conn) // budget exhausted: hand the conn back
                 s = nShards // and stop scanning — no token will appear mid-request
               }
             }
@@ -951,19 +1450,19 @@ final class RemoteShardedRouter(
 
   /** Pure IPC round-trip (nq=0 frame) to shard 0 — the network floor. */
   def ping(): Unit = {
-    val sock = pools(0).take()
+    val c = pools(0).take()
     try {
-      val (in, out) = io(sock)
-      out.writeInt(0); out.flush()
-      require(in.readInt() == 0, "bad ping reply")
-    } finally pools(0).put(sock)
+      ensureConnected(c)
+      c.out.writeInt(0); c.out.flush()
+      require(c.in.readInt() == 0, "bad ping reply")
+    } finally pools(0).put(c)
   }
 
   def close(): Unit = {
     exec.shutdownNow()
     pools.foreach { p =>
-      var s = p.poll()
-      while (s != null) { try s.close() catch { case _: Throwable => () }; s = p.poll() }
+      var c = p.poll()
+      while (c != null) { c.disconnect(); c = p.poll() }
     }
   }
 }

@@ -602,6 +602,24 @@ object SparkEntry {
     graft.sources.CollectionStore.loadIndexed(s, path)
   }
 
+  /** Deterministic CDC batch for the slab-refresh planner queries
+    * (`slab_refresh_manifest`/`slab_refresh_stats`): upserts = ids ≡ 3
+    * (mod 17) re-embedded with the NEGATED vector — norm-preserving, and
+    * it flips the point across the sphere so the re-assignment path is
+    * really exercised (most upserts MOVE cells); deletes = ids ≡ 5
+    * (mod 23) outside the upsert set. The oracle rebuilds the same batch
+    * from the same arithmetic. */
+  private def refreshBatch(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val points = Collection.load(s, dir)
+    val ups = points.filter(col("id") % 17 === 3)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val dels = points
+      .filter(col("id") % 23 === 5 && col("id") % 17 =!= 3)
+      .select("id")
+    (ups, dels)
+  }
+
   /** Post-SPLIT indexed store (the segment-split maintenance op,
     * [[graft.sources.CollectionStore.splitOversizedCells]]): built once
     * per JVM per scale dir — saveIndexed on the trained centroids, then
@@ -1990,6 +2008,28 @@ object SparkEntry {
       store.groupBy(col("cid").cast("long").as("cid"))
         .agg(count(lit(1)).as("cell_rows"))
         .orderBy("cid")
+    }),
+    // SLAB-REFRESH PLANNER (r16): per-cell dirty manifest of a CDC batch
+    // against the persisted index — the plan the serving tier's
+    // incremental slab patch (SlabIO.patchCellOrdered) executes. Batch is
+    // a deterministic fixture function: ids ≡ 3 (mod 17) are upserted
+    // with the NEGATED embedding (norm-preserving, and it moves the
+    // point to a far cell — the re-assignment path is really exercised);
+    // ids ≡ 5 (mod 23) not in the upsert set are deleted. The oracle
+    // replays old-cell assignment from the persisted centroid table and
+    // new-cell assignment over the negated embedding.
+    "slab_refresh_manifest" -> ((s, dir) => {
+      val (store, cents) = indexedStore(s, dir)
+      val (ups, dels) = refreshBatch(s, dir)
+      graft.sources.CollectionStore.refreshManifest(store, cents, ups, dels)
+    }),
+    // One-row refresh DECISION rollup: the rewrite fraction a patched
+    // slab pays vs the full re-export a rebuild pays.
+    "slab_refresh_stats" -> ((s, dir) => {
+      val (store, cents) = indexedStore(s, dir)
+      val (ups, dels) = refreshBatch(s, dir)
+      graft.sources.CollectionStore.refreshStats(
+        graft.sources.CollectionStore.refreshManifest(store, cents, ups, dels))
     }),
     "indexed_two_phase" -> ((s, dir) => {
       val (store, _) = indexedStore(s, dir)
@@ -4977,6 +5017,79 @@ object SparkEntry {
          |s AS (SELECT p.id, round(list_dot_product(p.ne, q.qe), 6) AS score, p.user_id
          |  FROM pts p, q WHERE p.cid IN (SELECT cid FROM probes))
          |SELECT id, score, user_id FROM s ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // Slab-refresh planner: old cells replayed by the same argmax the
+    // store was built with; new cells over the negated upsert embeddings;
+    // the manifest is the full outer accounting per centroid-table cell.
+    "slab_refresh_manifest" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),
+         |asgn AS (SELECT c.id, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, cid FROM asgn WHERE rn = 1),
+         |up AS (SELECT id, list_transform(ne, x -> -x) AS ne2 FROM c WHERE id % 17 = 3),
+         |newa AS (SELECT up.id, cent.cid,
+         |  row_number() OVER (PARTITION BY up.id
+         |    ORDER BY round(list_dot_product(up.ne2, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM up, cent),
+         |newc AS (SELECT id, cid FROM newa WHERE rn = 1),
+         |del AS (SELECT id FROM c WHERE id % 23 = 5 AND id % 17 != 3),
+         |touched AS (SELECT id FROM up UNION SELECT id FROM del),
+         |dr AS (SELECT p.cid, count(*)::BIGINT AS drops
+         |  FROM pts p JOIN touched t USING (id) GROUP BY p.cid),
+         |ad AS (SELECT cid, count(*)::BIGINT AS adds FROM newc GROUP BY cid),
+         |bef AS (SELECT cid, count(*)::BIGINT AS rows_before FROM pts GROUP BY cid)
+         |SELECT cent.cid,
+         |  coalesce(bef.rows_before, 0)::BIGINT AS rows_before,
+         |  coalesce(ad.adds, 0)::BIGINT AS adds,
+         |  coalesce(dr.drops, 0)::BIGINT AS drops,
+         |  (coalesce(bef.rows_before, 0) + coalesce(ad.adds, 0)
+         |    - coalesce(dr.drops, 0))::BIGINT AS rows_after,
+         |  (CASE WHEN coalesce(ad.adds, 0) + coalesce(dr.drops, 0) > 0
+         |    THEN 1 ELSE 0 END)::INT AS dirty
+         |FROM cent LEFT JOIN bef USING (cid) LEFT JOIN ad USING (cid)
+         |  LEFT JOIN dr USING (cid)
+         |ORDER BY cent.cid""".stripMargin,
+    "slab_refresh_stats" ->
+      s"""WITH $C,
+         |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),
+         |asgn AS (SELECT c.id, cent.cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY round(list_dot_product(c.ne, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM c, cent),
+         |pts AS (SELECT id, cid FROM asgn WHERE rn = 1),
+         |up AS (SELECT id, list_transform(ne, x -> -x) AS ne2 FROM c WHERE id % 17 = 3),
+         |newa AS (SELECT up.id, cent.cid,
+         |  row_number() OVER (PARTITION BY up.id
+         |    ORDER BY round(list_dot_product(up.ne2, cent.ce), 6) DESC, cent.cid ASC) AS rn
+         |  FROM up, cent),
+         |newc AS (SELECT id, cid FROM newa WHERE rn = 1),
+         |del AS (SELECT id FROM c WHERE id % 23 = 5 AND id % 17 != 3),
+         |touched AS (SELECT id FROM up UNION SELECT id FROM del),
+         |dr AS (SELECT p.cid, count(*)::BIGINT AS drops
+         |  FROM pts p JOIN touched t USING (id) GROUP BY p.cid),
+         |ad AS (SELECT cid, count(*)::BIGINT AS adds FROM newc GROUP BY cid),
+         |bef AS (SELECT cid, count(*)::BIGINT AS rows_before FROM pts GROUP BY cid),
+         |m AS (SELECT cent.cid,
+         |  coalesce(bef.rows_before, 0)::BIGINT AS rows_before,
+         |  coalesce(ad.adds, 0)::BIGINT AS adds,
+         |  coalesce(dr.drops, 0)::BIGINT AS drops,
+         |  (coalesce(bef.rows_before, 0) + coalesce(ad.adds, 0)
+         |    - coalesce(dr.drops, 0))::BIGINT AS rows_after,
+         |  CASE WHEN coalesce(ad.adds, 0) + coalesce(dr.drops, 0) > 0
+         |    THEN 1 ELSE 0 END AS dirty
+         |  FROM cent LEFT JOIN bef USING (cid) LEFT JOIN ad USING (cid)
+         |    LEFT JOIN dr USING (cid))
+         |SELECT count(*)::BIGINT AS cells_total,
+         |  sum(dirty)::BIGINT AS cells_dirty,
+         |  sum(rows_after)::BIGINT AS rows_total,
+         |  sum(CASE WHEN dirty = 1 THEN rows_after ELSE 0 END)::BIGINT AS rows_rewritten,
+         |  sum(adds)::BIGINT AS rows_added,
+         |  sum(drops)::BIGINT AS rows_dropped,
+         |  round(sum(CASE WHEN dirty = 1 THEN rows_after ELSE 0 END)::DOUBLE
+         |    / greatest(sum(rows_after)::DOUBLE, 1.0), 6) AS rewrite_frac
+         |FROM m""".stripMargin,
     "indexed_ivf_filtered" ->
       s"""WITH $C,
          |cent AS (SELECT cid, ce FROM read_parquet($idxOracleGlob)),

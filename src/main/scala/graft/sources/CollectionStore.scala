@@ -1135,6 +1135,152 @@ object CollectionStore {
       pqResidualCodebook = pqResidualCodebook)
   }
 
+  /** REFRESH MANIFEST — the serving-refresh planner (r16): given the
+    * current cell assignment of an indexed store, an upsert batch, and a
+    * delete batch, compute per CELL what a slab refresh must do. This is
+    * the bridge between store maintenance ([[mergeIndexed]] — which
+    * cells changed on disk) and the serving tier's incremental slab
+    * patch ([[graft.SlabIO.patchCellOrdered]] — which cell ranges to
+    * splice vs rewrite): at 100 TB a CDC batch dirties a small fraction
+    * of cells, and the refresh should ship + rewrite exactly those, not
+    * re-export the shard.
+    *
+    * Semantics: an upsert REMOVES the id's current row from its old cell
+    * and ADDS the new row to its (re-assigned) new cell — when both are
+    * the same cell the row still changed, so the cell is still dirty; a
+    * delete removes from the old cell. Output, one row per centroid-table
+    * cell, sorted by cid:
+    *   cid, rows_before, adds (upserts landing in the cell),
+    *   drops (upserts/deletes leaving it), rows_after, dirty (0/1).
+    *
+    * Plan shape: batch-sized joins only — the store side contributes one
+    * hash aggregate per cell (rows_before) and a semi-join against the
+    * batch ids for old-cell lookup; nothing scales with store rows
+    * beyond the one count-by-cell pass (and a deployment holding the
+    * id→cid sidecar can replace even that with bucket-pruned reads, the
+    * [[saveIdSidecar]] role). */
+  def refreshManifest(store: DataFrame, centroids: DataFrame,
+      upserts: DataFrame, deleteIds: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cid").cast("long").as("cid"), col("ce"))
+    val oldCid = store.select(col("id"), col("cid").cast("long").as("cid"))
+    // rows LEAVING a cell: the old assignment of every touched id
+    // (upserted ∪ deleted — an id in both is one physical row leaving)
+    val touched = upserts.select(col("id"))
+      .union(deleteIds.select(col("id"))).distinct()
+    val drops = oldCid.join(touched, Seq("id"), "left_semi")
+      .groupBy("cid").agg(count(lit(1)).as("drops"))
+    // rows ARRIVING in a cell: the upsert batch re-assigned map-side
+    // against the same centroid table the store was built with
+    val adds = graft.operators.Ann.ivfAssign(upserts, cents)
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("adds"))
+    val before = oldCid.groupBy("cid").agg(count(lit(1)).as("rows_before"))
+    cents.select("cid")
+      .join(before, Seq("cid"), "left")
+      .join(adds, Seq("cid"), "left")
+      .join(drops, Seq("cid"), "left")
+      .select(
+        col("cid"),
+        coalesce(col("rows_before"), lit(0L)).as("rows_before"),
+        coalesce(col("adds"), lit(0L)).as("adds"),
+        coalesce(col("drops"), lit(0L)).as("drops"))
+      .withColumn("rows_after",
+        col("rows_before") + col("adds") - col("drops"))
+      .withColumn("dirty",
+        (col("adds") + col("drops") > 0).cast("int"))
+      .orderBy("cid")
+  }
+
+  /** One-row rollup of [[refreshManifest]] — the refresh DECISION
+    * surface: how much of the slab a patch rewrites vs byte-copies.
+    * `rewrite_frac` is the dirty-cell share of post-refresh rows — the
+    * fraction of the new slab written fresh (the rest splices); at a
+    * typical CDC batch this is ≪ 1, which is the entire case for
+    * patching over rebuilding. */
+  def refreshStats(manifest: DataFrame): DataFrame =
+    manifest.agg(
+      count(lit(1)).as("cells_total"),
+      sum(col("dirty")).cast("long").as("cells_dirty"),
+      sum(col("rows_after")).cast("long").as("rows_total"),
+      sum(when(col("dirty") === 1, col("rows_after")).otherwise(lit(0L)))
+        .cast("long").as("rows_rewritten"),
+      sum(col("adds")).cast("long").as("rows_added"),
+      sum(col("drops")).cast("long").as("rows_dropped"))
+    .withColumn("rewrite_frac",
+      round(col("rows_rewritten").cast("double") /
+        greatest(col("rows_total").cast("double"), lit(1.0)), 6))
+
+  /** Export an indexed store as ONE cell-ordered serving slab (float +
+    * ivf sidecar + int8 twin) — the store→worker handoff. Cells are the
+    * store's cid partitions, ordered by cid with rows id-sorted within
+    * each (the [[graft.SlabIO.patchCellOrdered]] layout convention);
+    * the sidecar's centroid table is the store's own `_centroids`. The
+    * terminal collect is the worker-slab materialization — bounded by
+    * the SHARD the caller selected, the same per-shard discipline as
+    * the cross-proc probe (a deployment runs one export per worker,
+    * each reading only its hash-shard; pass the pre-filtered store in).
+    * Returns (rowCount, cellCount). */
+  def exportSlab(spark: SparkSession, storePath: String, slabPath: String,
+      shardFilter: Option[org.apache.spark.sql.Column] = None)
+      : (Int, Int) = {
+    val (store0, cents) = loadIndexed(spark, storePath)
+    val store = shardFilter.fold(store0)(store0.filter)
+    val centRows = cents
+      .select(col("cid").cast("long").as("cid"), col("ce"))
+      .orderBy("cid").collect()
+    val cids = centRows.map(_.getLong(0))
+    val centArrays = centRows.map(_.getSeq[Double](1).toArray)
+    val cellIdx = cids.zipWithIndex.toMap
+    val rows = store
+      .select(col("cid").cast("long").as("cid"), col("id"),
+        col("embedding"), col("user_id").cast("int").as("user_id"))
+      .orderBy("cid", "id")
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getSeq[Double](2).toArray, r.getInt(3))))
+    val offs = new Array[Int](cids.length + 1)
+    rows.foreach { case (cid, _) => offs(cellIdx(cid) + 1) += 1 }
+    (1 to cids.length).foreach(j => offs(j) += offs(j - 1))
+    val sorted = rows.map(_._2)
+    graft.SlabIO.write(slabPath, sorted)
+    graft.SlabIO.writeIvf(s"$slabPath.ivf", cids, centArrays, offs, slabPath)
+    graft.SlabIO.writeInt8(s"$slabPath.i8", sorted, slabPath)
+    (sorted.length, cids.length)
+  }
+
+  /** Read ONLY the given cells' rows from an indexed store — the dirty-
+    * cell export a slab patch ships. `cid` is a partition DIRECTORY, so
+    * the isin filter prunes at the source listing: the read is O(dirty
+    * cells), never a store scan ([[refreshManifest]] plans exactly this
+    * set). Returns sidecar-convention contents: per requested cid, rows
+    * id-sorted; absent cells map to empty (a drained cell patches to a
+    * zero-width range). */
+  def exportCells(spark: SparkSession, storePath: String, cids: Seq[Long],
+      shardFilter: Option[org.apache.spark.sql.Column] = None)
+      : Map[Long, Array[(Long, Array[Double], Int)]] = {
+    val store0 = spark.read.parquet(storePath)
+    val store = shardFilter.fold(store0)(store0.filter)
+    // literals in the partition column's NATIVE type: an isin over
+    // cast(cid) can defeat directory pruning, which is the whole point
+    // of this read
+    val native: Seq[Any] = store.schema("cid").dataType match {
+      case org.apache.spark.sql.types.IntegerType => cids.map(_.toInt)
+      case org.apache.spark.sql.types.StringType => cids.map(_.toString)
+      case _ => cids
+    }
+    val got = store
+      .filter(col("cid").isin(native: _*))
+      .select(col("cid").cast("long").as("cid"), col("id"),
+        col("embedding"), col("user_id").cast("int").as("user_id"))
+      .orderBy("cid", "id")
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getSeq[Double](2).toArray, r.getInt(3))))
+      .groupBy(_._1).map { case (cid, rs) => cid -> rs.map(_._2) }
+    cids.map(cid => cid -> got.getOrElse(cid,
+      Array.empty[(Long, Array[Double], Int)])).toMap
+  }
+
   /** Morton (Z-order) value of two non-negative integer columns: the low
     * 16 bits of each, bit-interleaved (a in even positions, b in odd) — a
     * space-filling curve key. Statically unrolled shift/mask terms: one

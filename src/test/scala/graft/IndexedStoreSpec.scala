@@ -809,4 +809,99 @@ class IndexedStoreSpec extends SparkSpec {
     assert(footerSizes == storeCellSizes.map { case (c, n) => c -> n.toLong },
       "footer counts must track the store through split/merge/tombstone")
   }
+
+  test("store→slab lifecycle: refreshManifest plans, exportCells ships " +
+      "only dirty cells, patchCellOrdered splices — the patched " +
+      "generation equals a post-CDC full re-export, byte for byte") {
+    val path = "/tmp/graft_test_slab_lifecycle"
+    val centsDf0 = Ann.seedCentroids(points, 16)
+    CollectionStore.saveIndexed(points, path, centsDf0,
+      idSidecarBuckets = Some(8))
+    val dir = java.nio.file.Files.createTempDirectory("slab_lc").toString
+    try {
+      // generation 1: the store exported as a cell-ordered serving slab
+      val v1 = s"$dir/v1.slab"
+      val (n1, c1) = CollectionStore.exportSlab(spark, path, v1)
+      assert(n1 == points.count() && c1 == 16)
+      // CDC batch: re-embeds that MOVE cells (negated embedding), one
+      // genuinely new id, and scattered deletes — SMALL relative to the
+      // 16 cells (500 fixture rows), so the dirty/clean split is real
+      val ups = points.filter($"id" % 151 === 1)
+        .withColumn("embedding", transform($"embedding", x => -x))
+        .unionByName(points.filter($"id" === 0)
+          .withColumn("id", lit(900001L)))
+      val dels = points.filter($"id" % 163 === 2 && $"id" % 151 =!= 1)
+        .select("id")
+      // the PLAN must be computed against the pre-CDC store (collect
+      // before merge: the path is about to be rewritten in place)
+      val (store0, centsDf) = CollectionStore.loadIndexed(spark, path)
+      val manifest = CollectionStore.refreshManifest(
+          store0, centsDf, ups, dels)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getInt(5)))
+      // apply the batch through the store's own incremental maintenance
+      val centRows = centsDf.select(col("cid").cast("long"), col("ce"))
+        .orderBy("cid").collect()
+      CollectionStore.mergeIndexed(spark, path, ups,
+        centRows.map(_.getLong(0)).toSeq,
+        centRows.map(_.getSeq[Double](1).toSeq).toSeq,
+        nBuckets = 8, deletes = Some(dels))
+      // planner consistency: the manifest's predicted per-cell
+      // populations equal what the maintenance actually produced
+      val after = spark.read.parquet(path)
+        .groupBy(col("cid").cast("long").as("cid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      manifest.foreach { case (cid, _, _, _, rowsAfter, _) =>
+        assert(rowsAfter == after.getOrElse(cid, 0L),
+          s"cell $cid: manifest predicts $rowsAfter, store has " +
+            s"${after.getOrElse(cid, 0L)}")
+      }
+      // ship ONLY the dirty cells; the read must prune to their
+      // partition directories (cid is a partition column)
+      val dirtyCids = manifest.filter(_._6 == 1).map(_._1).toSeq
+      val cleanCids = manifest.filter(_._6 == 0).map(_._1).toSet
+      assert(dirtyCids.nonEmpty && cleanCids.nonEmpty,
+        "fixture must produce both dirty and clean cells")
+      val nativeDirty: Seq[Any] =
+        spark.read.parquet(path).schema("cid").dataType match {
+          case org.apache.spark.sql.types.IntegerType => dirtyCids.map(_.toInt)
+          case org.apache.spark.sql.types.StringType => dirtyCids.map(_.toString)
+          case _ => dirtyCids
+        }
+      val prunedPlan = spark.read.parquet(path)
+        .filter(col("cid").isin(nativeDirty: _*))
+        .queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("PartitionFilters: [") &&
+        !prunedPlan.contains("PartitionFilters: []"),
+        s"dirty-cell read must prune cid partitions:\n$prunedPlan")
+      val shipped = CollectionStore.exportCells(spark, path, dirtyCids)
+      // splice into generation 2 and compare against the full re-export
+      val ivf1 = graft.SlabIO.readIvf(s"$v1.ivf")
+      val idxOf = ivf1.cids.zipWithIndex.toMap
+      val v2 = s"$dir/v2.slab"
+      SlabIO.patchCellOrdered(v1, s"$v1.ivf",
+        shipped.map { case (cid, rows) => idxOf(cid) -> rows },
+        v2, s"$v2.ivf", s"$v1.i8", s"$v2.i8")
+      val ref = s"$dir/ref.slab"
+      CollectionStore.exportSlab(spark, path, ref)
+      def bytes(p: String) =
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      assert(java.util.Arrays.equals(bytes(v2), bytes(ref)),
+        "patched slab != full post-CDC re-export")
+      assert(java.util.Arrays.equals(bytes(s"$v2.ivf"), bytes(s"$ref.ivf")),
+        "patched sidecar != full post-CDC re-export")
+      assert(java.util.Arrays.equals(bytes(s"$v2.i8"), bytes(s"$ref.i8")),
+        "patched int8 slab != full post-CDC re-export")
+      // and the patched generation loads through the worker's gates
+      graft.SlabIO.readIvf(s"$v2.ivf").requirePairedWith(v2)
+      graft.SlabIO.readInt8(s"$v2.i8").requirePairedWith(v2)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    }
+  }
 }

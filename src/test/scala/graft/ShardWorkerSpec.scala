@@ -407,6 +407,262 @@ class ShardWorkerSpec extends AnyFunSuite {
     (byCell.map(_._2), (0 until c).map(_.toLong).toArray, cents, offs)
   }
 
+  test("patchCellOrdered: splice of dirty cells is byte-identical to a " +
+      "full rebuild (float slab, ivf sidecar, int8 twin)") {
+    val d = 16
+    val (rows, cids, cents, offs) = mkClustered(c = 6, perCell = 40, d = d)
+    val c = cids.length
+    val dir = java.nio.file.Files.createTempDirectory("slab_patch").toString
+    val v1 = s"$dir/v1.slab"
+    SlabIO.write(v1, rows)
+    SlabIO.writeIvf(s"$v1.ivf", cids, cents, offs, v1)
+    SlabIO.writeInt8(s"$v1.i8", rows, v1)
+    // dirty-cell churn: cell 1 loses its first 3 rows, re-embeds 2, and
+    // gains 2 inserts; cell 4 drains completely (zero-width range)
+    def cellRows(j: Int) = rows.slice(offs(j), offs(j + 1))
+    val rnd = new scala.util.Random(5)
+    def unit(): Array[Double] = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val cell1 = {
+      val kept = cellRows(1).drop(3)
+      val reembedded = kept.take(2).map { case (id, _, u) => (id, unit(), u) }
+      val tail = kept.drop(2)
+      val inserts = Array((900001L, unit(), 1), (900002L, unit(), 2))
+      (reembedded ++ tail ++ inserts).sortBy(_._1)
+    }
+    val dirty = Map(1 -> cell1, 4 -> Array.empty[(Long, Array[Double], Int)])
+    // reference: the full new row array, rebuilt from scratch
+    val newRows = (0 until c).flatMap(j =>
+      dirty.getOrElse(j, cellRows(j))).toArray
+    val ref = s"$dir/ref.slab"
+    SlabIO.write(ref, newRows)
+    val refOffs = new Array[Int](c + 1)
+    (0 until c).foreach(j => refOffs(j + 1) =
+      refOffs(j) + dirty.get(j).map(_.length).getOrElse(offs(j + 1) - offs(j)))
+    SlabIO.writeIvf(s"$ref.ivf", cids, cents, refOffs, ref)
+    SlabIO.writeInt8(s"$ref.i8", newRows, ref)
+    // patch: splice the clean cells out of v1
+    val v2 = s"$dir/v2.slab"
+    val (n2, cleanBytes, dirtyBytes) = SlabIO.patchCellOrdered(
+      v1, s"$v1.ivf", dirty, v2, s"$v2.ivf", s"$v1.i8", s"$v2.i8")
+    assert(n2 == newRows.length)
+    assert(cleanBytes > 0 && dirtyBytes > 0)
+    def bytes(p: String) =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(java.util.Arrays.equals(bytes(v2), bytes(ref)),
+      "patched float slab must be byte-identical to the full rebuild")
+    assert(java.util.Arrays.equals(bytes(s"$v2.ivf"), bytes(s"$ref.ivf")),
+      "patched ivf sidecar must be byte-identical to the full rebuild")
+    assert(java.util.Arrays.equals(bytes(s"$v2.i8"), bytes(s"$ref.i8")),
+      "patched int8 slab must be byte-identical to the full rebuild")
+    // the patched generation loads through the same fail-loud gates
+    SlabIO.readIvf(s"$v2.ivf").requirePairedWith(v2)
+    SlabIO.readInt8(s"$v2.i8").requirePairedWith(v2)
+    // unsorted dirty rows violate the cell-ordered (cell, id) convention
+    val ex = intercept[IllegalArgumentException] {
+      SlabIO.patchCellOrdered(v1, s"$v1.ivf",
+        Map(0 -> cellRows(0).reverse), s"$dir/bad.slab", s"$dir/bad.ivf")
+    }
+    assert(ex.getMessage.contains("id-sorted"))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala
+      .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () })
+  }
+
+  test("RELOAD swaps the served slab generation atomically under load; " +
+      "a rejected manifest keeps the old generation serving") {
+    val d = 16
+    val rows = mkRows(300, d)
+    val k = 5
+    val dir = java.nio.file.Files.createTempDirectory("slab_reload").toString
+    val v1 = s"$dir/v1.slab"
+    SlabIO.write(v1, rows)
+    // v2 adds a sentinel row that exactly equals the probe query — after
+    // the swap it MUST be the top-1 hit (score 1.0 beats every noisy row)
+    val q = {
+      val v = Array.tabulate(d)(i => math.cos(i * 0.7 + 1))
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val v2 = s"$dir/v2.slab"
+    SlabIO.write(v2, (rows :+ ((999999L, q, 7))).sortBy(_._1))
+    def freePort(): Int = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val port = freePort()
+    val t = new Thread(new Runnable {
+      def run(): Unit = ShardWorker.main(
+        Array(v1, port.toString, k.toString, "0.0", "2"))
+    })
+    t.setDaemon(true); t.start()
+    var router: RemoteShardedRouter = null
+    var tries = 0
+    while (router == null) {
+      try router = new RemoteShardedRouter(
+        Seq(("127.0.0.1", port)), k, connsPerShard = 4)
+      catch { case e: java.io.IOException =>
+        tries += 1; if (tries > 60) throw e; Thread.sleep(250) }
+    }
+    try {
+      assert(router.search(q).head._1 != 999999L, "sentinel absent in v1")
+      // background storm: reload must not fail a single concurrent request
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+      val served = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stormers = (0 until 3).map { _ =>
+        val st = new Thread(new Runnable {
+          def run(): Unit = while (!stop.get()) {
+            try {
+              val hits = router.search(q)
+              // every answer must be a coherent generation: either v1's
+              // top-k (no sentinel) or v2's (sentinel first) — nothing else
+              if (hits.head._1 == 999999L) assert(hits.head._2 == 1.0)
+              else assert(hits.length == k)
+              served.incrementAndGet()
+            } catch { case _: Throwable => errors.incrementAndGet() }
+          }
+        })
+        st.setDaemon(true); st.start(); st
+      }
+      Thread.sleep(300)
+      val r = router.reload(0, v2)
+      assert(r.isRight, s"reload must succeed, got $r")
+      val Right((ver, n)) = r: @unchecked
+      assert(ver == 2L && n == rows.length + 1)
+      Thread.sleep(300)
+      stop.set(true)
+      stormers.foreach(_.join(2000))
+      assert(errors.get() == 0,
+        s"reload under load must not fail requests, got ${errors.get()} errors")
+      assert(served.get() > 0)
+      val after = router.search(q)
+      assert(after.head._1 == 999999L && after.head._2 == 1.0,
+        "post-swap answers must come from the new generation")
+      // rejected manifest: an ivf sidecar cut from v1 does not pair with
+      // v2 — the worker must refuse AND keep serving the current gen
+      SlabIO.writeIvf(s"$v1.ivf",
+        Array(0L), Array(q), Array(0, rows.length), v1)
+      val bad = router.reload(0, v2, ivfPath = s"$v1.ivf", nprobe = 1)
+      assert(bad.isLeft && bad.swap.exists(_.contains("fingerprint")),
+        s"mismatched sidecar must be rejected loud, got $bad")
+      val still = router.search(q)
+      assert(still.head._1 == 999999L,
+        "a rejected reload must leave the old generation serving")
+    } finally {
+      router.close()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    }
+  }
+
+  test("failover: a dead primary moves the shard to its backup replica " +
+      "mid-stream — same answers, no caller-visible error") {
+    val rows = mkRows(400, 16)
+    val k = 10
+    val q = {
+      val v = Array.tabulate(16)(i => math.sin(i + 2.0))
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val brute = rows.map { case (id, e, u) =>
+      var s = 0.0; var i = 0
+      while (i < e.length) { s += e(i) * q(i); i += 1 }
+      (id, graft.plans.Num.round6(s), u)
+    }.sortBy { case (id, s, _) => (-s, id) }.take(k).toSeq
+    // protocol-correct in-JVM replica server whose "crash" closes the
+    // listener AND every accepted socket (connection reset, like a
+    // killed process) — both replicas serve the SAME rows
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val rep = BatchedServer.FlatReplica(rows)
+    final class Replica {
+      val srv = new java.net.ServerSocket(0)
+      def port: Int = srv.getLocalPort
+      private val accepted =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.Socket]()
+      val requestsServed = new java.util.concurrent.atomic.AtomicInteger(0)
+      private val acceptor = new Thread(new Runnable {
+        def run(): Unit = try {
+          while (true) {
+            val sock = srv.accept()
+            sock.setTcpNoDelay(true)
+            accepted.add(sock)
+            val t = new Thread(new Runnable { def run(): Unit = {
+              val in = new java.io.DataInputStream(
+                new java.io.BufferedInputStream(sock.getInputStream))
+              val out = new java.io.DataOutputStream(
+                new java.io.BufferedOutputStream(sock.getOutputStream))
+              try {
+                while (true) {
+                  val nq = in.readInt()
+                  if (nq == 0) { out.writeInt(0); out.flush() }
+                  else {
+                    val dd = in.readInt()
+                    val qs = Array.fill(nq)(Array.fill(dd)(in.readDouble()))
+                    val res = ShardWorker.topK(rep, pool, 2, qs, k, 0.0)
+                    res.foreach { hits =>
+                      out.writeInt(hits.length)
+                      hits.foreach { case (id, s, u) =>
+                        out.writeLong(id); out.writeDouble(s); out.writeInt(u) }
+                    }
+                    out.flush()
+                    requestsServed.incrementAndGet()
+                  }
+                }
+              } catch { case _: java.io.IOException => () }
+              finally sock.close()
+            }})
+            t.setDaemon(true); t.start()
+          }
+        } catch { case _: java.io.IOException => () }
+      })
+      acceptor.setDaemon(true); acceptor.start()
+      def kill(): Unit = {
+        try srv.close() catch { case _: Throwable => () }
+        accepted.forEach(s => try s.close() catch { case _: Throwable => () })
+      }
+    }
+    val primary = new Replica
+    val backup = new Replica
+    val router = new RemoteShardedRouter(
+      Seq(("127.0.0.1", primary.port)), k, connsPerShard = 2,
+      backups = Seq(Seq(("127.0.0.1", backup.port))))
+    try {
+      // healthy: the primary serves
+      assert(router.search(q).toSeq == brute)
+      assert(primary.requestsServed.get() == 1 &&
+        backup.requestsServed.get() == 0)
+      // crash the primary: the NEXT request must fail over to the backup
+      // with the same exact answer and no exception
+      primary.kill()
+      assert(router.search(q).toSeq == brute,
+        "failover answer must equal the healthy answer")
+      assert(backup.requestsServed.get() >= 1,
+        "the backup must have served the failover request")
+      // and the failover is sticky: subsequent requests keep working
+      (0 until 5).foreach(_ => assert(router.search(q).toSeq == brute))
+      // the operational counters saw it: ≥1 endpoint failover, ≥1 lazy
+      // reconnect (the numbers a deployment scrapes next to latency)
+      assert(router.failovers >= 1, s"failovers=${router.failovers}")
+      assert(router.reconnects >= 1, s"reconnects=${router.reconnects}")
+      // all-replicas-down IS an error (an outage must be loud, not an
+      // empty result): kill the backup too
+      backup.kill()
+      intercept[Exception](router.search(q))
+    } finally {
+      router.close()
+      primary.kill(); backup.kill()
+      pool.shutdownNow()
+    }
+  }
+
   test("ivf sidecar: round-trip, pruned scan at full probe == full scan " +
       "(float AND int8), partial probe stays exact-within-cells, " +
       "pairing fingerprint fails loud") {
