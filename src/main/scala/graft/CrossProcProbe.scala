@@ -463,46 +463,68 @@ object CrossProc {
           math.rint(xs(((xs.length - 1) * p).toInt) * 1000) / 1000
         val closedClients = 32
         val perClient = 100
-        val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(closedClients)
-        val t0 = System.nanoTime()
-        val fs = (0 until closedClients).map { c =>
-          pool.submit(new Runnable { def run(): Unit = {
-            var i = 0
-            while (i < perClient) {
-              val s0 = System.nanoTime()
-              router.search(qPool((c * perClient + i) % nQ))
-              lats.add((System.nanoTime() - s0) / 1e6)
-              i += 1
-            }
-          }})
-        }
-        fs.foreach(_.get()); pool.shutdownNow()
-        val closedSecs = (System.nanoTime() - t0) / 1e9
         import scala.jdk.CollectionConverters._
-        val cl = lats.asScala.toIndexedSeq.sorted
+        // MEDIAN-OF-3 drives (r16): a single closed/paced capture is
+        // hostage to whatever the box does during its 3-8 s window —
+        // same-code spreads of 300× were observed on the paced row under
+        // transient load. Three drives with a per-metric median is the
+        // same de-noising discipline the query suite applies to its
+        // volatile tail (5-run medians in queries_runs); min would
+        // grade best-case, median grades the typical drive.
+        def runClosed(): (Double, Double, Double) = {
+          val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(closedClients)
+          val t0 = System.nanoTime()
+          val fs = (0 until closedClients).map { c =>
+            pool.submit(new Runnable { def run(): Unit = {
+              var i = 0
+              while (i < perClient) {
+                val s0 = System.nanoTime()
+                router.search(qPool((c * perClient + i) % nQ))
+                lats.add((System.nanoTime() - s0) / 1e6)
+                i += 1
+              }
+            }})
+          }
+          fs.foreach(_.get()); pool.shutdownNow()
+          val closedSecs = (System.nanoTime() - t0) / 1e9
+          val cl = lats.asScala.toIndexedSeq.sorted
+          (math.rint(closedClients * perClient / closedSecs * 10) / 10,
+            pct(cl, 0.5), pct(cl, 0.99))
+        }
         // paced 1000 QPS, p50/p99 from SCHEDULED arrival
         val paceQps = 1000
         val paceN = 5000
-        val pLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
-        val ppool = java.util.concurrent.Executors.newFixedThreadPool(64)
-        val start = System.nanoTime()
-        (0 until paceN).foreach { i =>
-          val due = start + i * (1000000000L / paceQps)
-          var now = System.nanoTime()
-          while (now < due) {
-            val ns = due - now
-            if (ns > 2000000) Thread.sleep(ns / 2000000) else Thread.onSpinWait()
-            now = System.nanoTime()
+        def runPaced(): (Double, Double) = {
+          val pLats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          val ppool = java.util.concurrent.Executors.newFixedThreadPool(64)
+          val start = System.nanoTime()
+          (0 until paceN).foreach { i =>
+            val due = start + i * (1000000000L / paceQps)
+            var now = System.nanoTime()
+            while (now < due) {
+              val ns = due - now
+              if (ns > 2000000) Thread.sleep(ns / 2000000) else Thread.onSpinWait()
+              now = System.nanoTime()
+            }
+            ppool.submit(new Runnable { def run(): Unit = {
+              router.search(qPool(i % nQ))
+              pLats.add((System.nanoTime() - due) / 1e6)
+            }})
           }
-          ppool.submit(new Runnable { def run(): Unit = {
-            router.search(qPool(i % nQ))
-            pLats.add((System.nanoTime() - due) / 1e6)
-          }})
+          ppool.shutdown()
+          ppool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+          val pl = pLats.asScala.toIndexedSeq.sorted
+          (pct(pl, 0.5), pct(pl, 0.99))
         }
-        ppool.shutdown()
-        ppool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
-        val pl = pLats.asScala.toIndexedSeq.sorted
+        def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+        val closedRuns = IndexedSeq.fill(3)(runClosed())
+        val pacedRuns = IndexedSeq.fill(3)(runPaced())
+        val closedQps = med(closedRuns.map(_._1))
+        val closedP50 = med(closedRuns.map(_._2))
+        val closedP99 = med(closedRuns.map(_._3))
+        val pacedP50 = med(pacedRuns.map(_._1))
+        val pacedP99 = med(pacedRuns.map(_._2))
         // deadline + hedged phases: the straggler-policy arcs — run on
         // the float tier only (the int8 probe grades the quantized
         // kernel + slab economics; policy arcs are tier-independent)
@@ -626,13 +648,13 @@ object CrossProc {
           "crossproc_ping_p50_ms" -> pct(pings, 0.5),
           "crossproc_ping_p99_ms" -> pct(pings, 0.99),
           "crossproc_closed_clients" -> closedClients.toDouble,
-          "crossproc_closed_qps" ->
-            math.rint(closedClients * perClient / closedSecs * 10) / 10,
-          "crossproc_closed_p50_ms" -> pct(cl, 0.5),
-          "crossproc_closed_p99_ms" -> pct(cl, 0.99),
+          "crossproc_closed_qps" -> closedQps,
+          "crossproc_closed_p50_ms" -> closedP50,
+          "crossproc_closed_p99_ms" -> closedP99,
           "crossproc_paced_rate_qps" -> paceQps.toDouble,
-          "crossproc_paced_p50_ms" -> pct(pl, 0.5),
-          "crossproc_paced_p99_ms" -> pct(pl, 0.99),
+          "crossproc_paced_p50_ms" -> pacedP50,
+          "crossproc_paced_p99_ms" -> pacedP99,
+          "crossproc_drive_median_of" -> 3.0,
           "crossproc_stall_ms" -> stallMs.toDouble)
           ++ tailPhases ++ int8Extras)
           .map { case (key, v) => key.replaceFirst("crossproc", P) -> v }
