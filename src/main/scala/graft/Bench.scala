@@ -887,6 +887,11 @@ object Bench {
       spark.stop()
       return
     }
+    // box-state sample across the whole run (r16): hypervisor steal and
+    // loadavg ride the artifact so a load-vs-code adjudication is a
+    // number in the JSON, not a re-capture protocol (PLANS_r15 §0)
+    val boxJ0 = CrossProc.cpuJiffies()
+    val boxLoad0 = CrossProc.loadAvg()
     // warmup: run the flagship once at the smallest scale (class loading,
     // codegen compilation, parquet footer caches)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -960,8 +965,16 @@ object Bench {
       .mkString("{", ",", "}")
     // explicit pass/fail vs the reference's self-evaluation targets
     val targets = targetsJson(qpsMap)
+    val box = {
+      val j1 = CrossProc.cpuJiffies()
+      val dt = j1._2 - boxJ0._2
+      val steal =
+        if (dt <= 0) -1.0
+        else math.rint(10000.0 * (j1._1 - boxJ0._1) / dt) / 100
+      s"""{"steal_pct":$steal,"load_start":$boxLoad0,"load_end":${CrossProc.loadAvg()}}"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qRuns,"recall":$recall,"qps":$qps,"targets":$targets,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","box":$box,"queries":$qs,"queries_runs":$qRuns,"recall":$recall,"qps":$qps,"targets":$targets,"sf":"$sfDir"}"""
     println(line)
     // persist the FULL artifact from inside the bench itself — committed
     // per round so per-query deltas are adjudicable (a shell-tail capture
@@ -975,7 +988,7 @@ object Bench {
     // then still carries the headline numbers intact, and per-query deltas
     // are adjudicated from the full artifact written above
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","targets":$targets,"qps":$qps,"recall":$recall,"queries_n":${results.length},"sf":"$sfDir","full_artifact":"$out"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","box":$box,"targets":$targets,"qps":$qps,"recall":$recall,"queries_n":${results.length},"sf":"$sfDir","full_artifact":"$out"}"""
     println(summary)
     spark.stop()
   }

@@ -86,6 +86,27 @@ object CrossProc {
     } finally pool.shutdownNow()
   }
 
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line — the
+    * box-state sample that makes load-vs-code adjudication a NUMBER in
+    * the artifact instead of a re-capture protocol: on a shared host,
+    * hypervisor steal during a drive window is the difference between a
+    * 2.3k-QPS and a 600-QPS capture of identical code (measured r16).
+    * (0,0) when /proc/stat is unavailable (non-Linux). */
+  private[graft] def cpuJiffies(): (Long, Long) = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().next().trim.split("\\s+")
+      val nums = f.drop(1).map(_.toLong)
+      (if (nums.length > 7) nums(7) else 0L, nums.sum)
+    } finally src.close()
+  } catch { case _: Throwable => (0L, 0L) }
+
+  /** 1-minute loadavg, -1 when unavailable. */
+  private[graft] def loadAvg(): Double = try {
+    val src = scala.io.Source.fromFile("/proc/loadavg")
+    try src.getLines().next().split(" ")(0).toDouble finally src.close()
+  } catch { case _: Throwable => -1.0 }
+
   /** Nearest-cell index per row (round6 dot desc, cid asc — the
     * store-side ivfAssign tie rule), parallel over a local pool. */
   private[graft] def assignCells(rows: Array[(Long, Array[Double], Int)],
@@ -518,6 +539,7 @@ object CrossProc {
           (pct(pl, 0.5), pct(pl, 0.99))
         }
         def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+        val driveJ0 = cpuJiffies()
         val closedRuns = IndexedSeq.fill(3)(runClosed())
         val pacedRuns = IndexedSeq.fill(3)(runPaced())
         val closedQps = med(closedRuns.map(_._1))
@@ -655,6 +677,15 @@ object CrossProc {
           "crossproc_paced_p50_ms" -> pacedP50,
           "crossproc_paced_p99_ms" -> pacedP99,
           "crossproc_drive_median_of" -> 3.0,
+          "crossproc_drive_steal_pct" -> {
+            // hypervisor steal across the drive window (closed + paced +
+            // policy arcs): the box-state number next to the latency it
+            // explains
+            val j1 = cpuJiffies()
+            val dt = j1._2 - driveJ0._2
+            if (dt <= 0) -1.0
+            else math.rint(10000.0 * (j1._1 - driveJ0._1) / dt) / 100
+          },
           "crossproc_stall_ms" -> stallMs.toDouble)
           ++ tailPhases ++ int8Extras)
           .map { case (key, v) => key.replaceFirst("crossproc", P) -> v }

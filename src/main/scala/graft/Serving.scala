@@ -198,7 +198,20 @@ final class BatchedServer(
     * adds zero GC-scannable references — both throughput and the
     * run-to-run latency variance improve (fewer cache misses, no
     * old-gen pointer scanning during a request). */
-  @volatile private var replica: BatchedServer.FlatReplica = null
+  /** One served GENERATION: the flat replica plus its int8 code slab
+    * and phase-1 oversample, swapped as a unit. Requests read this ONE
+    * volatile (never the parts separately), so [[refresh]]'s swap is
+    * atomic per request — the same snapshot discipline as the
+    * cross-process worker's RELOAD ([[ShardWorker.ServingState]]): a
+    * request can never pair a new replica with an old generation's
+    * codes. `codes == null` = exact float family. */
+  private final case class Gen(rep: BatchedServer.FlatReplica,
+      codes: Array[Byte], oversample: Double)
+  @volatile private var gen: Gen = null
+  private def replica: BatchedServer.FlatReplica = {
+    val g = gen
+    if (g == null) null else g.rep
+  }
   /** QUANTIZED serving replica (VERDICT r13 #3 — the reference's
     * "always-RAM INT8" disposition, src/core/qdrant_client.py:129-138,
     * settings.py:48-51): when `int8Replica` is on, phase 1 of every
@@ -221,7 +234,6 @@ final class BatchedServer(
     * approximation is MEASURED, not assumed — ScaleProbe `serving` mode
     * reports int8-vs-float recall@k at the 2M-row slab next to the
     * QPS/latency rows (ADVICE r14). */
-  @volatile private var int8Codes: Array[Byte] = null
   /** The served configuration, decided with the replica (VERDICT r15
     * #2/#3): with `recallTarget` set, [[ServingCalibration.decide]]
     * picks the family AND the int8 oversample from the stated target
@@ -231,9 +243,31 @@ final class BatchedServer(
     * calibrated one). Read via [[servingDecision]]; the fields also
     * ride every [[metricsSnapshot]] so the served plan is observable. */
   @volatile private var decisionVar: ServingDecision = null
-  @volatile private var effOversample: Double = int8Oversample
   @volatile private var replicaDecided = false
   private val replicaInitLock = new Object
+
+  /** Build the (decision, generation) pair for `rep` under this server's
+    * configuration — shared by the first replica decision and every
+    * [[refresh]] (a refreshed replica re-runs the SAME calibration, so a
+    * generation that drifted toward harder geometry can change family/
+    * oversample rather than silently missing its target). */
+  private def decideGen(rep: BatchedServer.FlatReplica)
+      : (ServingDecision, Gen) = recallTarget match {
+    case Some(t) =>
+      // calibrated family/oversample from the stated target (VERDICT
+      // r15 #2/#3); exact fallback when no ladder rung clears it —
+      // same degrade shape as IndexMeta.nprobeFor
+      val d = ServingCalibration.decide(rep, k, threshold, t)
+      if (d.family == "int8")
+        (d, Gen(rep, BatchedServer.quantizeSlab(rep.embs), d.oversample.toDouble))
+      else (d, Gen(rep, null, int8Oversample))
+    case None =>
+      if (int8Replica)
+        (ServingDecision("int8", math.max(1, int8Oversample.toInt), -1.0, -1.0),
+          Gen(rep, BatchedServer.quantizeSlab(rep.embs), int8Oversample))
+      else
+        (ServingDecision("exact", 0, -1.0, 1.0), Gen(rep, null, int8Oversample))
+  }
   // default pool width 8: beyond that a SINGLE small replica's slices
   // are handoff-dominated. A sharded router overrides it so the shard
   // fleet's pools together cover the whole socket (cores / nShards).
@@ -252,25 +286,9 @@ final class BatchedServer(
     if (!replicaDecided) replicaInitLock.synchronized {
       if (!replicaDecided) {
         if (localReplicaMaxRows > 0 && template.count() <= localReplicaMaxRows) {
-          replica = BatchedServer.FlatReplica(template.collect())
-          recallTarget match {
-            case Some(t) =>
-              // calibrated family/oversample from the stated target
-              // (VERDICT r15 #2/#3); exact fallback when no ladder rung
-              // clears it — same degrade shape as IndexMeta.nprobeFor
-              val d = ServingCalibration.decide(replica, k, threshold, t)
-              decisionVar = d
-              if (d.family == "int8") {
-                int8Codes = BatchedServer.quantizeSlab(replica.embs)
-                effOversample = d.oversample.toDouble
-              }
-            case None =>
-              if (int8Replica) {
-                int8Codes = BatchedServer.quantizeSlab(replica.embs)
-                decisionVar = ServingDecision("int8",
-                  math.max(1, int8Oversample.toInt), -1.0, -1.0)
-              } else decisionVar = ServingDecision("exact", 0, -1.0, 1.0)
-          }
+          val (d, g) = decideGen(BatchedServer.FlatReplica(template.collect()))
+          decisionVar = d
+          gen = g
           // the replica owns serving from here — free the pinned blocks
           template.unpersist(blocking = false)
         } else
@@ -294,10 +312,43 @@ final class BatchedServer(
     * the int8 serving row. */
   private[graft] def replicaSlabBytes: (Long, Long) = {
     ensureReplicaDecision()
-    val rep = replica
-    if (rep == null) (0L, 0L)
-    else (8L * (rep.embs.length + (if (rep.tslab == null) 0 else rep.tslab.length)),
-      if (int8Codes == null) 0L else int8Codes.length.toLong)
+    val g = gen
+    if (g == null) (0L, 0L)
+    else (8L * (g.rep.embs.length +
+        (if (g.rep.tslab == null) 0 else g.rep.tslab.length)),
+      if (g.codes == null) 0L else g.codes.length.toLong)
+  }
+
+  /** REFRESH the served replica in place — the in-JVM analogue of the
+    * cross-process worker's RELOAD frame: the next generation (flat
+    * replica, int8 codes, RE-CALIBRATED decision) is built entirely off
+    * the serving path, then swapped as one unit; in-flight requests
+    * finish on the generation they started with, and a failing
+    * `newPoints` throws here with the old generation still serving.
+    * Only valid on a replica-tier server (the job tier's freshness is
+    * its template — rebuild the server to re-pin it). Returns the new
+    * generation's decision so callers see a family/oversample change
+    * the moment it happens (reference analogue: upserts land in a live
+    * Qdrant collection and serving adapts —
+    * src/core/qdrant_client.py add_vector). */
+  def refresh(newPoints: DataFrame): ServingDecision = {
+    ensureReplicaDecision()
+    require(gen != null,
+      "refresh is a replica-tier operation (the job tier serves its " +
+        "pinned template; rebuild the server to re-pin)")
+    val rows = newPoints
+      .selectExpr("id", "embedding", "user_id")
+      .as[(Long, Array[Double], Int)]
+      .collect()
+    require(localReplicaMaxRows <= 0 || rows.length <= localReplicaMaxRows,
+      s"refreshed replica (${rows.length} rows) exceeds the replica " +
+        s"tier's cap ($localReplicaMaxRows)")
+    val (d, g) = decideGen(BatchedServer.FlatReplica(rows))
+    replicaInitLock.synchronized {
+      decisionVar = d
+      gen = g
+    }
+    d
   }
 
   /** Enqueue one search request; the future completes with this request's
@@ -320,14 +371,18 @@ final class BatchedServer(
       "empty embedding (min_items=1)") // same bar as Api.addVectors
     require(open, "BatchedServer is closed")
     val tSubmit = System.nanoTime()
-    val rep = replica
+    // ONE generation read per request (refresh() swaps rep+codes+
+    // oversample together; reading the fields separately could pair a
+    // new replica with the old generation's codes mid-swap)
+    val g = gen
+    val rep = if (g == null) null else g.rep
     if (rep != null && rep.cells <= BatchedServer.DirectMaxCells &&
         queue.isEmpty) {
       val q = qemb.toArray
       val cands =
-        if (int8Codes != null)
-          BatchedServer.int8TwoPhase(rep, int8Codes, Array(q), k, threshold,
-            math.max(k, (k * effOversample).toInt), null, 1)
+        if (g.codes != null)
+          BatchedServer.int8TwoPhase(rep, g.codes, Array(q), k, threshold,
+            math.max(k, (k * g.oversample).toInt), null, 1)
         else BatchedServer.scoreRange(rep, 0, rep.n, Array(q), k, threshold)
       val hits = cands
         .sortBy { case (_, id, s, _) => (-s, id) }
@@ -358,26 +413,28 @@ final class BatchedServer(
       val th = threshold
       val queries: Array[Array[Double]] = batch.map(_.emb.toArray).toArray
       ensureReplicaDecision()
+      // one generation read per flush — see submit()'s coherence note
+      val g = gen
       val cands: Array[(Int, Long, Double, Int)] =
-        if (replica != null && int8Codes != null) {
+        if (g != null && g.codes != null) {
           // quantized replica tier: int8 phase-1 over the byte slab +
-          // float rescore of the survivors (see the int8Codes scaladoc);
+          // float rescore of the survivors (see the Gen scaladoc);
           // per-query results are final top-k, so the merge below is a
           // no-op re-sort — identical downstream handling either way
-          val rep = replica
-          val fetchK = math.max(kk, (kk * effOversample).toInt)
+          val rep = g.rep
+          val fetchK = math.max(kk, (kk * g.oversample).toInt)
           val inline = rep.cells * math.max(queries.length, 1) <=
             BatchedServer.DirectMaxCells
-          BatchedServer.int8TwoPhase(rep, int8Codes, queries, kk, th, fetchK,
+          BatchedServer.int8TwoPhase(rep, g.codes, queries, kk, th, fetchK,
             if (inline) null else scorePool,
             if (inline) 1 else scoreParallelism)
-        } else if (replica != null) {
+        } else if (g != null) {
           // kernel identical to the job path, and slice boundaries can't
           // change the merged result (per-slice top-k ⊇ per-query global
           // top-k). Small flushes score INLINE on this flush thread: at
           // ≤ ~2M slab cells of work the scan costs ~a millisecond and
           // an 8-way invokeAll is pure handoff overhead + wakeup jitter.
-          val rep = replica
+          val rep = g.rep
           if (rep.cells * math.max(queries.length, 1) <=
               BatchedServer.DirectMaxCells) {
             BatchedServer.scoreRange(rep, 0, rep.n, queries, kk, th)
@@ -1406,6 +1463,25 @@ final class ShardedServer private (
   /** Per-shard served configuration (forces each shard's replica
     * decision) — the router-level view of the calibrated serving plan. */
   def shardDecisions: Seq[ServingDecision] = servers.map(_.servingDecision)
+
+  /** ROLLING refresh: re-split `newPoints` on the SAME `pmod(id,
+    * nShards)` hash and [[BatchedServer.refresh]] each shard in turn.
+    * Each shard's swap is atomic (its requests never see a torn
+    * generation); ACROSS shards the roll is eventually consistent — a
+    * scatter-gather that straddles the roll merges some old-generation
+    * and some new-generation shards, each internally exact (the same
+    * read semantics as any rolling deploy behind a scatter router, and
+    * as Qdrant during segment optimization). Callers needing a
+    * consistent cut pause traffic around the roll. */
+  def refresh(newPoints: DataFrame): Seq[ServingDecision] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val ns = servers.length
+    servers.zipWithIndex.map { case (s, i) =>
+      s.refresh(
+        if (ns == 1) newPoints
+        else newPoints.filter(pmod(col("id"), lit(ns.toLong)) === i.toLong))
+    }
+  }
 
   def close(): Unit = servers.foreach(_.close())
 }

@@ -1210,7 +1210,12 @@ final class RemoteShardedRouter(
     * Right((newVersion, n)) on success; Left(error) when the worker
     * REJECTED the manifest (fingerprint mismatch, unreadable file …) —
     * in that case the worker keeps serving its old generation, so a bad
-    * refresh degrades to a stale-but-correct shard, never a down one. */
+    * refresh degrades to a stale-but-correct shard, never a down one.
+    * The command goes to the shard's ACTIVE endpoint only: on a
+    * replicated shard the deployment reloads each replica through its
+    * own router (or rolls them endpoint by endpoint) — one RELOAD does
+    * not fan out, by design, so a failed replica can't half-apply a
+    * fleet-wide refresh. */
   def reload(shard: Int, slabPath: String, int8Path: String = "",
       ivfPath: String = "", nprobe: Int = 0, oversample: Double = 3.0)
       : Either[String, (Long, Int)] = {

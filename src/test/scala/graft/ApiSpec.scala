@@ -491,6 +491,80 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("refresh: the served generation swaps atomically under load, a " +
+      "sharded roll updates every shard, the job tier refuses") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    // probe query: a unit vector NOT in the collection; v2 adds a
+    // sentinel row exactly equal to it, so post-refresh top-1 must be
+    // the sentinel at score 1.0 (v1's best is strictly below 1)
+    val dim = points.select("embedding").as[Seq[Double]].head().length
+    val qRaw = (0 until dim).map(i => math.sin(i * 0.37 + 0.5))
+    val norm = math.sqrt(qRaw.map(x => x * x).sum)
+    val q = qRaw.map(_ / norm)
+    val sentinel = Seq((990001L, q, 3)).toDF("id", "embedding", "user_id")
+    val v2 = points.select("id", "embedding", "user_id").unionByName(sentinel)
+    val srv = new BatchedServer(points, k = 5, threshold = 0.0)
+    try {
+      val before = Await.result(srv.submit(q), 2.minutes)
+      assert(before.head.getLong(0) != 990001L && before.head.getDouble(1) < 1.0)
+      // storm THROUGH the swap: zero failed futures, and every answer is
+      // a coherent generation (v1's top-1 or the sentinel — a torn
+      // replica/codes pairing would crash or emit garbage rows)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val served = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stormers = (0 until 3).map { _ =>
+        val t = new Thread(new Runnable {
+          def run(): Unit = while (!stop.get()) {
+            try {
+              val r = Await.result(srv.submit(q), 2.minutes)
+              val top = r.head.getLong(0)
+              assert(top == before.head.getLong(0) || top == 990001L,
+                s"incoherent generation: top-1 $top")
+              served.incrementAndGet()
+            } catch { case _: Throwable => errs.incrementAndGet() }
+          }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      Thread.sleep(200)
+      val d = srv.refresh(v2)
+      assert(srv.servingDecision == d)
+      Thread.sleep(200)
+      stop.set(true)
+      stormers.foreach(_.join(5000))
+      assert(errs.get() == 0, s"refresh under load failed ${errs.get()} requests")
+      assert(served.get() > 0)
+      val after = Await.result(srv.submit(q), 2.minutes)
+      assert(after.head.getLong(0) == 990001L && after.head.getDouble(1) == 1.0,
+        s"sentinel must lead post-refresh, got ${after.head}")
+    } finally srv.close()
+    // sharded ROLL: every shard re-splits on the same hash and refreshes
+    val sh = Api.shardedServer(points, k = 5, scoreThreshold = Some(0.0),
+      shardMaxRows = 150)
+    try {
+      assert(sh.nShards > 1)
+      assert(Await.result(sh.submit(q), 2.minutes).head.getLong(0) != 990001L)
+      val ds = sh.refresh(v2)
+      assert(ds.length == sh.nShards)
+      val hits = Await.result(sh.submit(q), 2.minutes)
+      assert(hits.head.getLong(0) == 990001L, "roll must surface the sentinel")
+      // post-roll router ≡ solo search over v2, row for row
+      val solo = Api.search(v2, Seq(q).toDF("qemb"), k = 5,
+        scoreThreshold = Some(0.0)).collect()
+      assert(hits.map(_.get(0)).toSeq == solo.map(_.get(0)).toSeq)
+      assert(hits.map(_.get(1)).toSeq == solo.map(_.get(1)).toSeq)
+    } finally sh.close()
+    // the job tier serves its pinned template — refresh must refuse loud
+    val job = new BatchedServer(points, k = 5, threshold = 0.0,
+      localReplicaMaxRows = 0L)
+    try {
+      val ex = intercept[IllegalArgumentException](job.refresh(v2))
+      assert(ex.getMessage.contains("replica-tier"))
+    } finally job.close()
+  }
+
   test("batchedServer job tier ≡ replica tier at extreme magnitudes (gate slack scales)") {
     // ADVICE r10: the job tier's fast gate carried a fixed 1e-6 slack
     // valid only near unit norm; with |aᵢbᵢ| products ~1e8+ the
