@@ -336,13 +336,20 @@ final class BatchedServer(
     require(gen != null,
       "refresh is a replica-tier operation (the job tier serves its " +
         "pinned template; rebuild the server to re-pin)")
+    // size gate BEFORE the collect — the cap exists to bound driver
+    // memory, so it must fire before the driver holds the rows (the
+    // limit(cap+1) probe reads just past the cap, never the whole frame)
+    if (localReplicaMaxRows > 0) {
+      val probe = newPoints.limit(
+        (localReplicaMaxRows + 1).min(Int.MaxValue.toLong).toInt).count()
+      require(probe <= localReplicaMaxRows,
+        s"refreshed replica (> $localReplicaMaxRows rows) exceeds the " +
+          "replica tier's cap")
+    }
     val rows = newPoints
       .selectExpr("id", "embedding", "user_id")
       .as[(Long, Array[Double], Int)]
       .collect()
-    require(localReplicaMaxRows <= 0 || rows.length <= localReplicaMaxRows,
-      s"refreshed replica (${rows.length} rows) exceeds the replica " +
-        s"tier's cap ($localReplicaMaxRows)")
     val (d, g) = decideGen(BatchedServer.FlatReplica(rows))
     replicaInitLock.synchronized {
       decisionVar = d
@@ -1426,7 +1433,7 @@ object BatchedServer {
   */
 final class ShardedServer private (
     private[graft] val servers: IndexedSeq[BatchedServer],
-    k: Int) extends VectorServer {
+    k: Int, shardCap: Long) extends VectorServer {
 
   def nShards: Int = servers.length
 
@@ -1472,15 +1479,35 @@ final class ShardedServer private (
     * and some new-generation shards, each internally exact (the same
     * read semantics as any rolling deploy behind a scatter router, and
     * as Qdrant during segment optimization). Callers needing a
-    * consistent cut pause traffic around the roll. */
+    * consistent cut pause traffic around the roll.
+    *
+    * Failure discipline: the PREDICTABLE failure (a grown collection
+    * whose pmod buckets no longer fit the shards' replica cap) is
+    * checked with ONE aggregate BEFORE any shard swaps — an oversized
+    * refresh aborts with every shard still on its old generation, never
+    * half-rolled. An unexpected mid-roll failure (executor loss …) can
+    * still leave earlier shards new and later shards old; the roll is
+    * idempotent, so the remedy is to re-run it (or route callers to
+    * re-shard via a fresh router). The input is persisted once and each
+    * shard filters the cached split — not ns re-scans of the source. */
   def refresh(newPoints: DataFrame): Seq[ServingDecision] = {
-    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.functions.{col, count, lit, max => smax, pmod}
     val ns = servers.length
-    servers.zipWithIndex.map { case (s, i) =>
-      s.refresh(
-        if (ns == 1) newPoints
-        else newPoints.filter(pmod(col("id"), lit(ns.toLong)) === i.toLong))
-    }
+    if (ns == 1) return IndexedSeq(servers(0).refresh(newPoints))
+    val cached = newPoints.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val biggest = cached
+        .groupBy(pmod(col("id"), lit(ns.toLong)).as("b"))
+        .agg(count(lit(1)).as("c")).agg(smax(col("c"))).head().getLong(0)
+      require(biggest <= shardCap,
+        s"refresh bucket of $biggest rows exceeds the shard cap " +
+          s"$shardCap for $ns shards — rebuild the router with more " +
+          "shards instead of half-rolling this one")
+      servers.zipWithIndex.map { case (s, i) =>
+        s.refresh(cached.filter(pmod(col("id"), lit(ns.toLong)) === i.toLong))
+      }
+    } finally cached.unpersist(blocking = false)
   }
 
   def close(): Unit = servers.foreach(_.close())
@@ -1519,6 +1546,6 @@ object ShardedServer {
         scoreThreads = perShardThreads,
         recallTarget = recallTarget)
     }
-    new ShardedServer(servers, k)
+    new ShardedServer(servers, k, shardMaxRows)
   }
 }

@@ -436,6 +436,13 @@ object SlabIO {
       if (oldInt8Path.nonEmpty) {
         require(outInt8Path.nonEmpty, "outInt8Path required with oldInt8Path")
         val oldI8 = readInt8(oldInt8Path)
+        // the old twin must pair with the OLD float slab before its
+        // clean-cell codes are splice-reused: without this gate a stale
+        // generation's codes (same row count — any upsert-only churn)
+        // would be copied and RE-STAMPED with a valid fingerprint for
+        // the new generation, laundering exactly the silent-stale-codes
+        // hazard the pairing discipline exists to prevent
+        oldI8.requirePairedWith(oldSlabPath)
         require(oldI8.n == oldN,
           s"int8 slab rows ${oldI8.n} != float slab rows $oldN")
         val floatSlabBytes = java.nio.file.Files.size(Paths.get(outSlabPath))
@@ -1151,8 +1158,12 @@ final class RemoteShardedRouter(
         case e: java.io.IOException =>
           lastErr = e
           // only the FIRST conn to see the dead endpoint advances (CAS);
-          // the rest read the already-advanced value
-          if (activeEp(c.shard).compareAndSet(epIdx, (epIdx + 1) % eps.length))
+          // the rest read the already-advanced value. An UNREPLICATED
+          // shard has nowhere to advance TO — its reconnect failures are
+          // not failovers (the CAS(0,0) would spuriously count one per
+          // failed attempt)
+          if (eps.length > 1 &&
+            activeEp(c.shard).compareAndSet(epIdx, (epIdx + 1) % eps.length))
             failoverCount.incrementAndGet()
           tries += 1
       }
@@ -1215,28 +1226,50 @@ final class RemoteShardedRouter(
     * replicated shard the deployment reloads each replica through its
     * own router (or rolls them endpoint by endpoint) — one RELOAD does
     * not fan out, by design, so a failed replica can't half-apply a
-    * fleet-wide refresh. */
+    * fleet-wide refresh.
+    *
+    * Two DISTINCT Left shapes: `Left("rejected: …")` means the worker
+    * answered and REFUSED — it is verifiably on its old generation.
+    * `Left("indeterminate: …")` means the transport failed after the
+    * command may have been delivered — the worker could be on EITHER
+    * generation; since a reload of the same manifest is idempotent in
+    * state (the version counter moves, the served bytes don't), the
+    * remedy is simply to re-send. IO failures are retried once per
+    * endpoint like a search (reload's idempotence makes that safe), so
+    * a stale pooled socket never spuriously fails the first reload
+    * after a worker blip. */
   def reload(shard: Int, slabPath: String, int8Path: String = "",
       ivfPath: String = "", nprobe: Int = 0, oversample: Double = 3.0)
       : Either[String, (Long, Int)] = {
     val c = pools(shard).take()
     try {
-      ensureConnected(c)
-      c.out.writeInt(ShardWorker.ReloadCmd)
-      c.out.writeUTF(slabPath)
-      c.out.writeUTF(int8Path)
-      c.out.writeUTF(ivfPath)
-      c.out.writeInt(nprobe)
-      c.out.writeDouble(oversample)
-      c.out.flush()
-      if (c.in.readInt() == 1) {
-        reloadCount.incrementAndGet()
-        Right((c.in.readLong(), c.in.readInt()))
-      } else Left(c.in.readUTF())
-    } catch {
-      case e: java.io.IOException =>
-        c.disconnect()
-        Left(s"io: ${e.getMessage}")
+      val maxAttempts = endpoints(shard).length + 1
+      var attempt = 0
+      var lastErr: java.io.IOException = null
+      while (attempt < maxAttempts) {
+        try {
+          ensureConnected(c)
+          c.out.writeInt(ShardWorker.ReloadCmd)
+          c.out.writeUTF(slabPath)
+          c.out.writeUTF(int8Path)
+          c.out.writeUTF(ivfPath)
+          c.out.writeInt(nprobe)
+          c.out.writeDouble(oversample)
+          c.out.flush()
+          return if (c.in.readInt() == 1) {
+            reloadCount.incrementAndGet()
+            Right((c.in.readLong(), c.in.readInt()))
+          } else Left(s"rejected: ${c.in.readUTF()}")
+        } catch {
+          case e: java.io.IOException =>
+            c.disconnect()
+            lastErr = e
+            attempt += 1
+        }
+      }
+      Left(s"indeterminate: io after $maxAttempts attempts " +
+        s"(${lastErr.getMessage}) — the worker may be on either " +
+        "generation; re-send to settle")
     } finally pools(c.shard).put(c)
   }
 

@@ -607,16 +607,18 @@ object SparkEntry {
     * (mod 17) re-embedded with the NEGATED vector — norm-preserving, and
     * it flips the point across the sphere so the re-assignment path is
     * really exercised (most upserts MOVE cells); deletes = ids ≡ 5
-    * (mod 23) outside the upsert set. The oracle rebuilds the same batch
+    * (mod 23), deliberately OVERLAPPING the upsert set (ids ≡ 259 mod
+    * 391 are in both at every fixture SF) so the manifest's
+    * tombstones-win rule — an id upserted AND deleted in one batch
+    * drops but never adds, the mergeIndexed LWW semantics — is part of
+    * the hash, not just a code path. The oracle rebuilds the same batch
     * from the same arithmetic. */
   private def refreshBatch(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val points = Collection.load(s, dir)
     val ups = points.filter(col("id") % 17 === 3)
       .withColumn("embedding", transform(col("embedding"), x => -x))
-    val dels = points
-      .filter(col("id") % 23 === 5 && col("id") % 17 =!= 3)
-      .select("id")
+    val dels = points.filter(col("id") % 23 === 5).select("id")
     (ups, dels)
   }
 
@@ -5029,12 +5031,13 @@ object SparkEntry {
          |  FROM c, cent),
          |pts AS (SELECT id, cid FROM asgn WHERE rn = 1),
          |up AS (SELECT id, list_transform(ne, x -> -x) AS ne2 FROM c WHERE id % 17 = 3),
+         |del AS (SELECT id FROM c WHERE id % 23 = 5),
          |newa AS (SELECT up.id, cent.cid,
          |  row_number() OVER (PARTITION BY up.id
          |    ORDER BY round(list_dot_product(up.ne2, cent.ce), 6) DESC, cent.cid ASC) AS rn
          |  FROM up, cent),
-         |newc AS (SELECT id, cid FROM newa WHERE rn = 1),
-         |del AS (SELECT id FROM c WHERE id % 23 = 5 AND id % 17 != 3),
+         |newc AS (SELECT id, cid FROM newa
+         |  WHERE rn = 1 AND id NOT IN (SELECT id FROM del)),
          |touched AS (SELECT id FROM up UNION SELECT id FROM del),
          |dr AS (SELECT p.cid, count(*)::BIGINT AS drops
          |  FROM pts p JOIN touched t USING (id) GROUP BY p.cid),
@@ -5060,12 +5063,13 @@ object SparkEntry {
          |  FROM c, cent),
          |pts AS (SELECT id, cid FROM asgn WHERE rn = 1),
          |up AS (SELECT id, list_transform(ne, x -> -x) AS ne2 FROM c WHERE id % 17 = 3),
+         |del AS (SELECT id FROM c WHERE id % 23 = 5),
          |newa AS (SELECT up.id, cent.cid,
          |  row_number() OVER (PARTITION BY up.id
          |    ORDER BY round(list_dot_product(up.ne2, cent.ce), 6) DESC, cent.cid ASC) AS rn
          |  FROM up, cent),
-         |newc AS (SELECT id, cid FROM newa WHERE rn = 1),
-         |del AS (SELECT id FROM c WHERE id % 23 = 5 AND id % 17 != 3),
+         |newc AS (SELECT id, cid FROM newa
+         |  WHERE rn = 1 AND id NOT IN (SELECT id FROM del)),
          |touched AS (SELECT id FROM up UNION SELECT id FROM del),
          |dr AS (SELECT p.cid, count(*)::BIGINT AS drops
          |  FROM pts p JOIN touched t USING (id) GROUP BY p.cid),

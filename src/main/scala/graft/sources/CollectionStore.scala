@@ -1170,8 +1170,15 @@ object CollectionStore {
     val drops = oldCid.join(touched, Seq("id"), "left_semi")
       .groupBy("cid").agg(count(lit(1)).as("drops"))
     // rows ARRIVING in a cell: the upsert batch re-assigned map-side
-    // against the same centroid table the store was built with
-    val adds = graft.operators.Ann.ivfAssign(upserts, cents)
+    // against the same centroid table the store was built with.
+    // TOMBSTONES WIN (the mergeIndexed LWW rule, "an id in both adds
+    // and deletes is deleted"): an upsert that is also deleted in the
+    // same batch contributes its DROP above but never an add — without
+    // the anti-join the manifest would predict a row the maintenance
+    // pass removes, and the patch would dirty/size the wrong cell set.
+    val adds = graft.operators.Ann.ivfAssign(
+        upserts.join(deleteIds.select(col("id")), Seq("id"), "left_anti"),
+        cents)
       .groupBy(col("cid").cast("long").as("cid"))
       .agg(count(lit(1)).as("adds"))
     val before = oldCid.groupBy("cid").agg(count(lit(1)).as("rows_before"))

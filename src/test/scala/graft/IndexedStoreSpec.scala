@@ -825,12 +825,16 @@ class IndexedStoreSpec extends SparkSpec {
       assert(n1 == points.count() && c1 == 16)
       // CDC batch: re-embeds that MOVE cells (negated embedding), one
       // genuinely new id, and scattered deletes — SMALL relative to the
-      // 16 cells (500 fixture rows), so the dirty/clean split is real
+      // 16 cells (500 fixture rows), so the dirty/clean split is real.
+      // id 1 is deliberately in BOTH sets: tombstones win (the
+      // mergeIndexed LWW rule), so the manifest must drop it from its
+      // old cell and never add it — the consistency assertion below
+      // breaks if either side forgets.
       val ups = points.filter($"id" % 151 === 1)
         .withColumn("embedding", transform($"embedding", x => -x))
         .unionByName(points.filter($"id" === 0)
           .withColumn("id", lit(900001L)))
-      val dels = points.filter($"id" % 163 === 2 && $"id" % 151 =!= 1)
+      val dels = points.filter($"id" % 163 === 2 || $"id" === 1)
         .select("id")
       // the PLAN must be computed against the pre-CDC store (collect
       // before merge: the path is about to be rewritten in place)

@@ -466,6 +466,19 @@ class ShardWorkerSpec extends AnyFunSuite {
         Map(0 -> cellRows(0).reverse), s"$dir/bad.slab", s"$dir/bad.ivf")
     }
     assert(ex.getMessage.contains("id-sorted"))
+    // a STALE int8 twin (same row count, cut from a regenerated float
+    // slab) must be rejected BEFORE its clean-cell codes are splice-
+    // reused — re-stamping stale codes with a valid new fingerprint
+    // would launder the exact hazard the pairing discipline prevents
+    val regen = s"$dir/regen.slab"
+    SlabIO.write(regen, rows.map { case (id, e, u) => (id, e.map(-_), u) })
+    SlabIO.writeInt8(s"$regen.i8",
+      rows.map { case (id, e, u) => (id, e.map(-_), u) }, regen)
+    val ex2 = intercept[IllegalArgumentException] {
+      SlabIO.patchCellOrdered(v1, s"$v1.ivf", dirty,
+        s"$dir/bad2.slab", s"$dir/bad2.ivf", s"$regen.i8", s"$dir/bad2.i8")
+    }
+    assert(ex2.getMessage.contains("fingerprint mismatch"))
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
