@@ -1198,6 +1198,70 @@ object CollectionStore {
       .orderBy("cid")
   }
 
+  /** Store-scan-FREE refresh planner — the same manifest as
+    * [[refreshManifest]], produced in O(batch + C) instead of one count
+    * pass over the store:
+    *
+    *   - `rows_before` comes from parquet FOOTER metadata per cid dir
+    *     ([[cellSizes]] — kilobytes of footers, no data pages);
+    *   - the touched ids' OLD cells come from the bucket-pruned id→cid
+    *     sidecar ([[saveIdSidecar]] — only the batch's `pmod(id, n)`
+    *     buckets are read, the [[deleteIndexed]] resolution pattern);
+    *   - adds are assigned map-side against the persisted centroid
+    *     table, tombstones-win like the scan-based planner.
+    *
+    * At 100 TB this is the difference between a planner you run before
+    * EVERY CDC tick (footers + a few id buckets) and one that re-counts
+    * the shard each time. Output is row-identical to [[refreshManifest]]
+    * over the same store/batch (spec-pinned). Requires the store to
+    * have been written with `idSidecarBuckets = Some(nBuckets)`. */
+  def refreshManifestIndexed(spark: SparkSession, path: String,
+      upserts: DataFrame, deleteIds: DataFrame, nBuckets: Int): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(path + "_ids")),
+      s"refreshManifestIndexed: no id sidecar at ${path}_ids — the store " +
+        "must be written via saveIndexed(..., idSidecarBuckets = Some(n))")
+    val cents = spark.read.parquet(path + "_centroids")
+      .select(col("cid").cast("long").as("cid"), col("ce"))
+    // O(C) footer pass: per-cell populations without touching data pages
+    val sizes = cellSizes(spark, path).toSeq
+    import spark.implicits._
+    val before = sizes.toDF("cid", "rows_before")
+    // old cells of the touched ids: bucket-pruned sidecar read
+    val touched = upserts.select(col("id"))
+      .union(deleteIds.select(col("id"))).distinct().localCheckpoint()
+    val buckets = touched
+      .select(pmod(col("id"), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val drops = spark.read.parquet(path + "_ids")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(touched), Seq("id"), "left_semi")
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("drops"))
+    // arrivals: tombstones win, exactly like the scan-based planner
+    val adds = graft.operators.Ann.ivfAssign(
+        upserts.join(deleteIds.select(col("id")), Seq("id"), "left_anti"),
+        cents)
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("adds"))
+    cents.select("cid")
+      .join(before, Seq("cid"), "left")
+      .join(adds, Seq("cid"), "left")
+      .join(drops, Seq("cid"), "left")
+      .select(
+        col("cid"),
+        coalesce(col("rows_before"), lit(0L)).as("rows_before"),
+        coalesce(col("adds"), lit(0L)).as("adds"),
+        coalesce(col("drops"), lit(0L)).as("drops"))
+      .withColumn("rows_after",
+        col("rows_before") + col("adds") - col("drops"))
+      .withColumn("dirty",
+        (col("adds") + col("drops") > 0).cast("int"))
+      .orderBy("cid")
+  }
+
   /** One-row rollup of [[refreshManifest]] — the refresh DECISION
     * surface: how much of the slab a patch rewrites vs byte-copies.
     * `rewrite_frac` is the dirty-cell share of post-refresh rows — the

@@ -843,6 +843,15 @@ class IndexedStoreSpec extends SparkSpec {
           store0, centsDf, ups, dels)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getInt(5)))
+      // the store-scan-FREE planner (footer metadata + bucket-pruned
+      // sidecar) must produce the IDENTICAL manifest — the O(batch + C)
+      // path a 100 TB deployment runs before every CDC tick
+      val manifestIdx = CollectionStore.refreshManifestIndexed(
+          spark, path, ups, dels, nBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getInt(5)))
+      assert(manifestIdx.toSeq == manifest.toSeq,
+        "indexed planner must equal the scan-based planner row for row")
       // apply the batch through the store's own incremental maintenance
       val centRows = centsDf.select(col("cid").cast("long"), col("ce"))
         .orderBy("cid").collect()
