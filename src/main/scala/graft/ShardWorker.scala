@@ -1486,6 +1486,32 @@ final class RemoteShardedRouter(
       hedgesSent, hedgeWins)
   }
 
+  /** Prometheus text exposition of the router's operational counters —
+    * reconnects/failovers/reloads plus each shard's ACTIVE endpoint
+    * index (0 = primary; >0 = failed over to that backup). The number a
+    * health dashboard needs next to the workers' own /metrics: a shard
+    * silently running on its backup is invisible in latency alone. */
+  def metricsText(prefix: String = "graft_router"): String = {
+    val sb = new StringBuilder
+    def line(k: String, v: Long): Unit =
+      sb.append(prefix).append('_').append(k).append(' ')
+        .append(v).append('\n')
+    line("reconnects_total", reconnects)
+    line("failovers_total", failovers)
+    line("reloads_total", reloads)
+    line("shards", addrs.length.toLong)
+    addrs.indices.foreach { s =>
+      sb.append(prefix).append("_active_endpoint{shard=\"").append(s)
+        .append("\"} ").append(activeEp(s).get()).append('\n')
+    }
+    sb.toString
+  }
+
+  /** Mount [[metricsText]] on GET /metrics — same listener as the
+    * serving tiers' exposition ([[MetricsHttpServer]]). */
+  def serveMetricsHttp(port: Int = 0): MetricsHttpServer =
+    new MetricsHttpServer(() => metricsText(), port)
+
   /** Pure IPC round-trip (nq=0 frame) to shard 0 — the network floor. */
   def ping(): Unit = {
     val c = pools(0).take()

@@ -665,6 +665,23 @@ class ShardWorkerSpec extends AnyFunSuite {
       // reconnect (the numbers a deployment scrapes next to latency)
       assert(router.failovers >= 1, s"failovers=${router.failovers}")
       assert(router.reconnects >= 1, s"reconnects=${router.reconnects}")
+      // ...and they ride the HTTP exposition: the shard's ACTIVE endpoint
+      // gauge shows it serving from backup index 1 — the state a health
+      // dashboard cannot infer from latency alone
+      val http = router.serveMetricsHttp()
+      try {
+        val url = new java.net.URI(
+          s"http://127.0.0.1:${http.boundPort}/metrics").toURL
+        val conn = url.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = try scala.io.Source.fromInputStream(
+          conn.getInputStream).mkString finally conn.disconnect()
+        val lines = body.linesIterator.toSeq
+        assert(lines.exists(l => l.startsWith("graft_router_failovers_total ")
+          && l.split(" ")(1).toLong >= 1), s"exposition:\n$body")
+        assert(lines.contains("graft_router_active_endpoint{shard=\"0\"} 1"),
+          s"active-endpoint gauge must show the backup:\n$body")
+      } finally http.close()
       // all-replicas-down IS an error (an outage must be loud, not an
       // empty result): kill the backup too
       backup.kill()
