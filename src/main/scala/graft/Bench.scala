@@ -892,6 +892,20 @@ object Bench {
     // number in the JSON, not a re-capture protocol (PLANS_r15 §0)
     val boxJ0 = CrossProc.cpuJiffies()
     val boxLoad0 = CrossProc.loadAvg()
+    // SERVING PHASES FIRST (r16): the qps/cross-proc drives used to run
+    // AFTER the ~13-minute full-width query sweep, grading the serving
+    // tiers on a thermally/power-depleted box — in-suite full-scan
+    // drives read 2-5× slower than the same code launched standalone
+    // from idle, at near-zero measured steal. The subprocess JVMs carry
+    // their own JIT warmups, so phase order changes nothing about code
+    // warmth — only about whose heat the serving rows inherit. The
+    // serving tiers' claim is steady-state throughput on an otherwise
+    // idle node; measure them from the cold box, then run the sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val qpsMap = try {
+      if (only.isDefined) Map.empty[String, Double]
+      else qpsPhase(spark, sfDir)
+    } catch { case _: Throwable => Map.empty[String, Double] }
     // warmup: run the flagship once at the smallest scale (class loading,
     // codegen compilation, parquet footer caches)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -902,8 +916,8 @@ object Bench {
     // luckiest run and a single sample cannot tell noise from
     // regression. All three timed runs ship in the full artifact
     // (`queries_runs`) so spread is adjudicable round over round.
-    // optional comma-separated query-name filter for local iteration
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // `only` (the comma-separated query-name filter for local iteration)
+    // is defined above the qps phase
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -955,11 +969,8 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (m, r) => "\"" + m + "\":" + math.rint(r * 1000) / 1000 }
       .mkString("{", ",", "}")
-    // concurrent-search throughput (reference BenchmarkSuite QPS phase)
-    val qpsMap = try {
-      if (only.isDefined) Map.empty[String, Double]
-      else qpsPhase(spark, sfDir)
-    } catch { case _: Throwable => Map.empty[String, Double] }
+    // qpsMap (the reference BenchmarkSuite QPS phase) was measured FIRST
+    // — see the cold-box note at the top of the run
     val qps = qpsMap.toSeq.sortBy(_._1)
       .map { case (m, v) => "\"" + m + "\":" + v }
       .mkString("{", ",", "}")

@@ -539,14 +539,37 @@ object CrossProc {
           (pct(pl, 0.5), pct(pl, 0.99))
         }
         def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-        val driveJ0 = cpuJiffies()
-        val closedRuns = IndexedSeq.fill(3)(runClosed())
-        val pacedRuns = IndexedSeq.fill(3)(runPaced())
-        val closedQps = med(closedRuns.map(_._1))
-        val closedP50 = med(closedRuns.map(_._2))
-        val closedP99 = med(closedRuns.map(_._3))
-        val pacedP50 = med(pacedRuns.map(_._1))
-        val pacedP99 = med(pacedRuns.map(_._2))
+        // one full drive set (3× closed + 3× paced) with its own steal
+        // window: (qps, closedP50, closedP99, pacedP50, pacedP99, steal)
+        def driveSet(): (Double, Double, Double, Double, Double, Double) = {
+          val j0 = cpuJiffies()
+          val closedRuns = IndexedSeq.fill(3)(runClosed())
+          val pacedRuns = IndexedSeq.fill(3)(runPaced())
+          val j1 = cpuJiffies()
+          val dt = j1._2 - j0._2
+          val steal =
+            if (dt <= 0) -1.0
+            else math.rint(10000.0 * (j1._1 - j0._1) / dt) / 100
+          (med(closedRuns.map(_._1)), med(closedRuns.map(_._2)),
+            med(closedRuns.map(_._3)), med(pacedRuns.map(_._1)),
+            med(pacedRuns.map(_._2)), steal)
+        }
+        // STEAL-GATED retry (r16): when the hypervisor stole > 5% of the
+        // drive window, the window measured the HOST's other tenants,
+        // not this code — re-run the whole set once and keep the
+        // LOWER-STEAL set. Selection is on the interference evidence,
+        // never on the result (a fast-but-stolen set is still discarded
+        // if its steal reads higher), so this cannot grade best-case; it
+        // only refuses to grade a flooded track. One retry, bounded.
+        val firstSet = driveSet()
+        val (chosenSet, retried) =
+          if (firstSet._6 > 5.0) {
+            val second = driveSet()
+            (if (second._6 >= 0 && second._6 < firstSet._6) second
+             else firstSet, 1.0)
+          } else (firstSet, 0.0)
+        val (closedQps, closedP50, closedP99, pacedP50, pacedP99,
+          driveSteal) = chosenSet
         // deadline + hedged phases: the straggler-policy arcs — run on
         // the float tier only (the int8 probe grades the quantized
         // kernel + slab economics; policy arcs are tier-independent)
@@ -677,15 +700,10 @@ object CrossProc {
           "crossproc_paced_p50_ms" -> pacedP50,
           "crossproc_paced_p99_ms" -> pacedP99,
           "crossproc_drive_median_of" -> 3.0,
-          "crossproc_drive_steal_pct" -> {
-            // hypervisor steal across the drive window (closed + paced +
-            // policy arcs): the box-state number next to the latency it
-            // explains
-            val j1 = cpuJiffies()
-            val dt = j1._2 - driveJ0._2
-            if (dt <= 0) -1.0
-            else math.rint(10000.0 * (j1._1 - driveJ0._1) / dt) / 100
-          },
+          // box-state next to the latency it explains: steal of the
+          // GRADED drive window, plus whether the steal gate re-ran it
+          "crossproc_drive_steal_pct" -> driveSteal,
+          "crossproc_drive_retried" -> retried,
           "crossproc_stall_ms" -> stallMs.toDouble)
           ++ tailPhases ++ int8Extras)
           .map { case (key, v) => key.replaceFirst("crossproc", P) -> v }
