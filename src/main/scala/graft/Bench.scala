@@ -982,7 +982,10 @@ object Bench {
       val steal =
         if (dt <= 0) -1.0
         else math.rint(10000.0 * (j1._1 - boxJ0._1) / dt) / 100
-      s"""{"steal_pct":$steal,"load_start":$boxLoad0,"load_end":${CrossProc.loadAvg()}}"""
+      // phase_order marks the r16 ordering change in-artifact: pre-r16
+      // captures ran the sweep FIRST, so cross-round sweep comparisons
+      // know which thermal regime each artifact's queries ran under
+      s"""{"steal_pct":$steal,"load_start":$boxLoad0,"load_end":${CrossProc.loadAvg()},"phase_order":"qps_first"}"""
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","box":$box,"queries":$qs,"queries_runs":$qRuns,"recall":$recall,"qps":$qps,"targets":$targets,"sf":"$sfDir"}"""

@@ -561,15 +561,23 @@ object CrossProc {
         // never on the result (a fast-but-stolen set is still discarded
         // if its steal reads higher), so this cannot grade best-case; it
         // only refuses to grade a flooded track. One retry, bounded.
+        // retried: 0 = gate never fired; 1 = fired, FIRST set kept
+        // (the retry read equal-or-higher steal); 2 = fired, SECOND set
+        // kept — so an adjudicator knows which wall-clock window the
+        // graded numbers came from.
         val firstSet = driveSet()
         val (chosenSet, retried) =
           if (firstSet._6 > 5.0) {
             val second = driveSet()
-            (if (second._6 >= 0 && second._6 < firstSet._6) second
-             else firstSet, 1.0)
+            if (second._6 >= 0 && second._6 < firstSet._6) (second, 2.0)
+            else (firstSet, 1.0)
           } else (firstSet, 0.0)
         val (closedQps, closedP50, closedP99, pacedP50, pacedP99,
           driveSteal) = chosenSet
+        // the POLICY arcs (deadline + hedged paced drives below) get
+        // their own steal window so their latency rows keep box-state
+        // evidence too (the drive gate covers only closed+paced)
+        val policyJ0 = cpuJiffies()
         // deadline + hedged phases: the straggler-policy arcs — run on
         // the float tier only (the int8 probe grades the quantized
         // kernel + slab economics; policy arcs are tier-independent)
@@ -702,8 +710,15 @@ object CrossProc {
           "crossproc_drive_median_of" -> 3.0,
           // box-state next to the latency it explains: steal of the
           // GRADED drive window, plus whether the steal gate re-ran it
+          // (and which window it kept — see the retried encoding above)
           "crossproc_drive_steal_pct" -> driveSteal,
           "crossproc_drive_retried" -> retried,
+          "crossproc_policy_steal_pct" -> {
+            val j1 = cpuJiffies()
+            val dt = j1._2 - policyJ0._2
+            if (dt <= 0) -1.0
+            else math.rint(10000.0 * (j1._1 - policyJ0._1) / dt) / 100
+          },
           "crossproc_stall_ms" -> stallMs.toDouble)
           ++ tailPhases ++ int8Extras)
           .map { case (key, v) => key.replaceFirst("crossproc", P) -> v }

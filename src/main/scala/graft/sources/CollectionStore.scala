@@ -1176,26 +1176,10 @@ object CollectionStore {
     // same batch contributes its DROP above but never an add — without
     // the anti-join the manifest would predict a row the maintenance
     // pass removes, and the patch would dirty/size the wrong cell set.
-    val adds = graft.operators.Ann.ivfAssign(
-        upserts.join(deleteIds.select(col("id")), Seq("id"), "left_anti"),
-        cents)
-      .groupBy(col("cid").cast("long").as("cid"))
-      .agg(count(lit(1)).as("adds"))
+    // (Shared with refreshManifestIndexed — the rule cannot diverge.)
     val before = oldCid.groupBy("cid").agg(count(lit(1)).as("rows_before"))
-    cents.select("cid")
-      .join(before, Seq("cid"), "left")
-      .join(adds, Seq("cid"), "left")
-      .join(drops, Seq("cid"), "left")
-      .select(
-        col("cid"),
-        coalesce(col("rows_before"), lit(0L)).as("rows_before"),
-        coalesce(col("adds"), lit(0L)).as("adds"),
-        coalesce(col("drops"), lit(0L)).as("drops"))
-      .withColumn("rows_after",
-        col("rows_before") + col("adds") - col("drops"))
-      .withColumn("dirty",
-        (col("adds") + col("drops") > 0).cast("int"))
-      .orderBy("cid")
+    assembleManifest(cents, before,
+      manifestAdds(upserts, deleteIds, cents), drops)
   }
 
   /** Store-scan-FREE refresh planner — the same manifest as
@@ -1223,6 +1207,22 @@ object CollectionStore {
     require(fs.exists(new Path(path + "_ids")),
       s"refreshManifestIndexed: no id sidecar at ${path}_ids — the store " +
         "must be written via saveIndexed(..., idSidecarBuckets = Some(n))")
+    // the caller's bucket count must MATCH the one the sidecar was
+    // written with: a mismatch (say 16 vs the written 8) would bucketize
+    // a batch id into a directory that does not exist, silently skip its
+    // sidecar row, and under-count drops — validated against the actual
+    // bucket=N layout (max dir == n-1, or every dir present, to survive
+    // deleteIndexed having drained interior buckets). Fail loud beats a
+    // manifest that quietly skips cells.
+    val bucketDirs = fs.listStatus(new Path(path + "_ids")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt)
+    require(bucketDirs.nonEmpty, s"empty id sidecar at ${path}_ids")
+    require(bucketDirs.forall(b => b >= 0 && b < nBuckets) &&
+      (bucketDirs.max == nBuckets - 1 || bucketDirs.size == nBuckets),
+      s"nBuckets=$nBuckets does not match the sidecar's layout " +
+        s"(bucket dirs ${bucketDirs.sorted.mkString(",")}) — pass the " +
+        "bucket count the store was saved with")
     val cents = spark.read.parquet(path + "_centroids")
       .select(col("cid").cast("long").as("cid"), col("ce"))
     // O(C) footer pass: per-cell populations without touching data pages
@@ -1240,12 +1240,24 @@ object CollectionStore {
       .join(broadcast(touched), Seq("id"), "left_semi")
       .groupBy(col("cid").cast("long").as("cid"))
       .agg(count(lit(1)).as("drops"))
-    // arrivals: tombstones win, exactly like the scan-based planner
-    val adds = graft.operators.Ann.ivfAssign(
+    assembleManifest(cents, before,
+      manifestAdds(upserts, deleteIds, cents), drops)
+  }
+
+  /** Arrivals per cell under the tombstones-win rule — shared by both
+    * planners so the LWW semantics cannot diverge between them. */
+  private def manifestAdds(upserts: DataFrame, deleteIds: DataFrame,
+      cents: DataFrame): DataFrame =
+    graft.operators.Ann.ivfAssign(
         upserts.join(deleteIds.select(col("id")), Seq("id"), "left_anti"),
         cents)
       .groupBy(col("cid").cast("long").as("cid"))
       .agg(count(lit(1)).as("adds"))
+
+  /** The manifest assembly both planners share: full outer accounting
+    * per centroid-table cell, sorted by cid. */
+  private def assembleManifest(cents: DataFrame, before: DataFrame,
+      adds: DataFrame, drops: DataFrame): DataFrame =
     cents.select("cid")
       .join(before, Seq("cid"), "left")
       .join(adds, Seq("cid"), "left")
@@ -1260,7 +1272,6 @@ object CollectionStore {
       .withColumn("dirty",
         (col("adds") + col("drops") > 0).cast("int"))
       .orderBy("cid")
-  }
 
   /** One-row rollup of [[refreshManifest]] — the refresh DECISION
     * surface: how much of the slab a patch rewrites vs byte-copies.

@@ -674,6 +674,9 @@ class ShardWorkerSpec extends AnyFunSuite {
           s"http://127.0.0.1:${http.boundPort}/metrics").toURL
         val conn = url.openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
+        // bounded: a wedged handler must fail the assert, not hang the suite
+        conn.setConnectTimeout(5000)
+        conn.setReadTimeout(5000)
         val body = try scala.io.Source.fromInputStream(
           conn.getInputStream).mkString finally conn.disconnect()
         val lines = body.linesIterator.toSeq
