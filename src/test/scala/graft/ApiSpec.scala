@@ -326,6 +326,125 @@ class ApiSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("submitFiltered ≡ Search.knn(preFilter) row for row on the replica, " +
+      "int8, job, and sharded tiers; verify/detect run end-to-end against " +
+      "a served tier (VERDICT r16 #1)") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val k = 7
+    val th = 0.1
+    val base = points.orderBy("id").limit(3)
+      .select("embedding").as[Seq[Double]].collect().toSeq
+    val filters = Seq(Seq(3), Seq(1, 4, 7), Seq(0, 2, 5, 8, 9))
+    def oracle(emb: Seq[Double], us: Seq[Int]): Seq[(Long, Double, Int)] = {
+      val qdf = Seq(emb).toDF("qemb")
+      graft.operators.Search.knn(points, qdf, k, th,
+        preFilter = Some($"user_id".isin(us.map(Int.box): _*)))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    }
+    def drive(srv: AutoCloseable, name: String,
+        call: (Seq[Double], Seq[Int]) => scala.concurrent.Future[Array[org.apache.spark.sql.Row]]): Unit =
+      try {
+        base.foreach { emb =>
+          filters.foreach { us =>
+            val got = Await.result(call(emb, us), 2.minutes)
+              .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+            assert(got == oracle(emb, us),
+              s"$name filtered must equal Search.knn(preFilter) for users $us")
+          }
+        }
+      } finally srv.close()
+    val replica = Api.batchedServer(points, k, Some(th))
+    drive(replica, "replica", replica.submitFiltered)
+    val int8 = Api.batchedServer(points, k, Some(th), int8Replica = true)
+    drive(int8, "int8-replica", int8.submitFiltered)
+    val job = Api.batchedServer(points, k, Some(th), localReplicaMaxRows = 0)
+    drive(job, "job-tier", job.submitFiltered)
+    val sharded = Api.shardedServer(points, k, Some(th), shardMaxRows = 300)
+    assert(sharded.nShards > 1, "fixture must actually shard")
+    drive(sharded, "sharded", sharded.submitFiltered)
+    // empty filter is an API error (unfiltered search is submit())
+    val guard = Api.batchedServer(points, k, Some(th))
+    try intercept[IllegalArgumentException](
+      Await.result(guard.submitFiltered(base.head, Seq.empty), 2.minutes))
+    finally guard.close()
+    // ---- the reference's verify flow (api_spec.md:739-762) against a
+    // SERVED tier: filtered top-1 by user_id = the user's best score;
+    // verified = best ≥ threshold — must agree with the batch operator
+    val verifyTh = 0.65
+    val vSrv = Api.batchedServer(points, k = 1, Some(0.0))
+    try {
+      val someUser = points.orderBy("id").limit(1)
+        .select("user_id").as[Int].head()
+      base.foreach { emb =>
+        val top = Await.result(
+          vSrv.submitFiltered(emb, Seq(someUser)), 2.minutes)
+        val qdf = Seq(emb).toDF("qemb")
+        val want = graft.operators.Search.verify(
+          points, qdf, lit(someUser), verifyTh).collect().head
+        assert(top.nonEmpty, "user has rows, so the filtered top-1 exists")
+        assert(top.head.getDouble(1) == want.getAs[Double]("best_score"),
+          "served verify best_score must equal the batch verify operator")
+        assert((top.head.getDouble(1) >= verifyTh) ==
+          (want.getAs[Int]("verified") == 1))
+      }
+    } finally vSrv.close()
+    // ---- the detect flow (api_spec.md:764-801) against a served tier:
+    // top-N ≥ threshold grouped per user, users ranked by best hit —
+    // equal to the batch detect operator whenever the served top-N
+    // captures every row over the threshold (asserted, not assumed)
+    val dTh = 0.65
+    val dK = 100
+    val dSrv = Api.batchedServer(points, dK, Some(dTh))
+    try {
+      base.foreach { emb =>
+        val qdf = Seq(emb).toDF("qemb")
+        // count of rows over the threshold via the unfiltered knn at the
+        // same k — knn caps at dK, so "result shorter than dK" proves the
+        // served top-dK covered every match
+        val matches = graft.operators.Search.knn(points, qdf, dK, dTh).count()
+        assert(matches < dK, s"fixture: served top-$dK must cover all matches")
+        val served = Await.result(dSrv.submit(emb), 2.minutes)
+        val got = served.groupBy(_.getInt(2)).map { case (u, rows) =>
+          (u, rows.map(_.getDouble(1)).max, rows.length.toLong)
+        }.toSeq.sortBy { case (u, best, _) => (-best, u) }.take(5)
+        val want = graft.operators.Search.detect(points, qdf, 5, dTh)
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+        assert(got == want,
+          "served detect (group top-N per user) must equal batch detect")
+      }
+    } finally dSrv.close()
+  }
+
+  test("decision gauges survive a refresh swap on the metrics surface " +
+      "(VERDICT r16 #7)") {
+    val srv = Api.batchedServer(points, k = 5, Some(0.1),
+      recallTarget = Some(0.9))
+    try {
+      srv.servingDecision // force the replica decision (lazy by design)
+      val before = srv.metricsSnapshot
+      assert(before.contains("serving_family_int8") &&
+        before.contains("serving_oversample"))
+      srv.refresh(points.limit(500))
+      val after = srv.metricsSnapshot
+      assert(after.contains("serving_family_int8") &&
+        after.contains("serving_oversample") &&
+        after.contains("serving_recall_target"),
+        s"decision gauges must survive the generation swap: $after")
+      // and the HTTP exposition still renders them
+      val http = srv.serveMetricsHttp()
+      try {
+        val url = new java.net.URI(
+          s"http://127.0.0.1:${http.boundPort}/metrics").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
+        val body = try scala.io.Source.fromInputStream(
+          conn.getInputStream).mkString finally conn.disconnect()
+        assert(body.contains("graft_serving_family_int8"), body)
+      } finally http.close()
+    } finally srv.close()
+  }
+
   test("calibrated serving decision: the stated recall target picks the " +
       "served family/oversample, the decision rides the metrics, and " +
       "the served plan actually changes") {

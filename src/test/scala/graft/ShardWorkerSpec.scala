@@ -661,9 +661,12 @@ class ShardWorkerSpec extends AnyFunSuite {
         "the backup must have served the failover request")
       // and the failover is sticky: subsequent requests keep working
       (0 until 5).foreach(_ => assert(router.search(q).toSeq == brute))
-      // the operational counters saw it: ≥1 endpoint failover, ≥1 lazy
-      // reconnect (the numbers a deployment scrapes next to latency)
-      assert(router.failovers >= 1, s"failovers=${router.failovers}")
+      // the operational counters saw it — and counted it EXACTLY ONCE
+      // (VERDICT r16 #7): one dead endpoint = one shard-wide endpoint
+      // walk = one failover, however many pooled conns hit it (the CAS
+      // admits a single winner; followers read the advanced value). The
+      // lazy reconnects are per-conn and at least one happened.
+      assert(router.failovers == 1, s"failovers=${router.failovers}")
       assert(router.reconnects >= 1, s"reconnects=${router.reconnects}")
       // ...and they ride the HTTP exposition: the shard's ACTIVE endpoint
       // gauge shows it serving from backup index 1 — the state a health
@@ -808,5 +811,257 @@ class ShardWorkerSpec extends AnyFunSuite {
         .foreach(p => try java.nio.file.Files.deleteIfExists(p)
           catch { case _: java.io.IOException => () })
     }
+  }
+
+  /** Brute-force FILTERED oracle: exact top-k over only the rows whose
+    * user is in the list — the same semantics as
+    * `Search.knn(preFilter = user_id IN (...))`. */
+  private def bruteFiltered(rows: Array[(Long, Array[Double], Int)],
+      q: Array[Double], users: Seq[Int], k: Int, th: Double)
+      : Seq[(Long, Double, Int)] =
+    rows.filter(r => users.contains(r._3)).map { case (id, e, u) =>
+      var s = 0.0; var i = 0
+      val nd = math.min(e.length, q.length)
+      while (i < nd) { s += e(i) * q(i); i += 1 }
+      (id, graft.plans.Num.round6(s), u)
+    }.filter(_._2 >= th)
+      .sortBy { case (id, s, _) => (-s, id) }.take(k).toSeq
+
+  test("filtered serving planner: selective ≡ exact filtered scan, broad " +
+      "rides the pruned cells, int8 selective rescores from mmap — all " +
+      "row-for-row vs the filtered oracle (VERDICT r16 #1)") {
+    val d = 32
+    val (rows, cids, cents, offs) = mkClustered(c = 8, perCell = 60, d = d)
+    val k = 10
+    val th = 0.0
+    val dir = java.nio.file.Files.createTempDirectory("slab_filtered").toString
+    val floatPath = s"$dir/shard.slab"
+    SlabIO.write(floatPath, rows)
+    SlabIO.writeIvf(s"$floatPath.ivf", cids, cents, offs, floatPath)
+    SlabIO.writeInt8(s"$floatPath.i8", rows, floatPath)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val queries = cents.take(3).map { ce =>
+      val e = ce.zipWithIndex.map { case (x, i) =>
+        x + 0.05 * math.sin(i.toDouble) }
+      val n = math.sqrt(e.map(x => x * x).sum); e.map(_ / n)
+    }
+    val filters = Seq(Seq(3), Seq(1, 4, 7), Seq(0, 2, 5, 8, 9))
+    try {
+      // in-proc planner over every mode × filter × query combination
+      val stFloat = ShardWorker.loadState(floatPath, "", s"$floatPath.ivf",
+        nprobe = cids.length, oversample = 3.0, version = 1)
+      val stInt8 = ShardWorker.loadState(floatPath, s"$floatPath.i8",
+        s"$floatPath.ivf", nprobe = cids.length, oversample = 3.0, version = 1)
+      val stNoIvf = ShardWorker.loadState(floatPath, "", "",
+        nprobe = 0, oversample = 3.0, version = 1)
+      queries.foreach { q =>
+        filters.foreach { us =>
+          val want = bruteFiltered(rows, q, us, k, th)
+          // selective branch (matched ≪ default threshold): exact scan
+          // over postings rows — float, int8 (mmap rescore), and no-ivf
+          Seq(stFloat, stInt8, stNoIvf).foreach { st =>
+            val got = ShardWorker.filteredTopK(st, us.toArray, q, k, th,
+              ShardWorker.DefaultFullScanThreshold, pool, 4)
+            assert(got.toSeq == want,
+              s"selective filtered (int8=${st.int8}, ivf=${st.ivf != null})")
+          }
+          // broad branch (fullScanTh = 0 forces it) at FULL probe: the
+          // probed cells cover every row, so post-filtered pruned scan
+          // must equal the exact filtered oracle — float path...
+          val gotBroad = ShardWorker.filteredTopK(stFloat, us.toArray, q, k,
+            th, 0, pool, 4)
+          assert(gotBroad.toSeq == want, "broad filtered at full probe")
+          // ...and int8: oversample large enough that phase 1 keeps every
+          // matching row, so the two-phase result is exact — pins the
+          // filter-before-rank plumbing deterministically
+          val stInt8Wide = stInt8.copy(oversample = rows.length.toDouble)
+          val gotBroad8 = ShardWorker.filteredTopK(stInt8Wide, us.toArray, q,
+            k, th, 0, pool, 4)
+          assert(gotBroad8.toSeq == want, "broad int8 filtered at full probe")
+          // broad at PARTIAL probe: hits satisfy the filter, carry exact
+          // scores, in (score desc, id asc) order — pruning may drop
+          // candidates, never corrupt or leak non-matching rows
+          val stNarrow = stFloat.copy(nprobe = 2)
+          val gotPartial = ShardWorker.filteredTopK(stNarrow, us.toArray, q,
+            k, th, 0, pool, 4)
+          val exactScore = rows.map { case (id, e, u) =>
+            var s = 0.0; var i = 0
+            while (i < d) { s += e(i) * q(i); i += 1 }
+            id -> graft.plans.Num.round6(s)
+          }.toMap
+          gotPartial.foreach { case (id, s, u) =>
+            assert(us.contains(u), "partial-probe hit must satisfy the filter")
+            assert(s == exactScore(id), "partial-probe score must be exact")
+          }
+          assert(gotPartial.sortBy { case (id, s, _) => (-s, id) }.toSeq
+            == gotPartial.toSeq)
+        }
+      }
+      // end-to-end over the socket: FilteredCmd frame through the router
+      // on BOTH branches (default threshold = selective; 0 = broad)
+      def freePort(): Int = {
+        val s = new java.net.ServerSocket(0)
+        try s.getLocalPort finally s.close()
+      }
+      Seq(ShardWorker.DefaultFullScanThreshold, 0).foreach { fullScanTh =>
+        val port = freePort()
+        val t = new Thread(new Runnable {
+          def run(): Unit = ShardWorker.main(Array(floatPath, port.toString,
+            k.toString, th.toString, "2", "0", "20", "", s"$floatPath.ivf",
+            cids.length.toString, "3.0", fullScanTh.toString))
+        })
+        t.setDaemon(true); t.start()
+        var router: RemoteShardedRouter = null
+        var tries = 0
+        while (router == null) {
+          try router = new RemoteShardedRouter(
+            Seq(("127.0.0.1", port)), k, connsPerShard = 2)
+          catch { case e: java.io.IOException =>
+            tries += 1; if (tries > 60) throw e; Thread.sleep(250) }
+        }
+        try queries.foreach { q =>
+          filters.foreach { us =>
+            assert(router.searchFiltered(q, us.toArray).toSeq ==
+              bruteFiltered(rows, q, us, k, th),
+              s"socket filtered (fullScanTh=$fullScanTh)")
+          }
+        } finally router.close()
+      }
+    } finally {
+      pool.shutdownNow()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    }
+  }
+
+  test("serving knobs file: a worker launched with the nprobe=-1 sentinel " +
+      "serves the PERSISTED calibration, and regenerating the knobs " +
+      "changes the served nprobe via RELOAD with no relaunch args " +
+      "(VERDICT r16 #6)") {
+    val d = 32
+    val (rows, cids, cents, offs) = mkClustered(c = 8, perCell = 60, d = d)
+    val k = 10
+    val dir = java.nio.file.Files.createTempDirectory("slab_knobs").toString
+    val floatPath = s"$dir/shard.slab"
+    SlabIO.write(floatPath, rows)
+    SlabIO.writeIvf(s"$floatPath.ivf", cids, cents, offs, floatPath)
+    // knobs v1: nprobe=1 — deliberately narrow
+    SlabIO.writeKnobs(s"$floatPath.ivf.knobs", nprobe = 1, oversample = 3.0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // a query BETWEEN two cluster centers: its true top-k spans two
+    // cells, so nprobe=1 and nprobe=C give different answers — the
+    // observable that proves which knob is being served
+    val q = {
+      val e = cents(0).zip(cents(1)).map { case (a, b) => a + b }
+      val n = math.sqrt(e.map(x => x * x).sum); e.map(_ / n)
+    }
+    try {
+      val rep = BatchedServer.FlatReplica(rows)
+      val fullAnswer = ShardWorker.topK(rep, pool, 4, Array(q), k, 0.0)(0).toSeq
+      val narrowAnswer = {
+        val ivf = SlabIO.readIvf(s"$floatPath.ivf")
+        val rs = ShardWorker.probeRanges(ivf, q, nprobe = 1)
+        ShardWorker.topK(rep, pool, 4, Array(q), k, 0.0, rs)(0).toSeq
+      }
+      assert(narrowAnswer != fullAnswer,
+        "fixture must make nprobe observable (cross-cell query)")
+      def freePort(): Int = {
+        val s = new java.net.ServerSocket(0)
+        try s.getLocalPort finally s.close()
+      }
+      val port = freePort()
+      val t = new Thread(new Runnable {
+        def run(): Unit = ShardWorker.main(Array(floatPath, port.toString,
+          k.toString, "0.0", "2", "0", "20", "", s"$floatPath.ivf", "-1"))
+      })
+      t.setDaemon(true); t.start()
+      var router: RemoteShardedRouter = null
+      var tries = 0
+      while (router == null) {
+        try router = new RemoteShardedRouter(
+          Seq(("127.0.0.1", port)), k, connsPerShard = 2)
+        catch { case e: java.io.IOException =>
+          tries += 1; if (tries > 60) throw e; Thread.sleep(250) }
+      }
+      try {
+        // launch read knobs v1: the worker serves nprobe=1
+        assert(router.search(q).toSeq == narrowAnswer,
+          "worker must serve the persisted nprobe=1")
+        // the store-side calibration regenerates its knobs; the SAME
+        // reload manifest (sentinel nprobe) now serves the new value
+        SlabIO.writeKnobs(s"$floatPath.ivf.knobs",
+          nprobe = cids.length, oversample = 3.0)
+        val r = router.reload(0, floatPath, ivfPath = s"$floatPath.ivf",
+          nprobe = -1)
+        assert(r.isRight, s"knobs reload must succeed, got $r")
+        assert(router.search(q).toSeq == fullAnswer,
+          "regenerated knobs must change the served nprobe without " +
+            "relaunch args")
+        // the reload was ACKED: the router's per-endpoint generation
+        // gauge shows it (ADVICE r16 #3 — a stale replica is observable)
+        val m = router.metricsText()
+        assert(m.contains(
+          "graft_router_last_acked_generation{shard=\"0\",endpoint=\"0\"} 2"),
+          s"generation ack must ride metricsText:\n$m")
+      } finally router.close()
+    } finally {
+      pool.shutdownNow()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    }
+  }
+
+  test("patchCellOrdered validation flag catches an INCOMPLETE dirty-cell " +
+      "set (stale id surviving in a clean cell) — ADVICE r16 #1") {
+    val d = 16
+    val (rows, cids, cents, offs) = mkClustered(c = 6, perCell = 40, d = d)
+    val dir = java.nio.file.Files.createTempDirectory("slab_patchval").toString
+    val v1 = s"$dir/v1.slab"
+    SlabIO.write(v1, rows)
+    SlabIO.writeIvf(s"$v1.ivf", cids, cents, offs, v1)
+    def cellRows(j: Int) = rows.slice(offs(j), offs(j + 1))
+    // an UPSERT that moves cell 2's first row into cell 1 — but the
+    // caller's dirty set omits cell 2, leaving the stale copy behind:
+    // the exact silent divergence the guard exists to catch
+    val moved = cellRows(2).head
+    val cell1Bad = (cellRows(1) :+ ((moved._1, cellRows(1).head._2, moved._3)))
+      .sortBy(_._1)
+    val incomplete = Map(1 -> cell1Bad)
+    val ex = intercept[IllegalArgumentException] {
+      SlabIO.patchCellOrdered(v1, s"$v1.ivf", incomplete,
+        s"$dir/bad.slab", s"$dir/bad.ivf", validate = true)
+    }
+    assert(ex.getMessage.contains("INCOMPLETE"), ex.getMessage)
+    // the COMPLETE set (cell 2 included, with the moved row removed)
+    // passes validation and still patches byte-identically
+    val complete = Map(1 -> cell1Bad, 2 -> cellRows(2).drop(1))
+    val (n2, _, _) = SlabIO.patchCellOrdered(v1, s"$v1.ivf", complete,
+      s"$dir/good.slab", s"$dir/good.ivf", validate = true)
+    assert(n2 == rows.length) // one row moved: same total
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala
+      .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () })
+  }
+
+  test("reload heap headroom arithmetic (ADVICE r16 #2): float needs " +
+      "~3.5x the slab file, int8 ~2x the code file; the gate sits at " +
+      "exactly that boundary") {
+    assert(ShardWorker.reloadHeapNeed(1000L, 0L) == 3500L)
+    assert(ShardWorker.reloadHeapNeed(8000L, 1000L) == 2000L)
+    assert(ShardWorker.reloadHeadroomOk(3500L, 1000L, 0L))
+    assert(!ShardWorker.reloadHeadroomOk(3499L, 1000L, 0L))
+    assert(ShardWorker.reloadHeadroomOk(2000L, 8000L, 1000L))
+    assert(!ShardWorker.reloadHeadroomOk(1999L, 8000L, 1000L))
   }
 }
