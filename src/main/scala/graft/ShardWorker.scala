@@ -542,6 +542,80 @@ object SlabIO {
     } finally inCh.close()
   }
 
+  /** GRAPH sidecar of a slab (VERDICT r16 #4 — the reference's serving
+    * index is the HNSW family, src/config/settings.py:41-45, whose
+    * hop-bounded per-query work is independent of IVF cell skew): the
+    * store-side [[graft.operators.Ann.graphBuild]] edge table re-keyed
+    * from ids to SLAB ROW indices and packed as a CSR adjacency
+    * (`offs(i)..offs(i+1)` delimit row i's out-neighbors in `nbrs`),
+    * plus a small ENTRY row list the beam descent starts from (one row
+    * per coarse region — the single-layer stand-in for HNSW's upper
+    * layers, same role the entry cells play in
+    * [[graft.operators.Ann.graphBeamServe]]). Carries the float slab's
+    * (size, content-checksum) pairing fingerprint: row indices against
+    * the wrong or regenerated slab would silently walk garbage. */
+  final case class GraphSidecar(offs: Array[Int], nbrs: Array[Int],
+      entries: Array[Int], floatSlabBytes: Long, floatChecksum: Long) {
+    def n: Int = offs.length - 1
+    def requirePairedWith(floatSlabPath: String): Unit = {
+      val size = java.nio.file.Files.size(Paths.get(floatSlabPath))
+      require(floatSlabBytes == size,
+        s"graph sidecar fingerprint mismatch: adjacency was cut from a " +
+          s"$floatSlabBytes-byte float slab, $floatSlabPath is $size")
+      val sum = floatSlabChecksum(floatSlabPath)
+      require(floatChecksum == sum,
+        s"graph sidecar content-fingerprint mismatch: adjacency was cut " +
+          s"from a float slab with checksum $floatChecksum, " +
+          s"$floatSlabPath has $sum")
+    }
+  }
+
+  def writeGraph(path: String, offs: Array[Int], nbrs: Array[Int],
+      entries: Array[Int], floatSlabPath: String): Unit = {
+    val n = offs.length - 1
+    require(offs(0) == 0 && offs(n) == nbrs.length,
+      s"graph sidecar shape: offs end ${offs(n)} != ${nbrs.length} nbrs")
+    nbrs.foreach(r => require(r >= 0 && r < n, s"neighbor row $r of $n"))
+    entries.foreach(r => require(r >= 0 && r < n, s"entry row $r of $n"))
+    val floatBytes = java.nio.file.Files.size(Paths.get(floatSlabPath))
+    val floatSum = floatSlabChecksum(floatSlabPath)
+    val bytes = 4L + 4 + 4 + 4 + 8 + 8 + 4L * (n + 1) + 4L * nbrs.length +
+      4L * entries.length
+    require(bytes <= Int.MaxValue, s"graph sidecar too large: $bytes")
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val buf = ByteBuffer.allocateDirect(bytes.toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(0x47524653) // "GRFS"
+      buf.putInt(n).putInt(nbrs.length).putInt(entries.length)
+      buf.putLong(floatBytes).putLong(floatSum)
+      offs.foreach(buf.putInt)
+      nbrs.foreach(buf.putInt)
+      entries.foreach(buf.putInt)
+      buf.flip()
+      while (buf.hasRemaining) ch.write(buf)
+    } finally ch.close()
+  }
+
+  def readGraph(path: String): GraphSidecar = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+        .order(ByteOrder.LITTLE_ENDIAN)
+      require(buf.getInt() == 0x47524653, s"bad graph sidecar magic in $path")
+      val n = buf.getInt()
+      val ne = buf.getInt()
+      val nEntries = buf.getInt()
+      val floatBytes = buf.getLong()
+      val floatSum = buf.getLong()
+      val offs = Array.fill(n + 1)(buf.getInt())
+      val nbrs = Array.fill(ne)(buf.getInt())
+      val entries = Array.fill(nEntries)(buf.getInt())
+      GraphSidecar(offs, nbrs, entries, floatBytes, floatSum)
+    } finally ch.close()
+  }
+
   /** PERSISTED serving knobs (VERDICT r16 #6): the store-side LCB
     * calibration's chosen nprobe/oversample written NEXT TO the index
     * artifacts, so a worker deployment reads the calibrated values
@@ -689,7 +763,8 @@ object ShardWorker {
   /** Protocol command: a RELOAD frame (in place of a positive query
     * count) asks the worker to swap its served slab generation in place —
     * [[ReloadCmd]], then UTF slabPath / UTF int8Path ("" = float mode) /
-    * UTF ivfPath ("" = full scan) / int nprobe / double oversample.
+    * UTF ivfPath ("" = full scan) / int nprobe / double oversample /
+    * UTF graphPath ("" = no graph) / int beam.
     * Reply: int 1, long newVersion, int n on success; int 0, UTF error
     * on failure (the OLD generation keeps serving — a bad manifest must
     * never take down a healthy worker). The reference upserts into a
@@ -728,10 +803,17 @@ object ShardWorker {
       rep: BatchedServer.FlatReplica,
       i8: SlabIO.Int8Slab, floatBuf: ByteBuffer, floatDataStart: Long,
       ivf: SlabIO.IvfSidecar, nprobe: Int, oversample: Double,
-      postings: BatchedServer.UserPostings) {
+      postings: BatchedServer.UserPostings,
+      graph: SlabIO.GraphSidecar = null, beam: Int = 0) {
     def int8: Boolean = i8 != null
     def n: Int = if (int8) i8.n else rep.n
   }
+
+  /** Hop cap of the worker's beam descent — a safety bound, not an
+    * accuracy knob (the loop exits as soon as a hop adds nothing; on a
+    * navigable small-world graph convergence is O(log n) hops and the
+    * calibrated `beam` is the accuracy dial, exactly HNSW's ef). */
+  val GraphHops: Int = 16
 
   /** Conservative heap bytes LOADING one generation transiently needs on
     * top of steady state (ADVICE r16 #2): float mode parses the slab into
@@ -757,8 +839,29 @@ object ShardWorker {
     * mismatched int8/ivf sidecar throws here and the caller keeps the
     * previous generation). */
   private[graft] def loadState(slabPath: String, int8Path: String,
-      ivfPath: String, nprobe: Int, oversample: Double, version: Long)
+      ivfPath: String, nprobe: Int, oversample: Double, version: Long,
+      graphPath: String = "", beam: Int = 0)
       : ServingState = {
+    // graph phase 1 (VERDICT r16 #4) is the float kernel's pruning
+    // family: hop-bounded beam descent over the sidecar adjacency. It
+    // REPLACES cell pruning (one pruning family per generation — a
+    // deployment picks by geometry), and the int8 two-phase composes
+    // with cells, not hops, so both compositions are rejected loud.
+    if (graphPath.nonEmpty) {
+      require(ivfPath.isEmpty,
+        "graph and ivf sidecars are alternative phase-1 pruning families" +
+          " — load one per generation")
+      require(int8Path.isEmpty,
+        "the graph tier serves the float kernel (int8 composes with cell" +
+          " pruning, not beam descent)")
+      require(beam >= 1, s"graph mode needs beam >= 1, got $beam")
+      val g = SlabIO.readGraph(graphPath)
+      g.requirePairedWith(slabPath)
+      val rep = BatchedServer.FlatReplica(SlabIO.read(slabPath))
+      require(g.n == rep.n, s"graph sidecar covers ${g.n} rows, slab has ${rep.n}")
+      return ServingState(version, rep, null, null, 0L, null, 0, oversample,
+        BatchedServer.UserPostings(rep.users), g, beam)
+    }
     // nprobe == −1 is the READ-FROM-KNOBS sentinel (VERDICT r16 #6): the
     // calibrated nprobe/oversample come from the persisted knobs file the
     // store-side calibration wrote next to the sidecar — re-read on EVERY
@@ -1071,6 +1174,78 @@ object ShardWorker {
       .sortBy { case (id, s, _) => (-s, id) }.take(k)
   }
 
+  /** Beam descent over the graph sidecar — the worker-resident form of
+    * [[graft.operators.Ann.graphBeamServe]]'s loop (VERDICT r16 #4): the
+    * HNSW-family phase 1 whose per-query work is O(beam · degree · hops)
+    * score evaluations INDEPENDENT of cell geometry — immune to the
+    * probed-cell growth the ×8 scale sweep exposed on the ivf tier.
+    * Entries are scored first, then each hop expands the `beam` best
+    * unexpanded visited rows (score desc, id asc — the same frontier rule
+    * as the store-side serve form) through the CSR adjacency, stopping at
+    * [[GraphHops]] or when a hop adds nothing. Every emitted hit carries
+    * its TRUE exact score (dots are the exact sequential kernel + 6dp
+    * round), so pruning can drop candidates but never corrupt survivors —
+    * the same integrity contract as the ivf tier; at beam = n on a
+    * connected graph the descent visits every row and equals the full
+    * scan (spec-pinned). */
+  private[graft] def graphTopK(rep: BatchedServer.FlatReplica,
+      g: SlabIO.GraphSidecar, q: Array[Double], k: Int, th: Double,
+      beam: Int): Array[(Long, Double, Int)] = {
+    // every scored row feeds two structures as it is visited: the k-heap
+    // of RESULTS (threshold-gated) and the candidate PQ of UNEXPANDED
+    // rows ordered (score desc, id asc) — each hop's frontier is `beam`
+    // polls, so no hop ever re-sorts the visited set (the first cut of
+    // this kernel did, and the boxed re-sort × hops dominated the
+    // descent at ~6.7 ms/request vs ~0.1 ms of actual dot work)
+    val visited = new java.util.HashSet[Integer]()
+    val top = new BatchedServer.TopK(k)
+    val cand = new java.util.PriorityQueue[(Double, Long, Int)](64,
+      new java.util.Comparator[(Double, Long, Int)] {
+        def compare(a: (Double, Long, Int), b: (Double, Long, Int)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1) // best first
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      })
+    def visit(row: Int): Unit = if (visited.add(row)) {
+      val b0 = rep.offs(row)
+      val nd = math.min(rep.offs(row + 1) - b0, q.length)
+      var s = 0.0d
+      var d = 0
+      while (d < nd) { s += rep.embs(b0 + d) * q(d); d += 1 }
+      val r = graft.plans.Num.round6(s)
+      val id = rep.ids(row)
+      if (r >= th) top.offer(r, id, rep.users(row))
+      // sub-threshold rows still EXPAND (the path to a hit may pass
+      // through them) — only the result heap is threshold-gated
+      cand.add((r, id, row))
+    }
+    g.entries.foreach(visit)
+    var hop = 0
+    // at beam ≥ n the descent IS a BFS from the entries: run it to the
+    // candidate queue's natural exhaustion (visited is monotone, so it
+    // terminates) — the spec's full-scan parity needs the whole
+    // component, not the first GraphHops levels of it
+    while ((hop < GraphHops || beam >= g.n) && !cand.isEmpty) {
+      // snapshot the hop's frontier BEFORE expanding (the batch-hop
+      // semantics of graphBeamServe: rows scored during this hop join
+      // the NEXT hop's frontier, not this one's)
+      val b = math.min(beam, cand.size)
+      val frontier = new Array[Int](b)
+      var i = 0
+      while (i < b) { frontier(i) = cand.poll()._3; i += 1 }
+      i = 0
+      while (i < b) {
+        val row = frontier(i)
+        var p = g.offs(row)
+        while (p < g.offs(row + 1)) { visit(g.nbrs(p)); p += 1 }
+        i += 1
+      }
+      hop += 1
+    }
+    top.drain().map { case (s, id, u) => (id, s, u) }.toArray
+      .sortBy { case (id, s, _) => (-s, id) }.take(k)
+  }
+
   /** The worker-side FILTERED-search planner — the serving twin of
     * [[graft.operators.Ann.filteredSearchPlanned]]'s cardinality switch:
     *
@@ -1087,7 +1262,13 @@ object ShardWorker {
     *     survivors all satisfy the predicate; float: before scoring).
     *
     * Row-for-row equality with `Search.knn(preFilter)` on the selective
-    * branch (and on the broad branch at full probe) is spec-pinned. */
+    * branch (and on the broad branch at full probe) is spec-pinned.
+    *
+    * A GRAPH-mode worker (no ivf sidecar) serves EVERY filtered request
+    * on the exact postings path regardless of cardinality: beam descent
+    * has no cell ranges to post-filter, and a predicate-constrained
+    * descent is exactly the filtered-ANN recall hole — the exact scan
+    * over matched rows costs ≤ one full scan and recalls 1.0. */
   private[graft] def filteredTopK(st: ServingState, users: Array[Int],
       q: Array[Double], k: Int, th: Double, fullScanTh: Int,
       pool: java.util.concurrent.ExecutorService, threads: Int)
@@ -1151,13 +1332,19 @@ object ShardWorker {
     // switch (reference settings.full_scan_threshold = 20000)
     val fullScanTh = if (args.length > 11) args(11).toInt
       else DefaultFullScanThreshold
+    // optional 13th/14th args: a GRAPH sidecar path + beam width (VERDICT
+    // r16 #4) — phase 1 becomes the hop-bounded beam descent; mutually
+    // exclusive with the ivf sidecar and the int8 slab (see loadState)
+    val graphPath = if (args.length > 12) args(12) else ""
+    val beam = if (args.length > 13) args(13).toInt else 0
     val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
     // the served slab GENERATION: swapped atomically by RELOAD frames;
     // a failed load keeps the old generation serving (fail-loud reply,
     // no state change). reloadLock serializes concurrent reloads so
     // versions are monotone.
     val stateRef = new java.util.concurrent.atomic.AtomicReference(
-      loadState(slabPath, int8Path, ivfPath, nprobe, oversample, version = 1L))
+      loadState(slabPath, int8Path, ivfPath, nprobe, oversample,
+        version = 1L, graphPath = graphPath, beam = beam))
     val reloadLock = new Object
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val srv = new ServerSocket()
@@ -1175,6 +1362,8 @@ object ShardWorker {
             val newIvf = in.readUTF()
             val newNprobe = in.readInt()
             val newOversample = in.readDouble()
+            val newGraph = in.readUTF()
+            val newBeam = in.readInt()
             try {
               val swapped = reloadLock.synchronized {
                 // heap headroom gate (ADVICE r16 #2): the next generation
@@ -1202,7 +1391,8 @@ object ShardWorker {
                       "keeps serving")
                 }
                 val next = loadState(newSlab, newI8, newIvf, newNprobe,
-                  newOversample, stateRef.get().version + 1)
+                  newOversample, stateRef.get().version + 1,
+                  graphPath = newGraph, beam = newBeam)
                 stateRef.set(next) // in-flight requests finish on the old gen
                 next
               }
@@ -1267,7 +1457,12 @@ object ShardWorker {
             // from a single generation even if a reload lands mid-flight
             val st = stateRef.get()
             val res =
-              if (st.ivf != null)
+              if (st.graph != null)
+                // hop-bounded phase 1: per-query beam descent (single-
+                // threaded per query by design — the whole point is that
+                // the work is a few thousand dots, below slicing overhead)
+                queries.map(q => graphTopK(st.rep, st.graph, q, k, th, st.beam))
+              else if (st.ivf != null)
                 // pruned phase 1: per-query probe ranges (queries in a
                 // batch may probe different cells — usually nq=1 from
                 // the router, so the per-query dispatch costs nothing)
@@ -1300,7 +1495,9 @@ object ShardWorker {
     // handshakes with a ping before grading anything)
     val st0 = stateRef.get()
     val ivfNote =
-      if (st0.ivf == null) "" else s" ivfCells=${st0.ivf.c} nprobe=${st0.nprobe}"
+      (if (st0.ivf == null) "" else s" ivfCells=${st0.ivf.c} nprobe=${st0.nprobe}") +
+        (if (st0.graph == null) ""
+         else s" graphEdges=${st0.graph.nbrs.length} beam=${st0.beam}")
     if (st0.int8)
       println(s"READY $port n=${st0.n} int8=1 " +
         s"codeBytes=${st0.i8.codes.length}$ivfNote")
@@ -1593,7 +1790,8 @@ final class RemoteShardedRouter(
     * a stale pooled socket never spuriously fails the first reload
     * after a worker blip. */
   def reload(shard: Int, slabPath: String, int8Path: String = "",
-      ivfPath: String = "", nprobe: Int = 0, oversample: Double = 3.0)
+      ivfPath: String = "", nprobe: Int = 0, oversample: Double = 3.0,
+      graphPath: String = "", beam: Int = 0)
       : Either[String, (Long, Int)] = {
     val c = pools(shard).take()
     try {
@@ -1609,6 +1807,8 @@ final class RemoteShardedRouter(
           c.out.writeUTF(ivfPath)
           c.out.writeInt(nprobe)
           c.out.writeDouble(oversample)
+          c.out.writeUTF(graphPath)
+          c.out.writeInt(beam)
           c.out.flush()
           return if (c.in.readInt() == 1) {
             reloadCount.incrementAndGet()

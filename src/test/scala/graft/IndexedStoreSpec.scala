@@ -908,6 +908,39 @@ class IndexedStoreSpec extends SparkSpec {
       // and the patched generation loads through the worker's gates
       graft.SlabIO.readIvf(s"$v2.ivf").requirePairedWith(v2)
       graft.SlabIO.readInt8(s"$v2.i8").requirePairedWith(v2)
+      // COMPOSED handoff onto a LIVE worker (VERDICT r16 #5): the same
+      // patched generation the manifest planned is RELOADed into a
+      // serving worker — the served row set must flip to the post-CDC
+      // generation (the batch's new id 900001, a copy of id 0's
+      // embedding, is absent before the swap and served after it)
+      val qemb = points.filter($"id" === 0)
+        .select("embedding").head().getSeq[Double](0).toArray
+      def freePort(): Int = {
+        val s = new java.net.ServerSocket(0)
+        try s.getLocalPort finally s.close()
+      }
+      val port = freePort()
+      val t = new Thread(new Runnable {
+        def run(): Unit = graft.ShardWorker.main(Array(v1, port.toString,
+          "5", "0.0", "2", "0", "20", s"$v1.i8", s"$v1.ivf", "16"))
+      })
+      t.setDaemon(true); t.start()
+      var router: graft.RemoteShardedRouter = null
+      var tries = 0
+      while (router == null) {
+        try router = new graft.RemoteShardedRouter(
+          Seq(("127.0.0.1", port)), 5, connsPerShard = 2)
+        catch { case e: java.io.IOException =>
+          tries += 1; if (tries > 60) throw e; Thread.sleep(250) }
+      }
+      try {
+        assert(!router.search(qemb).exists(_._1 == 900001L),
+          "the CDC insert must be absent from the v1 generation")
+        val r = router.reload(0, v2, s"$v2.i8", s"$v2.ivf", nprobe = 16)
+        assert(r.isRight, s"lifecycle reload must succeed, got $r")
+        assert(router.search(qemb).exists(_._1 == 900001L),
+          "the CDC insert must be served from the patched generation")
+      } finally router.close()
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir))

@@ -1054,6 +1054,148 @@ class ShardWorkerSpec extends AnyFunSuite {
         catch { case _: java.io.IOException => () })
   }
 
+  test("graph sidecar tier: round-trip, beam=n descent == full scan, " +
+      "partial beam keeps exact scores/order, socket e2e + filtered via " +
+      "postings, fingerprint fails loud (VERDICT r16 #4)") {
+    val d = 32
+    val (rows, _, cents, offs) = mkClustered(c = 8, perCell = 60, d = d)
+    val n = rows.length
+    val k = 10
+    val dir = java.nio.file.Files.createTempDirectory("slab_graph").toString
+    val floatPath = s"$dir/shard.slab"
+    SlabIO.write(floatPath, rows)
+    // brute-force 8-NN graph made UNDIRECTED (the graphBuild shape:
+    // reverse links make greedy routing navigable), entries = each
+    // cell's first row (the coarse entry tier)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val nd = math.min(a.length, b.length)
+      while (i < nd) { s += a(i) * b(i); i += 1 }
+      graft.plans.Num.round6(s)
+    }
+    val adj = Array.fill(n)(scala.collection.mutable.SortedSet.empty[Int])
+    (0 until n).foreach { i =>
+      val nbrs = (0 until n).filter(_ != i)
+        .map(j => (dot(rows(i)._2, rows(j)._2), rows(j)._1, j))
+        .sortBy { case (s, id, _) => (-s, id) }.take(8).map(_._3)
+      nbrs.foreach { j => adj(i) += j; adj(j) += i }
+    }
+    val gOffs = new Array[Int](n + 1)
+    (0 until n).foreach(i => gOffs(i + 1) = gOffs(i) + adj(i).size)
+    val gNbrs = (0 until n).flatMap(adj(_).toSeq).toArray
+    val entries = (0 until 8).map(offs(_)).toArray
+    // fixture property the beam=n parity rests on: the graph is CONNECTED
+    // (BFS from the entries reaches every row)
+    val seen = scala.collection.mutable.Set[Int](entries.toIndexedSeq: _*)
+    var frontier = entries.toSeq
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(adj(_)).distinct.filterNot(seen)
+      seen ++= frontier
+    }
+    assert(seen.size == n, s"fixture graph must be connected: ${seen.size}/$n")
+    SlabIO.writeGraph(s"$floatPath.graph", gOffs, gNbrs, entries, floatPath)
+    val g = SlabIO.readGraph(s"$floatPath.graph")
+    assert(g.n == n && g.offs.toSeq == gOffs.toSeq &&
+      g.nbrs.toSeq == gNbrs.toSeq && g.entries.toSeq == entries.toSeq)
+    g.requirePairedWith(floatPath)
+    val rep = BatchedServer.FlatReplica(rows)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val rnd = new scala.util.Random(13)
+    val queries = cents.take(3).map { ce =>
+      val e = ce.zipWithIndex.map { case (x, i) =>
+        x + 0.05 * math.cos(i.toDouble) }
+      val nn = math.sqrt(e.map(x => x * x).sum); e.map(_ / nn)
+    } :+ {
+      val e = Array.fill(d)(rnd.nextGaussian())
+      val nn = math.sqrt(e.map(x => x * x).sum); e.map(_ / nn)
+    }
+    try {
+      val full = ShardWorker.topK(rep, pool, 4, queries, k, 0.0)
+      queries.zipWithIndex.foreach { case (q, qi) =>
+        // beam = n: the descent is a BFS over the connected graph — it
+        // must visit every row and equal the full scan row for row
+        val atN = ShardWorker.graphTopK(rep, g, q, k, 0.0, beam = n)
+        assert(atN.toSeq == full(qi).toSeq, s"beam=n parity, q$qi")
+        // partial beam: every hit carries its true exact score, in the
+        // global (score desc, id asc) order — descent drops candidates,
+        // never corrupts survivors
+        val atB = ShardWorker.graphTopK(rep, g, q, k, 0.0, beam = 8)
+        val exactScore = rows.map { case (id, e, _) => id -> dot(e, q) }.toMap
+        atB.foreach { case (id, s, _) =>
+          assert(s == exactScore(id), s"beam-8 score must be exact, q$qi")
+        }
+        assert(atB.sortBy { case (id, s, _) => (-s, id) }.toSeq == atB.toSeq)
+        // near-center queries recall their cluster's top-k at beam=8 on
+        // this fixture (the serving regime)
+        if (qi < 3) assert(atB.toSeq == full(qi).toSeq, s"clustered q$qi")
+      }
+      // sidecar composition rules: graph+ivf and graph+int8 fail loud
+      SlabIO.writeInt8(s"$floatPath.i8", rows, floatPath)
+      val exIvf = intercept[IllegalArgumentException](
+        ShardWorker.loadState(floatPath, "", s"$floatPath.graph",
+          nprobe = 1, oversample = 3.0, version = 1,
+          graphPath = s"$floatPath.graph", beam = 8))
+      assert(exIvf.getMessage.contains("alternative phase-1"))
+      val exI8 = intercept[IllegalArgumentException](
+        ShardWorker.loadState(floatPath, s"$floatPath.i8", "",
+          nprobe = 0, oversample = 3.0, version = 1,
+          graphPath = s"$floatPath.graph", beam = 8))
+      assert(exI8.getMessage.contains("float kernel"))
+      // socket e2e: a graph worker serves the descent (beam=n for exact
+      // parity over the wire) and filtered requests take the exact
+      // postings path — both row-for-row vs their oracles
+      def freePort(): Int = {
+        val s = new java.net.ServerSocket(0)
+        try s.getLocalPort finally s.close()
+      }
+      val port = freePort()
+      val t = new Thread(new Runnable {
+        def run(): Unit = ShardWorker.main(Array(floatPath, port.toString,
+          k.toString, "0.0", "2", "0", "20", "", "", "0", "3.0",
+          ShardWorker.DefaultFullScanThreshold.toString,
+          s"$floatPath.graph", n.toString))
+      })
+      t.setDaemon(true); t.start()
+      var router: RemoteShardedRouter = null
+      var tries = 0
+      while (router == null) {
+        try router = new RemoteShardedRouter(
+          Seq(("127.0.0.1", port)), k, connsPerShard = 2)
+        catch { case e: java.io.IOException =>
+          tries += 1; if (tries > 60) throw e; Thread.sleep(250) }
+      }
+      try {
+        queries.zipWithIndex.foreach { case (q, qi) =>
+          assert(router.search(q).toSeq == full(qi).toSeq, s"socket graph q$qi")
+          val us = Seq(3, 7)
+          assert(router.searchFiltered(q, us.toArray).toSeq ==
+            bruteFiltered(rows, q, us, k, 0.0), s"graph-worker filtered q$qi")
+        }
+        // RELOAD into a graph generation round-trips the new frame fields
+        val r = router.reload(0, floatPath, graphPath = s"$floatPath.graph",
+          beam = 8)
+        assert(r.isRight, s"graph reload must succeed, got $r")
+        queries.take(3).zipWithIndex.foreach { case (q, qi) =>
+          assert(router.search(q).toSeq == full(qi).toSeq,
+            s"post-reload beam-8 clustered q$qi")
+        }
+      } finally router.close()
+      // pairing: sidecar vs a regenerated same-shape slab fails loud
+      val regen = s"$dir/regen.slab"
+      SlabIO.write(regen, rows.map { case (id, e, u) => (id, e.map(-_), u) })
+      val ex = intercept[IllegalArgumentException](g.requirePairedWith(regen))
+      assert(ex.getMessage.contains("content-fingerprint mismatch"))
+    } finally {
+      pool.shutdownNow()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    }
+  }
+
   test("reload heap headroom arithmetic (ADVICE r16 #2): float needs " +
       "~3.5x the slab file, int8 ~2x the code file; the gate sits at " +
       "exactly that boundary") {
