@@ -329,10 +329,28 @@ object CrossProc {
         }
         val shardDf = bigPoints.filter(
           pmod(col("id"), lit(nShards.toLong)) === s.toLong)
-        val edges = graft.operators.Ann.graphBuild(shardDf, centsDf,
+        val built = graft.operators.Ann.graphBuild(shardDf, centsDf,
           graphK = 8, maxDegree = 16, nprobe = 2)
+        // GRAFT_XPROC_GRAPH_REFINE=<rounds>: NN-Descent link improvement
+        // (Ann.graphRefine + cross-cell bridges) on the sidecar edges —
+        // the construction-quality dial behind the single-shard
+        // calibration miss SCALING r17 reported (beam ladder maxed at
+        // recall 0.906 on build-quality-limited edges)
+        val refineRounds =
+          sys.env.getOrElse("GRAFT_XPROC_GRAPH_REFINE", "0").toInt
+        val tEdges0 = System.nanoTime()
+        val refined =
+          if (refineRounds <= 0) built
+          else graft.operators.Ann.graphRefine(shardDf, built,
+            rounds = refineRounds, maxDegree = 16,
+            bridges = Some(
+              graft.operators.Ann.graphBridges(shardDf, centsDf, 2)))
+        val edges = refined
           .select(col("src"), col("dst")).collect()
           .map(r => (r.getLong(0), r.getLong(1)))
+        println(s"""{"probe":"graph_edges","shard":$s,""" +
+          s""""refine_rounds":$refineRounds,"edges":${edges.length},""" +
+          s""""build_ms":${(System.nanoTime() - tEdges0) / 1000000}}""")
         val idxOf = new java.util.HashMap[Long, Integer]()
         rows.indices.foreach(i => idxOf.put(rows(i)._1, i))
         val bySrc = edges.groupBy(_._1)
@@ -788,8 +806,13 @@ object CrossProc {
         // post-filters the probed cells — approximate like any pruned
         // scan, so the broad row ships measured filtered recall instead
         // of an equality gate, plus the same exact-scores/order checks
-        // as the unfiltered ivf tier).
-        val filteredPhases: Map[String, Double] = if (!ivf) Map.empty else {
+        // as the unfiltered ivf tier). GRAPH mode drives the same two
+        // phases: selective takes the same exact postings path; broad
+        // takes the full-graph descent with eligibility filtering
+        // (filtered-HNSW), so the same checks apply — hits must satisfy
+        // the predicate with exact scores, recall is measured.
+        val filteredPhases: Map[String, Double] =
+          if (!ivf && !graph) Map.empty else {
           val sampleUsers = bigPoints.orderBy("id").limit(4000)
             .select(col("user_id")).collect().map(_.getInt(0)).distinct
           val selUsers: Int => Array[Int] =

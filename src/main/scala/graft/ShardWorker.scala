@@ -1190,7 +1190,20 @@ object ShardWorker {
     * scan (spec-pinned). */
   private[graft] def graphTopK(rep: BatchedServer.FlatReplica,
       g: SlabIO.GraphSidecar, q: Array[Double], k: Int, th: Double,
-      beam: Int): Array[(Long, Double, Int)] = {
+      beam: Int, userFilter: Array[Int] = null): Array[(Long, Double, Int)] = {
+    // userFilter = the filtered-HNSW semantics (Qdrant; the batch twin
+    // is graphBeamSearch(preFilter)): the predicate gates result
+    // ELIGIBILITY only — the descent routes over the FULL graph, because
+    // restricting the traversal itself disconnects it under selective
+    // predicates (that regime goes to the exact postings path via the
+    // cardinality switch; this path serves BROAD predicates)
+    val uset: java.util.HashSet[Integer] =
+      if (userFilter == null) null
+      else {
+        val s = new java.util.HashSet[Integer](userFilter.length * 2)
+        userFilter.foreach(u => s.add(u))
+        s
+      }
     // every scored row feeds two structures as it is visited: the k-heap
     // of RESULTS (threshold-gated) and the candidate PQ of UNEXPANDED
     // rows ordered (score desc, id asc) — each hop's frontier is `beam`
@@ -1214,9 +1227,11 @@ object ShardWorker {
       while (d < nd) { s += rep.embs(b0 + d) * q(d); d += 1 }
       val r = graft.plans.Num.round6(s)
       val id = rep.ids(row)
-      if (r >= th) top.offer(r, id, rep.users(row))
-      // sub-threshold rows still EXPAND (the path to a hit may pass
-      // through them) — only the result heap is threshold-gated
+      if (r >= th && (uset == null || uset.contains(rep.users(row))))
+        top.offer(r, id, rep.users(row))
+      // sub-threshold (and predicate-excluded) rows still EXPAND — the
+      // path to a hit may pass through them; only the result heap is
+      // threshold- and predicate-gated
       cand.add((r, id, row))
     }
     g.entries.foreach(visit)
@@ -1264,17 +1279,21 @@ object ShardWorker {
     * Row-for-row equality with `Search.knn(preFilter)` on the selective
     * branch (and on the broad branch at full probe) is spec-pinned.
     *
-    * A GRAPH-mode worker (no ivf sidecar) serves EVERY filtered request
-    * on the exact postings path regardless of cardinality: beam descent
-    * has no cell ranges to post-filter, and a predicate-constrained
-    * descent is exactly the filtered-ANN recall hole — the exact scan
-    * over matched rows costs ≤ one full scan and recalls 1.0. */
+    * A GRAPH-mode worker serves a SELECTIVE filtered request on the same
+    * exact postings path (a predicate-constrained TRAVERSAL is exactly
+    * the filtered-ANN recall hole — the exact scan over few matched rows
+    * is cheaper and recalls 1.0); a BROAD one descends the FULL graph
+    * with the predicate gating result eligibility only
+    * ([[graphTopK]]'s userFilter — Qdrant's filtered-HNSW semantics and
+    * the serving twin of the batch `ann_graph_filtered` query): the
+    * descent's O(beam·degree·hops) work beats the O(matched) exact scan
+    * precisely when matched is large, which is what "broad" means. */
   private[graft] def filteredTopK(st: ServingState, users: Array[Int],
       q: Array[Double], k: Int, th: Double, fullScanTh: Int,
       pool: java.util.concurrent.ExecutorService, threads: Int)
       : Array[(Long, Double, Int)] = {
     val matched = st.postings.matched(users)
-    if (st.ivf == null || matched <= fullScanTh) {
+    if ((st.ivf == null && st.graph == null) || matched <= fullScanTh) {
       val rowIdx = st.postings.rowsFor(users)
       if (st.int8)
         topKRowsMmap(st.i8, st.floatBuf, st.floatDataStart, rowIdx, q, k, th)
@@ -1283,6 +1302,8 @@ object ShardWorker {
           Array(q), k, th)
           .map { case (_, id, s, u) => (id, s, u) }
           .sortBy { case (id, s, _) => (-s, id) }.take(k)
+    } else if (st.graph != null) {
+      graphTopK(st.rep, st.graph, q, k, th, st.beam, userFilter = users)
     } else {
       val rs = probeRanges(st.ivf, q, st.nprobe)
       if (st.int8)

@@ -464,6 +464,28 @@ object SparkEntry {
         graphK = 12, maxDegree = 16, nprobe = 2).localCheckpoint()
     })
 
+  /** NN-Descent-refined graph per scale dir (Dong, Moses & Li WWW '11):
+    * the base build is DELIBERATELY fragmented — nprobe=1, so every
+    * candidate pair is co-resident in one cell and the graph's
+    * components are the cells — then two rounds of bridge-seeded 2-hop
+    * closure ([[Ann.graphRefine]] + [[Ann.graphBridges]]) heal the
+    * cross-cell seams. Grades the link-improvement pass the HNSW family
+    * performs at construction time, end to end against an oracle that
+    * replays build, bridges, both rounds, and the descent. */
+  private val refinedGraphBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def refinedGraphTable(
+      s: SparkSession, dir: String): DataFrame =
+    refinedGraphBuilt.computeIfAbsent(dir, _ => {
+      val points = Collection.load(s, dir)
+      val cells = sys.env.getOrElse("SPARK_GRAFT_KNN_CELLS", "32").toInt
+      val cents = Ann.seedCentroids(points, cells)
+      val frag = Ann.graphBuild(points, cents,
+        graphK = 12, maxDegree = 16, nprobe = 1)
+      Ann.graphRefine(points, frag, rounds = 2, maxDegree = 16,
+        bridges = Some(Ann.graphBridges(points, cents, nbridge = 2)))
+    })
+
   /** The graph's entry tier: the same 32 seed points the graph was built
     * around, collected once (32 rows of index metadata) — each query
     * enters the descent at its nearest seed (the role HNSW's upper
@@ -1275,6 +1297,25 @@ object SparkEntry {
           beam = b, hops = 8, entryCids = ecids, entryCents = ecents)
         .withColumn("beam", lit(b.toLong))
         .select(col("id"), col("score"), col("user_id"), col("beam"))
+    }),
+    // NN-DESCENT refined graph (Dong et al. WWW '11 — the link-
+    // improvement pass HNSW performs at construction): base build at
+    // nprobe=1 is strictly within-cell (fragmented BY construction);
+    // two rounds of bridge-seeded 2-hop closure heal the seams, then
+    // the standard descent runs over the healed graph. The oracle
+    // replays the fragmented build, the bridge set, both refine
+    // rounds' candidate/score/cap tables, and the descent CTE-for-CTE
+    // — the refinement DECISIONS are hash-verified, not just the final
+    // top-k.
+    "ann_graph_refined" -> ((s, dir) => {
+      val points = Collection.load(s, dir)
+      val q = points.filter(col("id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qemb"))
+      val (ecids, ecents) = graphEntrySeeds(s, dir)
+      Ann.graphBeamSearch(points, refinedGraphTable(s, dir), q,
+          k = 10, beam = 24, hops = 8,
+          entryCids = ecids, entryCents = ecents)
+        .select(col("id"), col("score"), col("user_id"))
     }),
     // The BATCHED graph descent — the serving design point (every hop
     // join shared by the whole batch; SCALING.md measured exp 0.40):
@@ -2855,6 +2896,93 @@ object SparkEntry {
       s" ORDER BY score DESC, id ASC LIMIT $k"
   }
 
+  /** Oracle for `ann_graph_refined`: replays the FRAGMENTED nprobe=1
+    * build (candidates strictly within one cell), the bridge pair set
+    * (each point → the seeds of its rank-2..nbridge+1 cells), every
+    * NN-Descent round's candidate/score/cap tables, and then the same
+    * hop-replaying descent as [[graphBeamOracle]] over the healed
+    * graph. Each round's graph is MATERIALIZED for the same reason as
+    * the hop states — the recurrence references the prior round 3×. */
+  private def graphRefinedOracle(hops: Int, beam: Int, k: Int,
+      graphK: Int = 12, maxDegree: Int = 16,
+      rounds: Int = 2, nbridge: Int = 2): String = {
+    val b = Seq.newBuilder[String]
+    b += s"""cent AS (SELECT id AS cid, ne AS ce FROM c WHERE id < 32),
+       |gscored AS (SELECT p.id, ct.cid,
+       |  row_number() OVER (PARTITION BY p.id
+       |    ORDER BY round(list_dot_product(p.ne, ct.ce), 6) DESC, ct.cid ASC) AS rn
+       |  FROM c p, cent ct),
+       |gdside AS (SELECT id, cid FROM gscored WHERE rn = 1),
+       |gqside AS (SELECT id AS qid, cid FROM gscored WHERE rn <= 1),
+       |gcand AS (SELECT q.qid, d.id,
+       |    round(list_dot_product(qc.ne, dc.ne), 6) AS score
+       |  FROM gqside q
+       |  JOIN gdside d ON q.cid = d.cid AND q.qid <> d.id
+       |  JOIN c qc ON qc.id = q.qid
+       |  JOIN c dc ON dc.id = d.id),
+       |gr AS (SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+       |  FROM gcand),
+       |kn AS MATERIALIZED (SELECT qid, id, score FROM gr WHERE rank <= $graphK),
+       |und AS (SELECT src, dst, max(score) AS score FROM (
+       |    SELECT qid AS src, id AS dst, score FROM kn
+       |    UNION ALL SELECT id AS src, qid AS dst, score FROM kn)
+       |  GROUP BY src, dst),
+       |g0 AS MATERIALIZED (SELECT src, dst, score FROM (SELECT src, dst, score,
+       |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+       |  FROM und) WHERE rn <= $maxDegree),
+       |brs AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT id AS src, cid AS dst FROM gscored
+       |      WHERE rn BETWEEN 2 AND ${nbridge + 1} AND id <> cid
+       |    UNION
+       |    SELECT cid AS src, id AS dst FROM gscored
+       |      WHERE rn BETWEEN 2 AND ${nbridge + 1} AND id <> cid))""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      b += s"""nn$r AS (SELECT src, dst FROM g$p UNION SELECT src, dst FROM brs),
+         |cnd$r AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT a.src AS src, b.dst AS dst FROM nn$r a
+         |      JOIN nn$r b ON a.dst = b.src AND a.src <> b.dst
+         |    UNION SELECT src, dst FROM brs) t
+         |  WHERE NOT EXISTS (SELECT 1 FROM g$p e
+         |    WHERE e.src = t.src AND e.dst = t.dst)),
+         |csym$r AS (SELECT src, dst FROM cnd$r
+         |  UNION SELECT dst AS src, src AS dst FROM cnd$r),
+         |sc$r AS (SELECT s.src, s.dst,
+         |    round(list_dot_product(cs.ne, cd.ne), 6) AS score
+         |  FROM csym$r s JOIN c cs ON cs.id = s.src JOIN c cd ON cd.id = s.dst),
+         |g$r AS MATERIALIZED (SELECT src, dst, score FROM (
+         |    SELECT src, dst, score,
+         |      row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+         |    FROM (SELECT src, dst, max(score) AS score FROM (
+         |      SELECT src, dst, score FROM g$p
+         |      UNION ALL SELECT src, dst, score FROM sc$r) GROUP BY src, dst))
+         |  WHERE rn <= $maxDegree)""".stripMargin
+    }
+    b += s"""g AS MATERIALIZED (SELECT src, dst FROM g$rounds),
+       |q AS MATERIALIZED (SELECT ne AS qe FROM c WHERE id = 0),
+       |ent AS (SELECT cid AS id FROM cent, q
+       |  ORDER BY round(list_dot_product(ce, q.qe), 6) DESC, cid ASC LIMIT 1),
+       |v0 AS MATERIALIZED (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+       |  FROM c JOIN ent ON c.id = ent.id, q),
+       |f0 AS MATERIALIZED (SELECT id FROM v0),
+       |e0 AS MATERIALIZED (SELECT id FROM v0 WHERE FALSE)""".stripMargin
+    for (r <- 1 to hops) {
+      val p = r - 1
+      b += s"""n$r AS MATERIALIZED (SELECT DISTINCT g.dst AS id FROM g JOIN f$p ON g.src = f$p.id
+         |  WHERE g.dst NOT IN (SELECT id FROM v$p)),
+         |s$r AS MATERIALIZED (SELECT c.id, round(list_dot_product(c.ne, q.qe), 6) AS score, c.user_id
+         |  FROM c JOIN n$r USING (id), q),
+         |v$r AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT * FROM s$r),
+         |e$r AS MATERIALIZED (SELECT id FROM e$p UNION SELECT id FROM f$p),
+         |f$r AS MATERIALIZED (SELECT id FROM v$r WHERE id NOT IN (SELECT id FROM e$r)
+         |  ORDER BY score DESC, id ASC LIMIT $beam)""".stripMargin
+    }
+    s"WITH $C,\n" + b.result().mkString(",\n") +
+      s"\nSELECT id, score, user_id FROM v$hops" +
+      s" ORDER BY score DESC, id ASC LIMIT $k"
+  }
+
   /** Batched form of [[graphBeamOracle]]: `nQ` evenly-spread stored
     * vectors descend in parallel — every hop CTE carries a qid column
     * and every window partitions by it, exactly like the Spark batch
@@ -3554,6 +3682,7 @@ object SparkEntry {
          |FROM comp GROUP BY cluster_id HAVING count(*) > 1
          |ORDER BY cluster_id""".stripMargin,
     "ann_graph_beam" -> graphBeamOracle(hops = 8, beam = 24, k = 10),
+    "ann_graph_refined" -> graphRefinedOracle(hops = 8, beam = 24, k = 10),
     "ann_graph_beam_batch" ->
       graphBeamBatchOracle(nQ = 8, hops = 8, beam = 24, k = 10),
     // same semantics as ann_graph_beam — one oracle grades both

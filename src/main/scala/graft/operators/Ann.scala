@@ -1236,6 +1236,148 @@ object Ann {
       .select(col("src"), col("dst"), col("score"))
   }
 
+  /** NN-Descent refinement of a [[graphBuild]] graph (Dong, Moses &
+    * Li, WWW '11 — "Efficient K-Nearest Neighbor Graph Construction
+    * for Generic Similarity Measures"): iterate "a neighbor of my
+    * neighbor is probably my neighbor". Each round the candidate set is
+    * the graph's 2-hop pairs (one self-equi-join on the edge table),
+    * scored against the store and merged into the current edge lists,
+    * keeping the strongest `maxDegree` per node.
+    *
+    * Why the engine needs it: [[graphBuild]]'s candidates come from
+    * [[knnJoin]], which only sees pairs co-probed within `nprobe` cells
+    * — a cluster straddling a cell boundary gets FRAGMENTED edges and
+    * beam descent stalls at the cell-coverage ceiling (the measured
+    * 0.82 recall cap of the window-only build, SCALING.md r17). 2-hop
+    * closure crosses those seams without ever rescanning the corpus:
+    * if a→b was found in one cell and b→c in another, round 1 proposes
+    * a→c. The reference's Qdrant server performs the equivalent
+    * link-improvement pass inside HNSW construction
+    * (src/config/settings.py:41-45 — its `hnsw_m`/`ef_construct` build
+    * knobs); here the pass is a bounded relational program.
+    *
+    * Scale shape per round (100 TB honest): candidates =
+    * |E|·outdeg ≤ N·maxDegree² rows from ONE equi-join on a
+    * maxDegree-capped table (at deg 16: ≤256 candidate rows/node —
+    * independent of corpus size); scoring = two id-keyed shuffle joins
+    * against the store; merge = one hash agg + one per-src window over
+    * ≤ N·(maxDegree + maxDegree²) rows. No all-pairs product anywhere;
+    * join-key group sizes are outdeg·indeg with outdeg hard-capped and
+    * indeg cap-bounded in expectation (a reverse-heavy hub is top-capped
+    * the round it forms, because the merge window re-caps every src).
+    * Rounds compose geometrically (2-hop of round r reaches 2^r-hop of
+    * round 0), so 2-3 rounds suffice — the paper's observed convergence.
+    *
+    * New edges are symmetrized before the cap (reverse links are what
+    * keep greedy routing navigable — same argument as [[graphBuild]]);
+    * scores are 6dp-rounded dots and ties break on dst, so the result
+    * is deterministic and oracle-replayable round by round. Each round
+    * is localCheckpointed: round r+1 references round r's table three
+    * times, and without truncation the lineage re-expands
+    * combinatorially (the graphBeamSearch lesson).
+    *
+    * Closure alone cannot cross a DISCONNECTED seam: an nprobe=1 build
+    * has strictly within-cell edges, so its 2-hop pairs are within-cell
+    * too. `bridges` is the repair seam — extra CANDIDATE pairs (src,
+    * dst) that participate in closure and scoring but are never kept
+    * for free (a bridge survives only if its measured score wins a cap
+    * slot, and even a losing bridge has already seeded the next round's
+    * closure with its endpoint's neighborhood). [[graphBridges]] builds
+    * the canonical set: each node → the seed points of its next-nearest
+    * cells, the role HNSW's upper layers play at build time. */
+  def graphRefine(points: DataFrame, graph: DataFrame,
+      rounds: Int = 2, maxDegree: Int = 12,
+      bridges: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Constraint propagation is OFF for the duration of the build (an
+    // optimizer-only inference; results are unaffected): every round
+    // self-joins and self-unions checkpointed frames, and a
+    // localCheckpoint PRESERVES its plan's constraints in the LogicalRDD
+    // — after the analyzer deduplicates the self-join's attribute ids
+    // those pinned constraints reference ids the rewrite map no longer
+    // contains and Union/Join constraint rewriting throws key-not-found.
+    // Every frame the caller receives is built (and checkpointed) while
+    // the flag is off, so no stale constraint escapes the scope.
+    val sess = points.sparkSession
+    val ckey = "spark.sql.constraintPropagation.enabled"
+    val prev = sess.conf.getOption(ckey)
+    sess.conf.set(ckey, "false")
+    try {
+    val store = points.select(col("id"), col("embedding"))
+    val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
+    val br = bridges.map(b =>
+      b.select(col("src"), col("dst"))
+        .unionByName(b.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint())
+    var g = graph.select(col("src"), col("dst"), col("score"))
+    for (_ <- 1 to rounds) {
+      // checkpointed: the frame self-joins (2-hop) and self-unions
+      // (symmetrize) below, and Union/Join constraint rewriting over
+      // shared-lineage branches hits the deduplicated-attribute hole —
+      // a LogicalRDD carries no constraints to rewrite (and the frame
+      // is reused 3-4 times per round anyway)
+      val nn = br.foldLeft(g.select(col("src"), col("dst")))(
+        (e, b) => e.unionByName(b)).localCheckpoint()
+      val twoHop = nn.as("a").join(nn.as("b"),
+          col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      val cand = br.foldLeft(twoHop)((e, b) => e.unionByName(b))
+        .distinct()
+        // only NEW pairs are scored — the existing edge already carries
+        // the same rounded symmetric dot
+        .join(g.select(col("src"), col("dst")), Seq("src", "dst"),
+          "left_anti")
+        .localCheckpoint()
+      // symmetrize the PAIRS (both branches fully re-aliased — fresh
+      // attribute ids, the graphBuild union pattern), then score once
+      val candSym = cand
+        .unionByName(cand.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val scored = candSym
+        .join(store.select(col("id").as("src"), col("embedding").as("se")),
+          Seq("src"))
+        .join(store.select(col("id").as("dst"), col("embedding").as("de")),
+          Seq("dst"))
+        .select(col("src"), col("dst"),
+          rdot(col("se"), col("de")).as("score"))
+        .localCheckpoint()
+      g = g
+        .unionByName(scored)
+        .groupBy("src", "dst").agg(max("score").as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxDegree)
+        .select(col("src"), col("dst"), col("score"))
+        .localCheckpoint()
+    }
+    g
+    } finally {
+      prev match {
+        case Some(v) => sess.conf.set(ckey, v)
+        case None    => sess.conf.unset(ckey)
+      }
+    }
+  }
+
+  /** Cross-cell candidate bridges for [[graphRefine]]: each point paired
+    * with the SEED points of its 2nd..(nbridge+1)th nearest centroids
+    * (seed centroids are real rows whose id == cid, the same entry-tier
+    * convention graphBeamSearch uses). One map-side pass — per row a
+    * C-way argmax, no shuffle, ≤ nbridge rows/point — emitting exactly
+    * the seams an nprobe-bounded build cannot see: a point near a cell
+    * boundary is bridged INTO its runner-up cells, and closure walks
+    * from the seed toward the boundary neighborhood. */
+  def graphBridges(points: DataFrame, centroids: DataFrame,
+      nbridge: Int = 2): DataFrame = {
+    val rows = centroids.select(col("cid"), col("ce")).orderBy("cid").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val cents = rows.map(_.getSeq[Double](1)).toSeq
+    points.select(col("id").as("src"),
+        graft.plans.VectorExpressions.topCentroids(
+          col("embedding"), cids, cents, nbridge + 1).as("pc"))
+      .select(col("src"), explode(slice(col("pc"), 2, nbridge)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
   /** Batched beam search over a [[graphBuild]] graph — fixed-hop NSW
     * descent, every query advancing in the SAME bounded jobs:
     *

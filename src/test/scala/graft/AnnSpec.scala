@@ -641,6 +641,84 @@ class AnnSpec extends SparkSpec {
     assert(bidi >= 0.5, s"bidirectional share $bidi — graph not navigable")
   }
 
+  test("graphRefine: closure + bridges heal a fragmented nprobe=1 graph") {
+    val cents = Ann.seedCentroids(points, 16)
+    // nprobe=1 — candidates strictly within own cell, so the graph's
+    // components ARE the cells; beam descent caps at cell coverage
+    val frag = Ann.graphBuild(points, cents,
+      graphK = 8, maxDegree = 12, nprobe = 1).localCheckpoint()
+    val bridges = Ann.graphBridges(points, cents, nbridge = 2)
+    val refined = Ann.graphRefine(points, frag, rounds = 2,
+      maxDegree = 12, bridges = Some(bridges))
+    val degs = refined.groupBy("src").agg(count(lit(1)).as("d"))
+      .select("d").as[Long].collect()
+    assert(degs.forall(_ <= 12), "refine must respect the degree cap")
+    val (ecids, ecents) = entrySeeds
+    def beamRecall(g: org.apache.spark.sql.DataFrame): Double = {
+      val qids = Seq(0L, 17L, 99L, 250L, 333L, 480L)
+      val q = points.filter($"id".isin(qids: _*))
+        .select($"id".as("qid"), $"embedding".as("qemb"))
+      val got = Ann.graphBeamSearch(points, g, q, k = 10,
+          beam = 16, hops = 6, entryCids = ecids, entryCents = ecents)
+        .select($"qid", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      qids.map(qid => (got.getOrElse(qid, Set.empty)
+        .intersect(exactTop(qid, 10))).size / 10.0).sum / qids.size
+    }
+    // edge-level truth: share of each sampled node's true top-5
+    // neighbors present as out-edges
+    def edgeRecall(g: org.apache.spark.sql.DataFrame): Double = {
+      val sample = Seq(0L, 17L, 99L, 250L, 333L, 480L)
+      val edges = g.filter($"src".isin(sample: _*))
+        .select($"src", $"dst").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      sample.map { id =>
+        val truth = exactTop(id, 6) - id
+        (truth intersect edges.getOrElse(id, Set.empty)).size.toDouble /
+          truth.size
+      }.sum / sample.size
+    }
+    val beamBefore = beamRecall(frag)
+    val beamAfter = beamRecall(refined)
+    val edgeBefore = edgeRecall(frag)
+    val edgeAfter = edgeRecall(refined)
+    info(s"beam recall $beamBefore -> $beamAfter; " +
+      s"edge recall $edgeBefore -> $edgeAfter")
+    assert(edgeAfter >= edgeBefore,
+      s"refinement lost edge recall: $edgeBefore -> $edgeAfter")
+    assert(beamAfter >= beamBefore,
+      s"refinement lost beam recall: $beamBefore -> $beamAfter")
+    assert(beamAfter >= 0.7, s"healed beam recall $beamAfter too low")
+    // deterministic: a second run is row-identical
+    val again = Ann.graphRefine(points, frag, rounds = 2,
+      maxDegree = 12, bridges = Some(bridges))
+    assert(refined.orderBy("src", "dst").collect().toSeq ==
+      again.orderBy("src", "dst").collect().toSeq,
+      "graphRefine must be deterministic")
+  }
+
+  test("graphRefine without bridges cannot cross the cell seam; with them it does") {
+    val cents = Ann.seedCentroids(points, 16)
+    val frag = Ann.graphBuild(points, cents,
+      graphK = 8, maxDegree = 12, nprobe = 1).localCheckpoint()
+    val cellOf = Ann.ivfAssign(points, cents)
+      .select($"id", $"cid").as[(Long, Long)].collect().toMap
+    def crossShare(g: org.apache.spark.sql.DataFrame): Double = {
+      val e = g.select($"src", $"dst").as[(Long, Long)].collect()
+      e.count { case (a, b) => cellOf(a) != cellOf(b) }.toDouble / e.length
+    }
+    assert(crossShare(frag) == 0.0,
+      "nprobe=1 build must be strictly within-cell (the fragmentation premise)")
+    val closed = Ann.graphRefine(points, frag, rounds = 2, maxDegree = 12)
+    assert(crossShare(closed) == 0.0,
+      "closure alone must stay within components — the seam argument")
+    val healed = Ann.graphRefine(points, frag, rounds = 2, maxDegree = 12,
+      bridges = Some(Ann.graphBridges(points, cents, nbridge = 2)))
+    val cs = crossShare(healed)
+    info(s"cross-cell edge share after bridge-seeded refine: $cs")
+    assert(cs > 0.0, "bridge-seeded refinement must create cross-cell edges")
+  }
+
   private lazy val entrySeeds: (Seq[Long], Seq[Seq[Double]]) = {
     val rows = Ann.seedCentroids(points, 16).orderBy("cid").collect()
     (rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Double](1).toSeq).toSeq)

@@ -1129,6 +1129,37 @@ class ShardWorkerSpec extends AnyFunSuite {
         // this fixture (the serving regime)
         if (qi < 3) assert(atB.toSeq == full(qi).toSeq, s"clustered q$qi")
       }
+      // FILTERED planner on a graph worker: selective stays the exact
+      // postings path; broad (fullScanTh = 0) descends the FULL graph
+      // with the predicate gating result ELIGIBILITY only (the
+      // filtered-HNSW semantics; batch twin = graphBeamSearch preFilter).
+      // At beam = n the descent is a BFS over the connected fixture, so
+      // descend-then-filter must equal the exact filtered oracle
+      // row-for-row; at the serving beam every hit satisfies the
+      // predicate with its exact score in global order.
+      val stGraph = ShardWorker.loadState(floatPath, "", "",
+        nprobe = 0, oversample = 3.0, version = 1,
+        graphPath = s"$floatPath.graph", beam = n)
+      val usSel = Seq(3)
+      val usBroad = Seq(1, 4, 7)
+      queries.foreach { q =>
+        assert(ShardWorker.filteredTopK(stGraph, usSel.toArray, q, k, 0.0,
+          ShardWorker.DefaultFullScanThreshold, pool, 4).toSeq ==
+          bruteFiltered(rows, q, usSel, k, 0.0),
+          "graph-worker selective filtered must stay exact")
+        assert(ShardWorker.filteredTopK(stGraph, usBroad.toArray, q, k, 0.0,
+          0, pool, 4).toSeq == bruteFiltered(rows, q, usBroad, k, 0.0),
+          "graph-worker broad filtered at beam=n must equal the oracle")
+        val stB = stGraph.copy(beam = 8)
+        val gotB = ShardWorker.filteredTopK(stB, usBroad.toArray, q, k, 0.0,
+          0, pool, 4)
+        val exactScore = rows.map { case (id, e, _) => id -> dot(e, q) }.toMap
+        gotB.foreach { case (id, s, u) =>
+          assert(usBroad.contains(u), "broad descent hit must match filter")
+          assert(s == exactScore(id), "broad descent score must be exact")
+        }
+        assert(gotB.sortBy { case (id, s, _) => (-s, id) }.toSeq == gotB.toSeq)
+      }
       // sidecar composition rules: graph+ivf and graph+int8 fail loud
       SlabIO.writeInt8(s"$floatPath.i8", rows, floatPath)
       val exIvf = intercept[IllegalArgumentException](
@@ -1180,6 +1211,32 @@ class ShardWorkerSpec extends AnyFunSuite {
             s"post-reload beam-8 clustered q$qi")
         }
       } finally router.close()
+      // socket e2e, BROAD branch: a graph worker launched with
+      // fullScanTh = 0 serves every filtered request via the full-graph
+      // descent (predicate gates eligibility only); at beam = n the BFS
+      // covers the connected fixture, so the wire result must equal the
+      // exact filtered oracle row-for-row
+      val portB = freePort()
+      val tB = new Thread(new Runnable {
+        def run(): Unit = ShardWorker.main(Array(floatPath, portB.toString,
+          k.toString, "0.0", "2", "0", "20", "", "", "0", "3.0", "0",
+          s"$floatPath.graph", n.toString))
+      })
+      tB.setDaemon(true); tB.start()
+      var routerB: RemoteShardedRouter = null
+      tries = 0
+      while (routerB == null) {
+        try routerB = new RemoteShardedRouter(
+          Seq(("127.0.0.1", portB)), k, connsPerShard = 2)
+        catch { case e: java.io.IOException =>
+          tries += 1; if (tries > 60) throw e; Thread.sleep(250) }
+      }
+      try queries.foreach { q =>
+        val us = Seq(1, 4, 7)
+        assert(routerB.searchFiltered(q, us.toArray).toSeq ==
+          bruteFiltered(rows, q, us, k, 0.0),
+          "socket broad filtered descent (graph worker, fullScanTh=0)")
+      } finally routerB.close()
       // pairing: sidecar vs a regenerated same-shape slab fails loud
       val regen = s"$dir/regen.slab"
       SlabIO.write(regen, rows.map { case (id, e, u) => (id, e.map(-_), u) })
