@@ -1437,13 +1437,73 @@ object Ann {
       entryCids: Seq[Long] = Nil,
       entryCents: Seq[Seq[Double]] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    // Scale-adaptive physical regime (OPTIMIZATION r17, guide §2 "make
+    // partitioning scale-adaptive"; same adaptive-path pattern as
+    // [[connectedComponents]]' tiers and [[adaptiveSearch]]): the hop
+    // loop's frames are bounded by |Q|·beam·degree, so for a bounded
+    // serving batch (the descent's design regime) the loop runs with
+    //  - the frontier/candidate side pinned as the broadcast build side
+    //    (structurally small by the regime gate — never the store or the
+    //    edge table, whatever their estimated sizes say), and
+    //  - AQE off + shuffle partitions derived from |Q| for the loop's
+    //    two bounded-state exchanges: each AQE exchange is a separately
+    //    scheduled stage-job, and re-planning 8 hops of ~KB frames cost
+    //    more wall time than every shuffle in the loop combined.
+    // A LARGE query batch (the 100 TB fan-out regime) keeps the session
+    // confs untouched — AQE chooses join strategy and partition counts
+    // from runtime sizes exactly as before.
+    // limit-probe instead of a count: one bounded job decides the regime
+    // AND (for a truly tiny batch) hands the rows to the literal-inline
+    // scoring below (the BatchedServer.refresh limit(cap+1) pattern)
+    val qCap = math.max(1L, 2000000L / (math.max(beam, 1) * 64L)).toInt
+    val qProbe = queries.select(col("qid"), col("qemb"))
+      .limit(qCap + 1).collect()
+    val smallBatch = qProbe.nonEmpty && qProbe.length <= qCap
+    val nQ = qProbe.length.toLong
+    def maybeSmall(df: DataFrame): DataFrame =
+      if (smallBatch) broadcast(df) else df
+    // direct-literal query side (the Search.knnDirect form, graded since
+    // r5): at ≤ 32 queries the per-hop scoring join against the
+    // broadcast query frame is replaced by a codegen when-chain over the
+    // collected (qid, qemb) literals — one broadcast-build JOB per hop
+    // gone; identical rdot inputs, identical scores.
+    val qLits: Option[Column] =
+      if (smallBatch && nQ <= 32) {
+        val rows = qProbe.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        Some(rows.tail.foldLeft(
+          when(col("qid") === rows.head._1, typedlit(rows.head._2))) {
+          case (acc, (qid, qe)) => acc.when(col("qid") === qid, typedlit(qe))
+        })
+      } else None
+    def withLoopConfs[A](f: => A): A =
+      if (!smallBatch) f
+      else {
+        val c = spark.conf
+        val par = spark.sparkContext.defaultParallelism.toLong
+        val want = Seq(
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.shuffle.partitions" ->
+            math.max(1L, math.min(par, (nQ + 63) / 64)).toString)
+        val prev = want.map { case (key, _) => key -> c.getOption(key) }
+        want.foreach { case (key, v) => c.set(key, v) }
+        try f finally prev.foreach { case (key, ov) =>
+          ov.fold(c.unset(key))(c.set(key, _)) }
+      }
     val q = broadcast(queries.select(col("qid"), col("qemb")))
-    def scoreIds(ids: DataFrame): DataFrame = ids
-      .join(storeFor(ids).select(
-        col("id"), col("embedding"), col("user_id")), Seq("id"))
-      .join(q, Seq("qid"))
-      .select(col("qid"), col("id"),
-        rdot(col("embedding"), col("qemb")).as("score"), col("user_id"))
+    def scoreIds(ids: DataFrame): DataFrame = {
+      val stored = maybeSmall(ids)
+        .join(storeFor(ids).select(
+          col("id"), col("embedding"), col("user_id")), Seq("id"))
+      qLits match {
+        case Some(qe) => stored.select(col("qid"), col("id"),
+          rdot(col("embedding"), qe).as("score"), col("user_id"))
+        case None => stored
+          .join(q, Seq("qid"))
+          .select(col("qid"), col("id"),
+            rdot(col("embedding"), col("qemb")).as("score"), col("user_id"))
+      }
+    }
     // entry tier: with a coarse quantizer supplied, each query enters the
     // graph at its nearest seed point (one map-side argmax — the same
     // role HNSW's upper layers play: start the descent in the right
@@ -1466,27 +1526,60 @@ object Ann {
     // separate lazy frames re-expands their derivation chains
     // combinatorially in `hops` (measured: 17 s/query at 20k points
     // before this restructure, ~1 s after).
+    //
+    // Hop body = TWO exchanges (OPTIMIZATION r17, guide §2.4 "remove
+    // shuffles outright"): the previous body spent ~10 exchanges/hop
+    // (frontier window + nbrs distinct + anti-join + a state⨝frontier
+    // marking join + the scoring joins), and with AQE every exchange is
+    // its own scheduled stage-job — 103 jobs for one 8-hop query. Now:
+    //  (1) one window pass over (qid, expanded) both RANKS the
+    //      unexpanded rows (frontier = rn <= beam, same desc-score/asc-id
+    //      order and tiebreak) and MARKS them expanded — the marking
+    //      join is gone;
+    //  (2) neighbors are scored WITHOUT the distinct+anti-join pair:
+    //      all (qid, dst) rows (dupes included) join store+query, and one
+    //      groupBy (qid, id) collapse folds them into the carried state —
+    //      duplicate (qid, id) rows carry identical deterministic values
+    //      (rdot is fixed per (id, qid), user_id rides the store row),
+    //      and max(expanded) keeps an existing row's marking, so the
+    //      collapsed state is row-identical to the anti-join form.
+    // The per-hop shuffles are the window hash on qid and the collapse
+    // hash on (qid, id) — both over the bounded state/candidate frames
+    // (≤ |Q|·(1 + hops·beam·degree) rows), never over the store or the
+    // edge table, whose joins stay small-side-built at any corpus size.
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
-    var state = scoreIds(f0).withColumn("expanded", lit(false)).localCheckpoint()
-    for (_ <- 1 to hops) {
-      // frontier: top-beam unexpanded nodes per query
-      val frontier = state.filter(!col("expanded"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam)
-        .select(col("qid"), col("id"))
-      val nbrs = frontier
-        .join(graphFor(frontier).select(col("src").as("id"), col("dst")),
-          Seq("id"))
-        .select(col("qid"), col("dst").as("id")).distinct()
-      val fresh = nbrs
-        .join(state.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
-      val marked = state
-        .join(frontier.withColumn("hit", lit(true)), Seq("qid", "id"), "left")
-        .withColumn("expanded", col("expanded") || coalesce(col("hit"), lit(false)))
-        .drop("hit")
-      state = marked
-        .unionByName(scoreIds(fresh).withColumn("expanded", lit(false)))
-        .localCheckpoint()
+    val wf = Window.partitionBy("qid", "expanded")
+      .orderBy(desc("score"), asc("id"))
+    val state = withLoopConfs {
+      var st =
+        scoreIds(f0).withColumn("expanded", lit(false)).localCheckpoint()
+      for (h <- 1 to hops) {
+        val ranked = st.withColumn("rn", row_number().over(wf))
+        // frontier: top-beam unexpanded nodes per query (rn is computed
+        // within the (qid, expanded=false) partition, so the selection is
+        // exactly the old per-qid top-beam over unexpanded rows)
+        val frontier = ranked.filter(!col("expanded") && col("rn") <= beam)
+          .select(col("qid"), col("id"))
+        val nbrs = maybeSmall(frontier)
+          .join(graphFor(frontier).select(col("src").as("id"), col("dst")),
+            Seq("id"))
+          .select(col("qid"), col("dst").as("id"))
+        val marked = ranked
+          .withColumn("expanded", col("expanded") || col("rn") <= beam)
+          .drop("rn")
+        st = marked
+          .unionByName(scoreIds(nbrs).withColumn("expanded", lit(false)))
+          .groupBy("qid", "id")
+          .agg(max(col("score")).as("score"),
+            max(col("user_id")).as("user_id"),
+            max(col("expanded")).as("expanded"))
+          // per-hop checkpoint: a 2-hop cadence was TRIED and measured
+          // WORSE (3.3 s vs 1.9 s) — the un-checkpointed hop body is
+          // re-executed inside every broadcast build of the next hop,
+          // so saved planning passes buy duplicated execution
+          .localCheckpoint()
+      }
+      st
     }
     // filtered-graph-search semantics (Qdrant's filtered HNSW): the
     // DESCENT runs over the full graph — non-matching nodes still route

@@ -115,7 +115,12 @@ object Dedup {
       bands: Int): (DataFrame, DataFrame) = {
     val rows = k / bands
     val p = TextOps.MinHashP
-    val sh = docs
+    // parallelism floor (OPTIMIZATION r17, guide §2): the 128-perm
+    // MinHash register loop is the most expensive map kernel in the
+    // dedup family; on a one-split input it serialized on one core
+    // (measured 857 ms single task). Par.spread is an identity once the
+    // scan has >= session-parallelism splits.
+    val sh = Par.spread(docs)
       .withColumn("sh", TextOps.shingleHashSet(TextOps.words(col("text")), n))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))

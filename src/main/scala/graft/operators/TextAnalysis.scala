@@ -642,7 +642,11 @@ object TextAnalysis {
         .as("tok"))
       .select(col("doc_id"),
         pmod(TextOps.hash60(col("tok")), lit(buckets.toLong)).as("fid"))
-    val rawF = feats(raw)
+    // parallelism floor on the raw side only (OPTIMIZATION r17, guide
+    // §2): the unigram∪bigram hash explode is the query's dominant map
+    // kernel (measured 1.06 s single task on a one-split input); the
+    // target side is the small domain sample and stays as planned.
+    val rawF = feats(Par.spread(raw))
     val ct = feats(target).groupBy("fid").agg(count(lit(1)).as("c_t"))
     val cr = rawF.groupBy("fid").agg(count(lit(1)).as("c_r"))
     val tot = ct.agg(sum("c_t").as("tt"))
