@@ -218,20 +218,16 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** (doc_id, simhash): explode words → hash once per word → 60 flat
-    * codegen'd bit-vote sums → pack; one hash shuffle on doc_id
-    * (map-side partial aggregation). */
-  private def simHashes(docs: DataFrame): DataFrame = {
-    val wordRows = docs
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-      .withColumn("wh", TextOps.hash60(col("w")))
-    val bitSums = (0 until 60).map(j =>
-      sum(when(col("wh").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)).as(s"b$j"))
-    wordRows.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(j => when(col(s"b$j") > 0L, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+  /** (doc_id, simhash) as a map-side projection — the one-pass
+    * [[graft.plans.SimHash60]] kernel (OPTIMIZATION r17): the previous
+    * explode → 60 flat bit-vote sums → pack formulation shuffled
+    * |docs|·|words| rows into a 60-aggregate hash agg; the native pass
+    * produces identical signatures with zero shuffles at any corpus
+    * size (the [[graft.plans.MinHashSig]] shape migration). */
+  private def simHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.plans.TextExpressions.simHash60(
+        TextOps.words(col("text"))).as("simhash"))
 
   /** Signature-dedup clustering — the duplicate-heavy-corpus form of
     * simhash dedup. [[simHashPairs]]' contract (EVERY pair at radius ≤

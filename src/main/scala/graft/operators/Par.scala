@@ -28,7 +28,12 @@ object Par {
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // ANALYZED-plan statistic, not optimized: running the optimizer just
+    // to read a size estimate costs a full Catalyst pass per call
+    // (measured: spreading the relational/events loaders this way, with
+    // several loads per query, doubled those queries' wall time — that
+    // experiment was reverted; see OPTIMIZATION_r17.md)
+    val est = df.queryExecution.analyzed.stats.sizeInBytes
     if (est > BigInt(maxSplit)) df
     else df.repartition(spark.sparkContext.defaultParallelism)
   }

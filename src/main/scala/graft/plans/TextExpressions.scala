@@ -330,9 +330,59 @@ case class NfcNormalize(child: Expression)
     copy(child = c)
 }
 
+/** 60-bit SimHash of a word array in ONE pass (OPTIMIZATION r17, guide
+  * §2.4): bit j of the result is set iff Σ over words of ±1 — +1 when bit
+  * j of hash60(word) is set, −1 otherwise — is strictly positive.
+  * Identical values to the explode → 60 flat `sum(when(...))` aggregates
+  * formulation (duplicate words vote once per occurrence, exactly as the
+  * exploded rows did), but with no explode and no shuffle: the signature
+  * becomes a map-side projection, the same shape migration [[MinHashSig]]
+  * made for the minhash family. The 60 vote counters live in one int
+  * array updated in a register loop per word hash. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val ws = v.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val votes = new Array[Int](60)
+    val md = TextHash.localMd()
+    var i = 0
+    while (i < n) {
+      val h = TextHash.hash60(md, ws.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftBridge
   def hash60(s: Column): Column = GraftBridge.column(Hash60(GraftBridge.expression(s)))
+  def simHash60(words: Column): Column =
+    GraftBridge.column(SimHash60(GraftBridge.expression(words)))
   def nfc(s: Column): Column = GraftBridge.column(NfcNormalize(GraftBridge.expression(s)))
   def shingleHashSet60(words: Column, n: Int): Column =
     GraftBridge.column(ShingleHashSet60(GraftBridge.expression(words), n))
