@@ -739,7 +739,12 @@ object Ann {
     def tableKeys(emb: Column): Column = array(tables.map { case (planes, ti) =>
       concat(lit(s"$ti:"), lshSignature(emb, planes))
     }: _*)
-    val keyed = points.select(col("id"),
+    // parallelism floor on the signature build only (OPTIMIZATION r17,
+    // guide §2): all L·kb plane dots + key strings per point ran as ONE
+    // task on the one-split fixture collection (measured 603 ms single-
+    // task job); identity at scale. The rescore pass below stays on the
+    // planned scan — it touches candidates only.
+    val keyed = graft.operators.Par.spread(points).select(col("id"),
       explode(tableKeys(col("embedding"))).as("bucket"))
     val qKeys = queryDf.select(
       explode(tableKeys(col("qemb"))).as("bucket"))

@@ -539,7 +539,14 @@ object TextAnalysis {
         explode(graft.plans.TextExpressions.spanHashes60(
           TextOps.words(col("text")), w)).as("span_h"))
       .localCheckpoint()
-    val totals = spans.groupBy("doc_id").agg(count("*").as("n_spans"))
+    // per-doc span totals are ARITHMETIC (stride-1 windows over nw words
+    // = max(0, nw-w+1), exactly SpanHashes60's output length), not an
+    // aggregate over the exploded span stream — one full shuffle+agg of
+    // the corpus-sized stream removed (OPTIMIZATION r17, guide §2.3:
+    // shuffle keys/metadata, never recount what is computable per row)
+    val totals = docs.select(col("doc_id"),
+      greatest(size(TextOps.words(col("text"))) - lit(w - 1), lit(0))
+        .cast("long").as("n_spans"))
     val owners = spans.groupBy("span_h")
       .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)
