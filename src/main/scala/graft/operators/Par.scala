@@ -33,8 +33,26 @@ object Par {
     // (measured: spreading the relational/events loaders this way, with
     // several loads per query, doubled those queries' wall time — that
     // experiment was reverted; see OPTIMIZATION_r17.md)
-    val est = df.queryExecution.analyzed.stats.sizeInBytes
-    if (est > BigInt(maxSplit)) df
+    val analyzed = df.queryExecution.analyzed
+    // scan-chain gate: only a plain projection/filter over a leaf inherits
+    // the scan's (possibly single) split count — that is the serialization
+    // this floor exists to fix. A derived frame (join/aggregate/window
+    // upstream) already owns a shuffle-determined partition count, and
+    // repartitioning it was measured a net loss (curate pipeline 1.2-1.3×;
+    // see OPTIMIZATION_r17.md)
+    val scanChain = analyzed.collect {
+      // file-source leaves only: a checkpointed frame (LogicalRDD) owns
+      // its materialized partition count — re-exchanging it was measured
+      // a regression (dedup_clusters_sigdedup 1.4×)
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => true
+      case _ => false
+    }.forall(identity)
+    val est = analyzed.stats.sizeInBytes
+    if (!scanChain || est > BigInt(maxSplit)) df
     else df.repartition(spark.sparkContext.defaultParallelism)
   }
 }
