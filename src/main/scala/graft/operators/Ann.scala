@@ -1557,7 +1557,7 @@ object Ann {
       .orderBy(desc("score"), asc("id"))
     val state = withLoopConfs {
       var st =
-        scoreIds(f0).withColumn("expanded", lit(false)).localCheckpoint()
+        scoreIds(f0).withColumn("expanded", lit(false)).localCheckpoint(false)
       for (h <- 1 to hops) {
         val ranked = st.withColumn("rn", row_number().over(wf))
         // frontier: top-beam unexpanded nodes per query (rn is computed
@@ -1581,8 +1581,12 @@ object Ann {
           // per-hop checkpoint: a 2-hop cadence was TRIED and measured
           // WORSE (3.3 s vs 1.9 s) — the un-checkpointed hop body is
           // re-executed inside every broadcast build of the next hop,
-          // so saved planning passes buy duplicated execution
-          .localCheckpoint()
+          // so saved planning passes buy duplicated execution. LAZY
+          // (eager=false): the eager form spends a dedicated job per hop;
+          // lazily the next hop's first consumer (the frontier broadcast
+          // build) materializes the same RDD inside its own job — one
+          // driver round-trip per hop saved, identical lineage truncation
+          .localCheckpoint(false)
       }
       st
     }

@@ -438,7 +438,10 @@ object TextAnalysis {
       .select(col("w1h"), col("logp").as("logp_ctx"))
     val mGlobal = model.filter(col("w1h").isNull)
       .select(col("logp").as("logp_global"))
-    docs
+    // parallelism floor: two hash60s per bigram is the heaviest per-row
+    // kernel in the text family after minhash; a one-split input
+    // serializes it on one core (identity at scale — Par.spread)
+    Par.spread(docs)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
