@@ -271,8 +271,13 @@ object TextAnalysis {
       .filter(col("term").isin(queryTerms: _*))
     val tf = terms.groupBy("doc_id", "doc_len", "term")
       .agg(count("*").cast("double").as("tf"))
-    val df_ = tf.groupBy("term").agg(count("*").cast("double").as("df"))
-    tf.join(broadcast(df_), Seq("term"))
+    // df as a count window over tf, not a groupBy + join-back: the join
+    // form re-derived the scan→explode→tf subtree a second time inside
+    // the broadcast build (Catalyst does not CSE across aggregate
+    // branches) — identical per-row df values, one kernel pass
+    // (OPTIMIZATION r17, guide §2.4)
+    tf.withColumn("df", count(lit(1))
+        .over(Window.partitionBy("term")).cast("double"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d))
