@@ -664,10 +664,15 @@ object TextAnalysis {
     val rawF = feats(Par.spread(raw))
     val ct = feats(target).groupBy("fid").agg(count(lit(1)).as("c_t"))
     val cr = rawF.groupBy("fid").agg(count(lit(1)).as("c_r"))
-    val tot = ct.agg(sum("c_t").as("tt"))
-      .crossJoin(cr.agg(sum("c_r").as("tr")))
+    // model totals as unpartitioned windows over the joined model frame
+    // (≤ `buckets` rows — single-partition is fine at model scale): every
+    // ct/cr row survives the full-outer join exactly once, so the window
+    // sums equal the old pre-join aggregates row for row
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val lam = ct.join(cr, Seq("fid"), "full_outer")
-      .crossJoin(broadcast(tot))
+      .withColumn("tt", sum(coalesce(col("c_t"), lit(0L))).over(wAll))
+      .withColumn("tr", sum(coalesce(col("c_r"), lit(0L))).over(wAll))
       .select(col("fid"),
         round(log((coalesce(col("c_t"), lit(0L)) + alpha) / (col("tt") + alpha * buckets))
           - log((coalesce(col("c_r"), lit(0L)) + alpha) / (col("tr") + alpha * buckets)), 6)
